@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface mapped from SURVEY.md §2: filtered
+  * scans with EQ/AND/OR predicate trees (P1/P4), group-by aggregations
+  * and per-key counts (A1/A2/A3), count+timestamp+samples result shapes
+  * (A5), top-k (O2), deterministic sampling (O4), scalar functions
+  * (F2-F6), plus the Spark-native extensions (joins, windows, set ops)
+  * the reference delegates to Pig.
+  *
+  * Determinism rules for oracle parity:
+  *  - money/quantity sums go through DECIMAL (exact, order-independent)
+  *    and are cast back to DOUBLE at the end;
+  *  - sampling uses md5-prefix selection, not rand();
+  *  - any top-k/window ordering carries a unique tiebreak column;
+  *  - timestamps are reduced to whole epoch seconds or formatted dates
+  *    (events.ts is nanos in parquet; Spark truncates to micros while
+  *    DuckDB keeps nanos, so raw ts values must not be emitted).
+  */
+object CoreQueries extends QueryModule {
+
+  /** TPC-H Q1-shaped pricing summary: partial (map-side) aggregation +
+    * final merge come free from Catalyst's HashAggregate pair; at 100 TB
+    * this is one shuffle on a low-cardinality key — optimal. */
+  private def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** EQ filtered scan (P4/S2): pushed to the parquet reader as
+    * `PushedFilters: [EqualTo(event_type,purchase)]`. */
+  private def q02FilterEq(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+
+  private val q02Sql =
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'"
+
+  /** EQ/AND/OR predicate tree (P1) — the full boolean surface the
+    * reference's Expression IR supports. */
+  private def q03FilterAndOr(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter((col("event_type") === "click" && col("user_id") < 50) ||
+        col("event_type") === "error")
+      .select("event_id", "user_id", "event_type")
+
+  private val q03Sql =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE (event_type = 'click' AND user_id < 50) OR event_type = 'error'""".stripMargin
+
+  /** Count per distinct key (A2) — the shape of the reference's
+    * ScanUsingIndexJob differential verification. */
+  private def q04GroupCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  private val q04Sql = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+  /** Distinct values per group (A3). */
+  private def q05DistinctPerGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  private val q05Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Count + latest-timestamp + bounded sample-id list per key — the
+    * CountTimestampSamplesWritable result shape (A5,
+    * `retrieval/CountTimestampSamplesWritable.java:25-67`). Samples are
+    * the 5 smallest ids (deterministic), joined to a csv string so the
+    * comparator sees a scalar. */
+  private def q06CountTsSamples(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        max(unix_timestamp(col("ts"))).as("max_epoch"),
+        concat_ws(",", slice(sort_array(collect_list(col("event_id"))), 1, 5))
+          .as("sample_ids"))
+
+  private val q06Sql =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  CAST(FLOOR(MAX(EPOCH(ts))) AS BIGINT) AS max_epoch,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST(event_id))[1:5], ',') AS sample_ids
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Top-k (O2): Catalyst plans TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver; no full sort at scale. */
+  private def q07TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(10)
+      .select("event_id", "event_type", "value")
+
+  private val q07Sql =
+    """SELECT event_id, event_type, value FROM events
+      |ORDER BY value DESC, event_id LIMIT 10""".stripMargin
+
+  /** Deterministic Bernoulli-style sample (O4 analog): the reference
+    * samples with rand() at index time
+    * (`indexing/AbstractSamplingIndexingMapper.java:35-47`); for oracle
+    * parity we select on an md5 prefix — stable across engines, same
+    * statistical effect (~1/16 here). */
+  private def q08SampleDeterministic(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+      .select("event_id", "user_id", "event_type")
+
+  private val q08Sql =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 1) = '0'""".stripMargin
+
+  /** Broadcast join: customer is tiny at every SF; the explicit
+    * broadcast() hint keeps it a BroadcastHashJoin (no shuffle of
+    * orders) no matter what the statistics say at 100 TB. */
+  private def q09JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  private val q09Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Multi-way dimension join (region->nation->customer), all broadcast. */
+  private def q10MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val q10Sql =
+    """SELECT r_name, COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** Date bucketing (F2/F3): the reference's DateUtil formats + day
+    * iteration become date_format over a partition-prunable column. */
+  private def q11DateBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+
+  private val q11Sql =
+    """SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Scalar function surface (F4 md5, F5 hex, F6 concat/join, plus
+    * case/length basics) — all codegen'd builtins, no UDFs. */
+  private def q12ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        md5(col("c_name")).as("name_md5"),
+        hex(col("c_name").cast("binary")).as("name_hex"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        length(col("c_name")).as("name_len"))
+
+  private val q12Sql =
+    """SELECT c_custkey, MD5(c_name) AS name_md5,
+      |  HEX(CAST(c_name AS BLOB)) AS name_hex,
+      |  CONCAT_WS('|', c_name, c_mktsegment) AS joined,
+      |  LOWER(c_mktsegment) AS seg_lower,
+      |  CAST(LENGTH(c_name) AS INT) AS name_len
+      |FROM customer""".stripMargin
+
+  /** Sort-within-group (§2.5): the reference's secondary-sort MR idiom
+    * (TextLongPairWritable comparators) is a ranking window here. */
+  private def q13WindowTop3(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("event_type", "event_id", "value", "rn")
+  }
+
+  private val q13Sql =
+    """SELECT event_type, event_id, value, CAST(rn AS INT) AS rn FROM (
+      |  SELECT event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin
+
+  /** Set ops (§2.7): union distinct minus intersect-style exclusion. */
+  private def q14SetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val highValue = e.filter(col("value") > 150).select("user_id")
+    val purchasers = e.filter(col("event_type") === "purchase").select("user_id")
+    highValue.union(purchasers).distinct()
+      .except(e.filter(col("event_type") === "error" && col("value") > 300)
+        .select("user_id").distinct())
+  }
+
+  private val q14Sql =
+    """SELECT user_id FROM (
+      |  SELECT user_id FROM events WHERE value > 150
+      |  UNION
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 300""".stripMargin
+
+  /** Aggregate + HAVING (per-user activity floor). */
+  private def q15Having(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .filter(col("n") >= 5)
+
+  private val q15Sql =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id HAVING COUNT(*) >= 5""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
+    Q("q02_filter_eq", q02FilterEq, Some(q02Sql)),
+    Q("q03_filter_and_or", q03FilterAndOr, Some(q03Sql)),
+    Q("q04_group_count", q04GroupCount, Some(q04Sql)),
+    Q("q05_distinct_per_group", q05DistinctPerGroup, Some(q05Sql)),
+    Q("q06_count_ts_samples", q06CountTsSamples, Some(q06Sql)),
+    Q("q07_topk", q07TopK, Some(q07Sql)),
+    Q("q08_sample_deterministic", q08SampleDeterministic, Some(q08Sql)),
+    Q("q09_join_broadcast", q09JoinBroadcast, Some(q09Sql)),
+    Q("q10_multi_join", q10MultiJoin, Some(q10Sql)),
+    Q("q11_date_buckets", q11DateBuckets, Some(q11Sql)),
+    Q("q12_scalar_funcs", q12ScalarFuncs, Some(q12Sql)),
+    Q("q13_window_top3", q13WindowTop3, Some(q13Sql)),
+    Q("q14_set_ops", q14SetOps, Some(q14Sql)),
+    Q("q15_having", q15Having, Some(q15Sql)))
+}
