@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All query modules, in inventory order. */
-  def modules: Seq[QueryModule] = Seq(CoreQueries)
+  def modules: Seq[QueryModule] = Seq(CoreQueries, IndexedQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,171 @@
+package graft.build
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds the engine's sparse secondary index over a parquet dataset:
+  * for every indexed column, for every distinct (stringified) value, the
+  * sorted byte ranges of every file that contain at least one matching
+  * row — the Spark rebuild of elephant-twin's per-file MapFile indexes
+  * (`indexing/AbstractBlockIndexingJob.java`,
+  * `indexing/MapFileIndexingReducer.java:52-107`).
+  *
+  * Where the reference launches one MapReduce job per base file from a
+  * driver-side thread pool (`AbstractBlockIndexingJob.java:240-277`),
+  * this is ONE declarative Spark job over all files at once:
+  *
+  * {{{
+  * read -> explode (column,value) pairs + _metadata block identity
+  *      -> groupBy(file, column, value)            // single shuffle
+  *      -> agg(MergeIntervals)                     // custom UDAF, map-side partial
+  *      -> sortWithinPartitions(column, value)     // parquet min/max friendly
+  *      -> write indexRoot/postings partitioned by column
+  * }}}
+  *
+  * Block identity comes from the hidden `_metadata` columns
+  * (file_block_start/length): the byte range of the read-split a row was
+  * scanned from — the exact analog of the reference's LZO block offsets,
+  * and already aligned to parquet row-group boundaries by Spark's split
+  * planning.
+  *
+  * Layout:
+  * {{{
+  * indexRoot/postings/column=<c>/part-*.parquet   (value, file, ranges)
+  * indexRoot/descriptors/part-*.parquet           one row per indexed base file
+  * }}}
+  *
+  * The descriptors dataset ports the `FileIndexDescriptor` sidecar
+  * (`elephanttwin.thrift:39-50`): per base file, the indexed columns and
+  * a freshness fingerprint (length + modification time). Query-side code
+  * falls back to a full scan for any file whose fingerprint no longer
+  * matches (`BlockIndexedFileInputFormat.java:338-386` semantics).
+  *
+  * Scale design (100 TB): the postings table is O(files x distinct
+  * values) rows of a few dozen bytes — orders of magnitude smaller than
+  * the data. It is hash-partitioned by `column` directory and sorted by
+  * `value` within files, so a point lookup reads one directory and
+  * prunes row groups by min/max; the build itself is one pass over the
+  * data with map-side partial aggregation (each read-split contributes
+  * at most one range per distinct value).
+  */
+object IndexBuilder {
+
+  /** Default posting-coalescing cap: 128 MB, the reference's
+    * `dfs.block.size` default (`MapFileIndexingReducer.java:49`). */
+  val DefaultCapBytes: Long = 128L * 1024 * 1024
+
+  final case class SourceFile(path: String, length: Long, modificationTime: Long)
+
+  /** One descriptor row per indexed base file (flattened
+    * FileIndexDescriptor; checksum algorithm = "length+mtime"). */
+  final case class DescriptorRow(
+      sourcePath: String,
+      length: Long,
+      modificationTime: Long,
+      columns: Seq[String],
+      indexType: String,
+      indexVersion: Int)
+
+  def postingsDir(indexRoot: String): String = s"$indexRoot/postings"
+  def descriptorsDir(indexRoot: String): String = s"$indexRoot/descriptors"
+
+  /** Canonical file identity used everywhere (postings `file` column,
+    * descriptors, pruning maps): the scheme-less URI path. Hadoop
+    * `Path.toUri` renders `file:/x` while Spark's `_metadata.file_path`
+    * renders `file:///x` — comparing raw strings silently empties every
+    * index lookup. */
+  def canonicalPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Enumerate the parquet part-files of a dataset directory (S4:
+    * recursive, skipping hidden `.`/`_` entries, as
+    * `util/HdfsUtils.java:78-102` does). */
+  def listDataFiles(spark: SparkSession, dataDir: String): Seq[SourceFile] = {
+    val path = new Path(dataDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[SourceFile] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        fs.listStatus(p)
+          .filterNot(s => s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_"))
+          .toIndexedSeq.flatMap(s => walk(s.getPath))
+      } else if (st.getPath.getName.endsWith(".parquet")) {
+        Seq(SourceFile(canonicalPath(st.getPath.toString), st.getLen, st.getModificationTime))
+      } else Nil
+    }
+    walk(path)
+  }
+
+  /** True when every current data file already has a fresh descriptor —
+    * the skip-unless-overwrite check (`AbstractBlockIndexingJob
+    * .hasPreviousIndex:359-364`). */
+  def isFresh(spark: SparkSession, dataDir: String, indexRoot: String,
+      columns: Seq[String]): Boolean = {
+    val fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(descriptorsDir(indexRoot)))) return false
+    import spark.implicits._
+    val descs = spark.read.parquet(descriptorsDir(indexRoot))
+      .as[DescriptorRow].collect()
+      .map(d => d.sourcePath -> d).toMap
+    listDataFiles(spark, dataDir).forall { f =>
+      descs.get(f.path).exists(d =>
+        d.length == f.length && d.modificationTime == f.modificationTime &&
+          columns.forall(d.columns.contains))
+    }
+  }
+
+  /** Build (or refresh) the index for `columns` over the parquet dataset
+    * at `dataDir`. No-op when fresh unless `overwrite`. */
+  def build(
+      spark: SparkSession,
+      dataDir: String,
+      columns: Seq[String],
+      indexRoot: String,
+      capBytes: Long = DefaultCapBytes,
+      overwrite: Boolean = false): Unit = {
+    require(columns.nonEmpty, "at least one column to index")
+    if (!overwrite && isFresh(spark, dataDir, indexRoot, columns)) return
+
+    import spark.implicits._
+    val files = listDataFiles(spark, dataDir)
+    val df = spark.read.parquet(dataDir)
+
+    // (column, value) pairs exploded per row + block identity; values are
+    // stringified because index keys are strings, as in the reference
+    // (Expression.java:213-221). Null values are not indexed (an EQ
+    // predicate never matches null).
+    val kvs = array(columns.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)
+    val merge = udaf(MergeIntervals(capBytes))
+    val postings = df
+      .select(
+        explode(kvs).as("kv"),
+        regexp_replace(col("_metadata.file_path"), "^[a-z]+:/+", "/").as("file"),
+        col("_metadata.file_block_start").as("start"),
+        (col("_metadata.file_block_start") + col("_metadata.file_block_length")).as("end"))
+      .select(col("kv.column").as("column"), col("kv.value").as("value"),
+        col("file"), col("start"), col("end"))
+      .filter(col("value").isNotNull)
+      .groupBy("column", "value", "file")
+      .agg(merge(col("start"), col("end")).as("ranges"))
+
+    postings
+      .repartition(col("column"))
+      .sortWithinPartitions("column", "value", "file")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("column")
+      .parquet(postingsDir(indexRoot))
+
+    val descriptors = files.map(f => DescriptorRow(
+      f.path, f.length, f.modificationTime, columns,
+      graft.model.IndexType.PostingsParquet,
+      graft.model.FileIndexDescriptor.CurrentVersion))
+    spark.createDataset(descriptors).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(descriptorsDir(indexRoot))
+  }
+
+  /** The postings table as a first-class DataFrame (S5: the reference's
+    * index-as-input verification path, `ScanUsingIndexJob.java:218-224`). */
+  def postings(spark: SparkSession, indexRoot: String): DataFrame =
+    spark.read.parquet(postingsDir(indexRoot))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import graft.build.IndexBuilder
+import graft.query.{And, Eq, Or, Pred, PrunedScanner}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's flagship capability, end-to-end: sparse-index build +
+  * index-pruned scans (SURVEY.md §3.1/§3.2), verified differentially —
+  * every query here is an index-path scan whose oracle is the plain
+  * full-scan SQL, the same equivalence the reference proves with
+  * `ScanUsingIndexJob` (`retrieval/ScanUsingIndexJob.java:45-80`).
+  *
+  * The single-file test tables can't demonstrate file skipping, so the
+  * queries scan a derived multi-file copy of `events` (range-partitioned
+  * by event_type so values cluster per file) built once per scale factor
+  * under target/. Row-set semantics are unchanged, which is all the
+  * oracle compares.
+  */
+object IndexedQueries extends QueryModule {
+
+  /** 64 MB cap keeps the interval algebra exercised even on small files. */
+  private val CapBytes = 64L * 1024 * 1024
+  private val IndexedColumns = Seq("event_type", "user_id")
+
+  private def root(sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    s"/root/repo/target/graft_demo/$sfName"
+  }
+  private def dataDir(sfDir: String): String = s"${root(sfDir)}/events_data"
+  private def indexRoot(sfDir: String): String = s"${root(sfDir)}/events_index"
+
+  /** Idempotent: write the multi-file copy once, build the index once
+    * (IndexBuilder.build is a fresh-check no-op afterwards). */
+  private def prepare(s: SparkSession, sfDir: String): Unit = synchronized {
+    val dd = new Path(dataDir(sfDir))
+    val fs = dd.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dd)) {
+      Tables.events(s, sfDir)
+        .repartitionByRange(8, col("event_type"), col("event_id"))
+        .write.parquet(dataDir(sfDir))
+    }
+    IndexBuilder.build(s, dataDir(sfDir), IndexedColumns, indexRoot(sfDir),
+      capBytes = CapBytes)
+  }
+
+  private def prunedScan(s: SparkSession, sfDir: String, pred: Pred): DataFrame = {
+    prepare(s, sfDir)
+    PrunedScanner.scan(s, dataDir(sfDir), pred, indexRoot(sfDir))
+  }
+
+  /** EQ leaf through the index (S2/S6/J3). */
+  private def q16IdxEq(s: SparkSession, dir: String): DataFrame =
+    prunedScan(s, dir, Eq("event_type", "error"))
+      .select("event_id", "user_id", "event_type")
+
+  private val q16Sql =
+    "SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'"
+
+  /** AND tree -> interval intersection (J1). */
+  private def q17IdxAnd(s: SparkSession, dir: String): DataFrame =
+    prunedScan(s, dir, And(Eq("event_type", "click"), Eq("user_id", "7")))
+      .select("event_id", "user_id", "event_type")
+
+  private val q17Sql =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE event_type = 'click' AND user_id = 7""".stripMargin
+
+  /** OR tree -> capped interval union (J2). */
+  private def q18IdxOr(s: SparkSession, dir: String): DataFrame =
+    prunedScan(s, dir, Or(Eq("event_type", "signup"), Eq("user_id", "7")))
+      .select("event_id", "user_id", "event_type")
+
+  private val q18Sql =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE event_type = 'signup' OR user_id = 7""".stripMargin
+
+  /** Nested tree: (a AND b) OR (c AND d). */
+  private def q19IdxNested(s: SparkSession, dir: String): DataFrame =
+    prunedScan(s, dir,
+      Or(And(Eq("event_type", "purchase"), Eq("user_id", "3")),
+        And(Eq("event_type", "view"), Eq("user_id", "11"))))
+      .select("event_id", "user_id", "event_type")
+
+  private val q19Sql =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE (event_type = 'purchase' AND user_id = 3)
+      |   OR (event_type = 'view' AND user_id = 11)""".stripMargin
+
+  /** Port of the reference's full verification tool: for EVERY unique
+    * key of an indexed column, re-count matches through the index path
+    * (`ScanUsingIndexJob.java:45-80`; `verification/IndexScanMapper
+    * .java:22-95`). The oracle is the full-scan group-by — index-scan
+    * counts must equal full-scan counts key by key. */
+  private def q20IdxVerifyCounts(s: SparkSession, dir: String): DataFrame = {
+    prepare(s, dir)
+    import s.implicits._
+    val values = IndexBuilder.postings(s, indexRoot(dir))
+      .filter(col("column") === "event_type")
+      .select("value").distinct().as[String].collect().sorted
+    val counts = values.map { v =>
+      v -> PrunedScanner.scan(s, dataDir(dir), Eq("event_type", v), indexRoot(dir)).count()
+    }
+    s.createDataset(counts.toIndexedSeq).toDF("event_type", "n")
+  }
+
+  private val q20Sql =
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+  override def queries: Seq[Q] = Seq(
+    Q("q16_idx_eq", q16IdxEq, Some(q16Sql)),
+    Q("q17_idx_and", q17IdxAnd, Some(q17Sql)),
+    Q("q18_idx_or", q18IdxOr, Some(q18Sql)),
+    Q("q19_idx_nested", q19IdxNested, Some(q19Sql)),
+    Q("q20_idx_verify_counts", q20IdxVerifyCounts, Some(q20Sql)))
+}

@@ -1,0 +1,149 @@
+package graft.query
+
+import graft.build.IndexBuilder
+import graft.intervals.{Block, IntervalOps}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** What the pruner decided, for observability parity with the reference
+  * (R10: splits/bytes before and after, pruning wall time —
+  * `BlockIndexedFileInputFormat.java:136-137, 179-185`). */
+final case class PruneReport(
+    totalFiles: Int,
+    selectedFiles: Int,
+    fallbackFiles: Int,
+    totalBytes: Long,
+    selectedBytes: Long,
+    pruneTimeMs: Long) {
+  def bytesRatio: Double =
+    if (selectedBytes == 0) Double.PositiveInfinity
+    else totalBytes.toDouble / selectedBytes
+}
+
+/** Index-consulting scan pruning — the Spark rebuild of the reference's
+  * `getSplits` (`retrieval/BlockIndexedFileInputFormat.java:110-187`):
+  * evaluate an EQ/AND/OR tree bottom-up over the sparse index
+  * (EQ = postings lookup, AND = interval intersection, OR = capped
+  * union), keep only files whose resulting posting list is non-empty,
+  * and always re-apply the predicate row-level over the survivors.
+  *
+  * Fallback soundness (R3): a file with no fresh descriptor — missing
+  * index, changed length/mtime, or a column of the predicate not
+  * indexed — is scanned in full, exactly like the reference's
+  * checksum-mismatch path (`:338-386`). Pruning can only *drop* work
+  * for provably-non-matching files, never rows.
+  *
+  * Scale shape: the pruning decision runs ONE small Spark job over the
+  * postings table (partition-pruned to the predicate's columns,
+  * value-pruned by parquet min/max thanks to the sorted write) and
+  * collects per-file posting lists to the driver — the same place the
+  * reference prunes (driver-side getSplits). The subsequent data read
+  * lists only surviving files, so at 1000x the files the scan plan
+  * never touches pruned files' footers at all.
+  */
+object PrunedScanner extends Logging {
+
+  /** Evaluate `pred` over one file's leaf->postings map. Returns the
+    * qualifying byte ranges (empty = file provably has no match).
+    * `None` from a leaf lookup means "leaf value absent from this
+    * file's index" — for an indexed column that is a definitive empty
+    * posting list. */
+  private[query] def qualify(
+      pred: Pred,
+      leafPostings: Map[Eq, Seq[Block]],
+      capBytes: Long): Seq[Block] = pred match {
+    case e: Eq => leafPostings.getOrElse(e, Nil)
+    case And(l, r) =>
+      IntervalOps.intersect(
+        qualify(l, leafPostings, capBytes),
+        qualify(r, leafPostings, capBytes))
+    case Or(l, r) =>
+      IntervalOps.unionCapped(
+        qualify(l, leafPostings, capBytes),
+        qualify(r, leafPostings, capBytes),
+        capBytes)
+  }
+
+  /** Scan `dataDir` for rows matching `pred`, consulting the index at
+    * `indexRoot` to skip provably-non-matching files. Returns the
+    * filtered DataFrame plus the prune report. Result rows are exactly
+    * those of `spark.read.parquet(dataDir).filter(pred.toColumn)`.
+    */
+  def scanWithReport(
+      spark: SparkSession,
+      dataDir: String,
+      pred: Pred,
+      indexRoot: String,
+      capBytes: Long = IndexBuilder.DefaultCapBytes): (DataFrame, PruneReport) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+
+    val files = IndexBuilder.listDataFiles(spark, dataDir)
+    val byPath = files.map(f => f.path -> f).toMap
+
+    // Fresh descriptors covering every predicate column -> file is prunable.
+    val descPath = IndexBuilder.descriptorsDir(indexRoot)
+    val fs = new org.apache.hadoop.fs.Path(descPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val descriptors: Map[String, IndexBuilder.DescriptorRow] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(descPath))) Map.empty
+      else spark.read.parquet(descPath).as[IndexBuilder.DescriptorRow]
+        .collect().map(d => d.sourcePath -> d).toMap
+
+    val predColumns = pred.columns
+    val (prunable, fallback) = files.partition { f =>
+      descriptors.get(f.path).exists(d =>
+        d.length == f.length && d.modificationTime == f.modificationTime &&
+          predColumns.forall(d.columns.contains))
+    }
+
+    // One postings lookup for ALL leaves at once: the partition filter on
+    // `column` prunes index directories; the value filter hits parquet
+    // min/max on the sorted postings files.
+    val leaves = pred.leaves.distinct
+    val leafFilter = leaves
+      .map(l => col("column") === l.column && col("value") === l.value)
+      .reduce(_ || _)
+    val hits: Map[(String, Eq), Seq[Block]] =
+      if (prunable.isEmpty) Map.empty
+      else IndexBuilder.postings(spark, indexRoot)
+        .filter(leafFilter)
+        .select("file", "column", "value", "ranges")
+        .as[(String, String, String, Seq[Block])]
+        .collect()
+        .map { case (f, c, v, r) => (f, Eq(c, v)) -> r }
+        .toMap
+
+    val selected = prunable.filter { f =>
+      val leafMap = leaves.map(l => l -> hits.getOrElse((f.path, l), Nil)).toMap
+      qualify(pred, leafMap, capBytes).nonEmpty
+    }
+
+    val report = PruneReport(
+      totalFiles = files.size,
+      selectedFiles = selected.size,
+      fallbackFiles = fallback.size,
+      totalBytes = files.map(_.length).sum,
+      selectedBytes = (selected ++ fallback).map(_.length).sum,
+      pruneTimeMs = (System.nanoTime() - t0) / 1000000)
+    logInfo(s"PrunedScan $dataDir pred=$pred: " +
+      s"files ${report.selectedFiles}+${report.fallbackFiles}fallback/${report.totalFiles}, " +
+      s"bytes ${report.selectedBytes}/${report.totalBytes} " +
+      s"(ratio ${report.bytesRatio}), ${report.pruneTimeMs} ms")
+
+    val toRead = (selected ++ fallback).map(_.path)
+    val schema = spark.read.parquet(dataDir).schema
+    val df =
+      if (toRead.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(toRead: _*)
+    // Residual row-level re-check is mandatory: block pruning is coarse
+    // (BlockIndexedFileInputFormat.java:669-679). Catalyst additionally
+    // pushes this filter into the parquet reader for row-group skipping.
+    (df.filter(pred.toColumn), report)
+  }
+
+  def scan(spark: SparkSession, dataDir: String, pred: Pred, indexRoot: String): DataFrame =
+    scanWithReport(spark, dataDir, pred, indexRoot)._1
+}

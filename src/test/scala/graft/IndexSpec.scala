@@ -1,0 +1,142 @@
+package graft
+
+import graft.build.IndexBuilder
+import graft.query.{And, Eq, Or, Pred, PrunedScanner}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end index machinery: build over a multi-file dataset, prune,
+  * residual-filter, fall back on staleness — the index-scan ≡ full-scan
+  * differential the reference proves with ScanUsingIndexJob. */
+class IndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("IndexSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val work = s"/root/repo/target/test_idx_${System.nanoTime()}"
+  private def dataDir = s"$work/data"
+  private def indexRoot = s"$work/index"
+
+  private lazy val prepared: Unit = {
+    Tables.events(spark, sfDir)
+      .repartitionByRange(8, col("event_type"), col("event_id"))
+      .write.mode("overwrite").parquet(dataDir)
+    IndexBuilder.build(spark, dataDir, Seq("event_type", "user_id"), indexRoot,
+      capBytes = 64L * 1024 * 1024)
+  }
+
+  private def fullScanIds(pred: Pred): Set[Long] = {
+    prepared
+    spark.read.parquet(dataDir).filter(pred.toColumn)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+  }
+
+  private def prunedIds(pred: Pred): Set[Long] = {
+    prepared
+    PrunedScanner.scan(spark, dataDir, pred, indexRoot)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("postings are valid sorted interval lists") {
+    prepared
+    import spark.implicits._
+    val rows = IndexBuilder.postings(spark, indexRoot)
+      .select("ranges").as[Seq[graft.intervals.Block]].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.nonEmpty)
+      assert(r.sliding(2).forall { case Seq(a, b) => a.end <= b.start; case _ => true })
+      assert(r.forall(b => b.start < b.end))
+    }
+  }
+
+  test("EQ pruned scan == full scan") {
+    val p = Eq("event_type", "error")
+    assert(prunedIds(p) == fullScanIds(p))
+  }
+
+  test("AND pruned scan == full scan") {
+    val p = And(Eq("event_type", "click"), Eq("user_id", "42"))
+    assert(prunedIds(p) == fullScanIds(p))
+  }
+
+  test("OR pruned scan == full scan") {
+    val p = Or(Eq("event_type", "signup"), Eq("user_id", "7"))
+    assert(prunedIds(p) == fullScanIds(p))
+  }
+
+  test("selective EQ predicate actually drops files") {
+    prepared
+    val (_, report) = PrunedScanner.scanWithReport(
+      spark, dataDir, Eq("event_type", "error"), indexRoot)
+    assert(report.fallbackFiles == 0)
+    assert(report.selectedFiles < report.totalFiles,
+      s"expected pruning on range-partitioned data, got $report")
+    assert(report.selectedBytes < report.totalBytes)
+  }
+
+  test("value absent from index -> zero files selected, empty result") {
+    prepared
+    val (df, report) = PrunedScanner.scanWithReport(
+      spark, dataDir, Eq("event_type", "no_such_type"), indexRoot)
+    assert(report.selectedFiles == 0 && report.fallbackFiles == 0)
+    assert(df.count() == 0)
+  }
+
+  test("stale file falls back to full scan and stays correct") {
+    prepared
+    // grow one data file after indexing -> its descriptor fingerprint
+    // (length+mtime) no longer matches -> must be fully scanned
+    val staleWork = s"$work/stale"
+    // copy dataset, tamper with one file, reuse the same index
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(dataDir),
+      fs, new org.apache.hadoop.fs.Path(s"$staleWork/data"), false,
+      spark.sparkContext.hadoopConfiguration)
+    IndexBuilder.build(spark, s"$staleWork/data", Seq("event_type"), s"$staleWork/index")
+    // tamper: rewrite one parquet file with extra rows of a new type
+    val tampered = IndexBuilder.listDataFiles(spark, s"$staleWork/data").head
+    val tamperPath = java.nio.file.Paths.get(tampered.path)
+    val extra = spark.read.parquet(s"$staleWork/data")
+      .limit(5).withColumn("event_type", lit("tampered_type"))
+    val tmpOut = s"$staleWork/extra"
+    extra.union(spark.read.parquet(tampered.path)).coalesce(1)
+      .write.mode("overwrite").parquet(tmpOut)
+    val newPart = IndexBuilder.listDataFiles(spark, tmpOut).head
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(newPart.path), tamperPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the Hadoop LocalFileSystem .crc sidecar of the replaced file
+    java.nio.file.Files.deleteIfExists(
+      tamperPath.resolveSibling("." + tamperPath.getFileName.toString + ".crc"))
+    // drop Spark's cached FileStatus (length) for the tampered path
+    spark.catalog.refreshByPath(s"$staleWork/data")
+
+    val (df, report) = PrunedScanner.scanWithReport(
+      spark, s"$staleWork/data", Eq("event_type", "tampered_type"), s"$staleWork/index")
+    assert(report.fallbackFiles >= 1, s"expected stale fallback, got $report")
+    assert(df.count() == 5, "rows in the tampered file must still be found")
+  }
+
+  test("Pred.fromColumn translates EQ/AND/OR and rejects the rest") {
+    prepared
+    val df = spark.read.parquet(dataDir)
+    val c = (col("event_type") === "click" && col("user_id") === 42) ||
+      col("event_type") === "error"
+    val p = Pred.fromColumn(df, c)
+    assert(p == Some(Or(
+      And(Eq("event_type", "click"), Eq("user_id", "42")),
+      Eq("event_type", "error"))))
+    assert(Pred.fromColumn(df, col("user_id") > 5).isEmpty)
+    assert(Pred.fromColumn(df, lit("x") === col("event_type")) ==
+      Some(Eq("event_type", "x")))
+  }
+}
