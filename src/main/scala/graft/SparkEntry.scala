@@ -13,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All query modules, in inventory order. */
-  def modules: Seq[QueryModule] = Seq(CoreQueries, IndexedQueries)
+  def modules: Seq[QueryModule] = Seq(
+    CoreQueries, IndexedQueries, TextQueries,
+    DedupQueries, SimilarityQueries, TextAnalysisQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

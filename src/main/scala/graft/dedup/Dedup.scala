@@ -1,0 +1,166 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash groupBy), exact n-gram Jaccard (inverted-index join),
+  * MinHash+LSH (shingle -> signature -> band -> bucket join -> exact
+  * verify), and SimHash (bit-vote fingerprint -> banded candidates ->
+  * exact verify). All pure DataFrame programs.
+  *
+  * Scale notes, per stage:
+  *  - exact dedup is one hash aggregation on a digest key (never on the
+  *    full text — the digest keeps shuffle rows small);
+  *  - exact Jaccard joins the exploded shingle table with itself — at
+  *    100 TB this is only viable after a frequency cut (drop shingles
+  *    appearing in > F docs, they generate quadratic candidates and
+  *    carry no signal), which [[exactJaccardPairs]] exposes;
+  *  - MinHash keeps per-doc state at k longs regardless of doc size;
+  *    candidate generation shuffles (band, bucket) keys, so skew is
+  *    bounded by bucket size, and every candidate is re-verified with
+  *    exact Jaccard so banding parameters only affect recall, never
+  *    precision.
+  */
+object Dedup {
+
+  /** Exact duplicates: group by content digest, keep the smallest id
+    * (deterministic canonical representative). Returns
+    * (doc_id, n_copies). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Exploded distinct shingles: (doc_id, sh). */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+
+  /** Per-doc distinct-shingle counts: (doc_id, sz). */
+  private def shingleSizes(shingles: DataFrame): DataFrame =
+    shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+
+  /** Exact Jaccard similarity >= `threshold` over n-word shingles,
+    * computed with an inverted-index self-join (shingle -> docs), the
+    * classic exact near-dup join. `maxShingleFreq` drops ubiquitous
+    * shingles before the quadratic step (set 0 to disable). Returns
+    * (doc_i, doc_j) with doc_i < doc_j. */
+  def exactJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val filtered =
+      if (maxShingleFreq <= 0) sh
+      else {
+        val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleFreq)
+        sh.join(freq.select("sh"), "sh")
+      }
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = shingleSizes(sh)
+    jaccardFilter(inter, sizes, threshold).select("doc_i", "doc_j")
+  }
+
+  /** jac = inter / (|A| + |B| - inter) >= threshold. */
+  private def jaccardFilter(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("sz", "sz_i"), "doc_i")
+      .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("sz", "sz_j"), "doc_j")
+      .filter(col("inter").cast("double") /
+        (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
+
+  /** MinHash signatures: (doc_id, h0..h{k-1}), each hj = min over the
+    * doc's shingles of a salted 64-bit hash. One aggregation, k longs of
+    * state per doc. */
+  def minHashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded signatures: docs sharing any band
+    * bucket. bands*rowsPerBand must equal the signature width. */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val banded = signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs with mandatory exact-Jaccard
+    * verification of candidates (approximation affects recall only). */
+  def minHashDedupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val cand = lshCandidates(minHashSignatures(sh, k), bands, k / bands)
+    verifyPairs(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard check of explicit candidate pairs. */
+  def verifyPairs(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+    val si = shingles.select(col("doc_id").as("doc_i"), col("sh"))
+    val sj = shingles.select(col("doc_id").as("doc_j"), col("sh"))
+    val inter = candidates
+      .join(si, "doc_i")
+      .join(sj, Seq("doc_j", "sh"))
+      .groupBy("doc_i", "doc_j")
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, shingleSizes(shingles), threshold).select("doc_i", "doc_j")
+  }
+
+  /** 64-bit SimHash fingerprints: per token-hash bit, vote +1/-1 per
+    * occurrence, fingerprint bit = sign of the vote. Returns
+    * (doc_id, simhash). Bit 63 is folded in via the sign bit. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextFunctions.tokenHash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b")
+    }
+    val bits = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded candidate generation (16 bands of 4
+    * bits; by pigeonhole a pair within `maxHamming` <= 15 must agree on
+    * at least one band), hamming filter via bit_count(xor), then exact-
+    * Jaccard verification. Short documents are noisy under SimHash —
+    * empirically, ~0.9-Jaccard pairs of 10-25-token docs land at
+    * hamming 9-10 on 64 bits, hence the default of 10. */
+  def simHashDedupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxHamming: Int = 10): DataFrame = {
+    val fp = simHash(docs, idCol, textCol)
+    val chunks = (0 until 16).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col("simhash"), c * 4).bitwiseAND(lit(0xFL)).as("bucket"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    verifyPairs(cand, shingleTable(docs, idCol, textCol, n), threshold)
+  }
+}

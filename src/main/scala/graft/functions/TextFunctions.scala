@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / analysis / text
+  * operators. All pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd, no UDFs (SURVEY.md §7.1: the scalar surface is built-in).
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empties dropped (the reference's
+    * WhitespaceAnalyzer default, `AbstractLuceneIndexingJob.java:79-80`). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct n-word shingles of a token array (n-gram units for
+    * Jaccard/MinHash dedup). Empty when fewer than n tokens. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** A stable 32-bit token hash both engines could reproduce: the first
+    * 8 hex chars of md5, as a long in [0, 2^32). */
+  def tokenHash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** A stable 64-bit token hash: two md5 hex8 words combined. */
+  def tokenHash64(tok: Column): Column =
+    shiftleft(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(tok), 9, 8), 16, 10).cast("long"))
+
+  /** Normalized-document fingerprint: md5 over the canonical token
+    * stream (rolling-hash fingerprinting's moral equivalent with a
+    * single stable digest; reference digest util `util/DigestUtil
+    * .java:34-78`). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** How many tokens of `toks` appear in the marker vocabulary. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+}

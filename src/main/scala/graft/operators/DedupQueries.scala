@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (LLM-pipeline surface).
+  * Near-dup queries (MinHash, exact n-gram, SimHash) share one oracle:
+  * the exact 3-shingle Jaccard self-join in DuckDB — the approximate
+  * paths must reproduce the exact answer because every candidate is
+  * re-verified with exact Jaccard (precision exact; recall is a banding
+  * parameter, generous here).
+  */
+object DedupQueries extends QueryModule {
+
+  private val N = 3          // shingle width (words)
+  private val Threshold = 0.8
+
+  /** Shared DuckDB oracle: exact 3-shingle Jaccard pairs >= 0.8. */
+  private val jaccardSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
+      |  FROM toks WHERE LEN(t) >= 3)
+      |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+      |      LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8""".stripMargin
+
+  /** Exact dedup by content digest (hash groupBy). */
+  private def q24DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+
+  private val q24Sql =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY MD5(text)""".stripMargin
+
+  /** MinHash + LSH banding + exact verify. */
+  private def q25DedupMinHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
+      N, Threshold, k = 32, bands = 16)
+
+  /** Exact n-gram Jaccard via inverted-index self-join. */
+  private def q26DedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
+
+  /** SimHash fingerprints + banded hamming candidates + exact verify. */
+  private def q27DedupSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashDedupPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
+
+  /** SimHash-semantics oracle: recompute the 64-bit md5-based SimHash in
+    * SQL (two 32-bit halves — DuckDB's 64-bit left shift overflows),
+    * pair on hamming <= 10, then exact-Jaccard >= 0.8. Matches the Spark
+    * operator's definition bit for bit at any scale factor; SimHash
+    * recall on short docs is part of the semantics, not noise. */
+  private val q27Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
+      |  FROM toks WHERE LEN(t) >= 3),
+      |tok AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || SUBSTRING(MD5(tok), 1, 16) AS UBIGINT) AS h FROM tok),
+      |votes AS (
+      |  SELECT doc_id, bb.b AS b,
+      |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS b) bb
+      |  GROUP BY doc_id, bb.b),
+      |fp AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN v > 0 AND b < 32 THEN 1::BIGINT << b ELSE 0 END) AS lo,
+      |    SUM(CASE WHEN v > 0 AND b >= 32 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS hi
+      |  FROM votes GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE BIT_COUNT(XOR(a.lo, b.lo)) + BIT_COUNT(XOR(a.hi, b.hi)) <= 10)
+      |SELECT c.doc_i, c.doc_j FROM cand c
+      |JOIN sh sa ON sa.doc_id = c.doc_i
+      |JOIN sh sb ON sb.doc_id = c.doc_j
+      |WHERE CAST(LEN(LIST_INTERSECT(sa.s, sb.s)) AS DOUBLE) /
+      |      LEN(LIST_DISTINCT(LIST_CONCAT(sa.s, sb.s))) >= 0.8""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
+    Q("q25_dedup_minhash", q25DedupMinHash, Some(jaccardSql)),
+    Q("q26_dedup_ngram", q26DedupNgram, Some(jaccardSql)),
+    Q("q27_dedup_simhash", q27DedupSimHash, Some(q27Sql)))
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.Tables
+import graft.similarity.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>`,
+  * 64-dim): embedding-cosine near-dup pairs, exact brute-force top-k
+  * ANN, and the LSH-bucketed scale path. Cosines are computed in double
+  * precision on both engines; thresholds sit in wide gaps of the data's
+  * similarity distribution, so the comparison is ulp-robust.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** Embedding-cosine near-duplicate pairs (threshold inside a
+    * [0.449, 0.452] gap of the pair-sim distribution). */
+  private def q28EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45)
+
+  private val q28Sql =
+    """SELECT a.vec_id AS id_i, b.vec_id AS id_j
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+
+  /** Exact brute-force cosine top-5 for three query vectors. */
+  private def q29AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
+  }
+
+  private val q29Sql =
+    """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 3)
+      |WHERE rank <= 5""".stripMargin
+
+  /** LSH-bucketed ANN (sign-LSH, 16 planes, 4 bands) — approximate by
+    * design, so no SQL oracle; recall vs brute force is asserted in
+    * AnnSpec, and the driver records a rows-only check here. */
+  private def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 3), 5)
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
+    Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
+    Q("q30_ann_lsh", q30AnnLsh, None))
+}

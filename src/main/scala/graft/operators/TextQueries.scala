@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import graft.text.TextIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the `documents` table through the persisted
+  * postings index (SURVEY.md §3.3): top-k, doc fetch, count, sample.
+  * Oracles recompute the same scores from raw text in DuckDB — index
+  * path vs full-tokenization path, the text analog of the index-scan ≡
+  * full-scan differential.
+  */
+object TextQueries extends QueryModule {
+
+  private def postingsDir(sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    s"/root/repo/target/graft_demo/$sfName/text_postings"
+  }
+
+  /** Build + persist postings once per scale factor. */
+  private def postings(s: SparkSession, sfDir: String): DataFrame = synchronized {
+    val dir = postingsDir(sfDir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      TextIndex.writePostings(
+        TextIndex.buildPostings(Tables.documents(s, sfDir), "doc_id", "text"), dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Top-10 docs for an OR query, with doc fetch (source field) —
+    * search + fetchDoc in one plan; the doc join is broadcast (top-k is
+    * tiny by construction). */
+  private def q21TextTopK(s: SparkSession, dir: String): DataFrame = {
+    val top = TextIndex.searchTopK(postings(s, dir), Seq("spark", "query"), 10)
+    val docs = Tables.documents(s, dir).select("doc_id", "source")
+    broadcast(top).join(docs, "doc_id").select("doc_id", "score", "source")
+  }
+
+  private val q21Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS score FROM toks
+      |  WHERE tok IN ('spark', 'query') GROUP BY doc_id)
+      |SELECT h.doc_id, h.score, d.source
+      |FROM (SELECT * FROM hits ORDER BY score DESC, doc_id LIMIT 10) h
+      |JOIN documents d USING (doc_id)""".stripMargin
+
+  /** Hit count for an OR query (A4). */
+  private def q22TextCount(s: SparkSession, dir: String): DataFrame =
+    TextIndex.countHits(postings(s, dir), Seq("vector", "stream"))
+
+  private val q22Sql =
+    """SELECT COUNT(DISTINCT doc_id) AS n FROM (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents)
+      |WHERE tok IN ('vector', 'stream')""".stripMargin
+
+  /** Deterministic sample of hits (O3 analog). */
+  private def q23TextSample(s: SparkSession, dir: String): DataFrame =
+    TextIndex.sampleHits(postings(s, dir), Seq("merge"), "0")
+
+  private val q23Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS score FROM toks
+      |  WHERE tok IN ('merge') GROUP BY doc_id)
+      |SELECT doc_id, score FROM hits
+      |WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q21_text_topk", q21TextTopK, Some(q21Sql)),
+    Q("q22_text_count", q22TextCount, Some(q22Sql)),
+    Q("q23_text_sample", q23TextSample, Some(q23Sql)))
+}

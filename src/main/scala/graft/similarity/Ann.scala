@@ -1,0 +1,109 @@
+package graft.similarity
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline and
+  * a random-hyperplane sign-LSH bucketed variant as the scale path.
+  *
+  * Scale notes: brute force is a broadcast of the (small) query set
+  * against the full corpus — one pass, no shuffle of the corpus, per-
+  * partition top-k then a k-row merge. The LSH variant buckets the
+  * corpus by signature so each query only scores its probe buckets;
+  * at 100 TB the bucketed table would be written out partitioned by
+  * signature prefix so repeated queries touch only matching files (the
+  * same skipping architecture as the sparse index).
+  */
+object Ann {
+
+  /** Exact top-k neighbors for each query vector (cross score + window):
+    * (query_id, neighbor_id, rank), self-matches excluded, ties broken
+    * by neighbor id. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: values derived
+    * from a seeded hash, fixed at plan time. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH signature: one bit per hyperplane (sign of the dot
+    * product), as a long. */
+  def signSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(Vectors.dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus vectors sharing any signature
+    * band with the query (multi-table sign-LSH), exact cosine rerank of
+    * candidates only, top-k per query. Approximation affects recall
+    * only — scores of returned neighbors are exact. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nPlanes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nPlanes % bands == 0)
+    val rowsPerBand = nPlanes / bands
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+
+    def banded(df: DataFrame, id: String): DataFrame = {
+      val sig = signSignature(col(vecCol), planes)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * rowsPerBand)
+            .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bucket"))
+      }
+      df.select(col(idCol).as(id), col(vecCol), sig.as("sig"))
+        .select(col(id), col(vecCol), explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+
+    val cBand = banded(corpus, "neighbor_id").withColumnRenamed(vecCol, "cv")
+    val qBand = banded(queries, "query_id").withColumnRenamed(vecCol, "qv")
+    val cand = cBand.join(broadcast(qBand), Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** All corpus pairs with cosine >= threshold (embedding near-dup
+    * detection). Exact O(n^2) scoring — suitable as the verification
+    * baseline; production path is [[lshTopK]]-style bucketing first. */
+  def cosineNearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_i"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_j"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_i") < col("id_j"))
+      .filter(Vectors.cosine(col("va"), col("vb")) >= threshold)
+      .select("id_i", "id_j")
+  }
+}

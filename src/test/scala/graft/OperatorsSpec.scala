@@ -1,0 +1,91 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions, Vectors}
+import graft.similarity.Ann
+import graft.text.TextIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level behavior of the dedup / similarity / text operators that
+  * the DuckDB gate can't see (recall bounds, edge cases, invariants). */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("OperatorsSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("wordShingles: fewer than n tokens yields empty, shingles distinct") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c d", "x x x x").toDF("text")
+      .select(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq.empty)
+    assert(got(1) == Seq("a b c", "b c d"))
+    assert(got(2) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(Vectors.cosine(col("a"), col("b"))).first().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("identical texts get identical simhash; disjoint texts differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark merge table scan query filter join"),
+      (2L, "spark merge table scan query filter join"),
+      (3L, "zebra yak xylophone walrus vulture termite")).toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 10)
+  }
+
+  test("minhash LSH pairs match exact ngram jaccard pairs on documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashDedupPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(mh == exact)
+  }
+
+  test("LSH ANN recall@5 vs brute force is reasonable") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Ann.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"LSH recall@5 too low: $recall")
+  }
+
+  test("text search top-k is deterministically ordered and capped") {
+    val postings = TextIndex.buildPostings(Tables.documents(spark, sfDir), "doc_id", "text")
+    val top = TextIndex.searchTopK(postings, Seq("spark", "query"), 5).collect()
+    assert(top.length == 5)
+    val scores = top.map(_.getLong(1))
+    assert(scores.sameElements(scores.sortBy(-_)))
+  }
+
+  test("exact dedup keeps the smallest id per digest") {
+    import spark.implicits._
+    val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 2L), (9L, 1L)))
+  }
+}
