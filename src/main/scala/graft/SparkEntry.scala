@@ -15,7 +15,8 @@ object SparkEntry {
   /** All query modules, in inventory order. */
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, IndexedQueries, TextQueries,
-    DedupQueries, SimilarityQueries, TextAnalysisQueries)
+    DedupQueries, SimilarityQueries, TextAnalysisQueries,
+    MultimodalQueries, DateQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,7 +1,7 @@
 package graft.build
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Builds the engine's sparse secondary index over a parquet dataset:
@@ -114,31 +114,43 @@ object IndexBuilder {
     }
   }
 
-  /** Build (or refresh) the index for `columns` over the parquet dataset
-    * at `dataDir`. No-op when fresh unless `overwrite`. */
-  def build(
+  /** The postings pipeline for a set of source files: explode (column,
+    * value) pairs + `_metadata` block identity, aggregate with
+    * MergeIntervals, stamp each row with its file's generation (mtime at
+    * build time). The `gen` column makes postings append-only
+    * versionable: a rebuilt file's fresh rows carry the new mtime and
+    * query-side lookups ignore rows whose gen doesn't match the current
+    * descriptor — no in-place deletes needed (parquet is immutable).
+    *
+    * Values are stringified because index keys are strings, as in the
+    * reference (Expression.java:213-221); nulls are not indexed (EQ
+    * never matches null). */
+  /** A logical index key: a name plus an `array<string>` of the values
+    * each row contributes. Plain columns contribute one value; derived
+    * keys (e.g. text tokens for the block-level text index, the
+    * reference's Lucene `DocType.BLOCK` flavor) contribute many. */
+  type IndexKeys = Seq[(String, Column)]
+
+  /** Plain-column keys: one stringified value per row. */
+  def columnKeys(columns: Seq[String]): IndexKeys =
+    columns.map(c => c -> array(col(c).cast("string")))
+
+  private def postingsFor(
       spark: SparkSession,
-      dataDir: String,
-      columns: Seq[String],
-      indexRoot: String,
-      capBytes: Long = DefaultCapBytes,
-      overwrite: Boolean = false): Unit = {
-    require(columns.nonEmpty, "at least one column to index")
-    if (!overwrite && isFresh(spark, dataDir, indexRoot, columns)) return
-
+      files: Seq[SourceFile],
+      keys: IndexKeys,
+      capBytes: Long): DataFrame = {
     import spark.implicits._
-    val files = listDataFiles(spark, dataDir)
-    val df = spark.read.parquet(dataDir)
-
-    // (column, value) pairs exploded per row + block identity; values are
-    // stringified because index keys are strings, as in the reference
-    // (Expression.java:213-221). Null values are not indexed (an EQ
-    // predicate never matches null).
-    val kvs = array(columns.map(c =>
-      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)
+    val df = spark.read.parquet(files.map(_.path): _*)
+    val emptyKv = array().cast("array<struct<column:string,value:string>>")
+    val kvArrays = keys.map { case (name, arrCol) =>
+      coalesce(transform(arrCol, v => struct(lit(name).as("column"), v.as("value"))), emptyKv)
+    }
+    val kvs = if (kvArrays.length == 1) kvArrays.head else concat(kvArrays: _*)
     val merge = udaf(MergeIntervals(capBytes))
-    val postings = df
-      .select(
+    val gens = spark.createDataset(files)
+      .select(col("path").as("file"), col("modificationTime").as("gen"))
+    df.select(
         explode(kvs).as("kv"),
         regexp_replace(col("_metadata.file_path"), "^[a-z]+:/+", "/").as("file"),
         col("_metadata.file_block_start").as("start"),
@@ -148,20 +160,101 @@ object IndexBuilder {
       .filter(col("value").isNotNull)
       .groupBy("column", "value", "file")
       .agg(merge(col("start"), col("end")).as("ranges"))
+      .join(broadcast(gens), "file")
+  }
 
+  private def writePostings(postings: DataFrame, indexRoot: String, mode: SaveMode): Unit =
     postings
       .repartition(col("column"))
       .sortWithinPartitions("column", "value", "file")
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .partitionBy("column")
       .parquet(postingsDir(indexRoot))
 
-    val descriptors = files.map(f => DescriptorRow(
+  private def writeDescriptors(
+      spark: SparkSession, descriptors: Seq[DescriptorRow], indexRoot: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(descriptors).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(descriptorsDir(indexRoot))
+  }
+
+  private def descriptorRows(files: Seq[SourceFile], columns: Seq[String]): Seq[DescriptorRow] =
+    files.map(f => DescriptorRow(
       f.path, f.length, f.modificationTime, columns,
       graft.model.IndexType.PostingsParquet,
       graft.model.FileIndexDescriptor.CurrentVersion))
-    spark.createDataset(descriptors).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(descriptorsDir(indexRoot))
+
+  /** Build (or refresh) the index for `columns` over the parquet dataset
+    * at `dataDir`. No-op when fresh unless `overwrite`. */
+  def build(
+      spark: SparkSession,
+      dataDir: String,
+      columns: Seq[String],
+      indexRoot: String,
+      capBytes: Long = DefaultCapBytes,
+      overwrite: Boolean = false): Unit =
+    buildKeyed(spark, dataDir, columnKeys(columns), indexRoot, capBytes, overwrite)
+
+  /** Generalized build over arbitrary [[IndexKeys]] (multi-valued keys
+    * included). Descriptor `columns` records the key names. */
+  def buildKeyed(
+      spark: SparkSession,
+      dataDir: String,
+      keys: IndexKeys,
+      indexRoot: String,
+      capBytes: Long = DefaultCapBytes,
+      overwrite: Boolean = false): Unit = {
+    require(keys.nonEmpty, "at least one key to index")
+    val names = keys.map(_._1)
+    if (!overwrite && isFresh(spark, dataDir, indexRoot, names)) return
+    val files = listDataFiles(spark, dataDir)
+    writePostings(postingsFor(spark, files, keys, capBytes), indexRoot, SaveMode.Overwrite)
+    writeDescriptors(spark, descriptorRows(files, names), indexRoot)
+  }
+
+  /** Incrementally index only the files with no fresh descriptor (new
+    * files, changed files, or files missing a requested column) and
+    * APPEND their postings — the maintenance path the reference runs as
+    * skip-if-`hasPreviousIndex` re-submission
+    * (`AbstractBlockIndexingJob.java:249-277, 359-364`). Stale rows for
+    * rebuilt files stay in the postings table; the `gen` stamp makes
+    * them inert at query time. Returns the files (re)indexed. */
+  def buildIncremental(
+      spark: SparkSession,
+      dataDir: String,
+      columns: Seq[String],
+      indexRoot: String,
+      capBytes: Long = DefaultCapBytes): Seq[SourceFile] =
+    buildIncrementalKeyed(spark, dataDir, columnKeys(columns), indexRoot, capBytes)
+
+  def buildIncrementalKeyed(
+      spark: SparkSession,
+      dataDir: String,
+      keys: IndexKeys,
+      indexRoot: String,
+      capBytes: Long = DefaultCapBytes): Seq[SourceFile] = {
+    require(keys.nonEmpty, "at least one key to index")
+    import spark.implicits._
+    val names = keys.map(_._1)
+    val files = listDataFiles(spark, dataDir)
+    val fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: Map[String, DescriptorRow] =
+      if (!fs.exists(new Path(descriptorsDir(indexRoot)))) Map.empty
+      else spark.read.parquet(descriptorsDir(indexRoot))
+        .as[DescriptorRow].collect().map(d => d.sourcePath -> d).toMap
+    val stale = files.filterNot { f =>
+      existing.get(f.path).exists(d =>
+        d.length == f.length && d.modificationTime == f.modificationTime &&
+          names.forall(d.columns.contains))
+    }
+    if (stale.isEmpty) return Nil
+    writePostings(postingsFor(spark, stale, keys, capBytes), indexRoot, SaveMode.Append)
+    val currentPaths = files.map(_.path).toSet
+    val stalePaths = stale.map(_.path).toSet
+    val kept = existing.values.toSeq
+      .filter(d => currentPaths.contains(d.sourcePath) && !stalePaths.contains(d.sourcePath))
+    writeDescriptors(spark, kept ++ descriptorRows(stale, names), indexRoot)
+    stale
   }
 
   /** The postings table as a first-class DataFrame (S5: the reference's

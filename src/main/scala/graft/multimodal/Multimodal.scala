@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: media as an opaque binary column plus typed
+  * metadata — the schema pattern for images/audio/video in a
+  * training-data pipeline (content stays a blob; structure lives in
+  * columns). */
+final case class MediaRecord(
+    media_id: Long,
+    kind: String,               // "image" | "audio" | "video"
+    payload: Array[Byte],
+    meta: Map[String, String])
+
+final case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    digest: String,
+    width: Int,
+    height: Int,
+    n_frames: Int)
+
+/** Multimodal-column processing: decode / feature-extract / resize /
+  * frame-sample over binary payloads, implemented as batched
+  * `mapPartitions` over a typed Dataset — the Scala-native equivalent of
+  * a Pandas-UDF `mapInPandas` stage: rows stream through in bounded
+  * batches, the decoder is called per batch, and the output is a typed
+  * Dataset the rest of the DataFrame pipeline composes with.
+  *
+  * The actual codec work is STUBBED (no image/audio libraries in this
+  * environment): [[DecodeStub.decode]] derives deterministic fake
+  * dimensions from the bytes. Everything around it — schema, encoders,
+  * partitioning, batch shape, digesting — is real and tested; swapping
+  * the stub for javacv/ImageIO is a one-function change.
+  *
+  * Scale notes: payloads never shuffle — features are extracted in the
+  * scan stage and only the (small) feature rows move on. Batch size
+  * bounds per-task native-decoder memory, the same role as
+  * maxRecordsPerBatch for Arrow.
+  */
+object Multimodal {
+
+  /** STUB decoder boundary. A real build replaces this body with an
+    * actual codec call; signature and batch usage stay identical. */
+  object DecodeStub {
+    /** Deterministic fake decode: pretend dimensions from byte stats. */
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      val width = (n % 640) + 1
+      val height = ((n * 7) % 480) + 1
+      val frames = (n % 24) + 1
+      (width, height, frames)
+    }
+  }
+
+  private def hexMd5(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Batched feature extraction (decode + digest) — the mapInPandas
+    * analog. */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would be initialized once here and fed the batch
+        batch.map { r =>
+          val (w, h, f) = DecodeStub.decode(r.payload)
+          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hexMd5(r.payload), w, h, f)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size slice of the payload —
+    * the video-pipeline shape (1 row in -> n frame rows out) without a
+    * real demuxer. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (chunk, i) => (r.media_id, i, chunk.length, hexMd5(chunk)) }
+    }.toDF("media_id", "frame_no", "frame_bytes", "frame_digest")
+  }
+
+  /** Wrap any table with a binary-able column as MediaRecords (test/demo
+    * adapter; real corpora land in this schema at ingest). */
+  def fromTable(df: DataFrame, idCol: String, payloadCol: String, kind: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        lit(kind).as("kind"),
+        col(payloadCol).cast("binary").as("payload"),
+        map().cast("map<string,string>").as("meta"))
+      .as[MediaRecord]
+  }
+}

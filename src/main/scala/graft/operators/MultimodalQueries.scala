@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing, verifiable: `documents.text` cast to binary
+  * stands in for media payloads; the batched mapPartitions pipeline
+  * (decode stub + digest) must reproduce byte lengths, md5 digests, and
+  * the stub's deterministic dimensions — all recomputable in SQL, so
+  * the full Spark-side path (encoders, batching, typed Dataset) is
+  * oracle-checked even though the codec is fake.
+  */
+object MultimodalQueries extends QueryModule {
+
+  private def q34MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromTable(
+      Tables.documents(s, dir), "doc_id", "text", "image")
+    Multimodal.extractFeatures(media)
+      .toDF()
+      .select(col("media_id"), col("n_bytes"), col("digest"),
+        col("width"), col("height"), col("n_frames"))
+  }
+
+  private val q34Sql =
+    """SELECT doc_id AS media_id,
+      |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  MD5(text) AS digest,
+      |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
+      |  CAST((OCTET_LENGTH(CAST(text AS BLOB)) * 7) % 480 + 1 AS INT) AS height,
+      |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 24 + 1 AS INT) AS n_frames
+      |FROM documents""".stripMargin
+
+  /** Frame sampling: 1 payload -> n frame rows, digests per frame. The
+    * oracle reproduces the slicing arithmetic on substrings (ASCII
+    * payloads make byte == char slicing exact). */
+  private def q35FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromTable(
+      Tables.documents(s, dir), "doc_id", "text", "video")
+    Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+  }
+
+  private val q35Sql =
+    """WITH frames AS (
+      |  SELECT doc_id AS media_id, i AS frame_no,
+      |    SUBSTRING(text, i * 64 + 1, 64) AS chunk
+      |  FROM documents
+      |  CROSS JOIN (SELECT UNNEST(RANGE(0, 1000)) AS i) ii
+      |  WHERE i * 64 < OCTET_LENGTH(CAST(text AS BLOB)) AND i % 2 = 0)
+      |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+      |  CAST(OCTET_LENGTH(CAST(chunk AS BLOB)) AS INT) AS frame_bytes,
+      |  MD5(chunk) AS frame_digest
+      |FROM frames""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
+    Q("q35_frame_sample", q35FrameSample, Some(q35Sql)))
+}

@@ -75,8 +75,36 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, score FROM hits
       |WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""".stripMargin
 
+  /** Block-granular text index scan (Lucene DocType.BLOCK analog): find
+    * docs containing a term via the term->byte-range index over a
+    * multi-file copy of documents; oracle is the plain contains filter. */
+  private def q38TextBlockScan(s: SparkSession, dir: String): DataFrame = {
+    val sfName = new java.io.File(dir).getName
+    val root = s"/root/repo/target/graft_demo/$sfName"
+    val dataDir = s"$root/docs_data"
+    val indexRoot = s"$root/docs_text_index"
+    synchronized {
+      val p = new Path(dataDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        Tables.documents(s, dir).repartitionByRange(4, col("doc_id"))
+          .write.parquet(dataDir)
+      }
+      graft.text.BlockTextIndex.build(s, dataDir, "text", indexRoot)
+    }
+    graft.text.BlockTextIndex.scanForTerm(s, dataDir, "text", "dup", indexRoot)
+      ._1.select("doc_id", "lang")
+  }
+
+  private val q38Sql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE LIST_CONTAINS(
+      |  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0),
+      |  'dup')""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q21_text_topk", q21TextTopK, Some(q21Sql)),
     Q("q22_text_count", q22TextCount, Some(q22Sql)),
-    Q("q23_text_sample", q23TextSample, Some(q23Sql)))
+    Q("q23_text_sample", q23TextSample, Some(q23Sql)),
+    Q("q38_text_block_scan", q38TextBlockScan, Some(q38Sql)))
 }

@@ -70,12 +70,17 @@ object PrunedScanner extends Logging {
     * filtered DataFrame plus the prune report. Result rows are exactly
     * those of `spark.read.parquet(dataDir).filter(pred.toColumn)`.
     */
+  /** `residual` overrides the row-level re-check when the index key is
+    * derived rather than a physical column (e.g. the block text index
+    * keys on tokens; the residual is then a contains-filter on the text
+    * column). It must be implied by `pred` for soundness. */
   def scanWithReport(
       spark: SparkSession,
       dataDir: String,
       pred: Pred,
       indexRoot: String,
-      capBytes: Long = IndexBuilder.DefaultCapBytes): (DataFrame, PruneReport) = {
+      capBytes: Long = IndexBuilder.DefaultCapBytes,
+      residual: Option[org.apache.spark.sql.Column] = None): (DataFrame, PruneReport) = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
@@ -105,14 +110,20 @@ object PrunedScanner extends Logging {
     val leafFilter = leaves
       .map(l => col("column") === l.column && col("value") === l.value)
       .reduce(_ || _)
+    // gen must match the live descriptor: rebuilt files leave stale
+    // postings rows behind (append-only index); a mismatched gen means
+    // the row describes a previous incarnation of the file.
     val hits: Map[(String, Eq), Seq[Block]] =
       if (prunable.isEmpty) Map.empty
       else IndexBuilder.postings(spark, indexRoot)
         .filter(leafFilter)
-        .select("file", "column", "value", "ranges")
-        .as[(String, String, String, Seq[Block])]
+        .select("file", "column", "value", "ranges", "gen")
+        .as[(String, String, String, Seq[Block], Long)]
         .collect()
-        .map { case (f, c, v, r) => (f, Eq(c, v)) -> r }
+        .filter { case (f, _, _, _, g) =>
+          descriptors.get(f).exists(_.modificationTime == g) }
+        .groupBy { case (f, c, v, _, _) => (f, Eq(c, v)) }
+        .view.mapValues(rows => IntervalOps.normalize(rows.flatMap(_._4).toSeq))
         .toMap
 
     val selected = prunable.filter { f =>
@@ -141,7 +152,7 @@ object PrunedScanner extends Logging {
     // Residual row-level re-check is mandatory: block pruning is coarse
     // (BlockIndexedFileInputFormat.java:669-679). Catalyst additionally
     // pushes this filter into the parquet reader for row-group skipping.
-    (df.filter(pred.toColumn), report)
+    (df.filter(residual.getOrElse(pred.toColumn)), report)
   }
 
   def scan(spark: SparkSession, dataDir: String, pred: Pred, indexRoot: String): DataFrame =

@@ -1,0 +1,100 @@
+package graft
+
+import graft.build.IndexBuilder
+import graft.query.{Eq, PrunedScanner}
+import graft.streaming.IndexMaintenance
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental maintenance end-to-end: initial build, new files arrive,
+  * the AvailableNow stream indexes exactly the new files, and rebuilt
+  * (changed) files are served from their fresh gen — stale postings rows
+  * stay inert. */
+class StreamingIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("StreamingIndexSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val work = s"/root/repo/target/test_stream_${System.nanoTime()}"
+  private val dataDir = s"$work/data"
+  private val indexRoot = s"$work/index"
+
+  test("AvailableNow maintenance indexes new files incrementally") {
+    import spark.implicits._
+    // initial corpus: 2 files
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "kind")
+      .repartition(2).write.parquet(dataDir)
+    val q1 = IndexMaintenance.runAvailableNow(
+      spark, dataDir, Seq("kind"), indexRoot, s"$work/ckpt1")
+    q1.awaitTermination()
+    val files1 = IndexBuilder.listDataFiles(spark, dataDir).map(_.path).toSet
+    import spark.implicits._
+    val desc1 = spark.read.parquet(IndexBuilder.descriptorsDir(indexRoot))
+      .as[IndexBuilder.DescriptorRow].collect().map(_.sourcePath).toSet
+    assert(desc1 == files1)
+
+    // two more files arrive
+    Seq((3L, "gamma"), (4L, "alpha")).toDF("id", "kind")
+      .repartition(2).write.mode("append").parquet(dataDir)
+    spark.catalog.refreshByPath(dataDir)
+    val q2 = IndexMaintenance.runAvailableNow(
+      spark, dataDir, Seq("kind"), indexRoot, s"$work/ckpt2")
+    q2.awaitTermination()
+    val files2 = IndexBuilder.listDataFiles(spark, dataDir).map(_.path).toSet
+    val desc2 = spark.read.parquet(IndexBuilder.descriptorsDir(indexRoot))
+      .as[IndexBuilder.DescriptorRow].collect().map(_.sourcePath).toSet
+    assert(desc2 == files2 && files2.size == 4)
+
+    // index-pruned scan sees rows from both generations of arrival
+    val (df, report) = PrunedScanner.scanWithReport(
+      spark, dataDir, Eq("kind", "alpha"), indexRoot)
+    assert(report.fallbackFiles == 0)
+    assert(df.select("id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(report.selectedFiles < report.totalFiles)
+  }
+
+  test("rebuilt file is served from fresh gen; stale postings stay inert") {
+    import spark.implicits._
+    val dir2 = s"$work/data2"
+    val idx2 = s"$work/index2"
+    Seq((1L, "old1"), (2L, "old2")).toDF("id", "kind")
+      .coalesce(1).write.parquet(dir2)
+    assert(IndexBuilder.buildIncremental(spark, dir2, Seq("kind"), idx2).nonEmpty)
+
+    // rewrite the single data file in place with different content
+    val f = IndexBuilder.listDataFiles(spark, dir2).head
+    val tmp = s"$work/tmp2"
+    Seq((9L, "newkind"), (10L, "old1")).toDF("id", "kind")
+      .coalesce(1).write.parquet(tmp)
+    val newPart = IndexBuilder.listDataFiles(spark, tmp).head
+    val dst = java.nio.file.Paths.get(f.path)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(newPart.path), dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.deleteIfExists(
+      dst.resolveSibling("." + dst.getFileName.toString + ".crc"))
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+    spark.catalog.refreshByPath(dir2)
+
+    // incremental rebuild picks up the changed file (appends new gen)
+    assert(IndexBuilder.buildIncremental(spark, dir2, Seq("kind"), idx2).nonEmpty)
+
+    // postings now hold BOTH gens for the file…
+    val postingRows = IndexBuilder.postings(spark, idx2)
+      .filter(col("value") === "old2").count()
+    assert(postingRows == 1, "stale gen row should still exist in the table")
+    // …but queries only honor the live gen: old2 is gone, newkind found
+    val (gone, _) = PrunedScanner.scanWithReport(spark, dir2, Eq("kind", "old2"), idx2)
+    assert(gone.count() == 0)
+    val (found, report) = PrunedScanner.scanWithReport(spark, dir2, Eq("kind", "newkind"), idx2)
+    assert(found.select("id").as[Long].collect().toSet == Set(9L))
+    assert(report.fallbackFiles == 0, "rebuilt file must be prunable again, not fallback")
+  }
+}
