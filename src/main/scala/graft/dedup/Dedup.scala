@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a narrow input (e.g. one small parquet file) across the
+    * cluster before CPU-heavy tokenize/hash stages. At scale inputs
+    * already have >= defaultParallelism splits and this is a no-op —
+    * the shuffle is only paid when the alternative is running the whole
+    * map side in one task. */
+  private[graft] def parallelize(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
+
   /** Exact duplicates: group by content digest, keep the smallest id
     * (deterministic canonical representative). Returns
     * (doc_id, n_copies). */
@@ -33,10 +43,15 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** Exploded distinct shingles: (doc_id, sh). */
+  /** Exploded distinct shingles: (doc_id, sh). Tokens are projected to a
+    * concrete column BEFORE the shingle lambda touches them: Catalyst
+    * does no subexpression elimination inside higher-order-function
+    * lambdas, so inlining `tokens(text)` re-runs the regex split for
+    * every element_at — measured 8x slower on the sf0.1 corpus. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+    parallelize(docs, idCol)
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(TextFunctions.wordShingles(col("toks"), n)).as("sh"))
 
   /** Per-doc distinct-shingle counts: (doc_id, sz). */
   private def shingleSizes(shingles: DataFrame): DataFrame =
@@ -124,19 +139,18 @@ object Dedup {
 
   /** 64-bit SimHash fingerprints: per token-hash bit, vote +1/-1 per
     * occurrence, fingerprint bit = sign of the vote. Returns
-    * (doc_id, simhash). Bit 63 is folded in via the sign bit. */
+    * (doc_id, simhash). One custom sketch aggregate (SimHashAgg) holds
+    * the 64 vote counters — constant state per doc, one shuffle. */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = parallelize(docs, idCol)
+      .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("h", TextFunctions.tokenHash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b")
-    }
-    val bits = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+    val simhashAgg = ColumnBridge.column(
+      graft.functions.expressions.SimHashAgg(ColumnBridge.expression(col("h")))
+        .toAggregateExpression())
+    toks.groupBy("doc_id").agg(simhashAgg.as("simhash"))
   }
 
   /** SimHash near-dup pairs: banded candidate generation (16 bands of 4

@@ -1,0 +1,100 @@
+package graft.plans
+
+import graft.query.{Pred, PrunedScanner}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+/** Transparent index-consulting scan pruning — the custom planner hook
+  * the reference implements as `getSplits` split filtering
+  * (`retrieval/BlockIndexedFileInputFormat.java:110-187`) and SURVEY.md
+  * §4 R2 maps to "a FileIndex that consults the index table".
+  *
+  * The rule rewrites `Filter(cond, scan(parquet dir))` when:
+  *   1. the scanned root path is registered in the session conf
+  *      `spark.graft.indexes` (format `dataDir=indexRoot;...`), and
+  *   2. `cond` (or some conjunct of it) translates into the EQ/AND/OR
+  *      IR,
+  * replacing the relation's file listing with only the files the sparse
+  * index proves relevant (plus freshness fallbacks). The Filter itself
+  * is left in place — it is the mandatory residual re-check, and
+  * Catalyst additionally pushes it into the parquet reader.
+  *
+  * Soundness: non-translatable predicates leave the plan untouched
+  * (full scan); a conjunct suffices for pruning because dropping
+  * conjuncts only widens the file set. Idempotence under the
+  * fixed-point optimizer batch is ensured with a TreeNodeTag.
+  *
+  * Usage:
+  * {{{
+  * spark.conf.set("spark.graft.indexes", s"$dataDir=$indexRoot")
+  * spark.experimental.extraOptimizations ++= Seq(GraftPruneRule(spark))
+  * // or: --conf spark.sql.extensions=graft.plans.GraftSparkExtensions
+  * spark.read.parquet(dataDir).filter($"event_type" === "error") // pruned
+  * }}}
+  */
+case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Logging {
+
+  import GraftPruneRule._
+
+  private def registry: Map[String, String] =
+    spark.conf.getOption(IndexesConf)
+      .map(_.split(";").filter(_.contains("=")).map { kv =>
+        val Array(d, i) = kv.split("=", 2)
+        normalize(d) -> i
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The largest translatable conjunct-tree of `cond` (ANDs may be
+    * partially translated; OR requires both sides). */
+  private def translatableConjuncts(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Option[Pred] =
+    cond match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        (translatableConjuncts(l), translatableConjuncts(r)) match {
+          case (Some(a), Some(b)) => Some(graft.query.And(a, b))
+          case (a, b)             => a.orElse(b)
+        }
+      case e => Pred.fromExpression(e)
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _))
+        if lr.getTagValue(PrunedTag).isEmpty && registry.nonEmpty =>
+      val roots = rel.location.rootPaths.map(p => normalize(p.toString))
+      val hit = roots.flatMap(r => registry.get(r).map(r -> _)).headOption
+      (hit, translatableConjuncts(cond)) match {
+        case (Some((dataDir, indexRoot)), Some(pred)) =>
+          val (files, report) = PrunedScanner.selectFiles(spark, dataDir, pred, indexRoot)
+          logInfo(s"GraftPruneRule: $dataDir pred=$pred -> " +
+            s"${report.selectedFiles}+${report.fallbackFiles}/${report.totalFiles} files, " +
+            s"bytes ratio ${report.bytesRatio}")
+          val prunedIndex = new InMemoryFileIndex(
+            spark, files.map(new org.apache.hadoop.fs.Path(_)),
+            Map.empty, Some(rel.dataSchema))
+          val prunedRel = rel.copy(location = prunedIndex)(spark)
+          val newLr = lr.copy(relation = prunedRel)
+          newLr.setTagValue(PrunedTag, true)
+          Filter(cond, newLr)
+        case _ => f
+      }
+  }
+}
+
+object GraftPruneRule {
+  val IndexesConf = "spark.graft.indexes"
+  val PrunedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.pruned")
+}
+
+/** `spark.sql.extensions`-style injection for new sessions. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(GraftPruneRule(_))
+}

@@ -49,19 +49,28 @@ object Pred {
     * (`Expression.java:242-246`).
     */
   def fromColumn(df: DataFrame, c: Column): Option[Pred] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr, EqualTo, Literal, AttributeReference, Cast, Expression => CExpr}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    def attrName(e: CExpr): Option[String] = e match {
+    df.filter(c).queryExecution.analyzed
+      .collectFirst { case f: LFilter => f.condition }
+      .flatMap(fromExpression)
+  }
+
+  /** Translate a RESOLVED Catalyst expression (e.g. a pushed filter
+    * condition inside the optimizer). Same supported subset. */
+  def fromExpression(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Pred] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr, EqualTo, Literal, AttributeReference, Cast, Expression => CExpr}
+    def attrName(x: CExpr): Option[String] = x match {
       case a: AttributeReference                => Some(a.name)
       case Cast(a: AttributeReference, _, _, _) => Some(a.name)
       case _                                    => None
     }
-    def litStr(e: CExpr): Option[String] = e match {
-      case Literal(v, _) if v != null           => Some(v.toString)
+    def litStr(x: CExpr): Option[String] = x match {
+      case Literal(v, _) if v != null                => Some(v.toString)
       case Cast(Literal(v, _), _, _, _) if v != null => Some(v.toString)
-      case _                                    => None
+      case _                                         => None
     }
-    def go(e: CExpr): Option[Pred] = e match {
+    def go(x: CExpr): Option[Pred] = x match {
       case CAnd(l, r) => for { a <- go(l); b <- go(r) } yield And(a, b)
       case COr(l, r)  => for { a <- go(l); b <- go(r) } yield Or(a, b)
       case EqualTo(l, r) =>
@@ -69,8 +78,6 @@ object Pred {
           .orElse(for { n <- attrName(r); v <- litStr(l) } yield Eq(n, v))
       case _ => None
     }
-    df.filter(c).queryExecution.analyzed
-      .collectFirst { case f: LFilter => f.condition }
-      .flatMap(go)
+    go(e)
   }
 }

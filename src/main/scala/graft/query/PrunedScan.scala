@@ -65,27 +65,20 @@ object PrunedScanner extends Logging {
         capBytes)
   }
 
-  /** Scan `dataDir` for rows matching `pred`, consulting the index at
-    * `indexRoot` to skip provably-non-matching files. Returns the
-    * filtered DataFrame plus the prune report. Result rows are exactly
-    * those of `spark.read.parquet(dataDir).filter(pred.toColumn)`.
-    */
-  /** `residual` overrides the row-level re-check when the index key is
-    * derived rather than a physical column (e.g. the block text index
-    * keys on tokens; the residual is then a contains-filter on the text
-    * column). It must be implied by `pred` for soundness. */
-  def scanWithReport(
+  /** The pruning decision alone: which files of `dataDir` must be read
+    * for `pred` (selected-by-index ++ fallback), plus the report. Shared
+    * by the explicit two-phase scan below and the transparent optimizer
+    * rule (graft.plans.GraftPruneRule). */
+  def selectFiles(
       spark: SparkSession,
       dataDir: String,
       pred: Pred,
       indexRoot: String,
-      capBytes: Long = IndexBuilder.DefaultCapBytes,
-      residual: Option[org.apache.spark.sql.Column] = None): (DataFrame, PruneReport) = {
+      capBytes: Long = IndexBuilder.DefaultCapBytes): (Seq[String], PruneReport) = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
     val files = IndexBuilder.listDataFiles(spark, dataDir)
-    val byPath = files.map(f => f.path -> f).toMap
 
     // Fresh descriptors covering every predicate column -> file is prunable.
     val descPath = IndexBuilder.descriptorsDir(indexRoot)
@@ -142,8 +135,20 @@ object PrunedScanner extends Logging {
       s"files ${report.selectedFiles}+${report.fallbackFiles}fallback/${report.totalFiles}, " +
       s"bytes ${report.selectedBytes}/${report.totalBytes} " +
       s"(ratio ${report.bytesRatio}), ${report.pruneTimeMs} ms")
+    ((selected ++ fallback).map(_.path), report)
+  }
 
-    val toRead = (selected ++ fallback).map(_.path)
+  /** `residual` overrides the row-level re-check when the index key is
+    * derived rather than a physical column (e.g. the block text index
+    * keys on tokens). It must be implied by `pred` for soundness. */
+  def scanWithReport(
+      spark: SparkSession,
+      dataDir: String,
+      pred: Pred,
+      indexRoot: String,
+      capBytes: Long = IndexBuilder.DefaultCapBytes,
+      residual: Option[org.apache.spark.sql.Column] = None): (DataFrame, PruneReport) = {
+    val (toRead, report) = selectFiles(spark, dataDir, pred, indexRoot, capBytes)
     val schema = spark.read.parquet(dataDir).schema
     val df =
       if (toRead.isEmpty)

@@ -30,10 +30,13 @@ object TextIndex {
   /** Build the postings table (term, doc_id, tf) from a corpus.
     * The reference's RECORD DocType: one "document" per row
     * (`elephanttwin.thrift:6-9`). */
-  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p, col(idCol)) else docs
+    spread.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Persist postings sorted by term (parquet min/max-prunable lookups). */
   def writePostings(postings: DataFrame, path: String): Unit =

@@ -1,0 +1,83 @@
+package graft
+
+import graft.build.IndexBuilder
+import graft.plans.GraftPruneRule
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transparent pruning: a plain `spark.read.parquet(dir).filter(...)`
+  * over a registered indexed path reads fewer files, with identical
+  * results. */
+class GraftRuleSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("GraftRuleSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.experimental.extraOptimizations ++= Seq(GraftPruneRule(s))
+    s
+  }
+
+  private val work = s"/root/repo/target/test_rule_${System.nanoTime()}"
+  private val dataDir = s"$work/data"
+  private val indexRoot = s"$work/index"
+
+  private def scanFileCount(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.relation.location.inputFiles.length.toLong
+    }.sum
+
+  private lazy val prepared: Unit = {
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .repartitionByRange(8, col("event_type"), col("event_id"))
+      .write.parquet(dataDir)
+    IndexBuilder.build(spark, dataDir, Seq("event_type", "user_id"), indexRoot)
+    spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+  }
+
+  test("plain filter over a registered path is transparently pruned") {
+    prepared
+    val pruned = spark.read.parquet(dataDir).filter(col("event_type") === "error")
+    val full = spark.read.parquet(dataDir)
+
+    assert(scanFileCount(pruned) < scanFileCount(full),
+      "optimizer rule should shrink the file listing")
+    // identical results to an unregistered full scan + filter
+    spark.conf.unset(GraftPruneRule.IndexesConf)
+    val expect = spark.read.parquet(dataDir).filter(col("event_type") === "error")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("non-translatable predicates are left alone (full listing)") {
+    prepared
+    val df = spark.read.parquet(dataDir).filter(col("value") > 100.0)
+    assert(scanFileCount(df) == scanFileCount(spark.read.parquet(dataDir)))
+  }
+
+  test("partially translatable AND still prunes on the EQ conjunct") {
+    prepared
+    val df = spark.read.parquet(dataDir)
+      .filter(col("event_type") === "error" && col("value") > 100.0)
+    assert(scanFileCount(df) < scanFileCount(spark.read.parquet(dataDir)))
+    // and the non-indexable conjunct is still applied row-level
+    assert(df.agg(min(col("value"))).first().getDouble(0) > 100.0)
+  }
+
+  test("unregistered paths are untouched") {
+    prepared
+    val other = s"$work/other"
+    spark.read.parquet(dataDir).write.parquet(other)
+    val df = spark.read.parquet(other).filter(col("event_type") === "error")
+    assert(scanFileCount(df) == scanFileCount(spark.read.parquet(other)))
+  }
+}

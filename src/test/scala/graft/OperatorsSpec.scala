@@ -40,6 +40,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native dot product is bit-identical to the HOF fold on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("i") < col("j"))
+    val diff = pairs.select(
+        Vectors.dot(col("va"), col("vb")).as("native"),
+        Vectors.dotHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0L, "codegen dot must match the HOF fold exactly")
+  }
+
+  test("dot product handles null arrays and length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 9.0f))),
+      (None, Some(Seq(1.0f)))).toDF("a", "b")
+    val rows = df.select(Vectors.dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getDouble(0) == 11.0) // min-length semantics
+    assert(rows(1).isNullAt(0))
+  }
+
   test("identical texts get identical simhash; disjoint texts differ") {
     import spark.implicits._
     val docs = Seq(
