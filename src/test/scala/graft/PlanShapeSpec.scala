@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale properties the engine
+  * depends on, pinned as regression tests: filters pushed to the
+  * parquet scan, column pruning in ReadSchema, broadcast joins for
+  * small dimensions, TakeOrderedAndProject for top-k (no global sort),
+  * and whole-stage codegen over the hot paths. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("PlanShapeSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("EQ filter is pushed to the parquet scan and columns are pruned") {
+    val df = SparkEntry.queries("q02_filter_eq")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"expected pushed EQ filter, got:\n$p")
+    // only the selected + filtered columns reach the reader
+    assert(p.contains("ReadSchema") && !p.contains("props"),
+      "untouched wide column 'props' must not be read")
+  }
+
+  test("small-dimension join broadcasts (no shuffle of the fact side)") {
+    val p = plan(SparkEntry.queries("q09_join_broadcast")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q07_topk")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("pricing summary aggregates with partial (map-side) HashAggregate") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("native dot product stays inside whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sfDir).limit(10)
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val df = a.crossJoin(b)
+      .select(graft.functions.Vectors.dot(col("va"), col("vb")).as("d"))
+    assert(df.collect().length == 100) // finalize the (adaptive) plan
+    val p = plan(df)
+    // `*(n)` marks a whole-stage-codegen stage in the tree string; the
+    // projection computing dot_product must carry it (no fallback)
+    assert("""\*\(\d+\) Project \[dot_product""".r.findFirstIn(p).isDefined,
+      s"dot_product must stay inside a codegen stage:\n$p")
+  }
+
+  test("postings lookup prunes index partitions by column") {
+    // build a small index, then check the lookup scan carries a
+    // partition filter on `column`
+    import graft.build.IndexBuilder
+    val work = s"/root/repo/target/test_plan_${System.nanoTime()}"
+    Tables.events(spark, sfDir).repartition(2).write.parquet(s"$work/data")
+    IndexBuilder.build(spark, s"$work/data", Seq("event_type"), s"$work/index")
+    val lookup = IndexBuilder.postings(spark, s"$work/index")
+      .filter(col("column") === "event_type" && col("value") === "error")
+    val p = plan(lookup)
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"expected partition pruning on the postings directory:\n$p")
+  }
+}
