@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double)
+
+final case class UserSession(user_id: Long, n_events: Long,
+    total_value: Double, first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+/** Structured Streaming surface over the `events` table shape: windowed
+  * aggregation with watermarked late-data handling, and custom
+  * sessionization state via `flatMapGroupsWithState` — the streaming
+  * operator set a training-data ingest pipeline needs (the reference is
+  * batch-only; SURVEY §2.9 plans these as extensions).
+  *
+  * All transforms take the streaming DataFrame as input so they run
+  * identically under `readStream` (production) and a batch DataFrame
+  * (tests use `Trigger.AvailableNow` + memory sink for determinism).
+  */
+object EventStreams {
+
+  /** 5-minute tumbling windows per event type, 10-minute watermark:
+    * late rows beyond the watermark are dropped, state is bounded. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Per-user session accumulation with processing-time timeout —
+    * mapGroupsWithState-style custom state (KeyValueGroupedDataset). */
+  def sessionize(events: Dataset[EventRow], timeoutMs: Long = 60000): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator
+            state.remove()
+            out
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption
+            val merged = (prev.toSeq ++ batch.map(r =>
+              UserSession(userId, 1L, r.value, r.ts, r.ts)))
+              .reduceOption { (a, b) =>
+                UserSession(userId, a.n_events + b.n_events,
+                  a.total_value + b.total_value,
+                  if (a.first_ts.before(b.first_ts)) a.first_ts else b.first_ts,
+                  if (a.last_ts.after(b.last_ts)) a.last_ts else b.last_ts)
+              }
+            merged.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(timeoutMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.Skew
+import graft.streaming.{EventRow, EventStreams}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming windowed aggregation (watermark), stateful sessionization,
+  * and skew-salting equivalence. */
+class StreamingOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("StreamingOpsSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val work = s"/root/repo/target/test_stream_ops_${System.nanoTime()}"
+
+  test("windowed counts over a file stream match the batch computation") {
+    import spark.implicits._
+    val src = s"$work/events"
+    Tables.events(spark, "/root/testdata/sf0.001").write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("win_out")
+      .select("win_start", "event_type", "n", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStreams.windowedCounts(spark.read.parquet(src))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    // append mode only emits windows the watermark has closed; all
+    // emitted windows must match the batch result, and most windows
+    // should have been emitted (only the trailing ones stay open)
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size - 25,
+      s"too few closed windows: ${streamed.size} of ${batch.size}")
+  }
+
+  test("sessionization accumulates per-user state and emits on timeout") {
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    // batch semantics of flatMapGroupsWithState: one invocation per key,
+    // no timeout fires -> state absorbed, nothing emitted in Append.
+    // Run it through a stream where AvailableNow closes the query:
+    val src = s"$work/sess"
+    events.write.parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src).as[EventRow]
+    val q = EventStreams.sessionize(stream, timeoutMs = 1)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$work/sess_ckpt")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    // wait until the timeout batch has flushed the sessions
+    val deadline = System.currentTimeMillis() + 60000
+    var done = false
+    while (!done && System.currentTimeMillis() < deadline) {
+      Thread.sleep(1000)
+      done = spark.table("sess_out").count() >= 15
+    }
+    q.stop()
+    val sessions = spark.table("sess_out").as[UserSessionRow].collect()
+    assert(sessions.length >= 15, s"expected >=15 user sessions, got ${sessions.length}")
+    val byUser = sessions.groupBy(_.user_id)
+    assert(byUser.values.forall(_.length == 1))
+    // spot-check one user against batch truth
+    val u = sessions.head.user_id
+    val truth = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") === u).agg(count(lit(1)), sum("value"))
+      .as[(Long, Double)].head()
+    val s = byUser(u).head
+    assert(s.n_events == truth._1)
+    assert(math.abs(s.total_value - truth._2) < 1e-6)
+  }
+
+  test("salted join equals plain join; salted agg equals plain agg") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val users = e.select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("int"))
+    import spark.implicits._
+    val plain = e.join(users, "user_id").groupBy("tier")
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toSet
+    val salted = Skew.saltedJoin(e, users, "user_id", salts = 8)
+      .groupBy("tier").agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toSet
+    assert(salted == plain)
+
+    val plainAgg = e.groupBy("user_id").agg(count(lit(1)).as("value_agg"))
+      .as[(Long, Long)].collect().toSet
+    val saltedAgg = Skew.saltedAgg(e, "user_id", "value", 8, count, sum)
+      .as[(Long, Long)].collect().toSet
+    assert(saltedAgg == plainAgg)
+  }
+}
+
+final case class UserSessionRow(user_id: Long, n_events: Long,
+    total_value: Double, first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
