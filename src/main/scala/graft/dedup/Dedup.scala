@@ -125,16 +125,27 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
-  /** Exact-Jaccard check of explicit candidate pairs. */
+  /** Exact-Jaccard check of explicit candidate pairs. Candidates are
+    * first cut by the size-ratio bound — jac(A,B) >= t implies
+    * t*|B| <= |A| <= |B|/t (inter <= min, union >= max) — which is a
+    * cheap join against the per-doc size table and typically removes
+    * most false candidates before the expensive shingle-level join. */
   def verifyPairs(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingleSizes(shingles)
+    val plausible = candidates
+      .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("sz", "sz_i"), "doc_i")
+      .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("sz", "sz_j"), "doc_j")
+      .filter(col("sz_i") >= col("sz_j") * threshold &&
+        col("sz_j") >= col("sz_i") * threshold)
+      .select("doc_i", "doc_j")
     val si = shingles.select(col("doc_id").as("doc_i"), col("sh"))
     val sj = shingles.select(col("doc_id").as("doc_j"), col("sh"))
-    val inter = candidates
+    val inter = plausible
       .join(si, "doc_i")
       .join(sj, Seq("doc_j", "sh"))
       .groupBy("doc_i", "doc_j")
       .agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, shingleSizes(shingles), threshold).select("doc_i", "doc_j")
+    jaccardFilter(inter, sizes, threshold).select("doc_i", "doc_j")
   }
 
   /** 64-bit SimHash fingerprints: per token-hash bit, vote +1/-1 per
