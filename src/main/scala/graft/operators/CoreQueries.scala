@@ -249,6 +249,36 @@ object CoreQueries extends QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id HAVING COUNT(*) >= 5""".stripMargin
 
+  /** CUBE over two dims (§2.4 extension row): nulls from aggregated-out
+    * dimensions are coalesced to a sentinel on both engines so the
+    * comparator never sees mixed null/string columns. */
+  private def q39Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("sum_price"))
+
+  private val q39Sql =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |  COALESCE(o_orderpriority, '(all)') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** HLL approximate distinct (§2.4 extension row) next to the exact
+    * count — sketch values are engine-specific, so no SQL oracle; the
+    * error bound is asserted in OperatorsSpec and the driver records a
+    * rows-only check. */
+  private def q40ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q02_filter_eq", q02FilterEq, Some(q02Sql)),
@@ -264,5 +294,7 @@ object CoreQueries extends QueryModule {
     Q("q12_scalar_funcs", q12ScalarFuncs, Some(q12Sql)),
     Q("q13_window_top3", q13WindowTop3, Some(q13Sql)),
     Q("q14_set_ops", q14SetOps, Some(q14Sql)),
-    Q("q15_having", q15Having, Some(q15Sql)))
+    Q("q15_having", q15Having, Some(q15Sql)),
+    Q("q39_cube", q39Cube, Some(q39Sql)),
+    Q("q40_approx_distinct", q40ApproxDistinct, None))
 }

@@ -25,9 +25,13 @@ object IndexedQueries extends QueryModule {
   private val CapBytes = 64L * 1024 * 1024
   private val IndexedColumns = Seq("event_type", "user_id")
 
+  /** Bump when the postings/descriptor schema changes: stale demo
+    * datasets from an older layout then rebuild instead of failing. */
+  private[operators] val DemoLayoutVersion = 2
+
   private def root(sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
-    s"/root/repo/target/graft_demo/$sfName"
+    s"/root/repo/target/graft_demo/v$DemoLayoutVersion/$sfName"
   }
   private def dataDir(sfDir: String): String = s"${root(sfDir)}/events_data"
   private def indexRoot(sfDir: String): String = s"${root(sfDir)}/events_index"

@@ -16,7 +16,7 @@ object TextQueries extends QueryModule {
 
   private def postingsDir(sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
-    s"/root/repo/target/graft_demo/$sfName/text_postings"
+    s"/root/repo/target/graft_demo/v${IndexedQueries.DemoLayoutVersion}/$sfName/text_postings"
   }
 
   /** Build + persist postings once per scale factor. */
@@ -80,7 +80,7 @@ object TextQueries extends QueryModule {
     * multi-file copy of documents; oracle is the plain contains filter. */
   private def q38TextBlockScan(s: SparkSession, dir: String): DataFrame = {
     val sfName = new java.io.File(dir).getName
-    val root = s"/root/repo/target/graft_demo/$sfName"
+    val root = s"/root/repo/target/graft_demo/v${IndexedQueries.DemoLayoutVersion}/$sfName"
     val dataDir = s"$root/docs_data"
     val indexRoot = s"$root/docs_text_index"
     synchronized {

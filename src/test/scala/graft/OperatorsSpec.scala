@@ -104,6 +104,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sortBy(-_)))
   }
 
+  test("approx_count_distinct stays within its error bound") {
+    val rows = SparkEntry.queries("q40_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"approx=$approx exact=$exact for ${r.getString(0)}")
+    }
+  }
+
   test("exact dedup keeps the smallest id per digest") {
     import spark.implicits._
     val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
