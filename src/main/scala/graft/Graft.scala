@@ -1,0 +1,56 @@
+package graft
+
+import graft.plans.GraftPruneRule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing entry point — the "switch from the reference" API:
+  *
+  * {{{
+  * import graft.Graft
+  * Graft.enable(spark)                                // once per session
+  * graft.build.IndexBuilder.build(spark, data, Seq("event_type"), idx)
+  * Graft.registerIndex(spark, data, idx)
+  * Graft.read(spark, data).filter($"event_type" === "login")  // pruned
+  * }}}
+  *
+  * `read` is plain `spark.read.parquet`; pruning happens in the
+  * optimizer (GraftPruneRule), so every downstream DataFrame/SQL
+  * operation composes normally. We deliberately do NOT ship a DSv2
+  * `format("graft")`: the rule rewrites the standard parquet relation's
+  * file listing, which keeps Spark's whole vectorized parquet read path
+  * (codegen, row-group skipping, schema evolution) instead of
+  * re-implementing it behind a custom Scan.
+  */
+object Graft {
+
+  /** Install the pruning rule on an existing session (idempotent). New
+    * sessions can instead set
+    * `spark.sql.extensions=graft.plans.GraftSparkExtensions`. */
+  def enable(spark: SparkSession): Unit = {
+    val already = spark.experimental.extraOptimizations.exists {
+      case GraftPruneRule(s) => s eq spark
+      case _ => false
+    }
+    if (!already)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftPruneRule(spark)
+  }
+
+  /** Register (or update) the index root for a dataset path. */
+  def registerIndex(spark: SparkSession, dataDir: String, indexRoot: String): Unit = {
+    val key = graft.build.IndexBuilder.canonicalPath(dataDir)
+    val existing = spark.conf.getOption(GraftPruneRule.IndexesConf)
+      .map(_.split(";").filter(_.nonEmpty).map { kv =>
+        val Array(d, i) = kv.split("=", 2); d -> i
+      }.toMap)
+      .getOrElse(Map.empty)
+    val updated = existing + (key -> indexRoot)
+    spark.conf.set(GraftPruneRule.IndexesConf,
+      updated.map { case (d, i) => s"$d=$i" }.mkString(";"))
+  }
+
+  def read(spark: SparkSession, dataDir: String): DataFrame = {
+    enable(spark)
+    spark.read.parquet(dataDir)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.query
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Row-level observability parity with the reference (R10): the
+  * scanned-vs-qualified counters `FilterRecordReader` logs per task
+  * (`retrieval/FilterRecordReader.java:42-44, 66-70, 136-139`), rebuilt
+  * on `Dataset.observe` — metrics ride the job itself (no second pass)
+  * and surface through a QueryExecutionListener after each action.
+  *
+  * Usage:
+  * {{{
+  * ScanMetrics.register(spark)
+  * val df = ScanMetrics.observed(prunedDf, residual)   // scan -> observe -> filter -> observe
+  * df.count()
+  * ScanMetrics.last("graft_scan")   // Some((rowsScanned, rowsQualified))
+  * }}}
+  */
+object ScanMetrics {
+
+  val ScannedMetric = "rows_scanned"
+  val QualifiedMetric = "rows_qualified"
+
+  private val results = new ConcurrentHashMap[String, (Long, Long)]()
+  private val registered = new ConcurrentHashMap[SparkSession, QueryExecutionListener]()
+
+  /** Wrap a scan with scanned/qualified counters around `residual`. */
+  def observed(scan: DataFrame, residual: org.apache.spark.sql.Column,
+      name: String = "graft_scan"): DataFrame =
+    scan
+      .observe(s"${name}_in", count(lit(1)).as(ScannedMetric))
+      .filter(residual)
+      .observe(s"${name}_out", count(lit(1)).as(QualifiedMetric))
+
+  /** Install the listener once per session. */
+  def register(spark: SparkSession): Unit =
+    registered.computeIfAbsent(spark, { s =>
+      val l = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+          val metrics = qe.observedMetrics
+          metrics.foreach { case (obsName, row) =>
+            val base =
+              if (obsName.endsWith("_in")) Some(obsName.dropRight(3))
+              else if (obsName.endsWith("_out")) Some(obsName.dropRight(4))
+              else None
+            base.foreach { b =>
+              val prev = results.getOrDefault(b, (-1L, -1L))
+              val updated =
+                if (obsName.endsWith("_in")) (row.getAs[Long](ScannedMetric), prev._2)
+                else (prev._1, row.getAs[Long](QualifiedMetric))
+              results.put(b, updated)
+            }
+          }
+        }
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+      }
+      s.listenerManager.register(l)
+      l
+    })
+
+  /** (rowsScanned, rowsQualified) from the most recent action that ran
+    * an observed scan under `name`; -1 for a side not yet reported. */
+  def last(name: String = "graft_scan"): Option[(Long, Long)] =
+    Option(results.get(name))
+}

@@ -73,6 +73,18 @@ class GraftRuleSpec extends AnyFunSuite {
     assert(df.agg(min(col("value"))).first().getDouble(0) > 100.0)
   }
 
+  test("Graft facade: enable + registerIndex + read prunes end-to-end") {
+    prepared
+    val s2 = spark // same session; enable must be idempotent with the manual registration
+    Graft.enable(s2)
+    Graft.enable(s2)
+    assert(s2.experimental.extraOptimizations.count(_.isInstanceOf[GraftPruneRule]) <= 2)
+    Graft.registerIndex(s2, dataDir, indexRoot)
+    val df = Graft.read(s2, dataDir).filter(col("event_type") === "signup")
+    assert(scanFileCount(df) < scanFileCount(Graft.read(s2, dataDir)))
+    assert(df.count() > 0)
+  }
+
   test("unregistered paths are untouched") {
     prepared
     val other = s"$work/other"
