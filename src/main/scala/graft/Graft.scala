@@ -39,11 +39,8 @@ object Graft {
   /** Register (or update) the index root for a dataset path. */
   def registerIndex(spark: SparkSession, dataDir: String, indexRoot: String): Unit = {
     val key = graft.build.IndexBuilder.canonicalPath(dataDir)
-    val existing = spark.conf.getOption(GraftPruneRule.IndexesConf)
-      .map(_.split(";").filter(_.nonEmpty).map { kv =>
-        val Array(d, i) = kv.split("=", 2); d -> i
-      }.toMap)
-      .getOrElse(Map.empty)
+    val existing = GraftPruneRule.parseRegistry(
+      spark.conf.getOption(GraftPruneRule.IndexesConf))
     val updated = existing + (key -> indexRoot)
     spark.conf.set(GraftPruneRule.IndexesConf,
       updated.map { case (d, i) => s"$d=$i" }.mkString(";"))

@@ -31,7 +31,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral division: `/` is a double Divide and 2024-era nano
+      // longs exceed double's 2^53 exact range (1 µs rounding errors)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

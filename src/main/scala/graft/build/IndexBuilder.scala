@@ -150,9 +150,14 @@ object IndexBuilder {
     val merge = udaf(MergeIntervals(capBytes))
     val gens = spark.createDataset(files)
       .select(col("path").as("file"), col("modificationTime").as("gen"))
+    // canonicalize with the SAME function the listing side uses — a
+    // regexp approximation diverges on URIs with authorities
+    // (hdfs://host:port) or digit-bearing schemes (s3a://), which would
+    // empty the gens join and write an empty-but-"fresh" index
+    val canonical = udf((p: String) => canonicalPath(p))
     df.select(
         explode(kvs).as("kv"),
-        regexp_replace(col("_metadata.file_path"), "^[a-z]+:/+", "/").as("file"),
+        canonical(col("_metadata.file_path")).as("file"),
         col("_metadata.file_block_start").as("start"),
         (col("_metadata.file_block_start") + col("_metadata.file_block_length")).as("end"))
       .select(col("kv.column").as("column"), col("kv.value").as("value"),

@@ -19,10 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join `big` with `small` on `key`, salting the big side. */
+  /** Equi-join `big` with `small` on `key`, salting the big side.
+    * Join types preserving correctness under an exploded small side:
+    * inner/cross and the left-family (unmatched SMALL rows are the ones
+    * duplicated `salts` times, so right/full outer would emit them
+    * multiply). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    val ok = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin does not preserve $joinType semantics (small side is exploded)")
     val bigS = big.withColumn("__salt", (rand(42) * salts).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -42,12 +42,8 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
   import GraftPruneRule._
 
   private def registry: Map[String, String] =
-    spark.conf.getOption(IndexesConf)
-      .map(_.split(";").filter(_.contains("=")).map { kv =>
-        val Array(d, i) = kv.split("=", 2)
-        normalize(d) -> i
-      }.toMap)
-      .getOrElse(Map.empty)
+    GraftPruneRule.parseRegistry(spark.conf.getOption(IndexesConf))
+      .map { case (d, i) => normalize(d) -> i }
 
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -66,8 +62,13 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // partitionSchema must be empty: the replacement InMemoryFileIndex
+    // is built from bare leaf files and cannot reconstruct hive
+    // partition values — hive-partitioned datasets fall back to Spark's
+    // own partition pruning untouched
     case f @ Filter(cond, lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _))
-        if lr.getTagValue(PrunedTag).isEmpty && registry.nonEmpty =>
+        if lr.getTagValue(PrunedTag).isEmpty && registry.nonEmpty &&
+          rel.partitionSchema.isEmpty =>
       val roots = rel.location.rootPaths.map(p => normalize(p.toString))
       val hit = roots.flatMap(r => registry.get(r).map(r -> _)).headOption
       (hit, translatableConjuncts(cond)) match {
@@ -91,6 +92,15 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
 object GraftPruneRule {
   val IndexesConf = "spark.graft.indexes"
   val PrunedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.pruned")
+
+  /** Tolerant parse of the `dataDir=indexRoot;...` registry conf —
+    * segments without '=' are ignored rather than erroring (shared by
+    * the rule and Graft.registerIndex so both sides agree). */
+  def parseRegistry(conf: Option[String]): Map[String, String] =
+    conf.map(_.split(";").filter(_.contains("=")).map { kv =>
+      val Array(d, i) = kv.split("=", 2)
+      d -> i
+    }.toMap).getOrElse(Map.empty)
 }
 
 /** `spark.sql.extensions`-style injection for new sessions. */

@@ -60,15 +60,27 @@ object Pred {
   def fromExpression(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Pred] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr, EqualTo, Literal, AttributeReference, Cast, Expression => CExpr}
+    import org.apache.spark.sql.types.StringType
     def attrName(x: CExpr): Option[String] = x match {
       case a: AttributeReference                => Some(a.name)
       case Cast(a: AttributeReference, _, _, _) => Some(a.name)
       case _                                    => None
     }
-    def litStr(x: CExpr): Option[String] = x match {
-      case Literal(v, _) if v != null                => Some(v.toString)
-      case Cast(Literal(v, _), _, _, _) if v != null => Some(v.toString)
-      case _                                         => None
+    // Stringify through Catalyst's own Cast so the value matches the
+    // index's `cast(col as string)` EXACTLY — a raw v.toString leaks
+    // internal representations (DateType days, TimestampType micros)
+    // and would make pruning silently drop every file.
+    def litStr(x: CExpr): Option[String] = {
+      def viaCast(l: Literal): Option[String] =
+        try Option(Cast(l, StringType,
+            Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          .eval(null)).map(_.toString)
+        catch { case _: Exception => None }
+      x match {
+        case l @ Literal(v, _) if v != null                => viaCast(l)
+        case Cast(l @ Literal(v, _), _, _, _) if v != null => viaCast(l)
+        case _                                             => None
+      }
     }
     def go(x: CExpr): Option[Pred] = x match {
       case CAnd(l, r) => for { a <- go(l); b <- go(r) } yield And(a, b)

@@ -27,7 +27,11 @@ object ScanMetrics {
   val QualifiedMetric = "rows_qualified"
 
   private val results = new ConcurrentHashMap[String, (Long, Long)]()
-  private val registered = new ConcurrentHashMap[SparkSession, QueryExecutionListener]()
+  // weak keys: a stopped/dropped session must not be pinned for the JVM
+  // lifetime just because metrics were once registered on it
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, QueryExecutionListener]())
 
   /** Wrap a scan with scanned/qualified counters around `residual`. */
   def observed(scan: DataFrame, residual: org.apache.spark.sql.Column,

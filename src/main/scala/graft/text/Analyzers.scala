@@ -15,9 +15,9 @@ object Analyzers {
 
   type Analyzer = Column => Column
 
-  /** The reference's default: whitespace analysis, lowercased. */
-  val whitespace: Analyzer = text =>
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+  /** The reference's default: whitespace analysis, lowercased (the
+    * shared tokenizer — same definition the index build uses). */
+  val whitespace: Analyzer = graft.functions.TextFunctions.tokens
 
   /** Word-character analysis: splits on anything non-alphanumeric
     * (strips punctuation/quotes — the `excite` query-log shape). */

@@ -23,20 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Lowercased whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+  /** Lowercased whitespace tokens, empties dropped — the single shared
+    * tokenizer (index build and query residuals must never disagree). */
+  def tokens(text: Column): Column = graft.functions.TextFunctions.tokens(text)
 
   /** Build the postings table (term, doc_id, tf) from a corpus.
     * The reference's RECORD DocType: one "document" per row
     * (`elephanttwin.thrift:6-9`). */
-  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p, col(idCol)) else docs
-    spread.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.dedup.Dedup.parallelize(docs, idCol)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
-  }
 
   /** Persist postings sorted by term (parquet min/max-prunable lookups). */
   def writePostings(postings: DataFrame, path: String): Unit =

@@ -85,6 +85,23 @@ class GraftRuleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("hive-partitioned registered datasets are left to Spark's own pruning") {
+    prepared
+    val pdir = s"$work/partitioned"
+    spark.read.parquet(dataDir)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(pdir)
+    IndexBuilder.build(spark, pdir, Seq("event_type"), s"$work/pidx")
+    spark.conf.set(GraftPruneRule.IndexesConf,
+      s"$dataDir=$indexRoot;$pdir=$work/pidx")
+    val df = spark.read.parquet(pdir).filter(col("event_type") === "error")
+    // rule must NOT rewrite (it would lose partition values); results stay correct
+    assert(scanFileCount(df) == scanFileCount(spark.read.parquet(pdir)))
+    assert(df.count() ==
+      spark.read.parquet(dataDir).filter(col("event_type") === "error").count())
+    spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+  }
+
   test("unregistered paths are untouched") {
     prepared
     val other = s"$work/other"

@@ -126,6 +126,17 @@ class IndexSpec extends AnyFunSuite {
     assert(df.count() == 5, "rows in the tampered file must still be found")
   }
 
+  test("date/timestamp literals translate to their EXTERNAL string form") {
+    import spark.implicits._
+    val df = Seq((java.sql.Date.valueOf("2024-01-03"),
+      java.sql.Timestamp.valueOf("2024-01-03 04:05:06"))).toDF("day", "at")
+    // internal reps are epoch days / micros; index keys are cast-to-string
+    assert(Pred.fromColumn(df, col("day") === java.sql.Date.valueOf("2024-01-03"))
+      == Some(Eq("day", "2024-01-03")))
+    assert(Pred.fromColumn(df, col("at") === java.sql.Timestamp.valueOf("2024-01-03 04:05:06"))
+      == Some(Eq("at", "2024-01-03 04:05:06")))
+  }
+
   test("Pred.fromColumn translates EQ/AND/OR and rejects the rest") {
     prepared
     val df = spark.read.parquet(dataDir)

@@ -63,6 +63,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("dot product nulls out on null ELEMENTS, matching the HOF baseline") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))),
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f), Some(4.0f)))).toDF("a", "b")
+    val rows = df.select(
+      Vectors.dot(col("a"), col("b")).as("native"),
+      Vectors.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
+  }
+
+  test("saltedJoin rejects join types it cannot preserve") {
+    val e = Tables.events(spark, sfDir)
+    val users = e.select(col("user_id")).distinct()
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(e, users, "user_id", 4, "right")
+    }
+  }
+
   test("identical texts get identical simhash; disjoint texts differ") {
     import spark.implicits._
     val docs = Seq(
