@@ -266,4 +266,26 @@ object IndexBuilder {
     * index-as-input verification path, `ScanUsingIndexJob.java:218-224`). */
   def postings(spark: SparkSession, indexRoot: String): DataFrame =
     spark.read.parquet(postingsDir(indexRoot))
+
+  /** Typed view of the postings (the model contract of FIXTURES.md §2). */
+  def postingsTyped(spark: SparkSession, indexRoot: String):
+      org.apache.spark.sql.Dataset[graft.model.IndexEntry] = {
+    import spark.implicits._
+    postings(spark, indexRoot)
+      .select(col("file"), col("column"), col("value"), col("ranges"))
+      .as[graft.model.IndexEntry]
+  }
+
+  /** A descriptor row as the full sidecar model (thrift
+    * FileIndexDescriptor parity, FIXTURES.md §3). */
+  def toDescriptor(d: DescriptorRow): graft.model.FileIndexDescriptor =
+    graft.model.FileIndexDescriptor(
+      docType = graft.model.DocType.Block,
+      indexType = d.indexType,
+      indexVersion = d.indexVersion,
+      sourcePath = d.sourcePath,
+      checksum = graft.model.FileChecksum(
+        "length+mtime", f"${d.length}%x-${d.modificationTime}%x", d.length),
+      indexedFields = d.columns.map(c =>
+        graft.model.IndexedField(c, stored = false, indexed = true, analyzed = false)))
 }

@@ -47,15 +47,21 @@ class IndexSpec extends AnyFunSuite {
 
   test("postings are valid sorted interval lists") {
     prepared
-    import spark.implicits._
-    val rows = IndexBuilder.postings(spark, indexRoot)
-      .select("ranges").as[Seq[graft.intervals.Block]].collect()
+    val rows = IndexBuilder.postingsTyped(spark, indexRoot).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.nonEmpty)
+    rows.foreach { e =>
+      val r = e.ranges
+      assert(r.nonEmpty && e.file.nonEmpty && e.value != null)
       assert(r.sliding(2).forall { case Seq(a, b) => a.end <= b.start; case _ => true })
       assert(r.forall(b => b.start < b.end))
     }
+    // descriptor model round-trip
+    import spark.implicits._
+    val d = spark.read.parquet(IndexBuilder.descriptorsDir(indexRoot))
+      .as[IndexBuilder.DescriptorRow].head()
+    val full = IndexBuilder.toDescriptor(d)
+    assert(full.sourcePath == d.sourcePath && full.checksum.length == d.length)
+    assert(full.indexedFields.map(_.fieldName) == d.columns)
   }
 
   test("EQ pruned scan == full scan") {
