@@ -45,8 +45,11 @@ case class DotProduct(left: Expression, right: Expression)
   // a null ELEMENT nulls the whole result, matching the zip_with/
   // aggregate HOF baseline (null * x => null propagates through the
   // fold); the per-element check is emitted only when the schema admits
-  // null elements
-  override def nullable: Boolean = super.nullable || mayHaveNullElems
+  // null elements. Mismatched LENGTHS also null the result — zip_with
+  // pads the shorter array with nulls, so the HOF fold yields null
+  // there too; summing over min(len) would break the bit-identical
+  // contract the differential tests rely on.
+  override def nullable: Boolean = true
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val a = left.eval(input)
@@ -55,7 +58,8 @@ case class DotProduct(left: Expression, right: Expression)
     if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     val checkNulls = mayHaveNullElems
@@ -83,13 +87,17 @@ case class DotProduct(left: Expression, right: Expression)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

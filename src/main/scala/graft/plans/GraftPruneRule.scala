@@ -65,10 +65,13 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
     // partitionSchema must be empty: the replacement InMemoryFileIndex
     // is built from bare leaf files and cannot reconstruct hive
     // partition values — hive-partitioned datasets fall back to Spark's
-    // own partition pruning untouched
+    // own partition pruning untouched. Exactly ONE root path required:
+    // for spark.read.parquet(dirA, dirB) the pruned listing would be
+    // rebuilt from the registered root alone, silently dropping the
+    // other directories' files from the scan.
     case f @ Filter(cond, lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _))
         if lr.getTagValue(PrunedTag).isEmpty && registry.nonEmpty &&
-          rel.partitionSchema.isEmpty =>
+          rel.partitionSchema.isEmpty && rel.location.rootPaths.length == 1 =>
       val roots = rel.location.rootPaths.map(p => normalize(p.toString))
       val hit = roots.flatMap(r => registry.get(r).map(r -> _)).headOption
       (hit, translatableConjuncts(cond)) match {

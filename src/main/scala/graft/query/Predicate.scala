@@ -56,38 +56,63 @@ object Pred {
   }
 
   /** Translate a RESOLVED Catalyst expression (e.g. a pushed filter
-    * condition inside the optimizer). Same supported subset. */
+    * condition inside the optimizer). Same supported subset.
+    *
+    * Cast handling must be conservative — index keys are
+    * `cast(col as string)`, so a leaf is answerable only when the
+    * comparison value's string form provably equals the key of every
+    * matching row:
+    *   - bare `attr == literal` (the analyzer inserts no cast only when
+    *     the types already agree): stringify the literal through
+    *     Catalyst's own Cast — raw `toString` leaks internal reps
+    *     (DateType epoch days, TimestampType micros).
+    *   - `cast(attr as string) == string` — exactly the index's
+    *     stringify semantics.
+    *   - casts AROUND A LITERAL are constant-folded by evaluating them
+    *     first (sound: a matching row satisfies attr == foldedValue, so
+    *     its key is stringify(foldedValue)); this keeps
+    *     `ts === "2012-04-15 00:00:00"` and `intCol === "07"` prunable
+    *     with the CORRECT key ("7", not "07").
+    *   - any OTHER cast around the attribute (Cast(longCol, double)
+    *     from `longCol === 7.0` coercion, truncating
+    *     `ts.cast("date") === d`, ...) is NOT answerable from string
+    *     keys: return None so callers fall back to a full scan — the
+    *     reference's `Expression.isSupported` safe-fallback stance.
+    */
   def fromExpression(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Pred] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr, EqualTo, Literal, AttributeReference, Cast, Expression => CExpr}
     import org.apache.spark.sql.types.StringType
-    def attrName(x: CExpr): Option[String] = x match {
-      case a: AttributeReference                => Some(a.name)
-      case Cast(a: AttributeReference, _, _, _) => Some(a.name)
-      case _                                    => None
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    // Evaluate a literal-rooted cast chain to the value the comparison
+    // will actually use; None on eval failure (ANSI cast error) — never
+    // guess.
+    def foldLiteral(x: CExpr): Option[Literal] = x match {
+      case l: Literal => Some(l)
+      case c @ Cast(inner, t, _, _) =>
+        foldLiteral(inner).flatMap { l =>
+          try Some(Literal(Cast(l, t, tz, c.evalMode).eval(null), t))
+          catch { case _: Exception => None }
+        }
+      case _ => None
     }
-    // Stringify through Catalyst's own Cast so the value matches the
-    // index's `cast(col as string)` EXACTLY — a raw v.toString leaks
-    // internal representations (DateType days, TimestampType micros)
-    // and would make pruning silently drop every file.
-    def litStr(x: CExpr): Option[String] = {
-      def viaCast(l: Literal): Option[String] =
-        try Option(Cast(l, StringType,
-            Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
-          .eval(null)).map(_.toString)
+    def stringify(l: Literal): Option[String] =
+      if (l.value == null) None
+      else
+        try Option(Cast(l, StringType, tz).eval(null)).map(_.toString)
         catch { case _: Exception => None }
-      x match {
-        case l @ Literal(v, _) if v != null                => viaCast(l)
-        case Cast(l @ Literal(v, _), _, _, _) if v != null => viaCast(l)
-        case _                                             => None
-      }
+    def leaf(a: CExpr, b: CExpr): Option[Eq] = a match {
+      case attr: AttributeReference =>
+        foldLiteral(b).flatMap(stringify).map(Eq(attr.name, _))
+      case Cast(attr: AttributeReference, StringType, _, _) =>
+        foldLiteral(b).filter(_.dataType == StringType)
+          .flatMap(stringify).map(Eq(attr.name, _))
+      case _ => None
     }
     def go(x: CExpr): Option[Pred] = x match {
       case CAnd(l, r) => for { a <- go(l); b <- go(r) } yield And(a, b)
       case COr(l, r)  => for { a <- go(l); b <- go(r) } yield Or(a, b)
-      case EqualTo(l, r) =>
-        (for { n <- attrName(l); v <- litStr(r) } yield Eq(n, v))
-          .orElse(for { n <- attrName(r); v <- litStr(l) } yield Eq(n, v))
+      case EqualTo(l, r) => leaf(l, r).orElse(leaf(r, l))
       case _ => None
     }
     go(e)

@@ -46,19 +46,24 @@ object ScanMetrics {
     registered.computeIfAbsent(spark, { s =>
       val l = new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+          // Pair _in/_out strictly WITHIN this QueryExecution — both
+          // observe nodes of one observed() scan live in one plan, so
+          // one action always reports both. Merging against global
+          // state would let two concurrent queries sharing a name pair
+          // rows_scanned from one action with rows_qualified from
+          // another; here a same-name publish is a whole-pair
+          // overwrite (last writer wins), never a mixed pair.
           val metrics = qe.observedMetrics
-          metrics.foreach { case (obsName, row) =>
-            val base =
-              if (obsName.endsWith("_in")) Some(obsName.dropRight(3))
-              else if (obsName.endsWith("_out")) Some(obsName.dropRight(4))
-              else None
-            base.foreach { b =>
-              val prev = results.getOrDefault(b, (-1L, -1L))
-              val updated =
-                if (obsName.endsWith("_in")) (row.getAs[Long](ScannedMetric), prev._2)
-                else (prev._1, row.getAs[Long](QualifiedMetric))
-              results.put(b, updated)
-            }
+          val ins = metrics.collect {
+            case (n, row) if n.endsWith("_in") =>
+              n.dropRight(3) -> row.getAs[Long](ScannedMetric)
+          }
+          val outs = metrics.collect {
+            case (n, row) if n.endsWith("_out") =>
+              n.dropRight(4) -> row.getAs[Long](QualifiedMetric)
+          }
+          (ins.keySet ++ outs.keySet).foreach { b =>
+            results.put(b, (ins.getOrElse(b, -1L), outs.getOrElse(b, -1L)))
           }
         }
         override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()

@@ -22,15 +22,31 @@ class BucketingSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("join of two bucketed tables runs without an Exchange") {
+    // getOrCreate may hand back another suite's session, where the
+    // builder confs above never applied — pin the runtime-settable one
+    // the plan assertions depend on
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinBody()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  // unique per run: the warehouse dir can hold orphan locations from a
+  // previous JVM (catalog forgot the table, location survives) and
+  // saveAsTable refuses to reuse them
+  private val bEvents = s"b_events_${System.nanoTime()}"
+  private val bUsers = s"b_users_${System.nanoTime()}"
+
+  private def bucketedJoinBody(): Unit = {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "user_id", "event_type", "value")
     val users = events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"))
-    Layout.writeBucketed(events, "b_events", "user_id", 4)
-    Layout.writeBucketed(users, "b_users", "user_id", 4)
+    Layout.writeBucketed(events, bEvents, "user_id", 4)
+    Layout.writeBucketed(users, bUsers, "user_id", 4)
 
-    val joined = Layout.read(spark, "b_events")
-      .join(Layout.read(spark, "b_users"), "user_id")
+    val joined = Layout.read(spark, bEvents)
+      .join(Layout.read(spark, bUsers), "user_id")
     joined.count()
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), plan)
@@ -43,7 +59,7 @@ class BucketingSpec extends AnyFunSuite {
     assert(plainPlan.contains("Exchange"), plainPlan)
 
     // aggregation on the bucket key is also exchange-free
-    val aggPlan = Layout.read(spark, "b_events")
+    val aggPlan = Layout.read(spark, bEvents)
       .groupBy("user_id").agg(sum("value"))
       .queryExecution.executedPlan.toString
     assert(!aggPlan.contains("Exchange"), aggPlan)

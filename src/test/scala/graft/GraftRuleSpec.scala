@@ -102,6 +102,19 @@ class GraftRuleSpec extends AnyFunSuite {
     spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
   }
 
+  test("multi-root relations are left untouched (no rows silently dropped)") {
+    prepared
+    val extra = s"$work/extra"
+    spark.read.parquet(dataDir).write.parquet(extra) // second, unregistered root
+    val both = spark.read.parquet(dataDir, extra)
+    val df = both.filter(col("event_type") === "error")
+    // the rule must not rewrite: a pruned listing rebuilt from the one
+    // registered root would drop every file under `extra`
+    assert(scanFileCount(df) == scanFileCount(both))
+    assert(df.count() ==
+      2 * spark.read.parquet(dataDir).filter(col("event_type") === "error").count())
+  }
+
   test("unregistered paths are untouched") {
     prepared
     val other = s"$work/other"

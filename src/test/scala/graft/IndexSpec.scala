@@ -143,6 +143,30 @@ class IndexSpec extends AnyFunSuite {
       == Some(Eq("at", "2024-01-03 04:05:06")))
   }
 
+  test("casts around the attribute are rejected; literal casts constant-fold") {
+    prepared
+    val df = spark.read.parquet(dataDir)
+    // type coercion wraps the long column in Cast(.., double) — index
+    // keys are cast(col as string) ("7"), not "7.0": must fall back
+    assert(Pred.fromColumn(df, col("user_id") === lit(7.0)).isEmpty,
+      "numeric-widening cast around the attribute must not translate")
+    // truncating cast around the attribute: many ts values share a date
+    assert(Pred.fromColumn(df,
+      col("ts").cast("date") === lit(java.sql.Date.valueOf("2024-01-03"))).isEmpty,
+      "truncating cast around the attribute must not translate")
+    // the index's own stringify semantics IS accepted
+    assert(Pred.fromColumn(df, col("user_id").cast("string") === "42")
+      == Some(Eq("user_id", "42")))
+    // a literal-side cast folds to the CANONICAL key ("7", never "07")
+    val folded = Pred.fromExpression(
+      df.filter(col("user_id") ===
+        org.apache.spark.sql.functions.expr("cast('07' as bigint)"))
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.get)
+    assert(folded == Some(Eq("user_id", "7")))
+  }
+
   test("Pred.fromColumn translates EQ/AND/OR and rejects the rest") {
     prepared
     val df = spark.read.parquet(dataDir)

@@ -58,9 +58,13 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq(
       (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 9.0f))),
       (None, Some(Seq(1.0f)))).toDF("a", "b")
-    val rows = df.select(Vectors.dot(col("a"), col("b")).as("d")).collect()
-    assert(rows(0).getDouble(0) == 11.0) // min-length semantics
-    assert(rows(1).isNullAt(0))
+    // mismatched lengths null the result, same as the HOF baseline
+    // (zip_with pads with nulls and null*x propagates through the fold)
+    val rows = df.select(
+      Vectors.dot(col("a"), col("b")).as("native"),
+      Vectors.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
 
   test("dot product nulls out on null ELEMENTS, matching the HOF baseline") {
