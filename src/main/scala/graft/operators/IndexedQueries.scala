@@ -100,14 +100,8 @@ object IndexedQueries extends QueryModule {
     * counts must equal full-scan counts key by key. */
   private def q20IdxVerifyCounts(s: SparkSession, dir: String): DataFrame = {
     prepare(s, dir)
-    import s.implicits._
-    val values = IndexBuilder.postings(s, indexRoot(dir))
-      .filter(col("column") === "event_type")
-      .select("value").distinct().as[String].collect().sorted
-    val counts = values.map { v =>
-      v -> PrunedScanner.scan(s, dataDir(dir), Eq("event_type", v), indexRoot(dir)).count()
-    }
-    s.createDataset(counts.toIndexedSeq).toDF("event_type", "n")
+    PrunedScanner.verifyCounts(s, dataDir(dir), "event_type", indexRoot(dir))
+      .select(col("value").as("event_type"), col("n"))
   }
 
   private val q20Sql =

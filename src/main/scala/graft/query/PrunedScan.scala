@@ -74,7 +74,20 @@ object PrunedScanner extends Logging {
       dataDir: String,
       pred: Pred,
       indexRoot: String,
-      capBytes: Long = IndexBuilder.DefaultCapBytes): (Seq[String], PruneReport) = {
+      capBytes: Long = IndexBuilder.DefaultCapBytes): (Seq[String], PruneReport) =
+    selectFilesBatch(spark, dataDir, Seq(pred), indexRoot, capBytes).head
+
+  /** Batched pruning decision: many predicates against one dataset with
+    * a SINGLE file listing, descriptor read, and postings lookup. This
+    * is what makes a per-key verification sweep (the reference's
+    * ScanUsingIndexJob, one scan per unique key) viable: the driver
+    * work is shared across all keys instead of repeated per key. */
+  def selectFilesBatch(
+      spark: SparkSession,
+      dataDir: String,
+      preds: Seq[Pred],
+      indexRoot: String,
+      capBytes: Long = IndexBuilder.DefaultCapBytes): Seq[(Seq[String], PruneReport)] = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
@@ -89,27 +102,24 @@ object PrunedScanner extends Logging {
       else spark.read.parquet(descPath).as[IndexBuilder.DescriptorRow]
         .collect().map(d => d.sourcePath -> d).toMap
 
-    val predColumns = pred.columns
-    val (prunable, fallback) = files.partition { f =>
-      descriptors.get(f.path).exists(d =>
-        d.length == f.length && d.modificationTime == f.modificationTime &&
-          predColumns.forall(d.columns.contains))
-    }
+    def fresh(f: IndexBuilder.SourceFile): Option[IndexBuilder.DescriptorRow] =
+      descriptors.get(f.path).filter(d =>
+        d.length == f.length && d.modificationTime == f.modificationTime)
 
-    // One postings lookup for ALL leaves at once: the partition filter on
-    // `column` prunes index directories; the value filter hits parquet
-    // min/max on the sorted postings files.
-    val leaves = pred.leaves.distinct
-    val leafFilter = leaves
-      .map(l => col("column") === l.column && col("value") === l.value)
-      .reduce(_ || _)
+    // One postings lookup for ALL leaves of ALL predicates at once: the
+    // partition filter on `column` prunes index directories; the value
+    // filter hits parquet min/max on the sorted postings files.
+    val allLeaves = preds.flatMap(_.leaves).distinct
+    val anyPrunable = files.exists(f => fresh(f).isDefined)
     // gen must match the live descriptor: rebuilt files leave stale
     // postings rows behind (append-only index); a mismatched gen means
     // the row describes a previous incarnation of the file.
     val hits: Map[(String, Eq), Seq[Block]] =
-      if (prunable.isEmpty) Map.empty
+      if (allLeaves.isEmpty || !anyPrunable) Map.empty
       else IndexBuilder.postings(spark, indexRoot)
-        .filter(leafFilter)
+        .filter(allLeaves
+          .map(l => col("column") === l.column && col("value") === l.value)
+          .reduce(_ || _))
         .select("file", "column", "value", "ranges", "gen")
         .as[(String, String, String, Seq[Block], Long)]
         .collect()
@@ -118,24 +128,31 @@ object PrunedScanner extends Logging {
         .groupBy { case (f, c, v, _, _) => (f, Eq(c, v)) }
         .view.mapValues(rows => IntervalOps.normalize(rows.flatMap(_._4).toSeq))
         .toMap
+    val sharedMs = (System.nanoTime() - t0) / 1000000
 
-    val selected = prunable.filter { f =>
-      val leafMap = leaves.map(l => l -> hits.getOrElse((f.path, l), Nil)).toMap
-      qualify(pred, leafMap, capBytes).nonEmpty
+    preds.map { pred =>
+      val tp = System.nanoTime()
+      val predColumns = pred.columns
+      val (prunable, fallback) = files.partition(f =>
+        fresh(f).exists(d => predColumns.forall(d.columns.contains)))
+      val leaves = pred.leaves.distinct
+      val selected = prunable.filter { f =>
+        val leafMap = leaves.map(l => l -> hits.getOrElse((f.path, l), Nil)).toMap
+        qualify(pred, leafMap, capBytes).nonEmpty
+      }
+      val report = PruneReport(
+        totalFiles = files.size,
+        selectedFiles = selected.size,
+        fallbackFiles = fallback.size,
+        totalBytes = files.map(_.length).sum,
+        selectedBytes = (selected ++ fallback).map(_.length).sum,
+        pruneTimeMs = sharedMs + (System.nanoTime() - tp) / 1000000)
+      logInfo(s"PrunedScan $dataDir pred=$pred: " +
+        s"files ${report.selectedFiles}+${report.fallbackFiles}fallback/${report.totalFiles}, " +
+        s"bytes ${report.selectedBytes}/${report.totalBytes} " +
+        s"(ratio ${report.bytesRatio}), ${report.pruneTimeMs} ms")
+      ((selected ++ fallback).map(_.path), report)
     }
-
-    val report = PruneReport(
-      totalFiles = files.size,
-      selectedFiles = selected.size,
-      fallbackFiles = fallback.size,
-      totalBytes = files.map(_.length).sum,
-      selectedBytes = (selected ++ fallback).map(_.length).sum,
-      pruneTimeMs = (System.nanoTime() - t0) / 1000000)
-    logInfo(s"PrunedScan $dataDir pred=$pred: " +
-      s"files ${report.selectedFiles}+${report.fallbackFiles}fallback/${report.totalFiles}, " +
-      s"bytes ${report.selectedBytes}/${report.totalBytes} " +
-      s"(ratio ${report.bytesRatio}), ${report.pruneTimeMs} ms")
-    ((selected ++ fallback).map(_.path), report)
   }
 
   /** `residual` overrides the row-level re-check when the index key is
@@ -162,4 +179,46 @@ object PrunedScanner extends Logging {
 
   def scan(spark: SparkSession, dataDir: String, pred: Pred, indexRoot: String): DataFrame =
     scanWithReport(spark, dataDir, pred, indexRoot)._1
+
+  /** Port of the reference's full verification sweep
+    * (`retrieval/ScanUsingIndexJob.java:45-80`,
+    * `verification/IndexScanMapper.java:22-95`): for every unique value
+    * of `column` in the index, count matching rows THROUGH THE INDEX
+    * PATH; the output `(value, n)` is diffed against a full-scan
+    * group-by. The reference runs one scan per key and documents the
+    * cost (">10000 unique keys" warning); here the per-key prune
+    * decisions share one batched index lookup and the counts run as ONE
+    * job over the union of pruned file sets. Per-key scan semantics are
+    * preserved exactly — a row counts toward key v only if its file is
+    * in v's pruned set — so an unsound index (a file wrongly pruned for
+    * v) still surfaces as a count mismatch even when another key's set
+    * includes that file. */
+  def verifyCounts(
+      spark: SparkSession,
+      dataDir: String,
+      column: String,
+      indexRoot: String,
+      capBytes: Long = IndexBuilder.DefaultCapBytes): DataFrame = {
+    import spark.implicits._
+    val values = IndexBuilder.postings(spark, indexRoot)
+      .filter(col("column") === column)
+      .select("value").distinct().as[String].collect().sorted.toIndexedSeq
+    val sets = selectFilesBatch(
+      spark, dataDir, values.map(v => Eq(column, v): Pred), indexRoot, capBytes)
+    val membership = values.zip(sets).flatMap { case (v, (fs, _)) => fs.map(f => (v, f)) }
+    val allFiles = sets.flatMap(_._1).distinct
+    val valuesDf = spark.createDataset(values).toDF("value")
+    if (allFiles.isEmpty) return valuesDf.withColumn("n", lit(0L))
+    val schema = spark.read.parquet(dataDir).schema
+    val canon = udf((p: String) => IndexBuilder.canonicalPath(p))
+    val counted = spark.read.schema(schema).parquet(allFiles: _*)
+      .select(col(column).cast("string").as("value"),
+        canon(col("_metadata.file_path")).as("file"))
+      .join(broadcast(membership.toDF("value", "file")), Seq("value", "file"))
+      .groupBy("value").agg(count(lit(1)).as("n"))
+    // keys whose postings pruned every file still report (zero) counts,
+    // as the per-key loop would
+    valuesDf.join(counted, Seq("value"), "left")
+      .select(col("value"), coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

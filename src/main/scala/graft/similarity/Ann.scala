@@ -25,13 +25,18 @@ object Ann {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are computed once per ROW here, not once per pair inside the
+    // cross product — same arithmetic (dot / (|q||c|)), 3x fewer array
+    // folds on the quadratic path
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -67,27 +72,29 @@ object Ann {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(nPlanes, dim, seed)
 
-    def banded(df: DataFrame, id: String): DataFrame = {
+    def banded(df: DataFrame, id: String, nCol: String): DataFrame = {
       val sig = signSignature(col(vecCol), planes)
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * rowsPerBand)
             .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bucket"))
       }
-      df.select(col(idCol).as(id), col(vecCol), sig.as("sig"))
-        .select(col(id), col(vecCol), explode(array(bandCols: _*)).as("bb"))
-        .select(col(id), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      df.select(col(idCol).as(id), col(vecCol),
+          Vectors.norm(col(vecCol)).as(nCol), sig.as("sig"))
+        .select(col(id), col(vecCol), col(nCol), explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col(vecCol), col(nCol),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
 
-    val cBand = banded(corpus, "neighbor_id").withColumnRenamed(vecCol, "cv")
-    val qBand = banded(queries, "query_id").withColumnRenamed(vecCol, "qv")
+    val cBand = banded(corpus, "neighbor_id", "cn").withColumnRenamed(vecCol, "cv")
+    val qBand = banded(queries, "query_id", "qn").withColumnRenamed(vecCol, "qv")
     val cand = cBand.join(broadcast(qBand), Seq("band", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
+    cand.withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -99,11 +106,15 @@ object Ann {
   def cosineNearDupPairs(
       corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_i"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_j"), col(vecCol).as("vb"))
+    // per-row norms: the n^2 stage evaluates ONE dot per pair instead of
+    // three; dot/(na*nb) is arithmetically identical to cosine(va, vb)
+    val a = corpus.select(col(idCol).as("id_i"), col(vecCol).as("va"),
+      Vectors.norm(col(vecCol)).as("na"))
+    val b = corpus.select(col(idCol).as("id_j"), col(vecCol).as("vb"),
+      Vectors.norm(col(vecCol)).as("nb"))
     a.crossJoin(b)
       .filter(col("id_i") < col("id_j"))
-      .filter(Vectors.cosine(col("va"), col("vb")) >= threshold)
+      .filter(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_i", "id_j")
   }
 }
