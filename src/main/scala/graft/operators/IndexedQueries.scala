@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.build.IndexBuilder
-import graft.query.{And, Eq, Or, Pred, PrunedScanner}
+import graft.query.{And, Between, Eq, Or, Pred, PrunedScanner}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -107,10 +107,40 @@ object IndexedQueries extends QueryModule {
   private val q20Sql =
     "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
 
+  /** Numeric RANGE through the index — the extension SURVEY.md §7.2
+    * notes comes "almost free via the index table" (the reference
+    * executes EQ only). Value-level bound checks over the indexed keys,
+    * exact in BigDecimal, full-scan residual. */
+  private def q41IdxRange(s: SparkSession, dir: String): DataFrame =
+    prunedScan(s, dir,
+      Between("user_id", Some(BigDecimal(3)), Some(BigDecimal(11)),
+        loInc = true, hiInc = false))
+      .select("event_id", "user_id", "event_type")
+
+  private val q41Sql =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE user_id >= 3 AND user_id < 11""".stripMargin
+
+  /** IN through the index: desugars to an OR tree of EQ probes, all
+    * served by the one batched postings lookup. */
+  private def q42IdxIn(s: SparkSession, dir: String): DataFrame =
+    prunedScan(s, dir,
+      And(Pred.in("event_type", Seq("error", "signup", "purchase")),
+        Between("user_id", Some(BigDecimal(0)), Some(BigDecimal(25)),
+          loInc = true, hiInc = true)))
+      .select("event_id", "user_id", "event_type")
+
+  private val q42Sql =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE event_type IN ('error', 'signup', 'purchase')
+      |  AND user_id BETWEEN 0 AND 25""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q16_idx_eq", q16IdxEq, Some(q16Sql)),
     Q("q17_idx_and", q17IdxAnd, Some(q17Sql)),
     Q("q18_idx_or", q18IdxOr, Some(q18Sql)),
     Q("q19_idx_nested", q19IdxNested, Some(q19Sql)),
-    Q("q20_idx_verify_counts", q20IdxVerifyCounts, Some(q20Sql)))
+    Q("q20_idx_verify_counts", q20IdxVerifyCounts, Some(q20Sql)),
+    Q("q41_idx_range", q41IdxRange, Some(q41Sql)),
+    Q("q42_idx_in", q42IdxIn, Some(q42Sql)))
 }

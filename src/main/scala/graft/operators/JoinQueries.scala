@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-family extensions beyond the reference surface (which has no
+  * relational joins, SURVEY.md §2.3): the as-of join, verified against
+  * DuckDB's native ASOF JOIN.
+  */
+object JoinQueries extends QueryModule {
+
+  /** As-of join: each error event picks up the most recent click by the
+    * same user at or before it (inner as-of). The right side is
+    * pre-aggregated to one row per (user, ts) so both engines are
+    * deterministic. */
+  private def q43AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    AsOfJoin.join(errors, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), inner = true)
+      .select("event_id", "user_id", "click_id")
+  }
+
+  private val q43Sql =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id, ts),
+      |errors AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      |SELECT e.event_id, e.user_id, c.click_id
+      |FROM errors e ASOF JOIN clicks c
+      |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q43_asof_join", q43AsOfJoin, Some(q43Sql)))
+}

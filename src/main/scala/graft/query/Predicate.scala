@@ -13,31 +13,78 @@ import org.apache.spark.sql.functions.{col, lit}
 sealed trait Pred {
   /** Residual row-level filter — always applied after pruning, because
     * block-level pruning is coarse (reference comment at
-    * `BlockIndexedFileInputFormat.java:669-679`). Comparison is on the
+    * `BlockIndexedFileInputFormat.java:669-679`). EQ compares on the
     * stringified column, mirroring the reference's String.equals after
-    * reflective getter access (`FilterRecordReader.java:88-96`). */
+    * reflective getter access (`FilterRecordReader.java:88-96`);
+    * BETWEEN compares numerically (decimal literals — exact against
+    * integral columns). */
   def toColumn: Column = this match {
     case Eq(c, v)  => col(c).cast("string") === lit(v)
+    case Between(c, lo, hi, loInc, hiInc) =>
+      val conds =
+        lo.map(l => if (loInc) col(c) >= lit(l.underlying) else col(c) > lit(l.underlying)).toSeq ++
+        hi.map(h => if (hiInc) col(c) <= lit(h.underlying) else col(c) < lit(h.underlying)).toSeq
+      conds.reduceOption(_ && _).getOrElse(lit(true))
     case And(l, r) => l.toColumn && r.toColumn
     case Or(l, r)  => l.toColumn || r.toColumn
   }
 
-  /** All (column, value) leaves (cf. `getAllColumnNames`,
+  /** All leaf predicates (cf. `getAllColumnNames`,
     * `BlockIndexedFileInputFormat.java:717-733`). */
-  def leaves: Seq[Eq] = this match {
-    case e: Eq     => Seq(e)
+  def leaves: Seq[Pred] = this match {
     case And(l, r) => l.leaves ++ r.leaves
     case Or(l, r)  => l.leaves ++ r.leaves
+    case leaf      => Seq(leaf)
   }
 
-  def columns: Set[String] = leaves.map(_.column).toSet
+  def columns: Set[String] = leaves.map {
+    case Eq(c, _)                => c
+    case Between(c, _, _, _, _)  => c
+    case other                   => sys.error(s"non-leaf in leaves: $other")
+  }.toSet
 }
 
 final case class Eq(column: String, value: String) extends Pred
+
+/** Numeric range leaf — the "almost free via the index table" extension
+  * SURVEY.md §7.2 calls out (the reference only executes EQ,
+  * `retrieval/Expression.java:205-227`). A file qualifies when ANY of
+  * its indexed values falls in the range; the exact bound check runs
+  * driver-side in BigDecimal, so pruning is sound for every integral
+  * key (index keys are strings; string ORDER is meaningless for
+  * numbers, hence value-level testing rather than key-range seeks).
+  * Bounds are None for open ends. */
+final case class Between(
+    column: String,
+    lo: Option[BigDecimal], hi: Option[BigDecimal],
+    loInc: Boolean, hiInc: Boolean) extends Pred
+
 final case class And(left: Pred, right: Pred) extends Pred
 final case class Or(left: Pred, right: Pred) extends Pred
 
 object Pred {
+
+  /** IN desugars to an OR tree of EQ leaves: the postings lookup is
+    * already batched across leaves, so each value costs one keyed index
+    * probe, exactly like the reference would evaluate `c = v1 OR c = v2`. */
+  def in(column: String, values: Seq[String]): Pred = {
+    require(values.nonEmpty, "IN requires at least one value")
+    values.map(Eq(column, _): Pred).reduce(Or(_, _))
+  }
+
+  /** Does `value` (an index key, stringified) satisfy a leaf? Exact:
+    * BigDecimal for ranges, string equality for EQ. Non-numeric keys
+    * never satisfy a numeric range. */
+  private[graft] def leafMatches(leaf: Pred, value: String): Boolean = leaf match {
+    case Eq(_, v) => v == value
+    case Between(_, lo, hi, loInc, hiInc) =>
+      try {
+        val d = BigDecimal(value)
+        lo.forall(l => if (loInc) d >= l else d > l) &&
+          hi.forall(h => if (hiInc) d <= h else d < h)
+      } catch { case _: NumberFormatException => false }
+    case other => sys.error(s"not a leaf: $other")
+  }
   /** Translate the supported subset of a filter `Column` into the IR,
     * the analog of the Pig->ET translation
     * (`Expression.newInstance:233-261`). The column is resolved against
@@ -81,8 +128,8 @@ object Pred {
     */
   def fromExpression(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Pred] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr, EqualTo, Literal, AttributeReference, Cast, Expression => CExpr}
-    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In => CIn, InSet, Literal, AttributeReference, Cast, Expression => CExpr}
+    import org.apache.spark.sql.types.{StringType, ByteType, ShortType, IntegerType, LongType, DataType}
     val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     // Evaluate a literal-rooted cast chain to the value the comparison
     // will actually use; None on eval failure (ANSI cast error) — never
@@ -109,10 +156,50 @@ object Pred {
           .flatMap(stringify).map(Eq(attr.name, _))
       case _ => None
     }
+    // Numeric range leaves, integral attributes only: an integral
+    // value's stringified key always round-trips exactly through
+    // BigDecimal, which is what makes Between's driver-side bound check
+    // sound. Floating-point attrs are rejected (fall back to full scan).
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    def intAttr(x: CExpr): Option[String] = x match {
+      case a: AttributeReference if integral(a.dataType) => Some(a.name)
+      case _ => None
+    }
+    def decOf(x: CExpr): Option[BigDecimal] =
+      foldLiteral(x).filter(l => integral(l.dataType))
+        .flatMap(l => Option(l.value)).map(v => BigDecimal(v.toString))
+    def rangeLeaf(a: CExpr, b: CExpr, mk: (String, BigDecimal) => Between): Option[Pred] =
+      for { n <- intAttr(a); d <- decOf(b) } yield mk(n, d)
     def go(x: CExpr): Option[Pred] = x match {
       case CAnd(l, r) => for { a <- go(l); b <- go(r) } yield And(a, b)
       case COr(l, r)  => for { a <- go(l); b <- go(r) } yield Or(a, b)
       case EqualTo(l, r) => leaf(l, r).orElse(leaf(r, l))
+      case GreaterThan(l, r) =>
+        rangeLeaf(l, r, (n, d) => Between(n, Some(d), None, loInc = false, hiInc = false))
+          .orElse(rangeLeaf(r, l, (n, d) => Between(n, None, Some(d), loInc = false, hiInc = false)))
+      case GreaterThanOrEqual(l, r) =>
+        rangeLeaf(l, r, (n, d) => Between(n, Some(d), None, loInc = true, hiInc = false))
+          .orElse(rangeLeaf(r, l, (n, d) => Between(n, None, Some(d), loInc = false, hiInc = true)))
+      case LessThan(l, r) =>
+        rangeLeaf(l, r, (n, d) => Between(n, None, Some(d), loInc = false, hiInc = false))
+          .orElse(rangeLeaf(r, l, (n, d) => Between(n, Some(d), None, loInc = false, hiInc = false)))
+      case LessThanOrEqual(l, r) =>
+        rangeLeaf(l, r, (n, d) => Between(n, None, Some(d), loInc = false, hiInc = true))
+          .orElse(rangeLeaf(r, l, (n, d) => Between(n, Some(d), None, loInc = true, hiInc = false)))
+      case CIn(a, list) if list.nonEmpty =>
+        a match {
+          case attr: AttributeReference =>
+            val vs = list.map(v => foldLiteral(v).flatMap(stringify))
+            if (vs.forall(_.isDefined)) Some(in(attr.name, vs.map(_.get))) else None
+          case _ => None
+        }
+      case InSet(attr: AttributeReference, set) if set.nonEmpty =>
+        val vs = set.toSeq.map(v =>
+          if (v == null) None else stringify(Literal(v, attr.dataType)))
+        if (vs.forall(_.isDefined)) Some(in(attr.name, vs.map(_.get))) else None
       case _ => None
     }
     go(e)

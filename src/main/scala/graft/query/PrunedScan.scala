@@ -51,9 +51,8 @@ object PrunedScanner extends Logging {
     * posting list. */
   private[query] def qualify(
       pred: Pred,
-      leafPostings: Map[Eq, Seq[Block]],
+      leafPostings: Map[Pred, Seq[Block]],
       capBytes: Long): Seq[Block] = pred match {
-    case e: Eq => leafPostings.getOrElse(e, Nil)
     case And(l, r) =>
       IntervalOps.intersect(
         qualify(l, leafPostings, capBytes),
@@ -63,6 +62,7 @@ object PrunedScanner extends Logging {
         qualify(l, leafPostings, capBytes),
         qualify(r, leafPostings, capBytes),
         capBytes)
+    case leaf => leafPostings.getOrElse(leaf, Nil)
   }
 
   /** The pruning decision alone: which files of `dataDir` must be read
@@ -108,26 +108,50 @@ object PrunedScanner extends Logging {
 
     // One postings lookup for ALL leaves of ALL predicates at once: the
     // partition filter on `column` prunes index directories; the value
-    // filter hits parquet min/max on the sorted postings files.
+    // filter hits parquet min/max on the sorted postings files. EQ
+    // leaves push an exact key; BETWEEN leaves push a decimal-cast
+    // range as a PREFILTER only — the authoritative bound check is the
+    // driver-side exact BigDecimal test in Pred.leafMatches (integral
+    // keys always fit decimal(38,12), so the prefilter never drops a
+    // matching key).
     val allLeaves = preds.flatMap(_.leaves).distinct
     val anyPrunable = files.exists(f => fresh(f).isDefined)
+    def leafFilter(l: Pred): org.apache.spark.sql.Column = l match {
+      case Eq(c, v) => col("column") === c && col("value") === v
+      case Between(c, lo, hi, _, _) =>
+        val dec = col("value").cast(org.apache.spark.sql.types.DecimalType(38, 12))
+        val conds = lo.map(b => dec >= lit(b.underlying)).toSeq ++
+          hi.map(b => dec <= lit(b.underlying)).toSeq
+        conds.foldLeft(col("column") === c)(_ && _)
+      case other => sys.error(s"not a leaf: $other")
+    }
     // gen must match the live descriptor: rebuilt files leave stale
     // postings rows behind (append-only index); a mismatched gen means
     // the row describes a previous incarnation of the file.
-    val hits: Map[(String, Eq), Seq[Block]] =
+    val hits: Map[(String, Pred), Seq[Block]] =
       if (allLeaves.isEmpty || !anyPrunable) Map.empty
-      else IndexBuilder.postings(spark, indexRoot)
-        .filter(allLeaves
-          .map(l => col("column") === l.column && col("value") === l.value)
-          .reduce(_ || _))
-        .select("file", "column", "value", "ranges", "gen")
-        .as[(String, String, String, Seq[Block], Long)]
-        .collect()
-        .filter { case (f, _, _, _, g) =>
-          descriptors.get(f).exists(_.modificationTime == g) }
-        .groupBy { case (f, c, v, _, _) => (f, Eq(c, v)) }
-        .view.mapValues(rows => IntervalOps.normalize(rows.flatMap(_._4).toSeq))
-        .toMap
+      else {
+        val rows = IndexBuilder.postings(spark, indexRoot)
+          .filter(allLeaves.map(leafFilter).reduce(_ || _))
+          .select("file", "column", "value", "ranges", "gen")
+          .as[(String, String, String, Seq[Block], Long)]
+          .collect()
+          .filter { case (f, _, _, _, g) =>
+            descriptors.get(f).exists(_.modificationTime == g) }
+        val byColumn = allLeaves.groupBy {
+          case Eq(c, _)               => c
+          case Between(c, _, _, _, _) => c
+          case other                  => sys.error(s"not a leaf: $other")
+        }
+        rows.flatMap { case (f, c, v, ranges, _) =>
+          byColumn.getOrElse(c, Nil)
+            .filter(Pred.leafMatches(_, v))
+            .map(l => (f, l) -> ranges)
+        }
+          .groupBy(_._1)
+          .view.mapValues(rs => IntervalOps.normalize(rs.flatMap(_._2).toSeq))
+          .toMap
+      }
     val sharedMs = (System.nanoTime() - t0) / 1000000
 
     preds.map { pred =>

@@ -1,7 +1,7 @@
 package graft
 
 import graft.build.IndexBuilder
-import graft.query.{And, Eq, Or, Pred, PrunedScanner}
+import graft.query.{And, Between, Eq, Or, Pred, PrunedScanner}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -176,8 +176,29 @@ class IndexSpec extends AnyFunSuite {
     assert(p == Some(Or(
       And(Eq("event_type", "click"), Eq("user_id", "42")),
       Eq("event_type", "error"))))
-    assert(Pred.fromColumn(df, col("user_id") > 5).isEmpty)
+    // numeric ranges on integral columns now translate (extension)
+    assert(Pred.fromColumn(df, col("user_id") > 5) ==
+      Some(Between("user_id", Some(BigDecimal(5)), None, loInc = false, hiInc = false)))
+    // ...but not on floating-point columns
+    assert(Pred.fromColumn(df, col("value") > 5.0).isEmpty)
     assert(Pred.fromColumn(df, lit("x") === col("event_type")) ==
       Some(Eq("event_type", "x")))
+    // IN desugars to an OR tree of EQs
+    assert(Pred.fromColumn(df, col("event_type").isin("click", "error")) ==
+      Some(Or(Eq("event_type", "click"), Eq("event_type", "error"))))
+  }
+
+  test("BETWEEN and IN pruned scans == full scan") {
+    prepared
+    val between = Between("user_id", Some(BigDecimal(5)), Some(BigDecimal(9)),
+      loInc = true, hiInc = true)
+    assert(prunedIds(between) == fullScanIds(between) && prunedIds(between).nonEmpty)
+    val halfOpen = Between("user_id", None, Some(BigDecimal(3)), loInc = false, hiInc = false)
+    assert(prunedIds(halfOpen) == fullScanIds(halfOpen) && prunedIds(halfOpen).nonEmpty)
+    val inPred = Pred.in("event_type", Seq("error", "signup"))
+    assert(prunedIds(inPred) == fullScanIds(inPred) && prunedIds(inPred).nonEmpty)
+    val mixed = And(Between("user_id", Some(BigDecimal(0)), Some(BigDecimal(20)),
+      loInc = true, hiInc = true), Eq("event_type", "click"))
+    assert(prunedIds(mixed) == fullScanIds(mixed) && prunedIds(mixed).nonEmpty)
   }
 }
