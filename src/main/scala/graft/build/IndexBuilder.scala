@@ -176,7 +176,7 @@ object IndexBuilder {
       .partitionBy("column")
       .parquet(postingsDir(indexRoot))
 
-  private def writeDescriptors(
+  private[build] def writeDescriptors(
       spark: SparkSession, descriptors: Seq[DescriptorRow], indexRoot: String): Unit = {
     import spark.implicits._
     spark.createDataset(descriptors).coalesce(1)

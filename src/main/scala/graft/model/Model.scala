@@ -36,6 +36,9 @@ object IndexType {
   val PostingsParquet = "POSTINGS_PARQUET"
   /** Dense text postings stored as Parquet (the reference's LUCENE). */
   val TextPostings = "TEXT_POSTINGS"
+  /** Per-file bloom filters (membership-only skipping; extension — no
+    * reference analog, the modern lakehouse data-skipping shape). */
+  val BloomParquet = "BLOOM_PARQUET"
 }
 
 /** Freshness fingerprint of a base data file at index-build time.

@@ -135,6 +135,23 @@ object IndexedQueries extends QueryModule {
       |WHERE event_type IN ('error', 'signup', 'purchase')
       |  AND user_id BETWEEN 0 AND 25""".stripMargin
 
+  private def bloomRoot(sfDir: String): String = s"${root(sfDir)}/events_bloom"
+
+  /** EQ on a HIGH-CARDINALITY column through the bloom skipping index
+    * (extension: postings would cost O(distinct values), the bloom is a
+    * fixed-size sketch per file). Oracle = full-scan SQL; bloom
+    * no-false-negatives makes the pruned scan exactly equivalent. */
+  private def q46BloomEq(s: SparkSession, dir: String): DataFrame = {
+    prepare(s, dir)
+    graft.build.BloomIndex.build(
+      s, dataDir(dir), Seq("event_id"), bloomRoot(dir))
+    graft.build.BloomIndex.scan(s, dataDir(dir), Eq("event_id", "777"), bloomRoot(dir))
+      .select("event_id", "user_id", "event_type")
+  }
+
+  private val q46Sql =
+    "SELECT event_id, user_id, event_type FROM events WHERE event_id = 777"
+
   override def queries: Seq[Q] = Seq(
     Q("q16_idx_eq", q16IdxEq, Some(q16Sql)),
     Q("q17_idx_and", q17IdxAnd, Some(q17Sql)),
@@ -142,5 +159,6 @@ object IndexedQueries extends QueryModule {
     Q("q19_idx_nested", q19IdxNested, Some(q19Sql)),
     Q("q20_idx_verify_counts", q20IdxVerifyCounts, Some(q20Sql)),
     Q("q41_idx_range", q41IdxRange, Some(q41Sql)),
-    Q("q42_idx_in", q42IdxIn, Some(q42Sql)))
+    Q("q42_idx_in", q42IdxIn, Some(q42Sql)),
+    Q("q46_bloom_eq", q46BloomEq, Some(q46Sql)))
 }

@@ -49,8 +49,17 @@ object SimilarityQueries extends QueryModule {
     Ann.lshTopK(emb, emb.filter(col("vec_id") < 3), 5)
   }
 
+  /** IVF ANN (centroid cells, nprobe probing, exact rerank) — the
+    * second scale path beside sign-LSH; approximate by design, so
+    * rows-only check + recall bound in OperatorsSpec. */
+  private def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 3), 5, nlist = 16, nprobe = 8)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
     Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
-    Q("q30_ann_lsh", q30AnnLsh, None))
+    Q("q30_ann_lsh", q30AnnLsh, None),
+    Q("q45_ann_ivf", q45AnnIvf, None))
 }

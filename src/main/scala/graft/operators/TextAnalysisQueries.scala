@@ -74,8 +74,58 @@ object TextAnalysisQueries extends QueryModule {
       |    ' ')) AS fp
       |FROM documents""".stripMargin
 
+  /** Composite document-quality scoring (C4-style keep/drop heuristics:
+    * length band, stopword presence, alphabetic density, token-length
+    * sanity). All comparisons in integer cross-multiplication — no
+    * float ratios — so both engines agree exactly; each heuristic
+    * contributes 25 points to an integer score and `keep` = all four. */
+  private def q44QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_alpha"),
+      size(toks).as("n_tokens"),
+      array_max(transform(toks, t => length(t))).as("max_tok_len"),
+      TextFunctions.markerCount(toks, EnMarkers).as("n_stop"))
+    val h1 = (col("n_tokens") >= 5 && col("n_tokens") <= 1000).cast("int")
+    val h2 = (col("n_stop") * 20 >= col("n_tokens")).cast("int")
+    val h3 = (col("n_alpha") * 2 >= col("n_chars")).cast("int")
+    val h4 = (col("max_tok_len") <= 25).cast("int")
+    base.select(
+      col("doc_id"), col("n_chars"), col("n_alpha"), col("n_tokens"),
+      ((h1 + h2 + h3 + h4) * 25).as("score"),
+      (h1 + h2 + h3 + h4 === 4).cast("int").as("keep"))
+  }
+
+  private val q44Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(text) AS INT) AS n_chars,
+      |    CAST(LEN(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_chars, n_alpha,
+      |    CAST(LEN(tk) AS INT) AS n_tokens,
+      |    CAST(LIST_MAX(LIST_TRANSFORM(tk, x -> LEN(x))) AS INT) AS max_tok_len,
+      |    CAST(LEN(LIST_FILTER(tk, x -> x IN ('the', 'a'))) AS INT) AS n_stop
+      |  FROM t),
+      |h AS (
+      |  SELECT doc_id, n_chars, n_alpha, n_tokens,
+      |    CAST(n_tokens BETWEEN 5 AND 1000 AS INT) AS h1,
+      |    CAST(n_stop * 20 >= n_tokens AS INT) AS h2,
+      |    CAST(n_alpha * 2 >= n_chars AS INT) AS h3,
+      |    CAST(max_tok_len <= 25 AS INT) AS h4
+      |  FROM s)
+      |SELECT doc_id, n_chars, n_alpha, n_tokens,
+      |  (h1 + h2 + h3 + h4) * 25 AS score,
+      |  CAST(h1 + h2 + h3 + h4 = 4 AS INT) AS keep
+      |FROM h""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
-    Q("q33_fingerprint", q33Fingerprint, Some(q33Sql)))
+    Q("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
+    Q("q44_quality_score", q44QualityScore, Some(q44Sql)))
 }

@@ -100,6 +100,68 @@ object Ann {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
+    * Voronoi cells around centroid vectors; each query scores only the
+    * `nprobe` nearest cells' members, exactly reranked. Complements
+    * [[lshTopK]] as the second classic scale path: at 100 TB the
+    * assigned corpus is written `partitionBy(cell)` once, and a query
+    * reads nprobe/nlist of the data — the same file-skipping
+    * architecture as the sparse index, keyed by geometry instead of
+    * values.
+    *
+    * Centroids are the first `nlist` corpus vectors by id — a
+    * deterministic seed set (k-means iterations would sharpen cells but
+    * add nondeterministic float reductions; recall here is a tuning
+    * knob, and every returned score is exact regardless).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 32, nprobe: Int = 8): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cell"), col(vecCol).as("centv"),
+          Vectors.norm(col(vecCol)).as("centn")))
+
+    // nearest-centroid assignment via min(struct(dist, cell)): one pass,
+    // no window shuffle; ties break on the lower cell id
+    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .withColumn("negsim",
+          -Vectors.dot(col(vec), col("centv")) /
+            (Vectors.norm(col(vec)) * col("centn")))
+      if (n == 1)
+        scored.groupBy(col(id))
+          .agg(min(struct(col("negsim"), col("cell"))).as("best"))
+          .select(col(id), col("best.cell").as("cell"))
+      else
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(id).orderBy(col("negsim").asc, col("cell").asc)))
+          .filter(col("rk") <= n)
+          .select(col(id), col("cell"))
+    }
+
+    val corpusCells = assign(corpus, idCol, vecCol, 1)
+      .join(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        col(vecCol).as("cv"), Vectors.norm(col(vecCol)).as("cn"))
+    val queryCells = assign(queries, idCol, vecCol, nprobe)
+      .join(queries, idCol)
+      .select(col(idCol).as("query_id"), col("cell"),
+        col(vecCol).as("qv"), Vectors.norm(col(vecCol)).as("qn"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup
     * detection). Exact O(n^2) scoring — suitable as the verification
     * baseline; production path is [[lshTopK]]-style bucketing first. */

@@ -120,6 +120,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall@5 too low: $recall")
   }
 
+  test("IVF ANN recall@5 vs brute force is reasonable; ranks well-formed") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Ann.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 8)
+    val rows = ivf.collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+    // each query returns at most k ranks, 1..n with no gaps
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ranks = rs.map(_.getInt(2)).sorted
+      assert(ranks.length <= 5 && ranks.sameElements(1 to ranks.length))
+    }
+  }
+
   test("text search top-k is deterministically ordered and capped") {
     val postings = TextIndex.buildPostings(Tables.documents(spark, sfDir), "doc_id", "text")
     val top = TextIndex.searchTopK(postings, Seq("spark", "query"), 5).collect()
