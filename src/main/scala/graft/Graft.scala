@@ -50,4 +50,27 @@ object Graft {
     enable(spark)
     spark.read.parquet(dataDir)
   }
+
+  /** Capability discovery — which columns can the index answer for this
+    * dataset? The union of indexed-column sets across the dataset's
+    * CURRENT files with fresh descriptors, the port of
+    * `IndexedPigLoader.getPartitionKeys` (`retrieval/IndexedPigLoader
+    * .java:135-193`, union across files `:160-180`). Columns indexed on
+    * only SOME files still count (un-indexed files fall back to full
+    * scan per file), matching the reference's per-file pruning. */
+  def indexedColumns(spark: SparkSession, dataDir: String, indexRoot: String): Seq[String] = {
+    import graft.build.IndexBuilder
+    val descPath = IndexBuilder.descriptorsDir(indexRoot)
+    val fs = new org.apache.hadoop.fs.Path(descPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(descPath))) return Nil
+    import spark.implicits._
+    val descs = spark.read.parquet(descPath).as[IndexBuilder.DescriptorRow]
+      .collect().map(d => d.sourcePath -> d).toMap
+    IndexBuilder.listDataFiles(spark, dataDir)
+      .flatMap(f => descs.get(f.path).toSeq
+        .filter(d => d.length == f.length && d.modificationTime == f.modificationTime)
+        .flatMap(_.columns))
+      .distinct.sorted
+  }
 }

@@ -279,6 +279,27 @@ object CoreQueries extends QueryModule {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** Exact interpolated percentiles per group (sort-based aggregate;
+    * Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition; rounded to 6 decimals to absorb the
+    * engines' summation-order ulp). */
+  private def q47Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+
+  private val q47Sql =
+    """SELECT l_returnflag,
+      |  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25,
+      |  ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
+      |  ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75,
+      |  ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q02_filter_eq", q02FilterEq, Some(q02Sql)),
@@ -296,5 +317,6 @@ object CoreQueries extends QueryModule {
     Q("q14_set_ops", q14SetOps, Some(q14Sql)),
     Q("q15_having", q15Having, Some(q15Sql)),
     Q("q39_cube", q39Cube, Some(q39Sql)),
-    Q("q40_approx_distinct", q40ApproxDistinct, None))
+    Q("q40_approx_distinct", q40ApproxDistinct, None),
+    Q("q47_percentiles", q47Percentiles, Some(q47Sql)))
 }

@@ -64,4 +64,19 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming exact dedup by content digest — the ingest-side
+    * counterpart of `Dedup.exactDedup`: keep the first arrival of each
+    * digest, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`: duplicates later than the
+    * watermark interval MAY reappear; that is the documented contract —
+    * bounded state is the price of infinite streams, and the downstream
+    * batch dedup sweep catches stragglers). */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
 }

@@ -115,6 +115,13 @@ class GraftRuleSpec extends AnyFunSuite {
       2 * spark.read.parquet(dataDir).filter(col("event_type") === "error").count())
   }
 
+  test("indexedColumns discovers the union of fresh indexed columns") {
+    prepared
+    assert(Graft.indexedColumns(spark, dataDir, indexRoot) ==
+      Seq("event_type", "user_id"))
+    assert(Graft.indexedColumns(spark, dataDir, s"$work/no_such_index").isEmpty)
+  }
+
   test("unregistered paths are untouched") {
     prepared
     val other = s"$work/other"

@@ -107,6 +107,34 @@ class StreamingOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(saltedAgg == plainAgg)
   }
+
+  test("streaming dedup keeps one row per digest within the watermark") {
+    import spark.implicits._
+    val src = s"$work/dedup_docs"
+    // duplicate every document once (same text, different id)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      .write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = EventStreams.dedupStream(stream, "ts", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$work/dedup_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.table("dedup_out")
+    val distinctTexts = spark.read.parquet(src).select("text").distinct().count()
+    assert(out.count() == distinctTexts,
+      "exactly one surviving row per distinct content digest")
+    assert(out.select("text").distinct().count() == distinctTexts)
+  }
 }
 
 final case class UserSessionRow(user_id: Long, n_events: Long,
