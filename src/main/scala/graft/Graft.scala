@@ -60,17 +60,10 @@ object Graft {
     * scan per file), matching the reference's per-file pruning. */
   def indexedColumns(spark: SparkSession, dataDir: String, indexRoot: String): Seq[String] = {
     import graft.build.IndexBuilder
-    val descPath = IndexBuilder.descriptorsDir(indexRoot)
-    val fs = new org.apache.hadoop.fs.Path(descPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(descPath))) return Nil
-    import spark.implicits._
-    val descs = spark.read.parquet(descPath).as[IndexBuilder.DescriptorRow]
-      .collect().map(d => d.sourcePath -> d).toMap
+    val descs = IndexBuilder.loadDescriptors(spark, indexRoot)
+    if (descs.isEmpty) return Nil
     IndexBuilder.listDataFiles(spark, dataDir)
-      .flatMap(f => descs.get(f.path).toSeq
-        .filter(d => d.length == f.length && d.modificationTime == f.modificationTime)
-        .flatMap(_.columns))
+      .flatMap(f => IndexBuilder.freshDescriptor(descs, f).toSeq.flatMap(_.columns))
       .distinct.sorted
   }
 }

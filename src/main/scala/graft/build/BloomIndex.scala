@@ -63,8 +63,12 @@ object BloomIndex extends Logging {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Build (or refresh) blooms for `columns` over the dataset. No-op
-    * when every file's descriptor is fresh, unless `overwrite`. */
+  /** Build (or refresh) blooms for `columns` over the dataset.
+    * INCREMENTAL like the postings index: only files with no fresh
+    * descriptor are read (a daily one-file append costs one file's
+    * scan, not the corpus), their bloom rows are APPENDED gen-stamped,
+    * and [[selectFiles]]' gen filter makes superseded rows inert.
+    * `overwrite` forces a full rebuild. */
   def build(
       spark: SparkSession,
       dataDir: String,
@@ -74,15 +78,21 @@ object BloomIndex extends Logging {
       fpp: Double = DefaultFpp,
       overwrite: Boolean = false): Unit = {
     require(columns.nonEmpty)
-    if (!overwrite && IndexBuilder.isFresh(spark, dataDir, bloomRoot, columns)) return
     val files = IndexBuilder.listDataFiles(spark, dataDir)
+    val existing =
+      if (overwrite) Map.empty[String, IndexBuilder.DescriptorRow]
+      else IndexBuilder.loadDescriptors(spark, bloomRoot)
+    val stale = files.filterNot(f =>
+      IndexBuilder.freshDescriptor(existing, f)
+        .exists(d => columns.forall(d.columns.contains)))
+    if (stale.isEmpty) return
     import spark.implicits._
-    val df = spark.read.parquet(files.map(_.path): _*)
+    val df = spark.read.parquet(stale.map(_.path): _*)
     val kvs = array(columns.map(c =>
       struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)
     val canonical = udf((p: String) => IndexBuilder.canonicalPath(p))
     val bloomAgg = udaf(BloomAgg(expectedItems, fpp))
-    val gens = spark.createDataset(files)
+    val gens = spark.createDataset(stale)
       .select(col("path").as("file"), col("modificationTime").as("gen"))
     df.select(explode(kvs).as("kv"),
         canonical(col("_metadata.file_path")).as("file"))
@@ -90,9 +100,14 @@ object BloomIndex extends Logging {
       .groupBy("file", "column")
       .agg(bloomAgg(col("value")).as("bloom"))
       .join(broadcast(gens), "file")
-      .write.mode(SaveMode.Overwrite).parquet(bloomsDir(bloomRoot))
+      .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .parquet(bloomsDir(bloomRoot))
+    val currentPaths = files.map(_.path).toSet
+    val stalePaths = stale.map(_.path).toSet
+    val kept = existing.values.toSeq
+      .filter(d => currentPaths.contains(d.sourcePath) && !stalePaths.contains(d.sourcePath))
     IndexBuilder.writeDescriptors(spark,
-      files.map(f => IndexBuilder.DescriptorRow(
+      kept ++ stale.map(f => IndexBuilder.DescriptorRow(
         f.path, f.length, f.modificationTime, columns,
         graft.model.IndexType.BloomParquet,
         graft.model.FileIndexDescriptor.CurrentVersion)),
@@ -109,17 +124,10 @@ object BloomIndex extends Logging {
     import spark.implicits._
     val t0 = System.nanoTime()
     val files = IndexBuilder.listDataFiles(spark, dataDir)
-    val descPath = IndexBuilder.descriptorsDir(bloomRoot)
-    val fs = new Path(descPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val descriptors: Map[String, IndexBuilder.DescriptorRow] =
-      if (!fs.exists(new Path(descPath))) Map.empty
-      else spark.read.parquet(descPath).as[IndexBuilder.DescriptorRow]
-        .collect().map(d => d.sourcePath -> d).toMap
-    val (prunable, fallback) = files.partition { f =>
-      descriptors.get(f.path).exists(d =>
-        d.length == f.length && d.modificationTime == f.modificationTime &&
-          d.columns.contains(pred.column))
-    }
+    val descriptors = IndexBuilder.loadDescriptors(spark, bloomRoot)
+    val (prunable, fallback) = files.partition(f =>
+      IndexBuilder.freshDescriptor(descriptors, f)
+        .exists(_.columns.contains(pred.column)))
     val blooms: Map[String, BloomFilter] =
       if (prunable.isEmpty) Map.empty
       else spark.read.parquet(bloomsDir(bloomRoot))

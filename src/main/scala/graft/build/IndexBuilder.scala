@@ -96,22 +96,36 @@ object IndexBuilder {
     walk(path)
   }
 
+  /** THE freshness rule, in one place (every query-side fallback and
+    * build-side skip decision routes through these two helpers — the
+    * checksum-mismatch semantics of `BlockIndexedFileInputFormat
+    * .java:338-386`). */
+  def loadDescriptors(spark: SparkSession, indexRoot: String): Map[String, DescriptorRow] = {
+    val descPath = new Path(descriptorsDir(indexRoot))
+    val fs = descPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(descPath)) return Map.empty
+    import spark.implicits._
+    spark.read.parquet(descriptorsDir(indexRoot))
+      .as[DescriptorRow].collect()
+      .map(d => d.sourcePath -> d).toMap
+  }
+
+  /** The file's descriptor iff its fingerprint (length + mtime) still
+    * matches the live file. */
+  def freshDescriptor(
+      descriptors: Map[String, DescriptorRow], f: SourceFile): Option[DescriptorRow] =
+    descriptors.get(f.path).filter(d =>
+      d.length == f.length && d.modificationTime == f.modificationTime)
+
   /** True when every current data file already has a fresh descriptor —
     * the skip-unless-overwrite check (`AbstractBlockIndexingJob
     * .hasPreviousIndex:359-364`). */
   def isFresh(spark: SparkSession, dataDir: String, indexRoot: String,
       columns: Seq[String]): Boolean = {
-    val fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(descriptorsDir(indexRoot)))) return false
-    import spark.implicits._
-    val descs = spark.read.parquet(descriptorsDir(indexRoot))
-      .as[DescriptorRow].collect()
-      .map(d => d.sourcePath -> d).toMap
-    listDataFiles(spark, dataDir).forall { f =>
-      descs.get(f.path).exists(d =>
-        d.length == f.length && d.modificationTime == f.modificationTime &&
-          columns.forall(d.columns.contains))
-    }
+    val descs = loadDescriptors(spark, indexRoot)
+    if (descs.isEmpty) return false
+    listDataFiles(spark, dataDir).forall(f =>
+      freshDescriptor(descs, f).exists(d => columns.forall(d.columns.contains)))
   }
 
   /** The postings pipeline for a set of source files: explode (column,
@@ -239,19 +253,11 @@ object IndexBuilder {
       indexRoot: String,
       capBytes: Long = DefaultCapBytes): Seq[SourceFile] = {
     require(keys.nonEmpty, "at least one key to index")
-    import spark.implicits._
     val names = keys.map(_._1)
     val files = listDataFiles(spark, dataDir)
-    val fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing: Map[String, DescriptorRow] =
-      if (!fs.exists(new Path(descriptorsDir(indexRoot)))) Map.empty
-      else spark.read.parquet(descriptorsDir(indexRoot))
-        .as[DescriptorRow].collect().map(d => d.sourcePath -> d).toMap
-    val stale = files.filterNot { f =>
-      existing.get(f.path).exists(d =>
-        d.length == f.length && d.modificationTime == f.modificationTime &&
-          names.forall(d.columns.contains))
-    }
+    val existing = loadDescriptors(spark, indexRoot)
+    val stale = files.filterNot(f =>
+      freshDescriptor(existing, f).exists(d => names.forall(d.columns.contains)))
     if (stale.isEmpty) return Nil
     writePostings(postingsFor(spark, stale, keys, capBytes), indexRoot, SaveMode.Append)
     val currentPaths = files.map(_.path).toSet

@@ -42,7 +42,13 @@ object Dedup {
     * on the dedup pipelines). `localCheckpoint` persists partitions on
     * first computation and truncates lineage, per invocation — unlike
     * `cache()`, nothing leaks into a session-global cache that would
-    * serve later identical plans and distort measurement. */
+    * serve later identical plans and distort measurement.
+    *
+    * Trade-off, deliberate: truncated lineage means a lost executor
+    * mid-job fails the query instead of recomputing — acceptable for
+    * batch dedup sweeps (rerun the job); a long-running deployment that
+    * can't retry should swap this for a reliable checkpoint dir
+    * (`sparkContext.setCheckpointDir` + `checkpoint()`), same shape. */
   private def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
   /** Exact duplicates: group by content digest, keep the smallest id
@@ -231,9 +237,13 @@ object Dedup {
     }
     val chunks = (0 until nBands).map { c =>
       val width = offsets(c + 1) - offsets(c)
+      // width can be 64 when maxHamming=0 (single band = the whole
+      // fingerprint); 1L<<64 wraps to 1 under JVM shift-mod-64, which
+      // would mask every bucket to 0 and degenerate to all-pairs
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(c).as("band"),
         shiftright(col("simhash"), offsets(c))
-          .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
+          .bitwiseAND(lit(mask)).as("bucket"))
     }
     val banded = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

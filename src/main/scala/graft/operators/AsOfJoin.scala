@@ -64,11 +64,21 @@ object AsOfJoin {
       (keys.map(col) :+ col(leftTime).as(t) :+ lit(1).as(side)) ++
         leftCols.filterNot(keys.contains).map(col) :+
         lit(null).cast(payType).as(pay): _*)
-    val r = right.select(
-      (keys.map(col) :+ col(rightTime).as(t) :+ lit(0).as(side)) ++
-        leftCols.filterNot(keys.contains).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightCols.map(col): _*).as(pay): _*)
+    // SQL join semantics: NULL never equals NULL and `t >= null` is
+    // never true, so right rows with a null key or null time can match
+    // nothing — drop them BEFORE the union (otherwise the window's
+    // partitionBy, which groups nulls together, would hand their
+    // payload to null-keyed left rows). Null-keyed/null-timed LEFT rows
+    // need no special case: ascending nulls-first ordering places them
+    // before every right row of their partition, so they come out
+    // unmatched.
+    val r = right
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
+      .select(
+        (keys.map(col) :+ col(rightTime).as(t) :+ lit(0).as(side)) ++
+          leftCols.filterNot(keys.contains).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightCols.map(col): _*).as(pay): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(t).asc, col(side).asc)

@@ -64,12 +64,25 @@ final case class Or(left: Pred, right: Pred) extends Pred
 
 object Pred {
 
+  /** Translation cap for IN/InSet lists (larger ones fall back to a
+    * full scan — see fromExpression). */
+  val MaxInValues = 1000
+
   /** IN desugars to an OR tree of EQ leaves: the postings lookup is
     * already batched across leaves, so each value costs one keyed index
-    * probe, exactly like the reference would evaluate `c = v1 OR c = v2`. */
+    * probe, exactly like the reference would evaluate `c = v1 OR c = v2`.
+    * The tree is built BALANCED — the recursive consumers (leaves,
+    * toColumn, qualify) walk depth O(log n), so a 50k-value IN cannot
+    * blow the driver stack the way a left-leaning reduce would. */
   def in(column: String, values: Seq[String]): Pred = {
     require(values.nonEmpty, "IN requires at least one value")
-    values.map(Eq(column, _): Pred).reduce(Or(_, _))
+    def build(vs: IndexedSeq[String]): Pred =
+      if (vs.length == 1) Eq(column, vs.head)
+      else {
+        val (l, r) = vs.splitAt(vs.length / 2)
+        Or(build(l), build(r))
+      }
+    build(values.toIndexedSeq)
   }
 
   /** Does `value` (an index key, stringified) satisfy a leaf? Exact:
@@ -189,14 +202,18 @@ object Pred {
       case LessThanOrEqual(l, r) =>
         rangeLeaf(l, r, (n, d) => Between(n, None, Some(d), loInc = false, hiInc = true))
           .orElse(rangeLeaf(r, l, (n, d) => Between(n, Some(d), None, loInc = true, hiInc = false)))
-      case CIn(a, list) if list.nonEmpty =>
+      // very large IN lists don't translate: 50k index probes cost more
+      // than the scan they'd save, and the residual Column the IR
+      // rebuilds would be a 50k-way boolean tree — full scan instead
+      case CIn(a, list) if list.nonEmpty && list.length <= MaxInValues =>
         a match {
           case attr: AttributeReference =>
             val vs = list.map(v => foldLiteral(v).flatMap(stringify))
             if (vs.forall(_.isDefined)) Some(in(attr.name, vs.map(_.get))) else None
           case _ => None
         }
-      case InSet(attr: AttributeReference, set) if set.nonEmpty =>
+      case InSet(attr: AttributeReference, set)
+          if set.nonEmpty && set.size <= MaxInValues =>
         val vs = set.toSeq.map(v =>
           if (v == null) None else stringify(Literal(v, attr.dataType)))
         if (vs.forall(_.isDefined)) Some(in(attr.name, vs.map(_.get))) else None

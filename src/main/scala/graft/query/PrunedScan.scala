@@ -87,24 +87,28 @@ object PrunedScanner extends Logging {
       dataDir: String,
       preds: Seq[Pred],
       indexRoot: String,
-      capBytes: Long = IndexBuilder.DefaultCapBytes): Seq[(Seq[String], PruneReport)] = {
+      capBytes: Long = IndexBuilder.DefaultCapBytes): Seq[(Seq[String], PruneReport)] =
+    selectFilesDetailed(spark, dataDir, preds, indexRoot, capBytes)
+      .map { case (sel, fb, report) => (sel ++ fb, report) }
+
+  /** Like [[selectFilesBatch]] but keeps index-selected and
+    * freshness-fallback files apart — [[verifyCounts]] needs the
+    * distinction to avoid materializing values x fallback pairs. */
+  private[query] def selectFilesDetailed(
+      spark: SparkSession,
+      dataDir: String,
+      preds: Seq[Pred],
+      indexRoot: String,
+      capBytes: Long): Seq[(Seq[String], Seq[String], PruneReport)] = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
     val files = IndexBuilder.listDataFiles(spark, dataDir)
 
     // Fresh descriptors covering every predicate column -> file is prunable.
-    val descPath = IndexBuilder.descriptorsDir(indexRoot)
-    val fs = new org.apache.hadoop.fs.Path(descPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val descriptors: Map[String, IndexBuilder.DescriptorRow] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(descPath))) Map.empty
-      else spark.read.parquet(descPath).as[IndexBuilder.DescriptorRow]
-        .collect().map(d => d.sourcePath -> d).toMap
-
+    val descriptors = IndexBuilder.loadDescriptors(spark, indexRoot)
     def fresh(f: IndexBuilder.SourceFile): Option[IndexBuilder.DescriptorRow] =
-      descriptors.get(f.path).filter(d =>
-        d.length == f.length && d.modificationTime == f.modificationTime)
+      IndexBuilder.freshDescriptor(descriptors, f)
 
     // One postings lookup for ALL leaves of ALL predicates at once: the
     // partition filter on `column` prunes index directories; the value
@@ -152,13 +156,21 @@ object PrunedScanner extends Logging {
           .view.mapValues(rs => IntervalOps.normalize(rs.flatMap(_._2).toSeq))
           .toMap
       }
-    val sharedMs = (System.nanoTime() - t0) / 1000000
+    // shared listing/lookup time amortized across the batch so summing
+    // per-pred pruneTimeMs over a 1000-key sweep doesn't report the one
+    // shared lookup a thousand times
+    val sharedMs = (System.nanoTime() - t0) / 1000000 / math.max(preds.size, 1)
 
+    // the prunable/fallback split depends only on the predicate's
+    // column set — memoized so a per-key sweep (1000s of same-column
+    // predicates) partitions the file list once, not once per key
+    val splitByColumns =
+      scala.collection.mutable.Map.empty[Set[String], (Seq[IndexBuilder.SourceFile], Seq[IndexBuilder.SourceFile])]
     preds.map { pred =>
       val tp = System.nanoTime()
-      val predColumns = pred.columns
-      val (prunable, fallback) = files.partition(f =>
-        fresh(f).exists(d => predColumns.forall(d.columns.contains)))
+      val (prunable, fallback) = splitByColumns.getOrElseUpdate(pred.columns,
+        files.partition(f =>
+          fresh(f).exists(d => pred.columns.forall(d.columns.contains))))
       val leaves = pred.leaves.distinct
       val selected = prunable.filter { f =>
         val leafMap = leaves.map(l => l -> hits.getOrElse((f.path, l), Nil)).toMap
@@ -175,7 +187,7 @@ object PrunedScanner extends Logging {
         s"files ${report.selectedFiles}+${report.fallbackFiles}fallback/${report.totalFiles}, " +
         s"bytes ${report.selectedBytes}/${report.totalBytes} " +
         s"(ratio ${report.bytesRatio}), ${report.pruneTimeMs} ms")
-      ((selected ++ fallback).map(_.path), report)
+      (selected.map(_.path), fallback.map(_.path), report)
     }
   }
 
@@ -227,18 +239,38 @@ object PrunedScanner extends Logging {
     val values = IndexBuilder.postings(spark, indexRoot)
       .filter(col("column") === column)
       .select("value").distinct().as[String].collect().sorted.toIndexedSeq
-    val sets = selectFilesBatch(
+    val sets = selectFilesDetailed(
       spark, dataDir, values.map(v => Eq(column, v): Pred), indexRoot, capBytes)
-    val membership = values.zip(sets).flatMap { case (v, (fs, _)) => fs.map(f => (v, f)) }
-    val allFiles = sets.flatMap(_._1).distinct
+    // Index-SELECTED (value, file) pairs only: their count is bounded by
+    // the postings rows the driver already holds. FALLBACK files (same
+    // set for every key — the split depends only on the column) are
+    // handled without materializing values x files pairs: every row of a
+    // fallback file counts toward its own value, exactly what the
+    // per-key loop's residual filter would do, restricted to keys the
+    // index knows.
+    val selMembership = values.zip(sets).flatMap { case (v, (sel, _, _)) =>
+      sel.map(f => (v, f)) }
+    val fallbackFiles = sets.headOption.map(_._2).getOrElse(Nil)
+    val selFiles = sets.flatMap(_._1).distinct
     val valuesDf = spark.createDataset(values).toDF("value")
-    if (allFiles.isEmpty) return valuesDf.withColumn("n", lit(0L))
     val schema = spark.read.parquet(dataDir).schema
     val canon = udf((p: String) => IndexBuilder.canonicalPath(p))
-    val counted = spark.read.schema(schema).parquet(allFiles: _*)
-      .select(col(column).cast("string").as("value"),
-        canon(col("_metadata.file_path")).as("file"))
-      .join(broadcast(membership.toDF("value", "file")), Seq("value", "file"))
+    def read(paths: Seq[String]): DataFrame =
+      spark.read.schema(schema).parquet(paths: _*)
+    val parts = Seq(
+      if (selFiles.isEmpty) None
+      else Some(read(selFiles)
+        .select(col(column).cast("string").as("value"),
+          canon(col("_metadata.file_path")).as("file"))
+        .join(broadcast(selMembership.toDF("value", "file")), Seq("value", "file"))
+        .select("value")),
+      if (fallbackFiles.isEmpty) None
+      else Some(read(fallbackFiles)
+        .select(col(column).cast("string").as("value"))
+        .join(broadcast(valuesDf), Seq("value"), "left_semi"))
+    ).flatten
+    if (parts.isEmpty) return valuesDf.withColumn("n", lit(0L))
+    val counted = parts.reduce(_ unionByName _)
       .groupBy("value").agg(count(lit(1)).as("n"))
     // keys whose postings pruned every file still report (zero) counts,
     // as the per-key loop would

@@ -70,6 +70,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("null keys and null right times never match (SQL join semantics)") {
+    val left = Seq((Option.empty[String], 10L, 1L), (Some("a"), 10L, 2L))
+      .toDF("k", "t", "probe_id")
+    val right = Seq(
+      (Option.empty[String], Some(5L), "nullkey"),
+      (Some("a"), Option.empty[Long], "nulltime"),
+      (Some("a"), Some(5L), "good"))
+      .toDF("k", "t", "payload")
+    val out = AsOfJoin.join(left, right, Seq("k"), "t", "t", Seq("payload"))
+      .select("probe_id", "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // null-keyed probe matches nothing; the valid probe must match the
+    // t=5 row, never the null-keyed or null-timed right rows
+    assert(out == Map(1L -> None, 2L -> Some("good")))
+  }
+
   test("payload column collision is rejected") {
     val l = Seq(("a", 1L, "x")).toDF("k", "t", "payload")
     val r = Seq(("a", 1L, "y")).toDF("k", "t", "payload")

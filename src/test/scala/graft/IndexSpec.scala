@@ -188,6 +188,13 @@ class IndexSpec extends AnyFunSuite {
       Some(Or(Eq("event_type", "click"), Eq("event_type", "error"))))
   }
 
+  test("a 50k-value IN builds a balanced tree the recursive walkers survive") {
+    val big = Pred.in("c", (1 to 50000).map(_.toString))
+    assert(big.leaves.size == 50000)     // would StackOverflow on a left-leaning chain
+    assert(big.columns == Set("c"))
+    big.toColumn                         // residual construction must not recurse 50k deep
+  }
+
   test("BETWEEN and IN pruned scans == full scan") {
     prepared
     val between = Between("user_id", Some(BigDecimal(5)), Some(BigDecimal(9)),

@@ -155,6 +155,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash maxHamming=0 buckets by the full fingerprint (no mask wrap)") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    // hamming 0 = identical fingerprints; with the 1L<<64 wrap bug every
+    // doc landed in bucket 0 and this degenerated to all-pairs
+    val pairs = Dedup.simHashDedupPairs(docs, "doc_id", "text", 3, 0.8, maxHamming = 0)
+    val fps = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(fps(r.getLong(0)) == fps(r.getLong(1)),
+        "maxHamming=0 pairs must have identical fingerprints")
+    }
+  }
+
   test("exact dedup keeps the smallest id per digest") {
     import spark.implicits._
     val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
