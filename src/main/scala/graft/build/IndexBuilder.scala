@@ -273,6 +273,44 @@ object IndexBuilder {
   def postings(spark: SparkSession, indexRoot: String): DataFrame =
     spark.read.parquet(postingsDir(indexRoot))
 
+  /** Compact the append-only postings: drop rows for deleted files and
+    * rows whose gen no longer matches the live descriptor (superseded
+    * by a rebuild), and rewrite sorted. Incremental maintenance appends
+    * forever; without periodic compaction the dead rows cost lookup I/O
+    * even though the gen filter keeps them semantically inert. Safe to
+    * run any time — the surviving rows are exactly the ones query-side
+    * lookups honor. Returns (rowsBefore, rowsAfter).
+    *
+    * The rewrite stages into a sibling directory then swaps, so a crash
+    * mid-compact leaves the old postings intact (descriptors are
+    * untouched entirely). */
+  def compact(spark: SparkSession, indexRoot: String): (Long, Long) = {
+    import spark.implicits._
+    val descs = loadDescriptors(spark, indexRoot)
+    val live = spark.createDataset(
+      descs.values.map(d => (d.sourcePath, d.modificationTime)).toSeq)
+      .toDF("file", "gen")
+    val all = postings(spark, indexRoot)
+    val before = all.count()
+    val stagingDir = s"$indexRoot/postings_compacting"
+    all.join(broadcast(live), Seq("file", "gen"), "left_semi")
+      .repartition(col("column"))
+      .sortWithinPartitions("column", "value", "file")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("column")
+      .parquet(stagingDir)
+    val fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalDir = new Path(postingsDir(indexRoot))
+    val tmpOld = new Path(s"$indexRoot/postings_old")
+    fs.delete(tmpOld, true)
+    fs.rename(finalDir, tmpOld)
+    fs.rename(new Path(stagingDir), finalDir)
+    fs.delete(tmpOld, true)
+    spark.catalog.refreshByPath(postingsDir(indexRoot))
+    val after = postings(spark, indexRoot).count()
+    (before, after)
+  }
+
   /** Typed view of the postings (the model contract of FIXTURES.md §2). */
   def postingsTyped(spark: SparkSession, indexRoot: String):
       org.apache.spark.sql.Dataset[graft.model.IndexEntry] = {

@@ -96,5 +96,15 @@ class StreamingIndexSpec extends AnyFunSuite {
     val (found, report) = PrunedScanner.scanWithReport(spark, dir2, Eq("kind", "newkind"), idx2)
     assert(found.select("id").as[Long].collect().toSet == Set(9L))
     assert(report.fallbackFiles == 0, "rebuilt file must be prunable again, not fallback")
+
+    // compaction drops the superseded-gen rows, results unchanged
+    val (rowsBefore, rowsAfter) = IndexBuilder.compact(spark, idx2)
+    assert(rowsAfter < rowsBefore, s"expected dead rows dropped: $rowsBefore -> $rowsAfter")
+    assert(IndexBuilder.postings(spark, idx2)
+      .filter(col("value") === "old2").count() == 0,
+      "stale-gen row must be gone after compaction")
+    val (found2, report2) = PrunedScanner.scanWithReport(spark, dir2, Eq("kind", "newkind"), idx2)
+    assert(found2.select("id").as[Long].collect().toSet == Set(9L))
+    assert(report2.fallbackFiles == 0)
   }
 }
