@@ -29,6 +29,26 @@ sealed trait Pred {
     case Or(l, r)  => l.toColumn || r.toColumn
   }
 
+  /** Schema-aware residual: semantically identical to [[toColumn]] but
+    * expressed NATIVELY (`col === 7L`) whenever the leaf value
+    * round-trips exactly through the column's type, because the
+    * string-compare form (`cast(col as string) === "7"`) cannot be
+    * pushed into the parquet reader — it forfeits row-group min/max and
+    * dictionary skipping on every numeric index column. Equivalence
+    * needs stringify to be injective on the type, so only integral /
+    * boolean / date / timestamp columns switch (float/double keep the
+    * string form: NaN != NaN and -0.0 == 0.0 break the bijection).
+    * Columns absent from the schema keep the string form too. */
+  def toColumnFor(schema: org.apache.spark.sql.types.StructType): Column = this match {
+    case Eq(c, v) =>
+      schema.find(_.name == c)
+        .flatMap(f => Pred.typedEq(c, v, f.dataType))
+        .getOrElse(col(c).cast("string") === lit(v))
+    case b: Between => b.toColumn
+    case And(l, r) => l.toColumnFor(schema) && r.toColumnFor(schema)
+    case Or(l, r)  => l.toColumnFor(schema) || r.toColumnFor(schema)
+  }
+
   /** All leaf predicates (cf. `getAllColumnNames`,
     * `BlockIndexedFileInputFormat.java:717-733`). */
   def leaves: Seq[Pred] = this match {
@@ -83,6 +103,34 @@ object Pred {
         Or(build(l), build(r))
       }
     build(values.toIndexedSeq)
+  }
+
+  /** `col === <typed v>` when `v` round-trips exactly through `t`
+    * (parse, stringify back, compare); None otherwise. */
+  private[query] def typedEq(
+      c: String, v: String,
+      t: org.apache.spark.sql.types.DataType): Option[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types._
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    t match {
+      case StringType => Some(col(c) === lit(v))
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+          DateType | TimestampType =>
+        try {
+          val parsed = Cast(Literal(v), t, tz).eval(null)
+          if (parsed == null) None
+          else {
+            val back = Option(Cast(Literal(parsed, t), StringType, tz).eval(null))
+              .map(_.toString)
+            if (back.contains(v))
+              Some(col(c) === org.apache.spark.sql.graftbridge.ColumnBridge
+                .column(Literal(parsed, t)))
+            else None
+          }
+        } catch { case _: Exception => None }
+      case _ => None
+    }
   }
 
   /** Does `value` (an index key, stringified) satisfy a leaf? Exact:

@@ -208,9 +208,10 @@ object PrunedScanner extends Logging {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(toRead: _*)
     // Residual row-level re-check is mandatory: block pruning is coarse
-    // (BlockIndexedFileInputFormat.java:669-679). Catalyst additionally
-    // pushes this filter into the parquet reader for row-group skipping.
-    (df.filter(residual.getOrElse(pred.toColumn)), report)
+    // (BlockIndexedFileInputFormat.java:669-679). The schema-aware form
+    // keeps the filter parquet-pushable (row-group min/max + dictionary
+    // skipping) on typed columns.
+    (df.filter(residual.getOrElse(pred.toColumnFor(schema))), report)
   }
 
   def scan(spark: SparkSession, dataDir: String, pred: Pred, indexRoot: String): DataFrame =

@@ -188,6 +188,19 @@ class IndexSpec extends AnyFunSuite {
       Some(Or(Eq("event_type", "click"), Eq("event_type", "error"))))
   }
 
+  test("typed residual keeps string semantics for non-round-trip keys") {
+    import spark.implicits._
+    val df = Seq((7L, "a"), (8L, "b")).toDF("n", "s")
+    // "007" parses to 7 but stringifies back to "7" -> must NOT switch
+    // to the typed compare (which would wrongly match n=7); the string
+    // form matches nothing, same as the index key space
+    assert(df.filter(Eq("n", "007").toColumnFor(df.schema)).count() == 0)
+    assert(df.filter(Eq("n", "7").toColumnFor(df.schema)).count() == 1)
+    // column absent from schema falls back to the string form (error at
+    // eval is fine; here just ensure construction works)
+    Eq("missing", "x").toColumnFor(df.schema)
+  }
+
   test("a 50k-value IN builds a balanced tree the recursive walkers survive") {
     val big = Pred.in("c", (1 to 50000).map(_.toString))
     assert(big.leaves.size == 50000)     // would StackOverflow on a left-leaning chain

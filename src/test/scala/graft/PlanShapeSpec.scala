@@ -66,6 +66,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dot_product must stay inside a codegen stage:\n$p")
   }
 
+  test("pruned-scan residuals on typed columns reach PushedFilters") {
+    import graft.query.{And, Eq, PrunedScanner}
+    import graft.build.IndexBuilder
+    val work = s"/root/repo/target/test_planresid_${System.nanoTime()}"
+    Tables.events(spark, sfDir).repartition(2).write.parquet(s"$work/data")
+    IndexBuilder.build(spark, s"$work/data", Seq("event_type", "user_id"), s"$work/index")
+    val df = PrunedScanner.scan(spark, s"$work/data",
+      And(Eq("event_type", "click"), Eq("user_id", "7")), s"$work/index")
+    val p = plan(df)
+    assert(p.contains("EqualTo(user_id,7)"),
+      s"numeric EQ residual must push to parquet (min/max + dictionary skipping):\n$p")
+    assert(p.contains("EqualTo(event_type,click)"), p)
+  }
+
   test("postings lookup prunes index partitions by column") {
     // build a small index, then check the lookup scan carries a
     // partition filter on `column`
