@@ -39,8 +39,9 @@ object TextAnalysisQueries extends QueryModule {
       |FROM t""".stripMargin
 
   /** Marker-based language ID (the SQL-expressible classifier; the
-    * richer n-gram-profile classifier lives in LangId and is
-    * unit-tested — profiles aren't expressible as one SQL oracle). */
+    * richer char-n-gram profile classifier lives in `text/LangId.scala`
+    * (train + classify, `LangIdSpec`) — trained profiles aren't
+    * expressible as one SQL oracle). */
   private def q32LangId(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     Tables.documents(s, dir).select(

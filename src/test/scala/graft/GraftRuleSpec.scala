@@ -102,6 +102,23 @@ class GraftRuleSpec extends AnyFunSuite {
     spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
   }
 
+  test("transparent range predicates stay correct under the rule") {
+    prepared
+    // user_id is indexed but scattered across every file, so the range
+    // prunes nothing — the point is correctness of the rule x Between
+    // interaction, not a pruning win
+    val df = spark.read.parquet(dataDir).filter(col("user_id") < 3)
+    val expect = {
+      spark.conf.unset(GraftPruneRule.IndexesConf)
+      val e = spark.read.parquet(dataDir).filter(col("user_id") < 3)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+      e
+    }
+    assert(df.select("event_id").collect().map(_.getLong(0)).toSet == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("multi-root relations are left untouched (no rows silently dropped)") {
     prepared
     val extra = s"$work/extra"
