@@ -162,9 +162,45 @@ object Ann {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** LSH-bucketed near-dup PAIRS — the scale path behind
+    * [[cosineNearDupPairs]]' exact O(n^2): sign-LSH band buckets
+    * generate candidates, exact cosine keeps only pairs >= threshold.
+    * Precision exact; recall is the banding knob (more bands / fewer
+    * rows per band = higher recall). At 100 TB the banded table is the
+    * only thing shuffled — candidate volume is bucket-local, the n^2
+    * never materializes. */
+  def lshNearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nPlanes % bands == 0)
+    val rowsPerBand = nPlanes / bands
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val sig = signSignature(col(vecCol), planes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * rowsPerBand)
+          .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bucket"))
+    }
+    val banded = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Vectors.norm(col(vecCol)).as("n"), sig.as("sig"))
+      .select(col("id"), col("v"), col("n"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("v"), col("n"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(false) // consumed by both sides of the self-join
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .filter(Vectors.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")) >= threshold)
+      .select(col("a.id").as("id_i"), col("b.id").as("id_j"))
+      .distinct()
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup
     * detection). Exact O(n^2) scoring — suitable as the verification
-    * baseline; production path is [[lshTopK]]-style bucketing first. */
+    * baseline; production path is [[lshNearDupPairs]]. */
   def cosineNearDupPairs(
       corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

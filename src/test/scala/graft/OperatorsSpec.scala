@@ -120,6 +120,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall@5 too low: $recall")
   }
 
+  test("LSH near-dup pairs: exact precision, reasonable recall vs n^2 truth") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Ann.cosineNearDupPairs(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshNearDupPairs(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "every LSH pair must pass the exact threshold (precision 1.0)")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5,
+        s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("IVF ANN recall@5 vs brute force is reasonable; ranks well-formed") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
