@@ -22,6 +22,14 @@ final case class MediaFeatures(
     height: Int,
     n_frames: Int)
 
+final case class ResizedMedia(
+    media_id: Long,
+    kind: String,
+    out_w: Int,
+    out_h: Int,
+    out_bytes: Long,
+    out_digest: String)
+
 /** Multimodal-column processing: decode / feature-extract / resize /
   * frame-sample over binary payloads, implemented as batched
   * `mapPartitions` over a typed Dataset — the Scala-native equivalent of
@@ -70,6 +78,32 @@ object Multimodal {
         batch.map { r =>
           val (w, h, f) = DecodeStub.decode(r.payload)
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hexMd5(r.payload), w, h, f)
+        }
+      }
+    }
+  }
+
+  /** Batched resize-to-fit (stub): scale dimensions so max(w,h) <=
+    * maxDim (integer arithmetic, never upscale) and "re-encode" the
+    * payload as its proportionally-truncated prefix — a real build
+    * swaps the body for an image scaler; batching, schema, and the
+    * 1-row-in/1-row-out shape are the real thing. */
+  def resizeStub(media: Dataset[MediaRecord], maxDim: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    require(maxDim >= 1)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val n = r.payload.length
+          val (w, h, _) = DecodeStub.decode(r.payload)
+          val m = math.max(w, h)
+          val (ow, oh, obytes) =
+            if (m <= maxDim) (w, h, n)
+            else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m),
+              math.max(1, n * maxDim / m))
+          val out = r.payload.take(obytes)
+          ResizedMedia(r.media_id, r.kind, ow, oh, out.length.toLong, hexMd5(out))
         }
       }
     }

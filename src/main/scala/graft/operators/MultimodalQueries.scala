@@ -53,7 +53,37 @@ object MultimodalQueries extends QueryModule {
       |  MD5(chunk) AS frame_digest
       |FROM frames""".stripMargin
 
+  /** Resize-to-fit (stub codec): the scaling arithmetic and truncated
+    * "re-encode" are integer-exact, so the whole batched resize path is
+    * oracle-checked. maxDim 128. */
+  private def q48MediaResize(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromTable(
+      Tables.documents(s, dir), "doc_id", "text", "image")
+    Multimodal.resizeStub(media, maxDim = 128)
+      .toDF()
+      .select(col("media_id"), col("out_w"), col("out_h"),
+        col("out_bytes"), col("out_digest"))
+  }
+
+  private val q48Sql =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id, text,
+      |    OCTET_LENGTH(CAST(text AS BLOB)) AS n,
+      |    OCTET_LENGTH(CAST(text AS BLOB)) % 640 + 1 AS w,
+      |    (OCTET_LENGTH(CAST(text AS BLOB)) * 7) % 480 + 1 AS h
+      |  FROM documents),
+      |scaled AS (
+      |  SELECT media_id, text, n, w, h, GREATEST(w, h) AS m FROM dims)
+      |SELECT media_id,
+      |  CAST(CASE WHEN m <= 128 THEN w ELSE GREATEST(1, w * 128 // m) END AS INT) AS out_w,
+      |  CAST(CASE WHEN m <= 128 THEN h ELSE GREATEST(1, h * 128 // m) END AS INT) AS out_h,
+      |  CAST(CASE WHEN m <= 128 THEN n ELSE GREATEST(1, n * 128 // m) END AS BIGINT) AS out_bytes,
+      |  MD5(SUBSTRING(text, 1,
+      |    CASE WHEN m <= 128 THEN n ELSE GREATEST(1, n * 128 // m) END)) AS out_digest
+      |FROM scaled""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
-    Q("q35_frame_sample", q35FrameSample, Some(q35Sql)))
+    Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
+    Q("q48_media_resize", q48MediaResize, Some(q48Sql)))
 }
