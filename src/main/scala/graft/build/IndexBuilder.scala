@@ -96,6 +96,14 @@ object IndexBuilder {
     walk(path)
   }
 
+  // Driver-side descriptor cache, invalidated by the descriptor
+  // directory's LISTING signature (names + sizes + mtimes) — the
+  // standard metadata-cache shape (cf. Spark's FileStatusCache, Delta
+  // snapshot caching): repeated index queries in one session skip the
+  // re-read; any rewrite of the descriptors changes the signature.
+  private val descriptorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long, Long)], Map[String, DescriptorRow])]()
+
   /** THE freshness rule, in one place (every query-side fallback and
     * build-side skip decision routes through these two helpers — the
     * checksum-mismatch semantics of `BlockIndexedFileInputFormat
@@ -104,10 +112,17 @@ object IndexBuilder {
     val descPath = new Path(descriptorsDir(indexRoot))
     val fs = descPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(descPath)) return Map.empty
+    val sig = fs.listStatus(descPath).toSeq
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
+    val cached = descriptorCache.get(indexRoot)
+    if (cached != null && cached._1 == sig) return cached._2
     import spark.implicits._
-    spark.read.parquet(descriptorsDir(indexRoot))
+    val loaded = spark.read.parquet(descriptorsDir(indexRoot))
       .as[DescriptorRow].collect()
       .map(d => d.sourcePath -> d).toMap
+    descriptorCache.put(indexRoot, (sig, loaded))
+    loaded
   }
 
   /** The file's descriptor iff its fingerprint (length + mtime) still
