@@ -107,11 +107,46 @@ object BloomIndex extends Logging {
     val kept = existing.values.toSeq
       .filter(d => currentPaths.contains(d.sourcePath) && !stalePaths.contains(d.sourcePath))
     IndexBuilder.writeDescriptors(spark,
-      kept ++ stale.map(f => IndexBuilder.DescriptorRow(
-        f.path, f.length, f.modificationTime, columns,
-        graft.model.IndexType.BloomParquet,
-        graft.model.FileIndexDescriptor.CurrentVersion)),
+      kept ++ stale.map { f =>
+        // a file re-indexed only because a NEW column was requested is
+        // content-fresh: its previous columns' gen-valid blooms survive,
+        // so the descriptor keeps the UNION (dropping them would thrash
+        // full-corpus rebuilds when builds alternate column sets)
+        val prevCols = IndexBuilder.freshDescriptor(existing, f)
+          .map(_.columns).getOrElse(Seq.empty)
+        IndexBuilder.DescriptorRow(
+          f.path, f.length, f.modificationTime, (prevCols ++ columns).distinct,
+          graft.model.IndexType.BloomParquet,
+          graft.model.FileIndexDescriptor.CurrentVersion)
+      },
       bloomRoot)
+  }
+
+  /** Drop bloom rows for deleted files and superseded generations and
+    * rewrite — the maintenance twin of `IndexBuilder.compact` (the
+    * append-only build otherwise accumulates a dead ~90 KB sketch per
+    * rebuild per column forever). Returns (rowsBefore, rowsAfter). */
+  def compact(spark: SparkSession, bloomRoot: String): (Long, Long) = {
+    import spark.implicits._
+    val descs = IndexBuilder.loadDescriptors(spark, bloomRoot)
+    val live = spark.createDataset(
+      descs.values.map(d => (d.sourcePath, d.modificationTime)).toSeq)
+      .toDF("file", "gen")
+    val all = spark.read.parquet(bloomsDir(bloomRoot))
+    val before = all.count()
+    val staging = s"$bloomRoot/blooms_compacting"
+    // same-gen duplicates (a content-fresh file re-indexed for an added
+    // column re-emits its other columns) are byte-identical — bloom
+    // bits are an order-independent OR — so dropDuplicates is safe
+    all.join(broadcast(live), Seq("file", "gen"), "left_semi")
+      .dropDuplicates("file", "column", "gen")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new Path(bloomRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexBuilder.stagedSwap(fs, new Path(staging),
+      new Path(bloomsDir(bloomRoot)), new Path(s"$bloomRoot/blooms_old"))
+    spark.catalog.refreshByPath(bloomsDir(bloomRoot))
+    val after = spark.read.parquet(bloomsDir(bloomRoot)).count()
+    (before, after)
   }
 
   /** Which files must be read for an EQ leaf: bloom-negative fresh
@@ -128,18 +163,26 @@ object BloomIndex extends Logging {
     val (prunable, fallback) = files.partition(f =>
       IndexBuilder.freshDescriptor(descriptors, f)
         .exists(_.columns.contains(pred.column)))
+    // gen filter as a semi-join BEFORE collect: only the live
+    // generation's ~90 KB sketches reach the driver, however many dead
+    // generations the append-only build has accumulated
     val blooms: Map[String, BloomFilter] =
       if (prunable.isEmpty) Map.empty
-      else spark.read.parquet(bloomsDir(bloomRoot))
-        .filter(col("column") === pred.column)
-        .select("file", "bloom", "gen")
-        .as[(String, Array[Byte], Long)]
-        .collect()
-        .filter { case (f, _, g) =>
-          descriptors.get(f).exists(_.modificationTime == g) }
-        .map { case (f, bytes, _) =>
-          f -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)) }
-        .toMap
+      else {
+        val live = spark.createDataset(
+          prunable.flatMap(f => descriptors.get(f.path)
+            .map(d => (f.path, d.modificationTime))))
+          .toDF("file", "gen")
+        spark.read.parquet(bloomsDir(bloomRoot))
+          .filter(col("column") === pred.column)
+          .join(broadcast(live), Seq("file", "gen"), "left_semi")
+          .select("file", "bloom")
+          .as[(String, Array[Byte])]
+          .collect()
+          .map { case (f, bytes) =>
+            f -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)) }
+          .toMap
+      }
     val selected = prunable.filter(f =>
       // a fresh descriptor without its bloom row is unexpected; treat
       // as "might contain" (never prune without positive evidence)

@@ -315,15 +315,28 @@ object IndexBuilder {
       .partitionBy("column")
       .parquet(stagingDir)
     val fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val finalDir = new Path(postingsDir(indexRoot))
-    val tmpOld = new Path(s"$indexRoot/postings_old")
-    fs.delete(tmpOld, true)
-    fs.rename(finalDir, tmpOld)
-    fs.rename(new Path(stagingDir), finalDir)
-    fs.delete(tmpOld, true)
+    stagedSwap(fs, new Path(stagingDir),
+      new Path(postingsDir(indexRoot)), new Path(s"$indexRoot/postings_old"))
     spark.catalog.refreshByPath(postingsDir(indexRoot))
     val after = postings(spark, indexRoot).count()
     (before, after)
+  }
+
+  /** Swap `staging` into `finalDir` with a backup: rename results are
+    * CHECKED (Hadoop reports most failures as `false`, not exceptions)
+    * and a failed second rename restores the original before throwing —
+    * never delete the only live copy. */
+  private[build] def stagedSwap(
+      fs: FileSystem, staging: Path, finalDir: Path, backup: Path): Unit = {
+    fs.delete(backup, true)
+    if (!fs.rename(finalDir, backup))
+      throw new java.io.IOException(s"compact: cannot move $finalDir aside to $backup")
+    if (!fs.rename(staging, finalDir)) {
+      fs.rename(backup, finalDir) // restore; best-effort by construction
+      throw new java.io.IOException(
+        s"compact: cannot move $staging into place; original restored")
+    }
+    fs.delete(backup, true)
   }
 
   /** Typed view of the postings (the model contract of FIXTURES.md §2). */

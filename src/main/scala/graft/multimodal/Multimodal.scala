@@ -98,10 +98,12 @@ object Multimodal {
           val n = r.payload.length
           val (w, h, _) = DecodeStub.decode(r.payload)
           val m = math.max(w, h)
+          // n * maxDim in Long: a 20 MB payload at maxDim=128 overflows
+          // Int and would silently truncate the output to one byte
           val (ow, oh, obytes) =
             if (m <= maxDim) (w, h, n)
             else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m),
-              math.max(1, n * maxDim / m))
+              math.max(1L, n.toLong * maxDim / m).toInt)
           val out = r.payload.take(obytes)
           ResizedMedia(r.media_id, r.kind, ow, oh, out.length.toLong, hexMd5(out))
         }

@@ -59,6 +59,21 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** (band, bucket) structs slicing a signature column — shared by both
+    * LSH paths so the mask logic lives once. JVM shifts are mod-64:
+    * a 64-bit band must mask with -1L, not (1L<<64)-1 == 0. */
+  private def bandStructs(sig: Column, bands: Int, rowsPerBand: Int): Seq[Column] = {
+    val mask = if (rowsPerBand >= 64) -1L else (1L << rowsPerBand) - 1
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * rowsPerBand).bitwiseAND(lit(mask)).as("bucket"))
+    }
+  }
+
+  /** Vector dimension of the corpus, or None when it is empty. */
+  private def dimOf(corpus: DataFrame, vecCol: String): Option[Int] =
+    corpus.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
+
   /** LSH-bucketed ANN: candidates = corpus vectors sharing any signature
     * band with the query (multi-table sign-LSH), exact cosine rerank of
     * candidates only, top-k per query. Approximation affects recall
@@ -69,19 +84,19 @@ object Ann {
       nPlanes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     require(nPlanes % bands == 0)
     val rowsPerBand = nPlanes / bands
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val dimOpt = dimOf(corpus, vecCol)
+    if (dimOpt.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"), lit(0).as("rank"))
+        .limit(0)
+    val planes = hyperplanes(nPlanes, dimOpt.get, seed)
 
     def banded(df: DataFrame, id: String, nCol: String): DataFrame = {
       val sig = signSignature(col(vecCol), planes)
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * rowsPerBand)
-            .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bucket"))
-      }
       df.select(col(idCol).as(id), col(vecCol),
           Vectors.norm(col(vecCol)).as(nCol), sig.as("sig"))
-        .select(col(id), col(vecCol), col(nCol), explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col(vecCol), col(nCol),
+          explode(array(bandStructs(col("sig"), bands, rowsPerBand): _*)).as("bb"))
         .select(col(id), col(vecCol), col(nCol),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
@@ -175,18 +190,17 @@ object Ann {
       nPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
     require(nPlanes % bands == 0)
     val rowsPerBand = nPlanes / bands
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val dimOpt = dimOf(corpus, vecCol)
+    if (dimOpt.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_i"), lit(0L).as("id_j")).limit(0)
+    val planes = hyperplanes(nPlanes, dimOpt.get, seed)
     val sig = signSignature(col(vecCol), planes)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * rowsPerBand)
-          .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("bucket"))
-    }
     val banded = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Vectors.norm(col(vecCol)).as("n"), sig.as("sig"))
-      .select(col("id"), col("v"), col("n"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("v"), col("n"),
+        explode(array(bandStructs(col("sig"), bands, rowsPerBand): _*)).as("bb"))
       .select(col("id"), col("v"), col("n"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .localCheckpoint(false) // consumed by both sides of the self-join

@@ -65,6 +65,32 @@ class BloomSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("adding a column keeps old coverage; compact drops superseded rows") {
+    val dir = s"$work/inc_data"
+    val root = s"$work/inc_bloom"
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .repartitionByRange(4, col("event_id")).write.parquet(dir)
+    BloomIndex.build(spark, dir, Seq("event_id"), root)
+    BloomIndex.build(spark, dir, Seq("event_type"), root)
+    // both columns stay covered: neither pruned query falls back
+    val (_, r1) = BloomIndex.selectFiles(spark, dir, Eq("event_id", "5"), root)
+    val (_, r2) = BloomIndex.selectFiles(spark, dir, Eq("event_type", "error"), root)
+    assert(r1.fallbackFiles == 0, s"event_id coverage lost: $r1")
+    assert(r2.fallbackFiles == 0, s"event_type coverage lost: $r2")
+
+    // touch one file -> rebuild appends a new gen -> compact removes dead rows
+    val f = graft.build.IndexBuilder.listDataFiles(spark, dir).head
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(f.path),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    BloomIndex.build(spark, dir, Seq("event_id", "event_type"), root)
+    val (before, after) = BloomIndex.compact(spark, root)
+    assert(after < before, s"expected dead bloom rows dropped: $before -> $after")
+    val pred = Eq("event_type", "error")
+    val full = spark.read.parquet(dir).filter(pred.toColumn).count()
+    assert(BloomIndex.scan(spark, dir, pred, root).count() == full)
+  }
+
   test("stale file falls back to full scan") {
     prepared
     val staleData = s"$work/stale_data"
