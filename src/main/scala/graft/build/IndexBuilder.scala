@@ -279,7 +279,18 @@ object IndexBuilder {
     val stalePaths = stale.map(_.path).toSet
     val kept = existing.values.toSeq
       .filter(d => currentPaths.contains(d.sourcePath) && !stalePaths.contains(d.sourcePath))
-    writeDescriptors(spark, kept ++ descriptorRows(stale, names), indexRoot)
+    // content-fresh files re-indexed only for ADDED keys keep the union
+    // of descriptor columns — their previous keys' postings are still
+    // gen-valid (same mtime), and dropping the names would silently
+    // turn those columns' queries into full scans
+    val refreshed = stale.map { f =>
+      val prevCols = freshDescriptor(existing, f).map(_.columns).getOrElse(Seq.empty)
+      DescriptorRow(f.path, f.length, f.modificationTime,
+        (prevCols ++ names).distinct,
+        graft.model.IndexType.PostingsParquet,
+        graft.model.FileIndexDescriptor.CurrentVersion)
+    }
+    writeDescriptors(spark, kept ++ refreshed, indexRoot)
     stale
   }
 

@@ -60,6 +60,24 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(report.selectedFiles < report.totalFiles)
   }
 
+  test("incremental build with an added column keeps prior coverage") {
+    import spark.implicits._
+    val dir3 = s"$work/data3"
+    val idx3 = s"$work/index3"
+    Seq((1L, "k1", "v1"), (2L, "k2", "v2")).toDF("id", "kind", "variant")
+      .coalesce(1).write.parquet(dir3)
+    assert(IndexBuilder.buildIncremental(spark, dir3, Seq("kind"), idx3).nonEmpty)
+    // add a second indexed column over unchanged content
+    assert(IndexBuilder.buildIncremental(spark, dir3, Seq("variant"), idx3).nonEmpty)
+    // BOTH columns prune without fallback
+    val (_, rKind) = PrunedScanner.scanWithReport(spark, dir3, Eq("kind", "k1"), idx3)
+    val (_, rVar) = PrunedScanner.scanWithReport(spark, dir3, Eq("variant", "v2"), idx3)
+    assert(rKind.fallbackFiles == 0, s"kind coverage lost: $rKind")
+    assert(rVar.fallbackFiles == 0, s"variant coverage lost: $rVar")
+    // and a third build with either column is a no-op (nothing stale)
+    assert(IndexBuilder.buildIncremental(spark, dir3, Seq("kind"), idx3).isEmpty)
+  }
+
   test("rebuilt file is served from fresh gen; stale postings stay inert") {
     import spark.implicits._
     val dir2 = s"$work/data2"
