@@ -94,7 +94,7 @@ object Dedup {
     // NOT materialized: the self-join's two sides are canonically
     // identical, so their shuffle exchange is planned once and reused;
     // persisting the wide shingle table costs more than the one extra
-    // tokenize pass for `sizes`
+    // tokenize pass for the verification stage
     val sh = shingleTable(docs, idCol, textCol, n)
     val filtered =
       if (maxShingleFreq <= 0) sh
@@ -103,12 +103,16 @@ object Dedup {
           .filter(col("df") <= maxShingleFreq)
         sh.join(freq.select("sh"), "sh")
       }
-    val inter = filtered.as("a").join(filtered.as("b"),
+    // the inverted-index self-join only GENERATES candidates (pairs
+    // sharing >= 1 surviving shingle — with no frequency cut that is a
+    // superset of every pair with jac > 0, so the result stays exact);
+    // intersections are recomputed from the FULL shingle sets in
+    // verifyPairs, which also makes a frequency cut recall-only instead
+    // of silently changing reported Jaccard values
+    val cand = filtered.as("a").join(filtered.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = shingleSizes(sh)
-    jaccardFilter(inter, sizes, threshold).select("doc_i", "doc_j")
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+    verifyPairs(cand, sh, threshold)
   }
 
   /** jac = inter / (|A| + |B| - inter) >= threshold. */
