@@ -90,9 +90,49 @@ object DedupQueries extends QueryModule {
       |WHERE CAST(LEN(LIST_INTERSECT(sa.s, sb.s)) AS DOUBLE) /
       |      LEN(LIST_DISTINCT(LIST_CONCAT(sa.s, sb.s))) >= 0.8""".stripMargin
 
+  /** Near-dup pairs -> dedup CLUSTERS via connected components; the
+    * canonical representative is min(doc_id) per component. Oracle =
+    * recursive-CTE transitive closure over the same exact-Jaccard edge
+    * set (MinHash pairs are verified-exact, so both engines agree on
+    * the edges). Every document appears; singletons are their own
+    * representative. */
+  private def q49DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = Dedup.minHashDedupPairs(docs, "doc_id", "text", N, Threshold,
+        k = 32, bands = 16)
+      .select(col("doc_i").as("src"), col("doc_j").as("dst"))
+    Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+  }
+
+  private val q49Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
+      |  FROM toks WHERE LEN(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS pa, b.doc_id AS pb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8),
+      |edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q25_dedup_minhash", q25DedupMinHash, Some(jaccardSql)),
     Q("q26_dedup_ngram", q26DedupNgram, Some(jaccardSql)),
-    Q("q27_dedup_simhash", q27DedupSimHash, Some(q27Sql)))
+    Q("q27_dedup_simhash", q27DedupSimHash, Some(q27Sql)),
+    Q("q49_dedup_clusters", q49DedupClusters, Some(q49Sql)))
 }
