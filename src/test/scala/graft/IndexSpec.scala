@@ -188,6 +188,31 @@ class IndexSpec extends AnyFunSuite {
       Some(Or(Eq("event_type", "click"), Eq("event_type", "error"))))
   }
 
+  test("verifyCounts stays exact when files arrive after indexing (fallback)") {
+    prepared
+    val dir = s"$work/vc_data"
+    val idx = s"$work/vc_index"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(dataDir),
+      fs, new org.apache.hadoop.fs.Path(dir), false,
+      spark.sparkContext.hadoopConfiguration)
+    IndexBuilder.build(spark, dir, Seq("event_type"), idx)
+    // a new un-indexed file lands afterwards (known event types)
+    Tables.events(spark, sfDir).limit(50)
+      .coalesce(1).write.mode("append").parquet(dir)
+    spark.catalog.refreshByPath(dir)
+    val got = PrunedScanner.verifyCounts(spark, dir, "event_type", idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = spark.read.parquet(dir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every index-known key must count ALL its rows, including those in
+    // the fallback (un-indexed) file
+    got.foreach { case (v, n) =>
+      assert(n == truth(v), s"key $v: verifyCounts=$n truth=${truth(v)}")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("typed residual keeps string semantics for non-round-trip keys") {
     import spark.implicits._
     val df = Seq((7L, "a"), (8L, "b")).toDF("n", "s")
@@ -199,6 +224,25 @@ class IndexSpec extends AnyFunSuite {
     // column absent from schema falls back to the string form (error at
     // eval is fine; here just ensure construction works)
     Eq("missing", "x").toColumnFor(df.schema)
+  }
+
+  test("Between.leafMatches agrees with the SQL residual on random longs") {
+    // the soundness hinge: driver-side bound checks (what prunes) and
+    // the row-level residual (what survives) must decide identically
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val values = Seq.fill(300)(rnd.nextLong() % 1000)
+    val df = values.toDF("n")
+    (1 to 15).foreach { _ =>
+      val a = rnd.nextInt(2000) - 1000
+      val b = rnd.nextInt(2000) - 1000
+      val pred = Between("n",
+        Some(BigDecimal(math.min(a, b))), Some(BigDecimal(math.max(a, b))),
+        loInc = rnd.nextBoolean(), hiInc = rnd.nextBoolean())
+      val sqlSet = df.filter(pred.toColumn).as[Long].collect().toSet
+      val driverSet = values.filter(v => Pred.leafMatches(pred, v.toString)).toSet
+      assert(driverSet == sqlSet, s"pred=$pred")
+    }
   }
 
   test("a 50k-value IN builds a balanced tree the recursive walkers survive") {
