@@ -36,8 +36,15 @@ object Graft {
         spark.experimental.extraOptimizations :+ GraftPruneRule(spark)
   }
 
-  /** Register (or update) the index root for a dataset path. */
+  /** Register (or update) the index root for a dataset path. The conf
+    * encoding reserves '=' (key/value separator) and ';' (entry
+    * separator) — paths containing them cannot be registered; failing
+    * fast beats a registry entry that silently never matches. */
   def registerIndex(spark: SparkSession, dataDir: String, indexRoot: String): Unit = {
+    require(!dataDir.contains("=") && !dataDir.contains(";"),
+      s"dataDir cannot contain '=' or ';' (conf-encoding separators): $dataDir")
+    require(!indexRoot.contains(";"),
+      s"indexRoot cannot contain ';' (conf entry separator): $indexRoot")
     val key = graft.build.IndexBuilder.canonicalPath(dataDir)
     val existing = GraftPruneRule.parseRegistry(
       spark.conf.getOption(GraftPruneRule.IndexesConf))

@@ -48,6 +48,16 @@ import org.apache.spark.sql.functions._
   * prunes row groups by min/max; the build itself is one pass over the
   * data with map-side partial aggregation (each read-split contributes
   * at most one range per distinct value).
+  *
+  * INVARIANTS callers must hold:
+  *  - Index keys stringify with the BUILD session's
+  *    `spark.sql.session.timeZone`; query sessions must use the same
+  *    zone (pin UTC everywhere, as this engine's own sessions do) or
+  *    timestamp/date lookups render different key strings and prune
+  *    matching files. The engine does not record the build zone.
+  *  - File identity is the scheme-less canonical path
+  *    ([[canonicalPath]]): one index serves one filesystem; the
+  *    transparent rule refuses non-default-FS roots for this reason.
   */
 object IndexBuilder {
 

@@ -45,8 +45,22 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
     GraftPruneRule.parseRegistry(spark.conf.getOption(IndexesConf))
       .map { case (d, i) => normalize(d) -> i }
 
+  // the ONE canonical identity function (IndexBuilder's) — a diverging
+  // reimplementation here would silently stop matching registerIndex keys
   private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+    graft.build.IndexBuilder.canonicalPath(p)
+
+  /** Identities are scheme-less paths, so the engine can only prune
+    * datasets living on the session's DEFAULT filesystem; roots on any
+    * other FS are left untouched (full scan) rather than resolved
+    * against the wrong filesystem. */
+  private def onDefaultFs(p: org.apache.hadoop.fs.Path): Boolean = {
+    val defaultUri = org.apache.hadoop.fs.FileSystem.getDefaultUri(
+      spark.sparkContext.hadoopConfiguration)
+    val u = p.toUri
+    (u.getScheme == null || u.getScheme == defaultUri.getScheme) &&
+      (u.getAuthority == null || u.getAuthority == defaultUri.getAuthority)
+  }
 
   /** The largest translatable conjunct-tree of `cond` (ANDs may be
     * partially translated; OR requires both sides). */
@@ -71,7 +85,8 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
     // other directories' files from the scan.
     case f @ Filter(cond, lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _))
         if lr.getTagValue(PrunedTag).isEmpty && registry.nonEmpty &&
-          rel.partitionSchema.isEmpty && rel.location.rootPaths.length == 1 =>
+          rel.partitionSchema.isEmpty && rel.location.rootPaths.length == 1 &&
+          onDefaultFs(rel.location.rootPaths.head) =>
       val roots = rel.location.rootPaths.map(p => normalize(p.toString))
       val hit = roots.flatMap(r => registry.get(r).map(r -> _)).headOption
       (hit, translatableConjuncts(cond)) match {

@@ -209,8 +209,18 @@ object Pred {
       else
         try Option(Cast(l, StringType, tz).eval(null)).map(_.toString)
         catch { case _: Exception => None }
+    // Floating-point attrs never translate as bare EQ: SQL equality is
+    // not the string-key bijection (0.0 == -0.0 but keys "0.0" != "-0.0";
+    // Spark even treats NaN = NaN as true) — pruning on such keys drops
+    // sound rows. The explicit cast-to-string form below stays available
+    // (string compare IS the index semantics there).
+    def floating(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
     def leaf(a: CExpr, b: CExpr): Option[Eq] = a match {
-      case attr: AttributeReference =>
+      case attr: AttributeReference if !floating(attr.dataType) =>
         foldLiteral(b).flatMap(stringify).map(Eq(attr.name, _))
       case Cast(attr: AttributeReference, StringType, _, _) =>
         foldLiteral(b).filter(_.dataType == StringType)
@@ -255,13 +265,13 @@ object Pred {
       // rebuilds would be a 50k-way boolean tree — full scan instead
       case CIn(a, list) if list.nonEmpty && list.length <= MaxInValues =>
         a match {
-          case attr: AttributeReference =>
+          case attr: AttributeReference if !floating(attr.dataType) =>
             val vs = list.map(v => foldLiteral(v).flatMap(stringify))
             if (vs.forall(_.isDefined)) Some(in(attr.name, vs.map(_.get))) else None
           case _ => None
         }
       case InSet(attr: AttributeReference, set)
-          if set.nonEmpty && set.size <= MaxInValues =>
+          if set.nonEmpty && set.size <= MaxInValues && !floating(attr.dataType) =>
         val vs = set.toSeq.map(v =>
           if (v == null) None else stringify(Literal(v, attr.dataType)))
         if (vs.forall(_.isDefined)) Some(in(attr.name, vs.map(_.get))) else None

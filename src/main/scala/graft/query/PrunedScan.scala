@@ -69,6 +69,9 @@ object PrunedScanner extends Logging {
     * for `pred` (selected-by-index ++ fallback), plus the report. Shared
     * by the explicit two-phase scan below and the transparent optimizer
     * rule (graft.plans.GraftPruneRule). */
+  /** Postings-collect safety cap (see selectFilesDetailed). */
+  val MaxCollectedPostings: Int = 1 << 20
+
   def selectFiles(
       spark: SparkSession,
       dataDir: String,
@@ -132,14 +135,28 @@ object PrunedScanner extends Logging {
     // gen must match the live descriptor: rebuilt files leave stale
     // postings rows behind (append-only index); a mismatched gen means
     // the row describes a previous incarnation of the file.
+    // Bounded collect: a wide range over a high-cardinality column can
+    // match O(files x distinct values) postings rows; past the cap the
+    // batch degrades to a full scan (sound, never partial) instead of
+    // an unbounded driver collect. IN lists are separately capped at
+    // translation time (Pred.MaxInValues).
+    var overflow = false
     val hits: Map[(String, Pred), Seq[Block]] =
       if (allLeaves.isEmpty || !anyPrunable) Map.empty
       else {
-        val rows = IndexBuilder.postings(spark, indexRoot)
+        val collected = IndexBuilder.postings(spark, indexRoot)
           .filter(allLeaves.map(leafFilter).reduce(_ || _))
           .select("file", "column", "value", "ranges", "gen")
+          .limit(MaxCollectedPostings + 1)
           .as[(String, String, String, Seq[Block], Long)]
           .collect()
+        overflow = collected.length > MaxCollectedPostings
+        if (overflow) {
+          logWarning(s"PrunedScan $dataDir: postings lookup exceeded " +
+            s"$MaxCollectedPostings rows for ${allLeaves.size} leaves — " +
+            "falling back to a full scan for this batch")
+        }
+        val rows = collected
           .filter { case (f, _, _, _, g) =>
             descriptors.get(f).exists(_.modificationTime == g) }
         val byColumn = allLeaves.groupBy {
@@ -169,7 +186,8 @@ object PrunedScanner extends Logging {
     preds.map { pred =>
       val tp = System.nanoTime()
       val (prunable, fallback) = splitByColumns.getOrElseUpdate(pred.columns,
-        files.partition(f =>
+        if (overflow) (Seq.empty, files)
+        else files.partition(f =>
           fresh(f).exists(d => pred.columns.forall(d.columns.contains))))
       val leaves = pred.leaves.distinct
       val selected = prunable.filter { f =>
@@ -201,8 +219,31 @@ object PrunedScanner extends Logging {
       indexRoot: String,
       capBytes: Long = IndexBuilder.DefaultCapBytes,
       residual: Option[org.apache.spark.sql.Column] = None): (DataFrame, PruneReport) = {
-    val (toRead, report) = selectFiles(spark, dataDir, pred, indexRoot, capBytes)
     val schema = spark.read.parquet(dataDir).schema
+    // Between pruning is proven sound only for INTEGRAL columns (their
+    // stringified keys round-trip exactly through BigDecimal); on any
+    // other column type — or one absent from the schema — skip pruning
+    // entirely and let the residual do the work over a full scan. The
+    // Catalyst translation only ever produces integral Betweens; this
+    // guards hand-built predicates.
+    def integral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val betweenUnsound = pred.leaves.exists {
+      case Between(c, _, _, _, _) =>
+        !schema.find(_.name == c).exists(f => integral(f.dataType))
+      case _ => false
+    }
+    val (toRead, report) =
+      if (betweenUnsound) {
+        logWarning(s"PrunedScan $dataDir: BETWEEN over a non-integral column " +
+          s"in $pred — index pruning skipped, scanning fully")
+        val files = IndexBuilder.listDataFiles(spark, dataDir)
+        (files.map(_.path), PruneReport(files.size, 0, files.size,
+          files.map(_.length).sum, files.map(_.length).sum, 0))
+      } else selectFiles(spark, dataDir, pred, indexRoot, capBytes)
     val df =
       if (toRead.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -21,15 +21,21 @@ object RangeScan {
       .filter(col("_block_start") >= start && col("_block_end") <= end)
 
   /** Rows of the blocks a specific index posting covers — the
-    * TestIndexedReader flow: look the value up, read only its ranges. */
+    * TestIndexedReader flow: look the value up, read only its ranges.
+    * Honors the LIVE generation only (rows whose gen matches the file's
+    * descriptor), same as every other query path — an incrementally
+    * rebuilt file's stale postings are ignored, not unioned in. */
   def readPosting(
       spark: SparkSession, indexRoot: String,
       file: String, column: String, value: String): DataFrame = {
     import spark.implicits._
     import graft.build.IndexBuilder
+    val liveGen = IndexBuilder.loadDescriptors(spark, indexRoot)
+      .get(IndexBuilder.canonicalPath(file)).map(_.modificationTime)
     val ranges = IndexBuilder.postings(spark, indexRoot)
       .filter(col("column") === column && col("value") === value &&
-        col("file") === file)
+        col("file") === file &&
+        liveGen.map(col("gen") === _).getOrElse(lit(false)))
       .select("ranges").as[Seq[graft.intervals.Block]]
       .collect().flatten
     if (ranges.isEmpty) return spark.read.parquet(file).limit(0)
