@@ -188,6 +188,23 @@ class IndexSpec extends AnyFunSuite {
       Some(Or(Eq("event_type", "click"), Eq("event_type", "error"))))
   }
 
+  test("float EQ never prunes; non-integral BETWEEN degrades to full scan") {
+    prepared
+    val df = spark.read.parquet(dataDir)
+    // double attr: SQL equality is not the string-key bijection
+    assert(Pred.fromColumn(df, col("value") === 5.0).isEmpty)
+    assert(Pred.fromColumn(df, col("value").isin(1.0, 2.0)).isEmpty)
+    // hand-built Between over the double column: pruning skipped,
+    // results still exactly the residual semantics
+    val b = Between("value", Some(BigDecimal(100)), None, loInc = true, hiInc = false)
+    val (got, report) = PrunedScanner.scanWithReport(spark, dataDir, b, indexRoot)
+    assert(report.selectedFiles == 0 && report.fallbackFiles == report.totalFiles,
+      s"non-integral BETWEEN must not prune: $report")
+    val expect = spark.read.parquet(dataDir).filter(b.toColumn)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got.select("event_id").collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("verifyCounts stays exact when files arrive after indexing (fallback)") {
     prepared
     val dir = s"$work/vc_data"
