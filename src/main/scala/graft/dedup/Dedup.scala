@@ -79,10 +79,6 @@ object Dedup {
         explode(TextFunctions.wordShingles(col("toks"), n)).as("sh_text"))
       .select(col("doc_id"), xxhash64(col("sh_text")).as("sh"))
 
-  /** Per-doc distinct-shingle counts: (doc_id, sz). */
-  private def shingleSizes(shingles: DataFrame): DataFrame =
-    shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-
   /** Exact Jaccard similarity >= `threshold` over n-word shingles,
     * computed with an inverted-index self-join (shingle -> docs), the
     * classic exact near-dup join. `maxShingleFreq` drops ubiquitous
@@ -114,14 +110,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
     verifyPairs(cand, sh, threshold)
   }
-
-  /** jac = inter / (|A| + |B| - inter) >= threshold. */
-  private def jaccardFilter(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("sz", "sz_i"), "doc_i")
-      .join(sizes.withColumnRenamed("doc_id", "doc_j").withColumnRenamed("sz", "sz_j"), "doc_j")
-      .filter(col("inter").cast("double") /
-        (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
 
   /** MinHash signatures: (doc_id, h0..h{k-1}), each hj = min over the
     * doc's shingles of a salted 64-bit hash. One aggregation, k longs of
