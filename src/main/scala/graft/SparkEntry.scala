@@ -16,7 +16,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, IndexedQueries, TextQueries,
     DedupQueries, SimilarityQueries, TextAnalysisQueries,
-    MultimodalQueries, DateQueries, JoinQueries)
+    MultimodalQueries, DateQueries, JoinQueries, PipelineQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

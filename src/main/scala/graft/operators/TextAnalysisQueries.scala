@@ -80,9 +80,10 @@ object TextAnalysisQueries extends QueryModule {
     * sanity). All comparisons in integer cross-multiplication — no
     * float ratios — so both engines agree exactly; each heuristic
     * contributes 25 points to an integer score and `keep` = all four. */
-  private def q44QualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** Shared with q50's composed pipeline. */
+  private[operators] def qualityScores(docs: DataFrame): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    val base = Tables.documents(s, dir).select(
+    val base = docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_alpha"),
@@ -98,6 +99,9 @@ object TextAnalysisQueries extends QueryModule {
       ((h1 + h2 + h3 + h4) * 25).as("score"),
       (h1 + h2 + h3 + h4 === 4).cast("int").as("keep"))
   }
+
+  private def q44QualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScores(Tables.documents(s, dir))
 
   private val q44Sql =
     """WITH t AS (
