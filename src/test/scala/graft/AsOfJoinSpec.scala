@@ -86,6 +86,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Map(1L -> None, 2L -> Some("good")))
   }
 
+  test("withinTolerance condition filters matches older than the window") {
+    val left = Seq(("a", 100L, 1L), ("a", 200L, 2L)).toDF("k", "t", "probe_id")
+    val right = Seq(("a", 95L, "fresh"), ("a", 90L, "unused"))
+      .toDF("k", "rt", "payload")
+    val joined = AsOfJoin.join(left, right.withColumnRenamed("rt", "t"),
+      Seq("k"), "t", "t", Seq("payload"))
+      .join(right.select(col("payload"), col("rt")), Seq("payload"), "left")
+    val within = joined.filter(
+      AsOfJoin.withinTolerance(col("t"), col("rt"), lit(10L)))
+    // probe at t=100 matched rt=95 (age 5 <= 10): kept; probe at t=200
+    // matched rt=95 (age 105): dropped
+    assert(within.select("probe_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("payload column collision is rejected") {
     val l = Seq(("a", 1L, "x")).toDF("k", "t", "payload")
     val r = Seq(("a", 1L, "y")).toDF("k", "t", "payload")

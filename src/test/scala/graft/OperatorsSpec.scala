@@ -132,6 +132,12 @@ class OperatorsSpec extends AnyFunSuite {
         s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("LSH paths return empty results on an empty corpus (no crash)") {
+    val empty = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 0)
+    assert(Ann.lshNearDupPairs(empty, 0.5).count() == 0)
+    assert(Ann.lshTopK(empty, empty, 5).count() == 0)
+  }
+
   test("IVF ANN recall@5 vs brute force is reasonable; ranks well-formed") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
