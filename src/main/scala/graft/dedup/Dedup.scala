@@ -215,7 +215,15 @@ object Dedup {
     * candidates than 16 bands of 4 bits at equal guaranteed recall).
     * Short documents are noisy under SimHash — empirically, ~0.9-Jaccard
     * pairs of 10-25-token docs land at hamming 9-10 on 64 bits, hence
-    * the default of 10. */
+    * the default of 10.
+    *
+    * Measured alternative (not implemented): multi-probe chunking — 4
+    * chunks of 16 bits, each doc probing all C(16,<=2)=137 bit-flip
+    * variants per chunk (pigeonhole: <=10 total diffs forces some chunk
+    * <=2) — yields ~4x fewer candidate pairs than the 11-band scheme on
+    * the template-heavy sf0.1 corpus (3.8M vs 16M), at the price of a
+    * 137x probe-side row expansion. Revisit if candidate generation
+    * ever dominates the verify stage. */
   def simHashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxHamming: Int = 10): DataFrame = {
