@@ -220,7 +220,16 @@ object IndexBuilder {
     import spark.implicits._
     spark.createDataset(descriptors).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(descriptorsDir(indexRoot))
+    // Explicit invalidation: the listing-signature check would also catch
+    // this rewrite (part-file names embed a job UUID), but don't lean on
+    // that implementation detail — and drop the stale entry's memory now.
+    invalidateDescriptorCache(indexRoot)
   }
+
+  /** Drop the cached descriptors for `indexRoot` (call after any write
+    * to the descriptors directory from outside [[writeDescriptors]]). */
+  def invalidateDescriptorCache(indexRoot: String): Unit =
+    descriptorCache.remove(indexRoot)
 
   private def descriptorRows(files: Seq[SourceFile], columns: Seq[String]): Seq[DescriptorRow] =
     files.map(f => DescriptorRow(

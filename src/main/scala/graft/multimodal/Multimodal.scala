@@ -68,6 +68,16 @@ object Multimodal {
     d.map(b => f"$b%02x").mkString
   }
 
+  /** Digest of a byte-slice in the HEX domain: md5 over the uppercase
+    * hex rendering of the bytes. Full-payload digests stay raw md5
+    * ([[hexMd5]]); slices (resize prefix, frame chunks) use this form
+    * because a byte cut can land mid-UTF-8-char, and SQL oracles whose
+    * digest functions are VARCHAR-only (DuckDB) can still recompute
+    * `md5(substring(hex(payload), ...))` exactly for ANY byte content.
+    * Uppercase matches both Spark's and DuckDB's `hex()`. */
+  private def sliceDigest(bytes: Array[Byte]): String =
+    hexMd5(bytes.map(b => f"$b%02X").mkString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
   /** Batched feature extraction (decode + digest) — the mapInPandas
     * analog. */
   def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
@@ -105,7 +115,7 @@ object Multimodal {
             else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m),
               math.max(1L, n.toLong * maxDim / m).toInt)
           val out = r.payload.take(obytes)
-          ResizedMedia(r.media_id, r.kind, ow, oh, out.length.toLong, hexMd5(out))
+          ResizedMedia(r.media_id, r.kind, ow, oh, out.length.toLong, sliceDigest(out))
         }
       }
     }
@@ -119,7 +129,7 @@ object Multimodal {
     media.flatMap { r =>
       r.payload.grouped(frameBytes).zipWithIndex
         .filter { case (_, i) => i % stride == 0 }
-        .map { case (chunk, i) => (r.media_id, i, chunk.length, hexMd5(chunk)) }
+        .map { case (chunk, i) => (r.media_id, i, chunk.length, sliceDigest(chunk)) }
     }.toDF("media_id", "frame_no", "frame_bytes", "frame_digest")
   }
 

@@ -23,18 +23,24 @@ object MultimodalQueries extends QueryModule {
         col("width"), col("height"), col("n_frames"))
   }
 
+  // encode() not CAST(AS BLOB): the cast REJECTS non-ASCII text in
+  // DuckDB, encode() converts any string to its UTF-8 bytes. md5(text)
+  // over VARCHAR hashes those same bytes, so the full-payload digest is
+  // byte-exact on any corpus.
   private val q34Sql =
     """SELECT doc_id AS media_id,
-      |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(OCTET_LENGTH(encode(text)) AS BIGINT) AS n_bytes,
       |  MD5(text) AS digest,
-      |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
-      |  CAST((OCTET_LENGTH(CAST(text AS BLOB)) * 7) % 480 + 1 AS INT) AS height,
-      |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 24 + 1 AS INT) AS n_frames
+      |  CAST(OCTET_LENGTH(encode(text)) % 640 + 1 AS INT) AS width,
+      |  CAST((OCTET_LENGTH(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+      |  CAST(OCTET_LENGTH(encode(text)) % 24 + 1 AS INT) AS n_frames
       |FROM documents""".stripMargin
 
   /** Frame sampling: 1 payload -> n frame rows, digests per frame. The
-    * oracle reproduces the slicing arithmetic on substrings (ASCII
-    * payloads make byte == char slicing exact). */
+    * oracle slices in the BYTE domain via the hex rendering (2 hex chars
+    * per byte): a 64-byte cut can split a multi-byte UTF-8 char, so
+    * character SUBSTRING would diverge on non-ASCII corpora. Frame
+    * digests are hex-domain md5 (see Multimodal.sliceDigest). */
   private def q35FrameSample(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromTable(
       Tables.documents(s, dir), "doc_id", "text", "video")
@@ -44,13 +50,13 @@ object MultimodalQueries extends QueryModule {
   private val q35Sql =
     """WITH frames AS (
       |  SELECT doc_id AS media_id, i AS frame_no,
-      |    SUBSTRING(text, i * 64 + 1, 64) AS chunk
+      |    SUBSTRING(hex(encode(text)), i * 64 * 2 + 1, 64 * 2) AS hexchunk
       |  FROM documents
       |  CROSS JOIN (SELECT UNNEST(RANGE(0, 1000)) AS i) ii
-      |  WHERE i * 64 < OCTET_LENGTH(CAST(text AS BLOB)) AND i % 2 = 0)
+      |  WHERE i * 64 < OCTET_LENGTH(encode(text)) AND i % 2 = 0)
       |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
-      |  CAST(OCTET_LENGTH(CAST(chunk AS BLOB)) AS INT) AS frame_bytes,
-      |  MD5(chunk) AS frame_digest
+      |  CAST(LENGTH(hexchunk) // 2 AS INT) AS frame_bytes,
+      |  MD5(hexchunk) AS frame_digest
       |FROM frames""".stripMargin
 
   /** Resize-to-fit (stub codec): the scaling arithmetic and truncated
@@ -65,21 +71,24 @@ object MultimodalQueries extends QueryModule {
         col("out_bytes"), col("out_digest"))
   }
 
+  // byte-domain truncation via hex (2 chars/byte): character SUBSTRING
+  // would count chars where resizeStub takes a byte prefix, diverging on
+  // non-ASCII corpora; out_digest is the hex-domain md5 (sliceDigest)
   private val q48Sql =
     """WITH dims AS (
-      |  SELECT doc_id AS media_id, text,
-      |    OCTET_LENGTH(CAST(text AS BLOB)) AS n,
-      |    OCTET_LENGTH(CAST(text AS BLOB)) % 640 + 1 AS w,
-      |    (OCTET_LENGTH(CAST(text AS BLOB)) * 7) % 480 + 1 AS h
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    OCTET_LENGTH(encode(text)) AS n,
+      |    OCTET_LENGTH(encode(text)) % 640 + 1 AS w,
+      |    (OCTET_LENGTH(encode(text)) * 7) % 480 + 1 AS h
       |  FROM documents),
       |scaled AS (
-      |  SELECT media_id, text, n, w, h, GREATEST(w, h) AS m FROM dims)
+      |  SELECT media_id, hx, n, w, h, GREATEST(w, h) AS m FROM dims)
       |SELECT media_id,
       |  CAST(CASE WHEN m <= 128 THEN w ELSE GREATEST(1, w * 128 // m) END AS INT) AS out_w,
       |  CAST(CASE WHEN m <= 128 THEN h ELSE GREATEST(1, h * 128 // m) END AS INT) AS out_h,
       |  CAST(CASE WHEN m <= 128 THEN n ELSE GREATEST(1, n * 128 // m) END AS BIGINT) AS out_bytes,
-      |  MD5(SUBSTRING(text, 1,
-      |    CASE WHEN m <= 128 THEN n ELSE GREATEST(1, n * 128 // m) END)) AS out_digest
+      |  MD5(SUBSTRING(hx, 1,
+      |    2 * (CASE WHEN m <= 128 THEN n ELSE GREATEST(1, n * 128 // m) END))) AS out_digest
       |FROM scaled""".stripMargin
 
   override def queries: Seq[Q] = Seq(

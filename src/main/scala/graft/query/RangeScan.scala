@@ -30,11 +30,15 @@ object RangeScan {
       file: String, column: String, value: String): DataFrame = {
     import spark.implicits._
     import graft.build.IndexBuilder
+    // Postings store canonical (scheme-less) paths; a scheme-qualified
+    // caller path (file:///...) must be canonicalized for BOTH the
+    // descriptor lookup and the postings filter or it matches zero rows.
+    val canonicalFile = IndexBuilder.canonicalPath(file)
     val liveGen = IndexBuilder.loadDescriptors(spark, indexRoot)
-      .get(IndexBuilder.canonicalPath(file)).map(_.modificationTime)
+      .get(canonicalFile).map(_.modificationTime)
     val ranges = IndexBuilder.postings(spark, indexRoot)
       .filter(col("column") === column && col("value") === value &&
-        col("file") === file &&
+        col("file") === canonicalFile &&
         liveGen.map(col("gen") === _).getOrElse(lit(false)))
       .select("ranges").as[Seq[graft.intervals.Block]]
       .collect().flatten

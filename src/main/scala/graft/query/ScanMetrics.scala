@@ -46,13 +46,15 @@ object ScanMetrics {
     registered.computeIfAbsent(spark, { s =>
       val l = new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-          // Pair _in/_out strictly WITHIN this QueryExecution — both
-          // observe nodes of one observed() scan live in one plan, so
-          // one action always reports both. Merging against global
-          // state would let two concurrent queries sharing a name pair
-          // rows_scanned from one action with rows_qualified from
-          // another; here a same-name publish is a whole-pair
-          // overwrite (last writer wins), never a mixed pair.
+          // Pair _in/_out strictly WITHIN this QueryExecution when both
+          // sides are present — one observed() scan puts both nodes in
+          // one plan, so the common case publishes a whole pair
+          // atomically (never a mixed pair from two concurrent queries
+          // sharing a name). When an action's plan carries only ONE of
+          // the nodes (e.g. it ran over a cached/split subtree of the
+          // observed scan), update just that side and keep the other
+          // from the previous complete pair instead of clobbering it
+          // with -1.
           val metrics = qe.observedMetrics
           val ins = metrics.collect {
             case (n, row) if n.endsWith("_in") =>
@@ -63,7 +65,10 @@ object ScanMetrics {
               n.dropRight(4) -> row.getAs[Long](QualifiedMetric)
           }
           (ins.keySet ++ outs.keySet).foreach { b =>
-            results.put(b, (ins.getOrElse(b, -1L), outs.getOrElse(b, -1L)))
+            results.compute(b, { (_, prev) =>
+              val p = Option(prev).getOrElse((-1L, -1L))
+              (ins.getOrElse(b, p._1), outs.getOrElse(b, p._2))
+            })
           }
         }
         override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()

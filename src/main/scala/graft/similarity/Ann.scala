@@ -86,9 +86,11 @@ object Ann {
     val rowsPerBand = nPlanes / bands
     val dimOpt = dimOf(corpus, vecCol)
     if (dimOpt.isEmpty)
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"), lit(0).as("rank"))
-        .limit(0)
+      // derive the empty schema from the inputs so the id column type
+      // (long, string, ...) matches the non-empty path for downstream unions
+      return queries.select(col(idCol).as("query_id"))
+        .crossJoin(corpus.select(col(idCol).as("neighbor_id")))
+        .withColumn("rank", lit(0)).limit(0)
     val planes = hyperplanes(nPlanes, dimOpt.get, seed)
 
     def banded(df: DataFrame, id: String, nCol: String): DataFrame = {
@@ -192,8 +194,10 @@ object Ann {
     val rowsPerBand = nPlanes / bands
     val dimOpt = dimOf(corpus, vecCol)
     if (dimOpt.isEmpty)
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_i"), lit(0L).as("id_j")).limit(0)
+      // schema derived from the input so the id type matches the
+      // non-empty path (see lshTopK)
+      return corpus.select(col(idCol).as("id_i"))
+        .crossJoin(corpus.select(col(idCol).as("id_j"))).limit(0)
     val planes = hyperplanes(nPlanes, dimOpt.get, seed)
     val sig = signSignature(col(vecCol), planes)
     val banded = corpus
