@@ -135,6 +135,48 @@ object IndexedQueries extends QueryModule {
       |WHERE event_type IN ('error', 'signup', 'purchase')
       |  AND user_id BETWEEN 0 AND 25""".stripMargin
 
+  private def partDataDir(sfDir: String): String = s"${root(sfDir)}/events_part"
+  private def partIndexRoot(sfDir: String): String = s"${root(sfDir)}/events_part_index"
+
+  /** Day-partitioned copy (the reference's standard time-partitioned
+    * layout, `indexing/StatusesIndexManager.java:42-144` → `day=` dirs):
+    * event types clustered across tasks so each day directory holds
+    * several files dominated by few types — file-level index pruning has
+    * work to do WITHIN a partition. */
+  private def preparePartitioned(s: SparkSession, sfDir: String): Unit = synchronized {
+    val dd = new Path(partDataDir(sfDir))
+    val fs = dd.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dd)) {
+      Tables.events(s, sfDir)
+        .withColumn("day", to_date(col("ts")))
+        .repartition(8, col("event_type"))
+        .write.partitionBy("day").parquet(partDataDir(sfDir))
+    }
+    IndexBuilder.build(s, partDataDir(sfDir), Seq("event_type"), partIndexRoot(sfDir),
+      capBytes = CapBytes)
+  }
+
+  /** TRANSPARENT pruning on the hive-partitioned layout: a plain
+    * `spark.read.parquet(dir).filter(...)` where Spark prunes the `day=`
+    * partitions on the date conjunct and GraftPruneRule subtracts
+    * index-irrelevant files on the event_type conjunct — composition
+    * asserted at plan level in GraftRuleSpec; row-set equivalence to the
+    * full scan verified here against the oracle. */
+  private def q52IdxPartitioned(s: SparkSession, dir: String): DataFrame = {
+    preparePartitioned(s, dir)
+    graft.Graft.enable(s)
+    graft.Graft.registerIndex(s, partDataDir(dir), partIndexRoot(dir))
+    s.read.parquet(partDataDir(dir))
+      .filter(col("event_type") === "error" &&
+        col("day") >= lit("2024-01-16").cast("date"))
+      .select("event_id", "user_id", "event_type", "day")
+  }
+
+  private val q52Sql =
+    """SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day
+      |FROM events
+      |WHERE event_type = 'error' AND CAST(ts AS DATE) >= DATE '2024-01-16'""".stripMargin
+
   private def bloomRoot(sfDir: String): String = s"${root(sfDir)}/events_bloom"
 
   /** EQ on a HIGH-CARDINALITY column through the bloom skipping index
@@ -160,5 +202,6 @@ object IndexedQueries extends QueryModule {
     Q("q20_idx_verify_counts", q20IdxVerifyCounts, Some(q20Sql)),
     Q("q41_idx_range", q41IdxRange, Some(q41Sql)),
     Q("q42_idx_in", q42IdxIn, Some(q42Sql)),
-    Q("q46_bloom_eq", q46BloomEq, Some(q46Sql)))
+    Q("q46_bloom_eq", q46BloomEq, Some(q46Sql)),
+    Q("q52_idx_partitioned", q52IdxPartitioned, Some(q52Sql)))
 }

@@ -1,33 +1,94 @@
 package graft.plans
 
+import graft.build.IndexBuilder
 import graft.query.{Pred, PrunedScanner}
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** A [[FileIndex]] that SUBTRACTS index-pruned files from an underlying
+  * listing instead of replacing it. Wrapping (rather than rebuilding an
+  * `InMemoryFileIndex` from leaf files) preserves everything the
+  * underlying index knows that a bare file list cannot express:
+  * hive-partition values (and Spark's own partition pruning, which
+  * still runs against the wrapped `listFiles(partitionFilters, ...)`),
+  * multiple root paths, and file listing freshness. Exclusion-oriented
+  * filtering is also the sound default — a file the pruning decision
+  * never enumerated is read, not dropped.
+  */
+final class GraftPrunedFileIndex(
+    val underlying: FileIndex,
+    val excluded: Set[String],   // canonical paths (IndexBuilder.canonicalPath)
+    excludedBytes: Long)
+  extends FileIndex {
+
+  private def keepPath(p: org.apache.hadoop.fs.Path): Boolean =
+    !excluded.contains(IndexBuilder.canonicalPath(p.toString))
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = underlying.rootPaths
+  override def partitionSchema: StructType = underlying.partitionSchema
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    underlying.listFiles(partitionFilters, dataFilters)
+      .map(pd => pd.copy(files = pd.files.filter(f => keepPath(f.getPath))))
+      .filter(_.files.nonEmpty)
+
+  override def inputFiles: Array[String] =
+    underlying.inputFiles.filter(p => !excluded.contains(IndexBuilder.canonicalPath(p)))
+
+  override def refresh(): Unit = underlying.refresh()
+
+  // planner sizing (broadcast decisions): the underlying estimate minus
+  // what the index proved irrelevant — never negative
+  override def sizeInBytes: Long = math.max(0L, underlying.sizeInBytes - excludedBytes)
+
+  override def metadataOpsTimeNs: Option[Long] = underlying.metadataOpsTimeNs
+}
 
 /** Transparent index-consulting scan pruning — the custom planner hook
   * the reference implements as `getSplits` split filtering
   * (`retrieval/BlockIndexedFileInputFormat.java:110-187`) and SURVEY.md
   * §4 R2 maps to "a FileIndex that consults the index table".
   *
-  * The rule rewrites `Filter(cond, scan(parquet dir))` when:
-  *   1. the scanned root path is registered in the session conf
-  *      `spark.graft.indexes` (format `dataDir=indexRoot;...`), and
-  *   2. `cond` (or some conjunct of it) translates into the EQ/AND/OR
-  *      IR,
-  * replacing the relation's file listing with only the files the sparse
-  * index proves relevant (plus freshness fallbacks). The Filter itself
-  * is left in place — it is the mandatory residual re-check, and
-  * Catalyst additionally pushes it into the parquet reader.
+  * The rule rewrites `Filter(cond, scan(parquet roots))` when at least
+  * one root path is registered in the session conf `spark.graft.indexes`
+  * (format `dataDir=indexRoot;...`) and `cond` has a conjunct that
+  * translates into the EQ/AND/OR IR over that root's INDEXED columns.
+  * The relation's [[FileIndex]] is wrapped with a
+  * [[GraftPrunedFileIndex]] that filters out the files each root's
+  * sparse index proves irrelevant. The Filter itself is left in place —
+  * it is the mandatory residual re-check, and Catalyst additionally
+  * pushes it into the parquet reader.
+  *
+  * Composition with Spark's native pruning: hive-partitioned layouts
+  * (the reference's standard time-partitioned collections,
+  * `indexing/StatusesIndexManager.java:42-144` → `day=` directories) keep
+  * their partition values because the underlying index still produces
+  * the `PartitionDirectory`s — Spark prunes partitions on partition
+  * predicates, the graft index prunes FILES on data predicates, and the
+  * two subtract independently. Conjuncts over partition columns are
+  * excluded from index translation (they are never in the data files, so
+  * never indexed) — dropping conjuncts only widens the file set.
+  *
+  * Multi-root scans (`spark.read.parquet(dirA, dirB)`) prune each
+  * REGISTERED root with its own index; unregistered roots' files are
+  * always kept.
   *
   * Soundness: non-translatable predicates leave the plan untouched
-  * (full scan); a conjunct suffices for pruning because dropping
-  * conjuncts only widens the file set. Idempotence under the
-  * fixed-point optimizer batch is ensured with a TreeNodeTag.
+  * (full scan); per-file freshness fallbacks are part of the pruning
+  * decision (`PrunedScanner`); exclusion-oriented subtraction keeps any
+  * file the decision didn't enumerate. Idempotence under the fixed-point
+  * optimizer batch is ensured with a TreeNodeTag (set even when nothing
+  * could be pruned, so the driver-side index lookup runs once, not once
+  * per fixed-point iteration).
   *
   * Usage:
   * {{{
@@ -75,33 +136,71 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
       case e => Pred.fromExpression(e)
     }
 
+  /** Restrict `pred` to conjuncts whose columns all lie in `allowed`
+    * (this root's indexed columns): AND keeps surviving sides, OR needs
+    * both. Dropping conjuncts only widens the file set — and without
+    * this, one conjunct on an unindexed (or partition) column would
+    * route EVERY file to the freshness fallback and defeat pruning. */
+  private def restrictTo(pred: Pred, allowed: Set[String]): Option[Pred] = pred match {
+    case graft.query.And(l, r) =>
+      (restrictTo(l, allowed), restrictTo(r, allowed)) match {
+        case (Some(a), Some(b)) => Some(graft.query.And(a, b))
+        case (a, b)             => a.orElse(b)
+      }
+    case graft.query.Or(l, r) =>
+      for { a <- restrictTo(l, allowed); b <- restrictTo(r, allowed) }
+        yield graft.query.Or(a, b)
+    case leaf =>
+      if (leaf.columns.subsetOf(allowed)) Some(leaf) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    // partitionSchema must be empty: the replacement InMemoryFileIndex
-    // is built from bare leaf files and cannot reconstruct hive
-    // partition values — hive-partitioned datasets fall back to Spark's
-    // own partition pruning untouched. Exactly ONE root path required:
-    // for spark.read.parquet(dirA, dirB) the pruned listing would be
-    // rebuilt from the registered root alone, silently dropping the
-    // other directories' files from the scan.
     case f @ Filter(cond, lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _))
-        if lr.getTagValue(PrunedTag).isEmpty && registry.nonEmpty &&
-          rel.partitionSchema.isEmpty && rel.location.rootPaths.length == 1 &&
-          onDefaultFs(rel.location.rootPaths.head) =>
-      val roots = rel.location.rootPaths.map(p => normalize(p.toString))
-      val hit = roots.flatMap(r => registry.get(r).map(r -> _)).headOption
-      (hit, translatableConjuncts(cond)) match {
-        case (Some((dataDir, indexRoot)), Some(pred)) =>
-          val (files, report) = PrunedScanner.selectFiles(spark, dataDir, pred, indexRoot)
-          logInfo(s"GraftPruneRule: $dataDir pred=$pred -> " +
-            s"${report.selectedFiles}+${report.fallbackFiles}/${report.totalFiles} files, " +
-            s"bytes ratio ${report.bytesRatio}")
-          val prunedIndex = new InMemoryFileIndex(
-            spark, files.map(new org.apache.hadoop.fs.Path(_)),
-            Map.empty, Some(rel.dataSchema))
-          val prunedRel = rel.copy(location = prunedIndex)(spark)
-          val newLr = lr.copy(relation = prunedRel)
-          newLr.setTagValue(PrunedTag, true)
-          Filter(cond, newLr)
+        if lr.getTagValue(PrunedTag).isEmpty && f.getTagValue(PrunedTag).isEmpty &&
+          registry.nonEmpty =>
+      val reg = registry
+      val registeredRoots = rel.location.rootPaths
+        .filter(onDefaultFs)
+        .map(p => normalize(p.toString))
+        .flatMap(r => reg.get(r).map(r -> _))
+      val predOpt =
+        if (registeredRoots.isEmpty) None else translatableConjuncts(cond)
+      (registeredRoots, predOpt) match {
+        case (roots, Some(fullPred)) if roots.nonEmpty =>
+          val excluded = Set.newBuilder[String]
+          var excludedBytes = 0L
+          var any = false
+          roots.foreach { case (dataDir, indexRoot) =>
+            // this root's indexed columns = union over its descriptors
+            // (freshness is enforced per file inside the decision)
+            val indexedCols = IndexBuilder.loadDescriptors(spark, indexRoot)
+              .values.flatMap(_.columns).toSet
+            restrictTo(fullPred, indexedCols).foreach { pred =>
+              val (excl, report) =
+                PrunedScanner.excludedFiles(spark, dataDir, pred, indexRoot)
+              logInfo(s"GraftPruneRule: $dataDir pred=$pred -> " +
+                s"${report.selectedFiles}+${report.fallbackFiles}/${report.totalFiles} files, " +
+                s"bytes ratio ${report.bytesRatio}")
+              excl.foreach { sf =>
+                excluded += sf.path
+                excludedBytes += sf.length
+                any = true
+              }
+            }
+          }
+          // tag even when nothing was excluded: the pruning decision is
+          // a driver-side job and must not rerun per fixed-point pass.
+          // The no-op tag goes on the FILTER (a shared relation node may
+          // still be prunable under a different filter elsewhere).
+          if (!any) { f.setTagValue(PrunedTag, true); f }
+          else {
+            val prunedIndex =
+              new GraftPrunedFileIndex(rel.location, excluded.result(), excludedBytes)
+            val prunedRel = rel.copy(location = prunedIndex)(spark)
+            val newLr = lr.copy(relation = prunedRel)
+            newLr.setTagValue(PrunedTag, true)
+            Filter(cond, newLr)
+          }
         case _ => f
       }
   }

@@ -91,8 +91,26 @@ object PrunedScanner extends Logging {
       preds: Seq[Pred],
       indexRoot: String,
       capBytes: Long = IndexBuilder.DefaultCapBytes): Seq[(Seq[String], PruneReport)] =
-    selectFilesDetailed(spark, dataDir, preds, indexRoot, capBytes)
+    selectFilesDetailed(spark, dataDir, preds, indexRoot, capBytes)._2
       .map { case (sel, fb, report) => (sel ++ fb, report) }
+
+  /** Exclusion-oriented pruning decision for the transparent rule: the
+    * files of `dataDir` PROVABLY irrelevant to `pred` (index-fresh, empty
+    * posting list), plus the report. The rule subtracts these from the
+    * relation's own listing instead of rebuilding it, so a file unknown
+    * to this enumeration (raced in by a concurrent writer, listed by a
+    * different FileIndex snapshot) is read, never silently dropped. */
+  def excludedFiles(
+      spark: SparkSession,
+      dataDir: String,
+      pred: Pred,
+      indexRoot: String,
+      capBytes: Long = IndexBuilder.DefaultCapBytes): (Seq[IndexBuilder.SourceFile], PruneReport) = {
+    val (all, results) = selectFilesDetailed(spark, dataDir, Seq(pred), indexRoot, capBytes)
+    val (sel, fb, report) = results.head
+    val keep = (sel ++ fb).toSet
+    (all.filterNot(f => keep(f.path)), report)
+  }
 
   /** Like [[selectFilesBatch]] but keeps index-selected and
     * freshness-fallback files apart — [[verifyCounts]] needs the
@@ -102,7 +120,7 @@ object PrunedScanner extends Logging {
       dataDir: String,
       preds: Seq[Pred],
       indexRoot: String,
-      capBytes: Long): Seq[(Seq[String], Seq[String], PruneReport)] = {
+      capBytes: Long): (Seq[IndexBuilder.SourceFile], Seq[(Seq[String], Seq[String], PruneReport)]) = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
@@ -183,7 +201,7 @@ object PrunedScanner extends Logging {
     // predicates) partitions the file list once, not once per key
     val splitByColumns =
       scala.collection.mutable.Map.empty[Set[String], (Seq[IndexBuilder.SourceFile], Seq[IndexBuilder.SourceFile])]
-    preds.map { pred =>
+    files -> preds.map { pred =>
       val tp = System.nanoTime()
       val (prunable, fallback) = splitByColumns.getOrElseUpdate(pred.columns,
         if (overflow) (Seq.empty, files)
@@ -282,7 +300,7 @@ object PrunedScanner extends Logging {
       .filter(col("column") === column)
       .select("value").distinct().as[String].collect().sorted.toIndexedSeq
     val sets = selectFilesDetailed(
-      spark, dataDir, values.map(v => Eq(column, v): Pred), indexRoot, capBytes)
+      spark, dataDir, values.map(v => Eq(column, v): Pred), indexRoot, capBytes)._2
     // Index-SELECTED (value, file) pairs only: their count is bounded by
     // the postings rows the driver already holds. FALLBACK files (same
     // set for every key — the split depends only on the column) are

@@ -73,6 +73,24 @@ class GraftRuleSpec extends AnyFunSuite {
     assert(df.agg(min(col("value"))).first().getDouble(0) > 100.0)
   }
 
+  test("a translatable conjunct on an UNINDEXED column no longer defeats pruning") {
+    prepared
+    // event_id is translatable (long EQ) but not indexed: the rule must
+    // drop that conjunct from the index predicate (it stays as the
+    // row-level residual) and still prune on event_type
+    val df = spark.read.parquet(dataDir)
+      .filter(col("event_type") === "error" && col("event_id") === 7L)
+    assert(scanFileCount(df) < scanFileCount(spark.read.parquet(dataDir)))
+    val expect = {
+      spark.conf.unset(GraftPruneRule.IndexesConf)
+      val e = spark.read.parquet(dataDir)
+        .filter(col("event_type") === "error" && col("event_id") === 7L).count()
+      spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+      e
+    }
+    assert(df.count() == expect)
+  }
+
   test("Graft facade: enable + registerIndex + read prunes end-to-end") {
     prepared
     val s2 = spark // same session; enable must be idempotent with the manual registration
@@ -85,21 +103,57 @@ class GraftRuleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
-  test("hive-partitioned registered datasets are left to Spark's own pruning") {
+  /** Files ACTUALLY read by the executed scan (post-action metric):
+    * unlike `location.inputFiles`, this reflects Spark's hive-partition
+    * pruning as well as the rule's index pruning. */
+  private def numFilesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+  }
+
+  test("hive-partitioned datasets prune transparently, composing with partition pruning") {
     prepared
     val pdir = s"$work/partitioned"
+    // cluster event types across tasks so each day=… dir gets several
+    // files each dominated by few types — file-level index pruning has
+    // something to cut WITHIN a surviving partition
     spark.read.parquet(dataDir)
       .withColumn("day", to_date(col("ts")))
+      .repartition(4, col("event_type"))
       .write.partitionBy("day").parquet(pdir)
     IndexBuilder.build(spark, pdir, Seq("event_type"), s"$work/pidx")
     spark.conf.set(GraftPruneRule.IndexesConf,
       s"$dataDir=$indexRoot;$pdir=$work/pidx")
-    val df = spark.read.parquet(pdir).filter(col("event_type") === "error")
-    // rule must NOT rewrite (it would lose partition values); results stay correct
-    assert(scanFileCount(df) == scanFileCount(spark.read.parquet(pdir)))
-    assert(df.count() ==
-      spark.read.parquet(dataDir).filter(col("event_type") === "error").count())
-    spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+    try {
+      val cut = lit("2024-01-16").cast("date")
+      val full = numFilesRead(spark.read.parquet(pdir).filter(lit(true)))
+      val partOnly = numFilesRead(
+        spark.read.parquet(pdir).filter(col("day") >= cut))
+      val idxOnly = numFilesRead(
+        spark.read.parquet(pdir).filter(col("event_type") === "error"))
+      val both = numFilesRead(spark.read.parquet(pdir)
+        .filter(col("event_type") === "error" && col("day") >= cut))
+      // partition pruning alone works (rule leaves partition conjuncts out)
+      assert(partOnly < full, s"partition pruning: $partOnly vs $full")
+      // index pruning alone works on the hive layout (partition values kept)
+      assert(idxOnly < full, s"index pruning: $idxOnly vs $full")
+      // and TOGETHER they compose: fewer files than either alone
+      assert(both < partOnly && both < idxOnly,
+        s"composition: both=$both partOnly=$partOnly idxOnly=$idxOnly")
+
+      // identical results to the unregistered path
+      val got = spark.read.parquet(pdir)
+        .filter(col("event_type") === "error" && col("day") >= cut)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+      val expect = spark.read.parquet(pdir)
+        .filter(col("event_type") === "error" && col("day") >= cut)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect && got.nonEmpty)
+    } finally
+      spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
   }
 
   test("transparent range predicates stay correct under the rule") {
@@ -119,15 +173,17 @@ class GraftRuleSpec extends AnyFunSuite {
     assert(expect.nonEmpty)
   }
 
-  test("multi-root relations are left untouched (no rows silently dropped)") {
+  test("multi-root relations prune registered roots, keep unregistered roots whole") {
     prepared
     val extra = s"$work/extra"
     spark.read.parquet(dataDir).write.parquet(extra) // second, unregistered root
     val both = spark.read.parquet(dataDir, extra)
+    val extraFiles = scanFileCount(spark.read.parquet(extra))
     val df = both.filter(col("event_type") === "error")
-    // the rule must not rewrite: a pruned listing rebuilt from the one
-    // registered root would drop every file under `extra`
-    assert(scanFileCount(df) == scanFileCount(both))
+    // registered root's files shrink; every file of `extra` survives
+    assert(scanFileCount(df) < scanFileCount(both))
+    assert(scanFileCount(df) >= extraFiles)
+    // no rows silently dropped: the unregistered root contributes fully
     assert(df.count() ==
       2 * spark.read.parquet(dataDir).filter(col("event_type") === "error").count())
   }
