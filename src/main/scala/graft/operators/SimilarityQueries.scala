@@ -24,6 +24,39 @@ object SimilarityQueries extends QueryModule {
       |WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
 
+  /** The LSH-bucketed near-dup SCALE path, held to an EXACT oracle — so
+    * the plan that survives 100 TB is the one the oracle verifies
+    * (q28's crossJoin stays as the exact-baseline anchor). The corpus is
+    * the natural one plus PLANTED near-dups: a x0.5-scaled copy of the
+    * first 50 vectors (scaling by a power of two is exact in float, so
+    * signatures and cosines are preserved bit-for-bit — planted cosine
+    * ~1.0 against a widest-possible gap, next natural pair <= 0.52).
+    * This is the regime LSH banding is FOR (true near-dups, tiny
+    * signature hamming): recall is deterministically 1.0 by the
+    * pigeonhole band guarantee with enormous margin — asserted in
+    * LshNearDupSpec, which also MEASURES recall on the natural
+    * threshold-0.45 distribution where the ~63-degree angle makes any
+    * disjoint banding boundary-blind by construction. */
+  private def q51EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    Ann.lshNearDupPairs(emb.unionByName(planted), 0.9)
+  }
+
+  private val q51Sql =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(0.5 AS FLOAT))
+      |  FROM embeddings WHERE vec_id < 50
+      |)
+      |SELECT a.vec_id AS id_i, b.vec_id AS id_j
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.9""".stripMargin
+
   /** Exact brute-force cosine top-5 for three query vectors. */
   private def q29AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -59,6 +92,7 @@ object SimilarityQueries extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
+    Q("q51_embed_neardup_lsh", q51EmbedNearDupLsh, Some(q51Sql)),
     Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
     Q("q30_ann_lsh", q30AnnLsh, None),
     Q("q45_ann_ivf", q45AnnIvf, None))

@@ -43,8 +43,9 @@ object Ann {
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes: values derived
-    * from a seeded hash, fixed at plan time. */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    * from a seeded hash, fixed at plan time. `private[graft]` so specs
+    * can recompute signatures and assert the pigeonhole recall bound. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -182,10 +183,18 @@ object Ann {
   /** LSH-bucketed near-dup PAIRS — the scale path behind
     * [[cosineNearDupPairs]]' exact O(n^2): sign-LSH band buckets
     * generate candidates, exact cosine keeps only pairs >= threshold.
-    * Precision exact; recall is the banding knob (more bands / fewer
-    * rows per band = higher recall). At 100 TB the banded table is the
-    * only thing shuffled — candidate volume is bucket-local, the n^2
-    * never materializes. */
+    * Precision exact; recall is the banding knob, with a DETERMINISTIC
+    * pigeonhole guarantee: cutting the signature into `bands` bands,
+    * a pair whose signatures differ in fewer than `bands` bits MUST
+    * share an identical band — so recall is provably 1.0 for every pair
+    * within that hamming budget (LshNearDupSpec asserts the registered
+    * corpus/threshold stays inside it). At 100 TB the banded table is
+    * the only thing shuffled — candidate volume is bucket-local, the
+    * n^2 never materializes. Near the decision boundary of a LOW
+    * threshold (the test corpus' 0.45 ≈ 63°) the hamming budget forces
+    * wide bands and candidates grow toward n^2 — that cost is inherent
+    * to the angle, not the algorithm; at production near-dup thresholds
+    * (>= 0.9) the same code yields tight buckets. */
   def lshNearDupPairs(
       corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
