@@ -90,25 +90,40 @@ object Dedup {
     // NOT materialized: the self-join's two sides are canonically
     // identical, so their shuffle exchange is planned once and reused;
     // persisting the wide shingle table costs more than the one extra
-    // tokenize pass for the verification stage
+    // tokenize pass for the size/verification stage
     val sh = shingleTable(docs, idCol, textCol, n)
-    val filtered =
-      if (maxShingleFreq <= 0) sh
-      else {
-        val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleFreq)
-        sh.join(freq.select("sh"), "sh")
-      }
-    // the inverted-index self-join only GENERATES candidates (pairs
-    // sharing >= 1 surviving shingle — with no frequency cut that is a
-    // superset of every pair with jac > 0, so the result stays exact);
-    // intersections are recomputed from the FULL shingle sets in
-    // verifyPairs, which also makes a frequency cut recall-only instead
-    // of silently changing reported Jaccard values
-    val cand = filtered.as("a").join(filtered.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-    verifyPairs(cand, sh, threshold)
+    if (maxShingleFreq <= 0) {
+      // UNCUT exact path: no shingle is dropped, so the inverted-index
+      // self-join emits exactly one row per (pair, shared shingle) —
+      // counting rows per pair IN the join's own shuffle IS the exact
+      // intersection. No per-doc set arrays, no second verification
+      // join; sizes come from a count over the doc-partitioned shingle
+      // table (exchange-free after parallelize's doc_id partitioning).
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
+        .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
+        .filter(col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
+        .select("doc_i", "doc_j")
+    } else {
+      // CUT path: hot shingles (df > maxShingleFreq) are dropped BEFORE
+      // the quadratic step — they generate df^2 candidate rows each and
+      // carry no signal. The join then undercounts intersections, so
+      // candidates are re-verified against the FULL shingle sets: the
+      // cut affects recall only (a pair sharing exclusively hot
+      // shingles is missed), never the reported Jaccard.
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleFreq)
+      val filtered = sh.join(freq.select("sh"), "sh")
+      val cand = filtered.as("a").join(filtered.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      verifyPairs(cand, sh, threshold)
+    }
   }
 
   /** MinHash signatures: (doc_id, h0..h{k-1}), each hj = min over the

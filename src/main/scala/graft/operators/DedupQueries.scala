@@ -49,6 +49,20 @@ object DedupQueries extends QueryModule {
   private def q26DedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
 
+  /** The frequency-CUT n-gram variant, diffed against the UNCUT oracle:
+    * shingles in more than `MaxShingleFreq` docs are dropped before the
+    * quadratic candidate join (at 100 TB the cut is what keeps the
+    * inverted index viable — a df-F shingle alone generates F^2
+    * candidate rows), and candidates are re-verified against the full
+    * shingle sets. Matching the uncut oracle proves the cut is
+    * recall-only on this corpus: every true pair still shares at least
+    * one below-cut shingle (DedupCutSpec pins the margin). */
+  private def q53DedupNgramCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      N, Threshold, maxShingleFreq = MaxShingleFreq)
+
+  private[graft] val MaxShingleFreq = 20L
+
   /** SimHash fingerprints + banded hamming candidates + exact verify. */
   private def q27DedupSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashDedupPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
@@ -133,6 +147,7 @@ object DedupQueries extends QueryModule {
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q25_dedup_minhash", q25DedupMinHash, Some(jaccardSql)),
     Q("q26_dedup_ngram", q26DedupNgram, Some(jaccardSql)),
+    Q("q53_dedup_ngram_cut", q53DedupNgramCut, Some(jaccardSql)),
     Q("q27_dedup_simhash", q27DedupSimHash, Some(q27Sql)),
     Q("q49_dedup_clusters", q49DedupClusters, Some(q49Sql)))
 }
