@@ -27,7 +27,7 @@ object IndexedQueries extends QueryModule {
 
   /** Bump when the postings/descriptor schema changes: stale demo
     * datasets from an older layout then rebuild instead of failing. */
-  private[operators] val DemoLayoutVersion = 2
+  private[operators] val DemoLayoutVersion = 3
 
   private def root(sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName

@@ -75,6 +75,67 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, score FROM hits
       |WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""".stripMargin
 
+  /** Conjunctive AND query (every term required) through the postings —
+    * the other half of the reference's QueryParser surface; oracle
+    * recomputes from raw text requiring all distinct terms present. */
+  private def q54TextAnd(s: SparkSession, dir: String): DataFrame =
+    TextIndex.searchAll(postings(s, dir), Seq("vector", "stream"))
+
+  private val q54Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM toks
+      |  WHERE tok IN ('vector', 'stream') GROUP BY doc_id, tok)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score
+      |FROM hits GROUP BY doc_id HAVING COUNT(*) = 2""".stripMargin
+
+  /** PHRASE query ("hash join") answered from positional postings; the
+    * oracle recounts adjacent occurrences from the raw token arrays. */
+  private def q55TextPhrase(s: SparkSession, dir: String): DataFrame =
+    TextIndex.searchPhrase(postings(s, dir), Seq("hash", "join"))
+
+  private val q55Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents)
+      |SELECT doc_id, CAST(occ AS BIGINT) AS occ FROM (
+      |  SELECT doc_id,
+      |    LEN([i FOR i IN RANGE(1, LEN(t)) IF t[i] = 'hash' AND t[i+1] = 'join']) AS occ
+      |  FROM toks)
+      |WHERE occ > 0""".stripMargin
+
+  /** BM25-scored retrieval (pluggable-similarity parity with the
+    * reference's Lucene similarity hook): every hit scored with the
+    * k1=1.2, b=0.75 formula, mirrored term-for-term in the oracle.
+    * Scores round to 6dp on both sides; inputs are exact integers so
+    * the doubles agree bit-for-bit before rounding. */
+  private def q56TextBm25(s: SparkSession, dir: String): DataFrame =
+    TextIndex.searchScored(postings(s, dir), Seq("spark", "query"), "bm25")
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  private val q56Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+      |norms AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n,
+      |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM norms),
+      |dfs AS (SELECT tok, COUNT(*) AS df FROM tf
+      |        WHERE tok IN ('spark', 'query') GROUP BY tok)
+      |SELECT t.doc_id,
+      |  ROUND(SUM(LN(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+      |            (t.c * 2.2) / (t.c + 1.2 * (0.25 + 0.75 * nm.dl / s.avgdl))), 6)
+      |    AS score
+      |FROM tf t
+      |JOIN dfs d USING (tok)
+      |JOIN norms nm USING (doc_id)
+      |CROSS JOIN stats s
+      |GROUP BY t.doc_id""".stripMargin
+
   /** Block-granular text index scan (Lucene DocType.BLOCK analog): find
     * docs containing a term via the term->byte-range index over a
     * multi-file copy of documents; oracle is the plain contains filter. */
@@ -106,5 +167,8 @@ object TextQueries extends QueryModule {
     Q("q21_text_topk", q21TextTopK, Some(q21Sql)),
     Q("q22_text_count", q22TextCount, Some(q22Sql)),
     Q("q23_text_sample", q23TextSample, Some(q23Sql)),
-    Q("q38_text_block_scan", q38TextBlockScan, Some(q38Sql)))
+    Q("q38_text_block_scan", q38TextBlockScan, Some(q38Sql)),
+    Q("q54_text_and", q54TextAnd, Some(q54Sql)),
+    Q("q55_text_phrase", q55TextPhrase, Some(q55Sql)),
+    Q("q56_text_bm25", q56TextBm25, Some(q56Sql)))
 }
