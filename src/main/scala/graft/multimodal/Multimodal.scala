@@ -37,11 +37,14 @@ final case class ResizedMedia(
   * batches, the decoder is called per batch, and the output is a typed
   * Dataset the rest of the DataFrame pipeline composes with.
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * environment): [[DecodeStub.decode]] derives deterministic fake
-  * dimensions from the bytes. Everything around it — schema, encoders,
-  * partitioning, batch shape, digesting — is real and tested; swapping
-  * the stub for javacv/ImageIO is a one-function change.
+  * IMAGES decode for real through the JDK ([[Codecs.decodeImage]]:
+  * ImageIO dims, Graphics2D resize, PNG re-encode — no external
+  * libraries). Payloads that are NOT decodable images (and the audio/
+  * video kinds, whose codecs the JDK lacks) fall back to
+  * [[DecodeStub.decode]]'s deterministic fake dimensions, keeping every
+  * stage total and SQL-oracle-checkable on arbitrary binary fixtures;
+  * swapping in a real audio/video demuxer is the same one-function
+  * change the image path already made.
   *
   * Scale notes: payloads never shuffle — features are extracted in the
   * scan stage and only the (small) feature rows move on. Batch size
@@ -50,8 +53,63 @@ final case class ResizedMedia(
   */
 object Multimodal {
 
-  /** STUB decoder boundary. A real build replaces this body with an
-    * actual codec call; signature and batch usage stay identical. */
+  /** Real JDK image codec. */
+  object Codecs {
+    import java.awt.image.BufferedImage
+
+    /** (width, height, 1) when the payload decodes as an image
+      * (PNG/JPEG/GIF/BMP — whatever ImageIO recognizes), else None. */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map(i => (i.getWidth, i.getHeight, 1))
+      catch { case _: java.io.IOException => None }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic synthetic PNG: pixel (x, y) colored by a hash of
+      * (x, y, seed). Fixture generator for the real decode path — dims
+      * are recoverable only by actually decoding. */
+    def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val h = scala.util.hashing.MurmurHash3.productHash((x, y, seed))
+          img.setRGB(x, y, h & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** Real resize-to-fit: decode, scale so max(w, h) <= maxDim with the
+      * SAME integer arithmetic as the stub path (never upscale), render
+      * through Graphics2D, re-encode PNG. None when not an image. */
+    def resizeImage(payload: Array[Byte], maxDim: Int): Option[(Int, Int, Array[Byte])] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { src =>
+        val (w, h) = (src.getWidth, src.getHeight)
+        val m = math.max(w, h)
+        val (ow, oh) =
+          if (m <= maxDim) (w, h)
+          else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+        val dst = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try g.drawImage(src.getScaledInstance(ow, oh, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+        finally g.dispose()
+        (ow, oh, encodePng(dst))
+      }
+      catch { case _: java.io.IOException => None }
+  }
+
+  /** STUB decoder boundary for payloads no JDK codec serves (audio,
+    * video, non-image binaries). Signature and batch usage are identical
+    * to the real path — a real demuxer swaps in here. */
   object DecodeStub {
     /** Deterministic fake decode: pretend dimensions from byte stats. */
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
@@ -62,6 +120,12 @@ object Multimodal {
       (width, height, frames)
     }
   }
+
+  /** Decode dispatch: real image codec first for `kind == "image"`,
+    * deterministic stub otherwise. */
+  private def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+    (if (kind == "image") Codecs.decodeImage(payload) else None)
+      .getOrElse(DecodeStub.decode(payload))
 
   private def hexMd5(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -79,43 +143,52 @@ object Multimodal {
     hexMd5(bytes.map(b => f"$b%02X").mkString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
   /** Batched feature extraction (decode + digest) — the mapInPandas
-    * analog. */
+    * analog. Images get real ImageIO dimensions; everything else (and
+    * undecodable payloads) the deterministic stub's. */
   def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real decoder would be initialized once here and fed the batch
+        // a heavier decoder would be initialized once here, fed the batch
         batch.map { r =>
-          val (w, h, f) = DecodeStub.decode(r.payload)
+          val (w, h, f) = decode(r.kind, r.payload)
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hexMd5(r.payload), w, h, f)
         }
       }
     }
   }
 
-  /** Batched resize-to-fit (stub): scale dimensions so max(w,h) <=
-    * maxDim (integer arithmetic, never upscale) and "re-encode" the
-    * payload as its proportionally-truncated prefix — a real build
-    * swaps the body for an image scaler; batching, schema, and the
-    * 1-row-in/1-row-out shape are the real thing. */
-  def resizeStub(media: Dataset[MediaRecord], maxDim: Int,
+  /** Batched resize-to-fit. Decodable images take the REAL path
+    * (Graphics2D scale + PNG re-encode, digest = md5 of the encoded
+    * bytes); other payloads keep the stub semantics — dimensions scaled
+    * with the same integer arithmetic, the "re-encode" a
+    * proportionally-truncated byte prefix, digest in the hex domain
+    * (sliceDigest) so SQL oracles stay byte-exact. */
+  def resizeToFit(media: Dataset[MediaRecord], maxDim: Int,
       batchSize: Int = 64): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     require(maxDim >= 1)
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val n = r.payload.length
-          val (w, h, _) = DecodeStub.decode(r.payload)
-          val m = math.max(w, h)
-          // n * maxDim in Long: a 20 MB payload at maxDim=128 overflows
-          // Int and would silently truncate the output to one byte
-          val (ow, oh, obytes) =
-            if (m <= maxDim) (w, h, n)
-            else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m),
-              math.max(1L, n.toLong * maxDim / m).toInt)
-          val out = r.payload.take(obytes)
-          ResizedMedia(r.media_id, r.kind, ow, oh, out.length.toLong, sliceDigest(out))
+          val real =
+            if (r.kind == "image") Codecs.resizeImage(r.payload, maxDim) else None
+          real match {
+            case Some((ow, oh, out)) =>
+              ResizedMedia(r.media_id, r.kind, ow, oh, out.length.toLong, hexMd5(out))
+            case None =>
+              val n = r.payload.length
+              val (w, h, _) = DecodeStub.decode(r.payload)
+              val m = math.max(w, h)
+              // n * maxDim in Long: a 20 MB payload at maxDim=128
+              // overflows Int and would silently truncate to one byte
+              val (ow, oh, obytes) =
+                if (m <= maxDim) (w, h, n)
+                else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m),
+                  math.max(1L, n.toLong * maxDim / m).toInt)
+              val out = r.payload.take(obytes)
+              ResizedMedia(r.media_id, r.kind, ow, oh, out.length.toLong, sliceDigest(out))
+          }
         }
       }
     }

@@ -65,7 +65,10 @@ object MultimodalQueries extends QueryModule {
   private def q48MediaResize(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromTable(
       Tables.documents(s, dir), "doc_id", "text", "image")
-    Multimodal.resizeStub(media, maxDim = 128)
+    // text payloads are not decodable images, so this exercises the
+    // deterministic stub fallback end-to-end (byte-exact oracle below);
+    // the REAL ImageIO path is oracle-checked by q57/q58
+    Multimodal.resizeToFit(media, maxDim = 128)
       .toDF()
       .select(col("media_id"), col("out_w"), col("out_h"),
         col("out_bytes"), col("out_digest"))
@@ -91,8 +94,61 @@ object MultimodalQueries extends QueryModule {
       |    2 * (CASE WHEN m <= 128 THEN n ELSE GREATEST(1, n * 128 // m) END))) AS out_digest
       |FROM scaled""".stripMargin
 
+  /** Deterministic real-PNG corpus: one synthetic image per document
+    * (dims derived from doc_id, pixels from a seeded hash), built inside
+    * the same batched decode boundary. The ORACLE knows only the
+    * generating formula — the query's dimensions come from actually
+    * decoding the bytes with ImageIO, so a hash-match proves the real
+    * codec path end to end. Bounded to 200 images to keep bench cost
+    * proportionate. */
+  private def pngMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 200).as[Long]
+      .map { id =>
+        val w = (id % 40 + 8).toInt
+        val h = (id * 3 % 30 + 8).toInt
+        graft.multimodal.MediaRecord(
+          id, "image", Multimodal.Codecs.syntheticPng(w, h, id), Map.empty)
+      }
+  }
+
+  /** REAL image decode: ImageIO-recovered dimensions vs the generating
+    * formula. */
+  private def q57ImageDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(pngMedia(s, dir))
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"))
+
+  private val q57Sql =
+    """SELECT doc_id AS media_id,
+      |  CAST(doc_id % 40 + 8 AS INT) AS width,
+      |  CAST((doc_id * 3) % 30 + 8 AS INT) AS height,
+      |  CAST(1 AS INT) AS n_frames
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
+  /** REAL image resize (Graphics2D + PNG re-encode): output dims follow
+    * the integer scale-to-fit arithmetic the oracle reproduces. */
+  private def q58ImageResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeToFit(pngMedia(s, dir), maxDim = 16)
+      .toDF()
+      .select(col("media_id"), col("out_w"), col("out_h"))
+
+  private val q58Sql =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |    doc_id % 40 + 8 AS w, (doc_id * 3) % 30 + 8 AS h
+      |  FROM documents WHERE doc_id < 200),
+      |scaled AS (SELECT media_id, w, h, GREATEST(w, h) AS m FROM dims)
+      |SELECT media_id,
+      |  CAST(CASE WHEN m <= 16 THEN w ELSE GREATEST(1, w * 16 // m) END AS INT) AS out_w,
+      |  CAST(CASE WHEN m <= 16 THEN h ELSE GREATEST(1, h * 16 // m) END AS INT) AS out_h
+      |FROM scaled""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
-    Q("q48_media_resize", q48MediaResize, Some(q48Sql)))
+    Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
+    Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),
+    Q("q58_image_resize", q58ImageResize, Some(q58Sql)))
 }

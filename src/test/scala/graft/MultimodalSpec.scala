@@ -1,0 +1,58 @@
+package graft
+
+import graft.multimodal.{MediaRecord, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real JDK image codec path: ImageIO decode recovers true dimensions,
+  * Graphics2D resize emits a decodable PNG at the scaled dimensions, and
+  * non-image payloads fall back to the deterministic stub. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("MultimodalSpec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("decodeImage recovers the generated dimensions") {
+    val png = Multimodal.Codecs.syntheticPng(37, 21, seed = 7L)
+    assert(Multimodal.Codecs.decodeImage(png) == Some((37, 21, 1)))
+  }
+
+  test("decodeImage rejects non-image bytes") {
+    assert(Multimodal.Codecs.decodeImage("not a png".getBytes) == None)
+    assert(Multimodal.Codecs.decodeImage(Array.empty[Byte]) == None)
+  }
+
+  test("resizeImage scales to fit and re-encodes a decodable PNG") {
+    val png = Multimodal.Codecs.syntheticPng(64, 24, seed = 3L)
+    val Some((ow, oh, out)) = Multimodal.Codecs.resizeImage(png, maxDim = 16)
+    assert((ow, oh) == (16, 6)) // 64x24 -> maxDim 16: w=16, h=24*16/64=6
+    assert(Multimodal.Codecs.decodeImage(out) == Some((16, 6, 1)))
+  }
+
+  test("resizeImage never upscales") {
+    val png = Multimodal.Codecs.syntheticPng(10, 8, seed = 1L)
+    val Some((ow, oh, _)) = Multimodal.Codecs.resizeImage(png, maxDim = 100)
+    assert((ow, oh) == (10, 8))
+  }
+
+  test("extractFeatures uses real dims for images, stub for other kinds") {
+    import spark.implicits._
+    val png = Multimodal.Codecs.syntheticPng(12, 9, seed = 5L)
+    val media = Seq(
+      MediaRecord(1L, "image", png, Map.empty),
+      MediaRecord(2L, "audio", png, Map.empty), // image bytes but audio kind -> stub
+      MediaRecord(3L, "image", "garbage".getBytes, Map.empty) // fallback -> stub
+    ).toDS()
+    val got = Multimodal.extractFeatures(media)
+      .collect().map(f => f.media_id -> ((f.width, f.height, f.n_frames))).toMap
+    assert(got(1L) == ((12, 9, 1)))
+    val stubPng = Multimodal.DecodeStub.decode(png)
+    assert(got(2L) == stubPng)
+    assert(got(3L) == Multimodal.DecodeStub.decode("garbage".getBytes))
+  }
+}
