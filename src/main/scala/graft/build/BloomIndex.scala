@@ -160,8 +160,10 @@ object BloomIndex extends Logging {
     val t0 = System.nanoTime()
     val files = IndexBuilder.listDataFiles(spark, dataDir)
     val descriptors = IndexBuilder.loadDescriptors(spark, bloomRoot)
+    // verified freshness: checksummed descriptors detect
+    // mtime-preserving rewrites (see IndexBuilder.freshDescriptorVerified)
     val (prunable, fallback) = files.partition(f =>
-      IndexBuilder.freshDescriptor(descriptors, f)
+      IndexBuilder.freshDescriptorVerified(spark, descriptors, f)
         .exists(_.columns.contains(pred.column)))
     // gen filter as a semi-join BEFORE collect: only the live
     // generation's ~90 KB sketches reach the driver, however many dead

@@ -68,14 +68,22 @@ object IndexBuilder {
   final case class SourceFile(path: String, length: Long, modificationTime: Long)
 
   /** One descriptor row per indexed base file (flattened
-    * FileIndexDescriptor; checksum algorithm = "length+mtime"). */
+    * FileIndexDescriptor). The default freshness fingerprint is
+    * length+mtime; builds run with `withChecksums = true` additionally
+    * record the filesystem's content checksum ([[fsChecksum]]) and the
+    * freshness rule then verifies it — an mtime-preserving rewrite
+    * (distcp -p, touch) is detected as stale instead of silently served
+    * (`BlockIndexedFileInputFormat.verifyInputFileCheckSum:368-386`
+    * semantics). */
   final case class DescriptorRow(
       sourcePath: String,
       length: Long,
       modificationTime: Long,
       columns: Seq[String],
       indexType: String,
-      indexVersion: Int)
+      indexVersion: Int,
+      checksumAlgorithm: String = "length+mtime",
+      checksum: String = "")
 
   def postingsDir(indexRoot: String): String = s"$indexRoot/postings"
   def descriptorsDir(indexRoot: String): String = s"$indexRoot/descriptors"
@@ -128,12 +136,75 @@ object IndexBuilder {
     val cached = descriptorCache.get(indexRoot)
     if (cached != null && cached._1 == sig) return cached._2
     import spark.implicits._
-    val loaded = spark.read.parquet(descriptorsDir(indexRoot))
-      .as[DescriptorRow].collect()
+    // descriptors written before the checksum fields existed read back
+    // with the length+mtime defaults (no rebuild required)
+    val raw = spark.read.parquet(descriptorsDir(indexRoot))
+    val compat = Seq(
+      "checksumAlgorithm" -> lit("length+mtime"),
+      "checksum" -> lit("")
+    ).foldLeft(raw) { case (df, (c, d)) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, d)
+    }
+    val loaded = compat.as[DescriptorRow].collect()
       .map(d => d.sourcePath -> d).toMap
     descriptorCache.put(indexRoot, (sig, loaded))
     loaded
   }
+
+  /** The filesystem's NATIVE content checksum for a file, as
+    * (algorithm, hex): HDFS answers from already-stored block CRCs —
+    * metadata-cheap, no full data re-read (the same source the
+    * reference validates, `fs.getFileChecksum`,
+    * `BlockIndexedFileInputFormat.java:375-384`). None when the
+    * filesystem keeps no checksum (LocalFileSystem among them). */
+  def fsChecksum(fs: FileSystem, p: Path): Option[(String, String)] =
+    Option(fs.getFileChecksum(p)).map { c =>
+      (c.getAlgorithmName, c.getBytes.map(b => f"$b%02x").mkString)
+    }
+
+  /** Streamed MD5 of the file contents — the fallback algorithm when the
+    * filesystem has no native checksum. Reads the whole file: at build
+    * time the data is being read anyway; at verify time this is the
+    * opt-in price of rewrite detection on checksum-less filesystems
+    * (HDFS deployments never pay it — [[fsChecksum]] answers first). */
+  def contentMd5(fs: FileSystem, p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** The live checksum of `p` under a specific algorithm, or None when
+    * this filesystem cannot produce that algorithm (un-verifiable —
+    * treated as passing, like the reference's null-checksum path). */
+  private def liveChecksum(fs: FileSystem, p: Path, algorithm: String): Option[String] =
+    if (algorithm == "md5") Some(contentMd5(fs, p))
+    else fsChecksum(fs, p).collect { case (alg, hex) if alg == algorithm => hex }
+
+  /** [[freshDescriptor]] plus content-checksum verification when the
+    * descriptor carries one: a fingerprint-fresh file whose filesystem
+    * checksum no longer matches is treated as STALE (falls back to a
+    * full scan). Descriptors without a recorded checksum (the default
+    * build mode) skip the filesystem call entirely; a filesystem that
+    * cannot produce a checksum passes, as in the reference. */
+  def freshDescriptorVerified(
+      spark: SparkSession,
+      descriptors: Map[String, DescriptorRow],
+      f: SourceFile): Option[DescriptorRow] =
+    freshDescriptor(descriptors, f).filter { d =>
+      d.checksum.isEmpty || {
+        val p = new Path(f.path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        liveChecksum(fs, p, d.checksumAlgorithm).forall(_ == d.checksum)
+      }
+    }
 
   /** The file's descriptor iff its fingerprint (length + mtime) still
     * matches the live file. */
@@ -150,7 +221,8 @@ object IndexBuilder {
     val descs = loadDescriptors(spark, indexRoot)
     if (descs.isEmpty) return false
     listDataFiles(spark, dataDir).forall(f =>
-      freshDescriptor(descs, f).exists(d => columns.forall(d.columns.contains)))
+      freshDescriptorVerified(spark, descs, f)
+        .exists(d => columns.forall(d.columns.contains)))
   }
 
   /** The postings pipeline for a set of source files: explode (column,
@@ -231,22 +303,39 @@ object IndexBuilder {
   def invalidateDescriptorCache(indexRoot: String): Unit =
     descriptorCache.remove(indexRoot)
 
-  private def descriptorRows(files: Seq[SourceFile], columns: Seq[String]): Seq[DescriptorRow] =
-    files.map(f => DescriptorRow(
-      f.path, f.length, f.modificationTime, columns,
-      graft.model.IndexType.PostingsParquet,
-      graft.model.FileIndexDescriptor.CurrentVersion))
+  private def descriptorRows(
+      spark: SparkSession, files: Seq[SourceFile], columns: Seq[String],
+      withChecksums: Boolean): Seq[DescriptorRow] =
+    files.map { f =>
+      val (alg, sum) =
+        if (!withChecksums) ("length+mtime", "")
+        else {
+          val p = new Path(f.path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsChecksum(fs, p).getOrElse(("md5", contentMd5(fs, p)))
+        }
+      DescriptorRow(
+        f.path, f.length, f.modificationTime, columns,
+        graft.model.IndexType.PostingsParquet,
+        graft.model.FileIndexDescriptor.CurrentVersion,
+        alg, sum)
+    }
 
   /** Build (or refresh) the index for `columns` over the parquet dataset
-    * at `dataDir`. No-op when fresh unless `overwrite`. */
+    * at `dataDir`. No-op when fresh unless `overwrite`.
+    * `withChecksums = true` records filesystem content checksums in the
+    * descriptors; freshness checks then detect mtime-preserving
+    * rewrites. */
   def build(
       spark: SparkSession,
       dataDir: String,
       columns: Seq[String],
       indexRoot: String,
       capBytes: Long = DefaultCapBytes,
-      overwrite: Boolean = false): Unit =
-    buildKeyed(spark, dataDir, columnKeys(columns), indexRoot, capBytes, overwrite)
+      overwrite: Boolean = false,
+      withChecksums: Boolean = false): Unit =
+    buildKeyed(spark, dataDir, columnKeys(columns), indexRoot, capBytes, overwrite,
+      withChecksums)
 
   /** Generalized build over arbitrary [[IndexKeys]] (multi-valued keys
     * included). Descriptor `columns` records the key names. */
@@ -256,13 +345,14 @@ object IndexBuilder {
       keys: IndexKeys,
       indexRoot: String,
       capBytes: Long = DefaultCapBytes,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false,
+      withChecksums: Boolean = false): Unit = {
     require(keys.nonEmpty, "at least one key to index")
     val names = keys.map(_._1)
     if (!overwrite && isFresh(spark, dataDir, indexRoot, names)) return
     val files = listDataFiles(spark, dataDir)
     writePostings(postingsFor(spark, files, keys, capBytes), indexRoot, SaveMode.Overwrite)
-    writeDescriptors(spark, descriptorRows(files, names), indexRoot)
+    writeDescriptors(spark, descriptorRows(spark, files, names, withChecksums), indexRoot)
   }
 
   /** Incrementally index only the files with no fresh descriptor (new
@@ -277,21 +367,25 @@ object IndexBuilder {
       dataDir: String,
       columns: Seq[String],
       indexRoot: String,
-      capBytes: Long = DefaultCapBytes): Seq[SourceFile] =
-    buildIncrementalKeyed(spark, dataDir, columnKeys(columns), indexRoot, capBytes)
+      capBytes: Long = DefaultCapBytes,
+      withChecksums: Boolean = false): Seq[SourceFile] =
+    buildIncrementalKeyed(spark, dataDir, columnKeys(columns), indexRoot, capBytes,
+      withChecksums)
 
   def buildIncrementalKeyed(
       spark: SparkSession,
       dataDir: String,
       keys: IndexKeys,
       indexRoot: String,
-      capBytes: Long = DefaultCapBytes): Seq[SourceFile] = {
+      capBytes: Long = DefaultCapBytes,
+      withChecksums: Boolean = false): Seq[SourceFile] = {
     require(keys.nonEmpty, "at least one key to index")
     val names = keys.map(_._1)
     val files = listDataFiles(spark, dataDir)
     val existing = loadDescriptors(spark, indexRoot)
     val stale = files.filterNot(f =>
-      freshDescriptor(existing, f).exists(d => names.forall(d.columns.contains)))
+      freshDescriptorVerified(spark, existing, f)
+        .exists(d => names.forall(d.columns.contains)))
     if (stale.isEmpty) return Nil
     writePostings(postingsFor(spark, stale, keys, capBytes), indexRoot, SaveMode.Append)
     val currentPaths = files.map(_.path).toSet
@@ -302,13 +396,13 @@ object IndexBuilder {
     // of descriptor columns — their previous keys' postings are still
     // gen-valid (same mtime), and dropping the names would silently
     // turn those columns' queries into full scans
-    val refreshed = stale.map { f =>
-      val prevCols = freshDescriptor(existing, f).map(_.columns).getOrElse(Seq.empty)
-      DescriptorRow(f.path, f.length, f.modificationTime,
-        (prevCols ++ names).distinct,
-        graft.model.IndexType.PostingsParquet,
-        graft.model.FileIndexDescriptor.CurrentVersion)
-    }
+    val refreshed = descriptorRows(spark, stale, Seq.empty, withChecksums)
+      .map { d =>
+        val prevCols = freshDescriptor(existing,
+          SourceFile(d.sourcePath, d.length, d.modificationTime))
+          .map(_.columns).getOrElse(Seq.empty)
+        d.copy(columns = (prevCols ++ names).distinct)
+      }
     writeDescriptors(spark, kept ++ refreshed, indexRoot)
     stale
   }
@@ -386,8 +480,11 @@ object IndexBuilder {
       indexType = d.indexType,
       indexVersion = d.indexVersion,
       sourcePath = d.sourcePath,
-      checksum = graft.model.FileChecksum(
-        "length+mtime", f"${d.length}%x-${d.modificationTime}%x", d.length),
+      checksum =
+        if (d.checksum.nonEmpty)
+          graft.model.FileChecksum(d.checksumAlgorithm, d.checksum, d.length)
+        else graft.model.FileChecksum(
+          "length+mtime", f"${d.length}%x-${d.modificationTime}%x", d.length),
       indexedFields = d.columns.map(c =>
         graft.model.IndexedField(c, stored = false, indexed = true, analyzed = false)))
 }

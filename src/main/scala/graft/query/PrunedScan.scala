@@ -126,10 +126,17 @@ object PrunedScanner extends Logging {
 
     val files = IndexBuilder.listDataFiles(spark, dataDir)
 
-    // Fresh descriptors covering every predicate column -> file is prunable.
+    // Fresh descriptors covering every predicate column -> file is
+    // prunable. Verified freshness: descriptors built withChecksums also
+    // compare the filesystem content checksum (one metadata-cheap FS
+    // call per file, memoized below via splitByColumns), so an
+    // mtime-preserving rewrite falls back to a full scan of that file
+    // instead of serving stale postings.
     val descriptors = IndexBuilder.loadDescriptors(spark, indexRoot)
+    val freshCache = scala.collection.mutable.Map.empty[String, Option[IndexBuilder.DescriptorRow]]
     def fresh(f: IndexBuilder.SourceFile): Option[IndexBuilder.DescriptorRow] =
-      IndexBuilder.freshDescriptor(descriptors, f)
+      freshCache.getOrElseUpdate(f.path,
+        IndexBuilder.freshDescriptorVerified(spark, descriptors, f))
 
     // One postings lookup for ALL leaves of ALL predicates at once: the
     // partition filter on `column` prunes index directories; the value
