@@ -37,6 +37,42 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    diffAgainstHistory(sfDir, results)
     spark.stop()
+  }
+
+  /** Round-over-round guardrail: keep the previous run's per-query times
+    * next to the build and WARN (stderr — stdout stays the one parsed
+    * JSON line) on any query that regressed more than 25% AND 0.5s
+    * absolute — the machine-noise floor below which per-query deltas on
+    * this box are not signal. The q26 +32% regression of round 2 would
+    * have been flagged in-round by exactly this check. */
+  private def diffAgainstHistory(sfDir: String, results: Seq[(String, Double)]): Unit = {
+    val sfName = new java.io.File(sfDir).getName
+    val hist = java.nio.file.Paths.get(s"/root/repo/target/bench_prev_$sfName.txt")
+    try {
+      if (java.nio.file.Files.exists(hist)) {
+        val prev = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(hist)).asScala
+          .flatMap { l =>
+            l.split(' ') match {
+              case Array(n, t) => t.toDoubleOption.map(n -> _)
+              case _ => None
+            }
+          }.toMap
+        results.foreach { case (name, t) =>
+          prev.get(name).foreach { p =>
+            if (t > p * 1.25 && t - p > 0.5)
+              System.err.println(
+                f"[bench-warn] $name regressed: $p%.2fs -> $t%.2fs (${t / p}%.2fx)")
+          }
+        }
+      }
+      java.nio.file.Files.write(hist,
+        results.map { case (n, t) => s"$n $t" }.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception => System.err.println(s"[bench-warn] history diff skipped: $e")
+    }
   }
 }

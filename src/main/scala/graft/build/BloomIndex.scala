@@ -90,7 +90,7 @@ object BloomIndex extends Logging {
     val df = spark.read.parquet(stale.map(_.path): _*)
     val kvs = array(columns.map(c =>
       struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)
-    val canonical = udf((p: String) => IndexBuilder.canonicalPath(p))
+    val canonical = IndexBuilder.canonicalizeExpr(spark, stale.head)
     val bloomAgg = udaf(BloomAgg(expectedItems, fpp))
     val gens = spark.createDataset(stale)
       .select(col("path").as("file"), col("modificationTime").as("gen"))

@@ -95,6 +95,32 @@ object IndexBuilder {
     * index lookup. */
   def canonicalPath(p: String): String = new Path(p).toUri.getPath
 
+  /** Column-level [[canonicalPath]] for `_metadata.file_path`, WITHOUT a
+    * scalar UDF on the hot path: one filesystem serves one index (engine
+    * invariant), so every rendered path shares a constant
+    * scheme/authority prefix — probe ONE row's rendering, verify it ends
+    * with the known canonical path, and strip the prefix with a
+    * codegen'd substr. If the rendering ever disagrees with the
+    * expectation (exotic URI shapes, encoded characters), fall back to
+    * the exact UDF rather than risk an empty-but-"fresh" index. */
+  private[graft] def canonicalizeExpr(
+      spark: SparkSession, probe: SourceFile): Column => Column = {
+    val rendered =
+      try spark.read.parquet(probe.path)
+        .select(col("_metadata.file_path")).limit(1)
+        .collect().headOption.map(_.getString(0))
+      catch { case _: Exception => None }
+    rendered match {
+      case Some(r) if r.endsWith(probe.path) &&
+          canonicalPath(r) == probe.path =>
+        val prefixLen = r.length - probe.path.length
+        c => c.substr(lit(prefixLen + 1), length(c))
+      case _ =>
+        val exact = udf((p: String) => canonicalPath(p))
+        c => exact(c)
+    }
+  }
+
   /** Enumerate the parquet part-files of a dataset directory (S4:
     * recursive, skipping hidden `.`/`_` entries, as
     * `util/HdfsUtils.java:78-102` does). */
@@ -261,11 +287,11 @@ object IndexBuilder {
     val merge = udaf(MergeIntervals(capBytes))
     val gens = spark.createDataset(files)
       .select(col("path").as("file"), col("modificationTime").as("gen"))
-    // canonicalize with the SAME function the listing side uses — a
-    // regexp approximation diverges on URIs with authorities
-    // (hdfs://host:port) or digit-bearing schemes (s3a://), which would
-    // empty the gens join and write an empty-but-"fresh" index
-    val canonical = udf((p: String) => canonicalPath(p))
+    // canonicalize with the probe-verified prefix-strip expression
+    // (codegen'd; falls back to the exact UDF when the rendering
+    // disagrees — a wrong canonicalization here would empty the gens
+    // join and write an empty-but-"fresh" index)
+    val canonical = canonicalizeExpr(spark, files.head)
     df.select(
         explode(kvs).as("kv"),
         canonical(col("_metadata.file_path")).as("file"),

@@ -32,7 +32,12 @@ object Dedup {
     * map side in one task. */
   private[graft] def parallelize(df: DataFrame, key: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+    // metadata-only width probe: leaf input files undercount splits for
+    // huge files, but a dataset wide enough to split is wide enough not
+    // to need this spread; df.rdd.getNumPartitions would be exact but
+    // forces a physical-plan conversion per invocation
+    val width = df.inputFiles.length
+    if (width > 0 && width < p) df.repartition(p, col(key)) else df
   }
 
   /** Materialize a sub-result reused by several DAG branches. Catalyst
@@ -112,17 +117,39 @@ object Dedup {
     } else {
       // CUT path: hot shingles (df > maxShingleFreq) are dropped BEFORE
       // the quadratic step — they generate df^2 candidate rows each and
-      // carry no signal. The join then undercounts intersections, so
-      // candidates are re-verified against the FULL shingle sets: the
-      // cut affects recall only (a pair sharing exclusively hot
-      // shingles is missed), never the reported Jaccard.
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleFreq)
-      val filtered = sh.join(freq.select("sh"), "sh")
-      val cand = filtered.as("a").join(filtered.as("b"),
+      // carry no signal. The cut affects recall only (a pair sharing
+      // EXCLUSIVELY hot shingles is missed); reported Jaccard stays
+      // exact because the intersection splits cleanly along the df
+      // partition:  |S_i ∩ S_j| = |cut_i ∩ cut_j| + |hot_i ∩ hot_j|.
+      // The first term is counted inside the (now-bounded) inverted-
+      // index shuffle exactly like the uncut path; the second comes
+      // from per-doc HOT-shingle arrays — bounded by the number of hot
+      // shingles, which the cut keeps small BY DEFINITION (total
+      // occurrences / maxShingleFreq), so no full shingle set is ever
+      // collected per doc.
+      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleFreq).select("sh")
+      val filtered = sh.join(hot, Seq("sh"), "left_anti")
+      val docHot = sh.join(hot, "sh")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("hots"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val emptyArr = array().cast("array<bigint>")
+      filtered.as("a").join(filtered.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      verifyPairs(cand, sh, threshold)
+        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .agg(count(lit(1)).as("inter_cut"))
+        .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
+        .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
+        .join(docHot.select(col("doc_id").as("doc_i"), col("hots").as("hot_i")),
+          Seq("doc_i"), "left")
+        .join(docHot.select(col("doc_id").as("doc_j"), col("hots").as("hot_j")),
+          Seq("doc_j"), "left")
+        .withColumn("inter",
+          col("inter_cut") + size(array_intersect(
+            coalesce(col("hot_i"), emptyArr), coalesce(col("hot_j"), emptyArr))))
+        .filter(col("inter").cast("double") /
+          (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
+        .select("doc_i", "doc_j")
     }
   }
 

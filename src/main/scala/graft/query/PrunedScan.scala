@@ -321,7 +321,11 @@ object PrunedScanner extends Logging {
     val selFiles = sets.flatMap(_._1).distinct
     val valuesDf = spark.createDataset(values).toDF("value")
     val schema = spark.read.parquet(dataDir).schema
-    val canon = udf((p: String) => IndexBuilder.canonicalPath(p))
+    val canon = selFiles.headOption
+      .map(p => IndexBuilder.canonicalizeExpr(spark,
+        IndexBuilder.SourceFile(p, 0L, 0L)))
+      .getOrElse { val u = udf((p: String) => IndexBuilder.canonicalPath(p))
+        (c: org.apache.spark.sql.Column) => u(c) }
     def read(paths: Seq[String]): DataFrame =
       spark.read.schema(schema).parquet(paths: _*)
     val parts = Seq(

@@ -93,4 +93,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("event_type"),
       s"expected partition pruning on the postings directory:\n$p")
   }
+
+  test("build-scan path canonicalization is a codegen expression, not a scalar UDF") {
+    import graft.build.IndexBuilder
+    val work = s"/root/repo/target/test_canon_${System.nanoTime()}"
+    Tables.events(spark, sfDir).limit(100).write.parquet(work)
+    val probe = IndexBuilder.listDataFiles(spark, work).head
+    val canon = IndexBuilder.canonicalizeExpr(spark, probe)
+    val df = spark.read.parquet(work)
+      .select(canon(col("_metadata.file_path")).as("file")).distinct()
+    // exact: expression agrees with the driver-side function on real paths
+    val got = df.collect().map(_.getString(0)).toSet
+    assert(got == IndexBuilder.listDataFiles(spark, work).map(_.path).toSet)
+    // and no ScalaUDF anywhere in the plan (probe verified the prefix)
+    val p = plan(df)
+    assert(!p.contains("UDF"), s"expected UDF-free canonicalization:\n$p")
+  }
 }
