@@ -76,15 +76,22 @@ object BloomIndex extends Logging {
       bloomRoot: String,
       expectedItems: Long = DefaultExpectedItems,
       fpp: Double = DefaultFpp,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false,
+      withChecksums: Boolean = false): Unit = {
     require(columns.nonEmpty)
     val files = IndexBuilder.listDataFiles(spark, dataDir)
     val existing =
       if (overwrite) Map.empty[String, IndexBuilder.DescriptorRow]
       else IndexBuilder.loadDescriptors(spark, bloomRoot)
+    // VERIFIED freshness, shared with the prevCols union below: the
+    // build side must agree with selectFiles' verified check, or a
+    // checksum-stale file would never rebuild while every query full-
+    // scans it (permanent fallback with no path to recovery)
+    val verifiedFresh: Map[String, Option[IndexBuilder.DescriptorRow]] =
+      files.map(f =>
+        f.path -> IndexBuilder.freshDescriptorVerified(spark, existing, f)).toMap
     val stale = files.filterNot(f =>
-      IndexBuilder.freshDescriptor(existing, f)
-        .exists(d => columns.forall(d.columns.contains)))
+      verifiedFresh(f.path).exists(d => columns.forall(d.columns.contains)))
     if (stale.isEmpty) return
     import spark.implicits._
     val df = spark.read.parquet(stale.map(_.path): _*)
@@ -109,15 +116,25 @@ object BloomIndex extends Logging {
     IndexBuilder.writeDescriptors(spark,
       kept ++ stale.map { f =>
         // a file re-indexed only because a NEW column was requested is
-        // content-fresh: its previous columns' gen-valid blooms survive,
-        // so the descriptor keeps the UNION (dropping them would thrash
-        // full-corpus rebuilds when builds alternate column sets)
-        val prevCols = IndexBuilder.freshDescriptor(existing, f)
+        // CONTENT-fresh (verified): its previous columns' gen-valid
+        // blooms survive, so the descriptor keeps the UNION (dropping
+        // them would thrash full-corpus rebuilds when builds alternate
+        // column sets). Content-stale files keep nothing.
+        val prevCols = verifiedFresh.getOrElse(f.path, None)
           .map(_.columns).getOrElse(Seq.empty)
+        val (alg, sum) =
+          if (!withChecksums) ("length+mtime", "")
+          else {
+            val p = new org.apache.hadoop.fs.Path(f.path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            IndexBuilder.fsChecksum(fs, p)
+              .getOrElse(("md5", IndexBuilder.contentMd5(fs, p)))
+          }
         IndexBuilder.DescriptorRow(
           f.path, f.length, f.modificationTime, (prevCols ++ columns).distinct,
           graft.model.IndexType.BloomParquet,
-          graft.model.FileIndexDescriptor.CurrentVersion)
+          graft.model.FileIndexDescriptor.CurrentVersion,
+          alg, sum)
       },
       bloomRoot)
   }

@@ -207,12 +207,20 @@ object IndexBuilder {
     md.digest().map(b => f"$b%02x").mkString
   }
 
-  /** The live checksum of `p` under a specific algorithm, or None when
-    * this filesystem cannot produce that algorithm (un-verifiable —
-    * treated as passing, like the reference's null-checksum path). */
-  private def liveChecksum(fs: FileSystem, p: Path, algorithm: String): Option[String] =
-    if (algorithm == "md5") Some(contentMd5(fs, p))
-    else fsChecksum(fs, p).collect { case (alg, hex) if alg == algorithm => hex }
+  /** Whether the recorded checksum still matches the live file. A
+    * recorded "md5" recomputes the streamed digest; a recorded native
+    * algorithm compares against the filesystem's current answer. When
+    * the live filesystem produces a DIFFERENT algorithm (dfs checksum
+    * config changed, dataset migrated to a checksum-less FS) the
+    * recorded value is unverifiable — treated as STALE, not fresh:
+    * degrading to a full scan is sound, silently serving a possibly
+    * rewritten file is not. (The reference's pass-on-null applies to
+    * descriptors that never recorded a checksum — our empty-checksum
+    * fast path above.) */
+  private def checksumMatches(fs: FileSystem, p: Path, d: DescriptorRow): Boolean =
+    if (d.checksumAlgorithm == "md5") contentMd5(fs, p) == d.checksum
+    else fsChecksum(fs, p).exists { case (alg, hex) =>
+      alg == d.checksumAlgorithm && hex == d.checksum }
 
   /** [[freshDescriptor]] plus content-checksum verification when the
     * descriptor carries one: a fingerprint-fresh file whose filesystem
@@ -228,7 +236,7 @@ object IndexBuilder {
       d.checksum.isEmpty || {
         val p = new Path(f.path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        liveChecksum(fs, p, d.checksumAlgorithm).forall(_ == d.checksum)
+        checksumMatches(fs, p, d)
       }
     }
 
@@ -409,23 +417,30 @@ object IndexBuilder {
     val names = keys.map(_._1)
     val files = listDataFiles(spark, dataDir)
     val existing = loadDescriptors(spark, indexRoot)
+    // one VERIFIED freshness decision per file, shared by the staleness
+    // split and the prevCols union below — using the unverified
+    // fingerprint for prevCols would let a checksum-stale file (mtime-
+    // preserving rewrite) keep its old columns marked indexed while the
+    // refreshed descriptor records the NEW checksum, permanently
+    // laundering the staleness into wrong pruning
+    val verifiedFresh: Map[String, Option[DescriptorRow]] =
+      files.map(f => f.path -> freshDescriptorVerified(spark, existing, f)).toMap
     val stale = files.filterNot(f =>
-      freshDescriptorVerified(spark, existing, f)
-        .exists(d => names.forall(d.columns.contains)))
+      verifiedFresh(f.path).exists(d => names.forall(d.columns.contains)))
     if (stale.isEmpty) return Nil
     writePostings(postingsFor(spark, stale, keys, capBytes), indexRoot, SaveMode.Append)
     val currentPaths = files.map(_.path).toSet
     val stalePaths = stale.map(_.path).toSet
     val kept = existing.values.toSeq
       .filter(d => currentPaths.contains(d.sourcePath) && !stalePaths.contains(d.sourcePath))
-    // content-fresh files re-indexed only for ADDED keys keep the union
+    // CONTENT-fresh files re-indexed only for ADDED keys keep the union
     // of descriptor columns — their previous keys' postings are still
     // gen-valid (same mtime), and dropping the names would silently
-    // turn those columns' queries into full scans
+    // turn those columns' queries into full scans. Content-STALE files
+    // keep nothing: their old postings describe the previous bytes.
     val refreshed = descriptorRows(spark, stale, Seq.empty, withChecksums)
       .map { d =>
-        val prevCols = freshDescriptor(existing,
-          SourceFile(d.sourcePath, d.length, d.modificationTime))
+        val prevCols = verifiedFresh.getOrElse(d.sourcePath, None)
           .map(_.columns).getOrElse(Seq.empty)
         d.copy(columns = (prevCols ++ names).distinct)
       }

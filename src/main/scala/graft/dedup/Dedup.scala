@@ -35,9 +35,11 @@ object Dedup {
     // metadata-only width probe: leaf input files undercount splits for
     // huge files, but a dataset wide enough to split is wide enough not
     // to need this spread; df.rdd.getNumPartitions would be exact but
-    // forces a physical-plan conversion per invocation
+    // forces a physical-plan conversion per invocation. width == 0 means
+    // NON-file-backed input (in-memory, join output) whose width is
+    // unknown — spread it, matching the helper's purpose.
     val width = df.inputFiles.length
-    if (width > 0 && width < p) df.repartition(p, col(key)) else df
+    if (width < p) df.repartition(p, col(key)) else df
   }
 
   /** Materialize a sub-result reused by several DAG branches. Catalyst

@@ -116,9 +116,15 @@ object TextQueries extends QueryModule {
     TextIndex.searchScored(postings(s, dir), Seq("spark", "query"), "bm25")
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
+  // empties FILTERED before UNNEST: q56's corpus-wide stats (n, avgdl)
+  // must not count an empty/whitespace-only document as one ''-token —
+  // Spark's tokenizer drops empties, and a single phantom doc in the
+  // norms shifts EVERY BM25 score
   private val q56Sql =
     """WITH toks AS (
-      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  SELECT doc_id,
+      |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+      |                       x -> LEN(x) > 0)) AS tok
       |  FROM documents),
       |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
       |norms AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM tf GROUP BY doc_id),

@@ -20,7 +20,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * df.count()
   * ScanMetrics.last("graft_scan")   // Some((rowsScanned, rowsQualified))
   * }}}
-  */
+  *
+  * NAMING CONTRACT: use one name per observed() pipeline. An action
+  * whose plan carries only one of the two observe nodes (cached/split
+  * subtree) updates just that side and keeps the other from the
+  * previous publish — correct for repeated actions over ONE pipeline;
+  * two different pipelines sharing a name would pair sides from
+  * different queries. */
 object ScanMetrics {
 
   val ScannedMetric = "rows_scanned"

@@ -78,6 +78,48 @@ class ChecksumSpec extends AnyFunSuite {
     assert(files.contains(victim.path))
   }
 
+  test("incremental build does NOT launder a checksum-stale file's old columns") {
+    val dataDir = s"$work/data_incr"
+    val indexRoot = s"$work/index_incr"
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .repartitionByRange(2, col("event_type"), col("event_id"))
+      .write.parquet(dataDir)
+    IndexBuilder.build(spark, dataDir, Seq("event_type"), indexRoot,
+      withChecksums = true)
+
+    // mtime-preserving rewrite of one file (content differs, fingerprint same)
+    val victim = IndexBuilder.listDataFiles(spark, dataDir).head
+    val p = new Path(victim.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = {
+      val in = fs.open(p)
+      try { val b = new Array[Byte](victim.length.toInt); in.readFully(0, b); b }
+      finally in.close()
+    }
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x33).toByte
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+    fs.setTimes(p, victim.modificationTime, -1)
+    spark.catalog.refreshByPath(dataDir)
+
+    // incremental build for a DIFFERENT column: the rewritten file is
+    // detected stale and re-indexed for user_id — but its OLD
+    // event_type postings describe the previous bytes, so the refreshed
+    // descriptor must NOT keep event_type (that would record the new
+    // checksum over stale postings, permanently hiding the rewrite)
+    val reindexed = IndexBuilder.buildIncremental(
+      spark, dataDir, Seq("user_id"), indexRoot, withChecksums = true)
+    assert(reindexed.map(_.path).contains(victim.path))
+    val descs = IndexBuilder.loadDescriptors(spark, indexRoot)
+    val d = descs(victim.path)
+    assert(d.columns.contains("user_id"))
+    assert(!d.columns.contains("event_type"),
+      s"stale file's old columns must be dropped, got ${d.columns}")
+    // the untouched file keeps the union behavior
+    val other = descs.keys.find(_ != victim.path).get
+    assert(descs(other).columns.contains("event_type"))
+  }
+
   test("default builds record no checksum and skip the filesystem call") {
     val dataDir = s"$work/data_plain"
     val indexRoot = s"$work/index_plain"
