@@ -145,10 +145,41 @@ object MultimodalQueries extends QueryModule {
       |  CAST(CASE WHEN m <= 16 THEN h ELSE GREATEST(1, h * 16 // m) END AS INT) AS out_h
       |FROM scaled""".stripMargin
 
+  /** Deterministic real-WAV corpus, same proof shape as q57: the oracle
+    * knows only the generating formula; the query's values come from
+    * actually chunk-walking the RIFF container. */
+  private def q59AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wavs = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 200).as[Long]
+      .map { id =>
+        val rate = 8000 * ((id % 4).toInt + 1)
+        val channels = (id % 2).toInt + 1
+        val nSamples = (id % 50).toInt + 10
+        graft.multimodal.MediaRecord(
+          id, "audio", Multimodal.Codecs.syntheticWav(rate, channels, nSamples, id),
+          Map.empty)
+      }
+    Multimodal.extractAudioFeatures(wavs)
+      .toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("duration_ms"))
+  }
+
+  private val q59Sql =
+    """SELECT doc_id AS media_id,
+      |  CAST(8000 * (doc_id % 4 + 1) AS INT) AS sample_rate,
+      |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |  CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+      |  CAST((doc_id % 50 + 10) * 1000 // (8000 * (doc_id % 4 + 1)) AS BIGINT)
+      |    AS duration_ms
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),
-    Q("q58_image_resize", q58ImageResize, Some(q58Sql)))
+    Q("q58_image_resize", q58ImageResize, Some(q58Sql)),
+    Q("q59_audio_decode", q59AudioDecode, Some(q59Sql)))
 }

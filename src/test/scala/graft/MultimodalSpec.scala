@@ -40,6 +40,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert((ow, oh) == (10, 8))
   }
 
+  test("decodeWav round-trips the generator and agrees with the JDK's own parser") {
+    val wav = Multimodal.Codecs.syntheticWav(16000, 2, 37, seed = 9L)
+    assert(Multimodal.Codecs.decodeWav(wav) == Some((16000, 2, 37L)))
+    // independent validation: javax.sound parses the same header
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 16000f)
+    assert(ais.getFormat.getChannels == 2)
+    assert(ais.getFrameLength == 37L)
+  }
+
+  test("decodeWav rejects non-WAV and truncated payloads") {
+    assert(Multimodal.Codecs.decodeWav("RIFFxxxx".getBytes) == None)
+    assert(Multimodal.Codecs.decodeWav("not audio at all".getBytes) == None)
+    val wav = Multimodal.Codecs.syntheticWav(8000, 1, 10, 1L)
+    // chopped mid-data: declared chunk size exceeds payload -> reject
+    assert(Multimodal.Codecs.decodeWav(wav.take(50)) == None)
+  }
+
   test("extractFeatures uses real dims for images, stub for other kinds") {
     import spark.implicits._
     val png = Multimodal.Codecs.syntheticPng(12, 9, seed = 5L)
