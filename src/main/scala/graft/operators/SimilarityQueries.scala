@@ -42,7 +42,12 @@ object SimilarityQueries extends QueryModule {
     val planted = emb.filter(col("vec_id") < 50)
       .select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
-    Ann.lshNearDupPairs(emb.unionByName(planted), 0.9)
+    // 64 planes / 8 bands = 8-bit buckets: ~256 buckets per band keeps
+    // candidate volume ~n^2/256 per band (the 2-bit default generates
+    // MORE pairs than brute force at this corpus size), while the
+    // pigeonhole guarantee still covers every pair within 7 differing
+    // signature bits — planted near-dups sit at hamming 0
+    Ann.lshNearDupPairs(emb.unionByName(planted), 0.9, nPlanes = 64, bands = 8)
   }
 
   private val q51Sql =

@@ -45,7 +45,7 @@ class LshNearDupSpec extends AnyFunSuite {
   for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     test(s"planted pairs sit at signature hamming 0 — deep inside the band budget ($sf)") {
       val corpus = planted(Tables.embeddings(spark, s"/root/testdata/$sf"))
-      val planes = Ann.hyperplanes(16, 64, 42L)
+      val planes = Ann.hyperplanes(64, 64, 42L)
       val sigs = corpus
         .select(col("vec_id"), Ann.signSignature(col("embedding"), planes).as("sig"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -60,7 +60,7 @@ class LshNearDupSpec extends AnyFunSuite {
     test(s"LSH pair set equals the exact pair set on the registered corpus ($sf)") {
       val corpus = planted(Tables.embeddings(spark, s"/root/testdata/$sf"))
       val exact = pairs(Ann.cosineNearDupPairs(corpus, 0.9))
-      val lsh = pairs(Ann.lshNearDupPairs(corpus, 0.9))
+      val lsh = pairs(Ann.lshNearDupPairs(corpus, 0.9, nPlanes = 64, bands = 8))
       assert(exact.size == 50)
       assert(lsh == exact, s"missing=${exact -- lsh}, spurious=${lsh -- exact}")
     }
