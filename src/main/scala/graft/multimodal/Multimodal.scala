@@ -158,6 +158,92 @@ object Multimodal {
       bb.array()
     }
 
+    /** Real MJPEG-in-AVI demux — the video container a JVM can serve
+      * without native codecs: RIFF chunk walk into the 'movi' LIST,
+      * collecting compressed-frame chunks ('NNdc'); each frame is then
+      * a plain JPEG for [[decodeImage]]. Returns the frame payloads, or
+      * None for non-AVI input. */
+    def demuxAviFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      def ascii(off: Int, s: String): Boolean =
+        p.length >= off + s.length && s.indices.forall(i => p(off + i) == s.charAt(i))
+      if (!ascii(0, "RIFF") || !ascii(8, "AVI ")) return None
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val frames = Seq.newBuilder[Array[Byte]]
+      var bad = false
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var off = start
+        while (off + 8 <= end && !bad) {
+          val size = bb.getInt(off + 4)
+          if (size < 0 || off + 8 + size > end) { bad = true; return }
+          if (ascii(off, "LIST")) {
+            val sub = new String(p, off + 8, 4, "US-ASCII")
+            walk(off + 12, off + 8 + size, inMovi || sub == "movi")
+          } else if (inMovi && p.length >= off + 4 &&
+              p(off + 2) == 'd' && p(off + 3) == 'c') {
+            frames += java.util.Arrays.copyOfRange(p, off + 8, off + 8 + size)
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+      walk(12, p.length, inMovi = false)
+      if (bad) None else Some(frames.result())
+    }
+
+    /** Deterministic synthetic MJPEG AVI: JPEG-encoded [[syntheticPng]]-
+      * style frames in a structurally-correct container (hdrl with
+      * avih/strh/strf, then the movi LIST). */
+    def syntheticAvi(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val h = scala.util.hashing.MurmurHash3.productHash((x, y, f, seed))
+            img.setRGB(x, y, h & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(fourcc.getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+        bb.array()
+      }
+      def list(subtype: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", subtype.getBytes("US-ASCII") ++ body)
+      val avih = {
+        val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(33333); b.putInt(0); b.putInt(0); b.putInt(0)
+        b.putInt(nFrames); b.putInt(0); b.putInt(1); b.putInt(0)
+        b.putInt(width); b.putInt(height); b.array()
+      }
+      val strh = {
+        val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("vids".getBytes("US-ASCII")); b.put("MJPG".getBytes("US-ASCII"))
+        b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(1); b.putInt(30)
+        b.putInt(0); b.putInt(nFrames); b.array()
+      }
+      val strf = {
+        val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(40); b.putInt(width); b.putInt(height); b.putShort(1)
+        b.putShort(24); b.put("MJPG".getBytes("US-ASCII")); b.array()
+      }
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")); out.putInt(body.length); out.put(body)
+      out.array()
+    }
+
     /** Real resize-to-fit: decode, scale so max(w, h) <= maxDim with the
       * SAME integer arithmetic as the stub path (never upscale), render
       * through Graphics2D, re-encode PNG. None when not an image. */
@@ -286,6 +372,27 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL video frame sampling: demux MJPEG AVI payloads, keep every
+    * `stride`-th frame, decode each kept frame's dimensions with the
+    * real image codec (1 row in -> n frame rows out). Rows whose payload
+    * is not an AVI container yield no frames — byte-slicing pseudo-
+    * frames for arbitrary binaries remain available via
+    * [[sampleFrames]]. */
+  def sampleVideoFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(stride >= 1)
+    media.flatMap { r =>
+      Codecs.demuxAviFrames(r.payload).getOrElse(Seq.empty)
+        .zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .flatMap { case (jpeg, i) =>
+          Codecs.decodeImage(jpeg).map { case (w, h, _) =>
+            (r.media_id, i, w, h, jpeg.length)
+          }
+        }
+    }.toDF("media_id", "frame_no", "width", "height", "frame_bytes")
   }
 
   /** Frame sampling: every `stride`-th fixed-size slice of the payload —

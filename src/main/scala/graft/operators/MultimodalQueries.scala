@@ -175,11 +175,40 @@ object MultimodalQueries extends QueryModule {
       |    AS duration_ms
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** Deterministic real-VIDEO corpus (MJPEG AVI, frame dims and counts
+    * from doc_id): the query demuxes the actual container and decodes
+    * every kept frame's JPEG; the oracle enumerates the generating
+    * formula. Bounded to 100 videos (JPEG encode dominates fixture
+    * build). */
+  private def q60VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 100).as[Long]
+      .map { id =>
+        val w = (id % 24 + 8).toInt
+        val h = (id % 18 + 8).toInt
+        val n = (id % 6 + 2).toInt
+        graft.multimodal.MediaRecord(
+          id, "video", Multimodal.Codecs.syntheticAvi(w, h, n, id), Map.empty)
+      }
+    Multimodal.sampleVideoFrames(vids, stride = 2)
+      .select(col("media_id"), col("frame_no"), col("width"), col("height"))
+  }
+
+  private val q60Sql =
+    """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
+      |  CAST(doc_id % 24 + 8 AS INT) AS width,
+      |  CAST(doc_id % 18 + 8 AS INT) AS height
+      |FROM documents
+      |CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) ii
+      |WHERE doc_id < 100 AND i < doc_id % 6 + 2 AND i % 2 = 0""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),
     Q("q58_image_resize", q58ImageResize, Some(q58Sql)),
-    Q("q59_audio_decode", q59AudioDecode, Some(q59Sql)))
+    Q("q59_audio_decode", q59AudioDecode, Some(q59Sql)),
+    Q("q60_video_frames", q60VideoFrames, Some(q60Sql)))
 }

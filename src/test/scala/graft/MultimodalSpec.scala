@@ -59,6 +59,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.Codecs.decodeWav(wav.take(50)) == None)
   }
 
+  test("AVI demux round-trips the generator; every frame decodes as a JPEG") {
+    val avi = Multimodal.Codecs.syntheticAvi(20, 14, nFrames = 4, seed = 2L)
+    val Some(frames) = Multimodal.Codecs.demuxAviFrames(avi)
+    assert(frames.length == 4)
+    frames.foreach { jpeg =>
+      assert(Multimodal.Codecs.decodeImage(jpeg) == Some((20, 14, 1)))
+    }
+  }
+
+  test("AVI demux rejects non-AVI and truncated containers") {
+    assert(Multimodal.Codecs.demuxAviFrames("RIFFxxxxWAVE".getBytes) == None)
+    assert(Multimodal.Codecs.demuxAviFrames("garbage".getBytes) == None)
+    val avi = Multimodal.Codecs.syntheticAvi(16, 12, 3, 1L)
+    assert(Multimodal.Codecs.demuxAviFrames(avi.take(avi.length / 2)) == None)
+  }
+
+  test("sampleVideoFrames strides through real decoded frames") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, "video", Multimodal.Codecs.syntheticAvi(16, 12, 5, 4L), Map.empty),
+      MediaRecord(2L, "video", "not a container".getBytes, Map.empty)).toDS()
+    val got = Multimodal.sampleVideoFrames(media, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    // frames 0, 2, 4 of the 5-frame video; non-AVI row contributes nothing
+    assert(got == Set((1L, 0, 16, 12), (1L, 2, 16, 12), (1L, 4, 16, 12)))
+  }
+
   test("extractFeatures uses real dims for images, stub for other kinds") {
     import spark.implicits._
     val png = Multimodal.Codecs.syntheticPng(12, 9, seed = 5L)
