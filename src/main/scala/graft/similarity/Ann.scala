@@ -127,17 +127,17 @@ object Ann {
     * architecture as the sparse index, keyed by geometry instead of
     * values.
     *
-    * Centroids seed as the first `nlist` corpus vectors by id
-    * (deterministic), then `lloydIters` rounds of Lloyd refinement
-    * recenter each cell on its member mean (one corpus pass per
-    * iteration; the nlist x dim centroid table lives on the driver).
-    * Measured honestly: refinement matters exactly when the corpus has
-    * cluster structure — on the isotropic test embeddings it is
-    * recall-neutral (OperatorsSpec measures both regimes; the clustered
-    * case asserts non-degradation). The means are per-dimension `avg`
-    * aggregations — partial-aggregation order can wiggle the last ulp
-    * of a centroid coordinate, immaterial to a recall knob; every
-    * returned SCORE is exact regardless. */
+    * Centroids train DRIVER-SIDE on a bounded deterministic sample (the
+    * first `max(64*nlist, 2048)` vectors by id): seed = first `nlist`,
+    * then `lloydIters` rounds of Lloyd recentering over the sample in a
+    * tight local loop. This is how production IVF trains (FAISS trains
+    * on a sample, not the corpus) — the distributed passes pay off only
+    * for ASSIGNMENT, never for training, and the driver loop is exact-
+    * deterministic (fixed iteration order, no partial-agg reordering).
+    * Refinement matters exactly when the corpus has cluster structure —
+    * on the isotropic test embeddings it is recall-neutral
+    * (OperatorsSpec measures both regimes; the clustered case asserts
+    * non-degradation). Every returned SCORE is exact regardless. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -146,67 +146,73 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    def centsDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
-      broadcast(cs.toDF("cell", "centv")
-        .select(col("cell"), col("centv"),
-          Vectors.norm(col("centv")).as("centn")))
+    val trainCap = math.max(64 * nlist, 2048)
+    val train: Array[Array[Double]] =
+      corpus.orderBy(col(idCol)).limit(trainCap)
+        .select(col(vecCol).cast("array<double>"))
+        .as[Seq[Double]].collect().map(_.toArray)
+    var cs: Array[Array[Double]] = train.take(nlist).map(_.clone())
 
-    val seed: Seq[(Long, Seq[Double])] =
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-        .as[(Long, Seq[Double])].collect().toSeq
-
-    var cs = seed
-    for (_ <- 1 to lloydIters) {
-      val assigned = corpus
-        .crossJoin(centsDf(cs))
-        .withColumn("negsim",
-          -Vectors.dot(col(vecCol), col("centv")) /
-            (Vectors.norm(col(vecCol)) * col("centn")))
-        .groupBy(col(idCol))
-        .agg(min(struct(col("negsim"), col("cell"))).as("best"),
-          first(col(vecCol)).as("v"))
-        .select(col("best.cell").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-      val means = assigned.groupBy("cell", "dim")
-        .agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .view.mapValues(rows =>
-          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        .toMap
+    def normOf(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    for (_ <- 1 to lloydIters if train.length > nlist) {
+      val cn = cs.map(normOf)
+      val dim = cs(0).length
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      train.foreach { v =>
+        val vn = normOf(v)
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * cs(c)(i); i += 1 }
+          val sim = dot / (vn * cn(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
       // empty cells keep their previous centroid
-      cs = cs.map { case (cell, old) => cell -> means.getOrElse(cell, old) }
+      cs = cs.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old else sums(c).map(_ / counts(c))
+      }
     }
 
-    val cents = centsDf(cs)
-
-    // nearest-centroid assignment via min(struct(dist, cell)): one pass,
-    // no window shuffle; ties break on the lower cell id
-    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .withColumn("negsim",
-          -Vectors.dot(col(vec), col("centv")) /
-            (Vectors.norm(col(vec)) * col("centn")))
-      if (n == 1)
-        scored.groupBy(col(id))
-          .agg(min(struct(col("negsim"), col("cell"))).as("best"))
-          .select(col(id), col("best.cell").as("cell"))
-      else
-        scored
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(id).orderBy(col("negsim").asc, col("cell").asc)))
-          .filter(col("rk") <= n)
-          .select(col(id), col("cell"))
+    // Nearest-cell assignment as a MAP-ONLY projection: the centroids
+    // are plan-time literal arrays (constant-folded by Catalyst), so
+    // per row we evaluate nlist codegen'd dot products into an array of
+    // (negsim, cell) structs — array_min picks the best cell (struct
+    // ordering = lexicographic, so ties break on the lower cell id) and
+    // array_sort+slice the nprobe best. No crossJoin, no aggregation,
+    // no window: assignment costs zero shuffles at any corpus size.
+    val cellScores: Column => Column = { vn =>
+      array(cs.toSeq.zipWithIndex.map { case (cvec, i) =>
+        val centLit = array(cvec.toSeq.map(lit): _*)
+        struct(
+          (-Vectors.dot(vn.getField("v"), centLit) /
+            (vn.getField("n") * lit(normOf(cvec)))).as("negsim"),
+          lit(i.toLong).as("cell"))
+      }: _*)
     }
 
-    val corpusCells = assign(corpus, idCol, vecCol, 1)
-      .join(corpus, idCol)
-      .select(col(idCol).as("neighbor_id"), col("cell"),
-        col(vecCol).as("cv"), Vectors.norm(col(vecCol)).as("cn"))
-    val queryCells = assign(queries, idCol, vecCol, nprobe)
-      .join(queries, idCol)
-      .select(col(idCol).as("query_id"), col("cell"),
-        col(vecCol).as("qv"), Vectors.norm(col(vecCol)).as("qn"))
+    def project(df: DataFrame, outId: String, vOut: String, nOut: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as(vOut),
+          Vectors.norm(col(vecCol)).as(nOut))
+        .withColumn("vn", struct(col(vOut).as("v"), col(nOut).as("n")))
+
+    val corpusCells = project(corpus, "neighbor_id", "cv", "cn")
+      .withColumn("cell", array_min(cellScores(col("vn"))).getField("cell"))
+      .drop("vn")
+    val queryCells = project(queries, "query_id", "qv", "qn")
+      .withColumn("cell",
+        explode(slice(array_sort(cellScores(col("vn"))), 1, nprobe).getField("cell")))
+      .drop("vn")
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
