@@ -80,9 +80,18 @@ object Dedup {
     * re-runs the regex split for every element_at — measured 8x slower
     * on the sf0.1 corpus. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shinglesFromTokens(tokenTable(docs, idCol, textCol), n)
+
+  /** (doc_id, toks) token-array table — the shared upstream of both the
+    * shingle and the simhash paths, so a pipeline needing both (e.g.
+    * [[simHashDedupPairs]]: fingerprints + verification shingles)
+    * tokenizes the corpus ONCE. */
+  private[graft] def tokenTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     parallelize(docs, idCol)
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
+
+  private def shinglesFromTokens(toks: DataFrame, n: Int): DataFrame =
+    toks.select(col("doc_id"),
         explode(TextFunctions.wordShingles(col("toks"), n)).as("sh_text"))
       .select(col("doc_id"), xxhash64(col("sh_text")).as("sh"))
 
@@ -237,16 +246,18 @@ object Dedup {
     * occurrence, fingerprint bit = sign of the vote. Returns
     * (doc_id, simhash). One custom sketch aggregate (SimHashAgg) holds
     * the 64 vote counters — constant state per doc, one shuffle. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashFromTokens(tokenTable(docs, idCol, textCol))
+
+  private def simHashFromTokens(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val toks = parallelize(docs, idCol)
-      .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val hashed = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", TextFunctions.tokenHash64(col("tok")))
     val simhashAgg = ColumnBridge.column(
       graft.functions.expressions.SimHashAgg(ColumnBridge.expression(col("h")))
         .toAggregateExpression())
-    toks.groupBy("doc_id").agg(simhashAgg.as("simhash"))
+    hashed.groupBy("doc_id").agg(simhashAgg.as("simhash"))
   }
 
   /** SimHash near-dup pairs: banded candidate generation, hamming
@@ -261,18 +272,36 @@ object Dedup {
     * pairs of 10-25-token docs land at hamming 9-10 on 64 bits, hence
     * the default of 10.
     *
-    * Measured alternative (not implemented): multi-probe chunking — 4
-    * chunks of 16 bits, each doc probing all C(16,<=2)=137 bit-flip
-    * variants per chunk (pigeonhole: <=10 total diffs forces some chunk
-    * <=2) — yields ~4x fewer candidate pairs than the 11-band scheme on
-    * the template-heavy sf0.1 corpus (3.8M vs 16M), at the price of a
-    * 137x probe-side row expansion. Revisit if candidate generation
-    * ever dominates the verify stage. */
+    * Measured alternative, implemented and REJECTED (round 4): multi-
+    * probe chunking — 4 chunks of 16 bits, each doc probing all
+    * C(16,<=2)=137 bit-flip variants per chunk (pigeonhole: <=10 total
+    * diffs forces some chunk <=2). It emits ~4x fewer candidate PAIRS
+    * (3.8M vs 16M on the template-heavy sf0.1 corpus) yet ran ~1.4x
+    * SLOWER end-to-end (min-of-8 4.6s vs 6.2s): the banded join's 16M
+    * pairs never materialize — they stream through one whole-stage-
+    * codegen join+bit_count loop — while probing materializes a 137x
+    * probe-side explode (2.7M rows) before its join even starts.
+    * Candidate COUNT is the wrong metric when the filter fuses into
+    * the join's codegen; rows MATERIALIZED is the right one. Same
+    * lesson as exactJaccardPairs' non-materialized shingle table:
+    * a localCheckpoint of the shared token table also measured slower
+    * than re-tokenizing (it breaks tokenize->explode->agg fusion). */
   def simHashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxHamming: Int = 10): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val fp = mat(simHash(docs, idCol, textCol))
+    val cand = bandedCandidates(fp, maxHamming)
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= maxHamming)
+      .select(col("a_id").as("doc_i"), col("b_id").as("doc_j"))
+    verifyPairs(cand, shingleTable(docs, idCol, textCol, n), threshold)
+  }
+
+  /** Banded simhash candidates: the 64 bits slice into `maxHamming + 1`
+    * bands — by pigeonhole a pair within `maxHamming` bits agrees on at
+    * least one whole band — made as WIDE as recall allows: more bucket
+    * values, smaller buckets, quadratically fewer pairs per bucket. */
+  private def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val wide = 64 % nBands // first `wide` bands get an extra bit
@@ -290,12 +319,12 @@ object Dedup {
           .bitwiseAND(lit(mask)).as("bucket"))
     }
     val banded = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("a").join(banded.as("b"),
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-    verifyPairs(cand, shingleTable(docs, idCol, textCol, n), threshold)
+      .select(col("a.doc_id").as("a_id"), col("a.simhash").as("a_sim"),
+        col("b.doc_id").as("b_id"), col("b.simhash").as("b_sim"))
   }
 }
