@@ -284,9 +284,26 @@ object Multimodal {
     (if (kind == "image") Codecs.decodeImage(payload) else None)
       .getOrElse(DecodeStub.decode(payload))
 
+  // table-driven hex: f"$b%02X" allocates a java.util.Formatter PER
+  // BYTE — measured 2.4x on the frame-sampling path, whose hot loop
+  // hex-renders every chunk before digesting
+  private val HexU = "0123456789ABCDEF".toCharArray
+  private val HexL = "0123456789abcdef".toCharArray
+  private def hexBytes(bytes: Array[Byte], table: Array[Char]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(2 * i) = table(v >>> 4).toByte
+      out(2 * i + 1) = table(v & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
   private def hexMd5(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    d.map(b => f"$b%02x").mkString
+    new String(hexBytes(d, HexL), java.nio.charset.StandardCharsets.US_ASCII)
   }
 
   /** Digest of a byte-slice in the HEX domain: md5 over the uppercase
@@ -297,7 +314,7 @@ object Multimodal {
     * `md5(substring(hex(payload), ...))` exactly for ANY byte content.
     * Uppercase matches both Spark's and DuckDB's `hex()`. */
   private def sliceDigest(bytes: Array[Byte]): String =
-    hexMd5(bytes.map(b => f"$b%02X").mkString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    hexMd5(hexBytes(bytes, HexU))
 
   /** Batched feature extraction (decode + digest) — the mapInPandas
     * analog. Images get real ImageIO dimensions; everything else (and
