@@ -142,6 +142,72 @@ object TextQueries extends QueryModule {
       |CROSS JOIN stats s
       |GROUP BY t.doc_id""".stripMargin
 
+  private def fieldedPostingsDir(sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    s"/root/repo/target/graft_demo/v${IndexedQueries.DemoLayoutVersion}/$sfName/fielded_postings"
+  }
+
+  /** Build + persist the multi-field postings (text + source) once per
+    * scale factor — the index behind the query-language queries. */
+  private def fieldedPostings(s: SparkSession, sfDir: String): DataFrame = synchronized {
+    val dir = fieldedPostingsDir(sfDir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      TextIndex.writeFieldedPostings(
+        TextIndex.buildFieldedPostings(Tables.documents(s, sfDir), "doc_id",
+          Seq("text" -> "text", "source" -> "source")), dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The QUERY LANGUAGE end-to-end: boolean operators, a phrase, and a
+    * MUST_NOT clause in one parsed string, compiled to an index-only
+    * plan (QueryParser parity: `HDFSQueryEngine.java:75-82`). The
+    * oracle recomputes every clause from raw text and composes them
+    * with the same additive-score set algebra. */
+  private def q61TextQueryLang(s: SparkSession, dir: String): DataFrame =
+    graft.text.QueryLang.run(fieldedPostings(s, dir),
+      """spark AND (query OR "hash join") AND NOT slow""", "text")
+
+  private val q61Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |tfc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) GROUP BY doc_id, tok),
+      |spark_m AS (SELECT doc_id, c AS s FROM tfc WHERE tok = 'spark'),
+      |query_m AS (SELECT doc_id, c AS s FROM tfc WHERE tok = 'query'),
+      |phrase_m AS (
+      |  SELECT doc_id,
+      |    LEN([i FOR i IN RANGE(1, LEN(t)) IF t[i] = 'hash' AND t[i+1] = 'join']) AS s
+      |  FROM toks
+      |  WHERE LEN([i FOR i IN RANGE(1, LEN(t)) IF t[i] = 'hash' AND t[i+1] = 'join']) > 0),
+      |orpart AS (
+      |  SELECT doc_id, SUM(s) AS s
+      |  FROM (SELECT * FROM query_m UNION ALL SELECT * FROM phrase_m) GROUP BY doc_id),
+      |slow_m AS (SELECT DISTINCT doc_id FROM tfc WHERE tok = 'slow')
+      |SELECT sm.doc_id, CAST(sm.s + o.s AS BIGINT) AS score
+      |FROM spark_m sm JOIN orpart o USING (doc_id)
+      |WHERE sm.doc_id NOT IN (SELECT doc_id FROM slow_m)""".stripMargin
+
+  /** FIELD-SCOPED query term (`source:src3`) AND'd with a default-field
+    * term — the `bio:engineer` surface of the reference's parser. */
+  private def q62TextFieldScoped(s: SparkSession, dir: String): DataFrame =
+    graft.text.QueryLang.run(fieldedPostings(s, dir), "source:src3 AND vector", "text")
+
+  private val q62Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(LIST_FILTER(
+      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |vector_m AS (SELECT doc_id, COUNT(*) AS c FROM toks WHERE tok = 'vector' GROUP BY doc_id),
+      |src_m AS (SELECT doc_id, 1 AS c FROM documents WHERE LOWER(TRIM(source)) = 'src3')
+      |SELECT v.doc_id, CAST(s.c + v.c AS BIGINT) AS score
+      |FROM vector_m v JOIN src_m s USING (doc_id)""".stripMargin
+
   /** Block-granular text index scan (Lucene DocType.BLOCK analog): find
     * docs containing a term via the term->byte-range index over a
     * multi-file copy of documents; oracle is the plain contains filter. */
@@ -176,5 +242,7 @@ object TextQueries extends QueryModule {
     Q("q38_text_block_scan", q38TextBlockScan, Some(q38Sql)),
     Q("q54_text_and", q54TextAnd, Some(q54Sql)),
     Q("q55_text_phrase", q55TextPhrase, Some(q55Sql)),
-    Q("q56_text_bm25", q56TextBm25, Some(q56Sql)))
+    Q("q56_text_bm25", q56TextBm25, Some(q56Sql)),
+    Q("q61_text_querylang", q61TextQueryLang, Some(q61Sql)),
+    Q("q62_text_field_scoped", q62TextFieldScoped, Some(q62Sql)))
 }

@@ -43,10 +43,32 @@ object TextIndex {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** Multi-field postings (field, term, doc_id, tf, positions) — the
+    * reference indexes several record fields into one Lucene index with
+    * field-scoped query terms (`bio:engineer`;
+    * `HDFSQueryEngine.java:75-82`, default field wiring
+    * `HDFSRetrievalDemo.java:65-87`); here each (fieldName, column)
+    * pair contributes its own postings under a `field` discriminator,
+    * which [[QueryLang]] scopes lookups by. */
+  def buildFieldedPostings(
+      docs: DataFrame, idCol: String, fields: Seq[(String, String)]): DataFrame = {
+    require(fields.nonEmpty, "at least one (fieldName, column) pair")
+    fields.map { case (fieldName, column) =>
+      buildPostings(docs, idCol, column).withColumn("field", lit(fieldName))
+    }.reduce(_ unionByName _)
+  }
+
   /** Persist postings sorted by term (parquet min/max-prunable lookups). */
   def writePostings(postings: DataFrame, path: String): Unit =
     postings.repartition(col("term"))
       .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Persist fielded postings clustered by (field, term) so a scoped
+    * term lookup prunes to one field's row groups. */
+  def writeFieldedPostings(postings: DataFrame, path: String): Unit =
+    postings.repartition(col("field"), col("term"))
+      .sortWithinPartitions("field", "term", "doc_id")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Disjunctive (Lucene default-OR) match: postings rows for any query
