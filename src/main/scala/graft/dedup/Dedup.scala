@@ -164,6 +164,64 @@ object Dedup {
     }
   }
 
+  /** WINNOWING fingerprints (the MOSS scheme, Schleimer/Wilkerson/Aiken
+    * SIGMOD'03): hash every character k-gram of the whitespace-
+    * normalized text, slide a window of `w` hashes, keep each window's
+    * minimum — guaranteeing any shared substring of length >= k + w - 1
+    * contributes at least one SHARED fingerprint, at ~2/(w+1) the
+    * density of full k-gram hashing. The selection step is the
+    * frequency reducer built into the algorithm: downstream joins run
+    * on the compressed (doc_id, fp) table, never the full gram table.
+    * Returns distinct (doc_id, fp); docs shorter than k after
+    * normalization have no fingerprints, docs with fewer than `w` grams
+    * contribute their single overall-min (so short docs still pair).
+    *
+    * Hashes are md5 hex strings ordered lexicographically — a total
+    * order every SQL engine reproduces bit-for-bit, which keeps the
+    * whole operator oracle-checkable (xxhash64 would be faster but is
+    * Spark-private). Entirely higher-order-function expressions: one
+    * projection, no explode of grams, no shuffle before the final
+    * per-doc distinct. */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1)
+    parallelize(docs, idCol)
+      .select(col(idCol).as("doc_id"),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("s"))
+      .filter(length(col("s")) >= k)
+      .withColumn("hashes",
+        transform(sequence(lit(1), length(col("s")) - (k - 1)),
+          i => md5(col("s").substr(i, lit(k)))))
+      .withColumn("fps",
+        when(size(col("hashes")) >= w,
+          array_distinct(transform(sequence(lit(1), size(col("hashes")) - (w - 1)),
+            j => array_min(slice(col("hashes"), j, lit(w))))))
+          .otherwise(array(array_min(col("hashes")))))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
+  /** Near-dup pairs by Jaccard similarity over winnowing fingerprints:
+    * the inverted-index join of [[exactJaccardPairs]] run on the
+    * winnowed table — fingerprint selection plays the role the
+    * frequency cut plays for raw shingles, so the join input is
+    * ~2/(w+1) of the gram table BY CONSTRUCTION, not by a recall-
+    * trading knob. Returns (doc_i, doc_j), doc_i < doc_j. */
+  def winnowDedupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, threshold: Double): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
+      .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
+      .filter(col("inter").cast("double") /
+        (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
+      .select("doc_i", "doc_j")
+  }
+
   /** MinHash signatures: (doc_id, h0..h{k-1}), each hj = min over the
     * doc's shingles of a salted 64-bit hash. One aggregation, k longs of
     * state per doc. */

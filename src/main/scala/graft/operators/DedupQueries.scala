@@ -143,11 +143,43 @@ object DedupQueries extends QueryModule {
       |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
       |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
+  /** WINNOWING near-dup pairs (MOSS fingerprint selection): character
+    * 8-grams, window 4, Jaccard >= 0.5 over the selected fingerprints.
+    * Hashes are md5 hex strings on both engines, so the oracle
+    * recomputes the identical fingerprint sets with list
+    * comprehensions. */
+  private def q63DedupWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowDedupPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, w = 4, threshold = 0.5)
+
+  private val q63Sql =
+    """WITH n AS (
+      |  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS s
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, [MD5(SUBSTRING(s, i, 8)) FOR i IN RANGE(1, LEN(s) - 8 + 2)] AS hashes
+      |  FROM n WHERE LEN(s) >= 8),
+      |w AS (
+      |  SELECT doc_id, CASE WHEN LEN(hashes) >= 4
+      |    THEN LIST_DISTINCT([LIST_AGGREGATE(hashes[j:j+3], 'min')
+      |                        FOR j IN RANGE(1, LEN(hashes) - 4 + 2)])
+      |    ELSE [LIST_AGGREGATE(hashes, 'min')] END AS fps FROM g),
+      |f AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM f GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS i
+      |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_i, doc_j FROM inter
+      |JOIN sz si ON si.doc_id = inter.doc_i
+      |JOIN sz sj ON sj.doc_id = inter.doc_j
+      |WHERE CAST(i AS DOUBLE) / (si.sz + sj.sz - i) >= 0.5""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q25_dedup_minhash", q25DedupMinHash, Some(jaccardSql)),
     Q("q26_dedup_ngram", q26DedupNgram, Some(jaccardSql)),
     Q("q53_dedup_ngram_cut", q53DedupNgramCut, Some(jaccardSql)),
     Q("q27_dedup_simhash", q27DedupSimHash, Some(q27Sql)),
-    Q("q49_dedup_clusters", q49DedupClusters, Some(q49Sql)))
+    Q("q49_dedup_clusters", q49DedupClusters, Some(q49Sql)),
+    Q("q63_dedup_winnow", q63DedupWinnow, Some(q63Sql)))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Winnowing fingerprint properties: the MOSS guarantee (a shared
+  * substring of length >= k + w - 1 yields a shared fingerprint),
+  * density compression vs full k-gram hashing, and the short-document
+  * edge cases. */
+class WinnowSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("WinnowSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val K = 8
+  private val W = 4
+
+  private def fps(rows: Seq[(Long, String)]): Map[Long, Set[String]] = {
+    import spark.implicits._
+    Dedup.winnowFingerprints(rows.toDF("doc_id", "text"), "doc_id", "text", K, W)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  test("MOSS guarantee: docs sharing a substring of length k+w-1 share a fingerprint") {
+    // the shared block is longer than k + w - 1 = 11 chars; prefixes differ
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val m = fps(Seq(
+      1L -> s"alpha beta $shared",
+      2L -> s"zeta omega theta $shared",
+      3L -> "completely unrelated content with no overlap at all"))
+    assert((m(1L) & m(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((m(1L) & m(3L)).isEmpty || (m(2L) & m(3L)).isEmpty,
+      "unrelated doc shares fingerprints with both — suspicious corpus")
+  }
+
+  test("density: fingerprints ~ 2/(w+1) of grams, never empty for len >= k") {
+    val text = ("the data pipeline shuffles and aggregates rows " * 8).trim
+    val m = fps(Seq(1L -> text))
+    val nGrams = text.length - K + 1
+    val n = m(1L).size
+    assert(n > 0 && n < nGrams / 2,
+      s"winnowed $n of $nGrams grams — selection not compressing")
+  }
+
+  test("short docs: under k chars -> no fingerprints; under w grams -> one") {
+    val m = fps(Seq(
+      1L -> "tiny", // 4 chars < k
+      2L -> "exactly9c", // 9 chars -> 2 grams < w -> single overall min
+      3L -> ""))
+    assert(!m.contains(1L) && !m.contains(3L))
+    assert(m(2L).size == 1)
+  }
+
+  test("whitespace normalization: runs of spaces dedupe to the same fingerprints") {
+    val m = fps(Seq(
+      1L -> "spark  shuffles \t rows   fast",
+      2L -> "spark shuffles rows fast"))
+    assert(m(1L) == m(2L))
+  }
+
+  test("winnowDedupPairs finds the planted near-dup and not the unrelated doc") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      3L -> "completely different text about spark query planning and shuffles").toDF("doc_id", "text")
+    val pairs = Dedup.winnowDedupPairs(docs, "doc_id", "text", K, W, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
