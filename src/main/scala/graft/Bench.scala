@@ -7,8 +7,49 @@ import org.apache.spark.sql.SparkSession
   * query, untimed) absorbs JVM/Spark session start-up (~9 s) so
   * per-query numbers measure the plans, not classloading; queries run
   * in name order for run-to-run comparability.
+  *
+  * Every execution goes through a per-query WATCHDOG: a query that
+  * neither finishes nor fails within [[QueryTimeout]] has its Spark
+  * jobs cancelled (job-group cancellation reaches running stages) and
+  * is recorded as -1 — one pathological query must never zero out the
+  * whole round's perf signal (round 4's bench died with rc=124 because
+  * a single quadratic query ran past the external timeout with no
+  * per-query bound).
   */
 object Bench {
+
+  /** Per-query wall-clock cap. Generous: every healthy query at sf0.1
+    * runs in < 4 s; anything near 60 s is already a scale bug and its
+    * exact number carries no extra information. */
+  private val QueryTimeout = 60.seconds
+
+  /** Run one query under the watchdog. Returns elapsed seconds, or -1
+    * on failure/timeout (the sentinel the history diff ignores). */
+  private def timedRun(
+      spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame, sfDir: String): Double = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val group = s"bench-$name"
+    val t0 = System.nanoTime()
+    val task = Future {
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      finally spark.sparkContext.clearJobGroup()
+    }
+    try Await.result(task, QueryTimeout)
+    catch {
+      case _: TimeoutException =>
+        // cancel the runaway jobs so the next query starts on an idle
+        // scheduler; the orphaned future ends once its jobs die
+        spark.sparkContext.cancelJobGroup(group)
+        System.err.println(s"[bench-warn] $name timed out after $QueryTimeout, recorded -1")
+        -1.0
+      case e: Throwable =>
+        System.err.println(s"[bench-warn] $name failed: ${e.getMessage}")
+        -1.0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,13 +66,9 @@ object Bench {
     // warm-up pass over every query: absorbs JVM/codegen start-up and
     // the one-time demo dataset/index builds, so the timed pass below
     // measures steady-state plan execution
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    ordered.foreach { case (name, fn) => timedRun(spark, name, fn, sfDir) }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> timedRun(spark, name, fn, sfDir)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
