@@ -1,6 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.TimeoutException
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at the scale factor in
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warm-up pass (first
@@ -39,9 +44,11 @@ object Bench {
     try Await.result(task, QueryTimeout)
     catch {
       case _: TimeoutException =>
-        // cancel the runaway jobs so the next query starts on an idle
-        // scheduler; the orphaned future ends once its jobs die
+        // cancel the runaway jobs, then wait briefly for the orphaned
+        // future to die so the next query starts on an idle scheduler
+        // (cancelJobGroup is asynchronous)
         spark.sparkContext.cancelJobGroup(group)
+        try Await.ready(task, 10.seconds) catch { case _: Throwable => () }
         System.err.println(s"[bench-warn] $name timed out after $QueryTimeout, recorded -1")
         -1.0
       case e: Throwable =>
@@ -72,8 +79,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failure sentinels (-1) must not deflate the headline total; report
+    // them as a separate count so a round with failures can never look
+    // faster than a healthy one
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     diffAgainstHistory(sfDir, results)
     spark.stop()
   }
@@ -88,25 +99,31 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val hist = java.nio.file.Paths.get(s"/root/repo/target/bench_prev_$sfName.txt")
     try {
-      if (java.nio.file.Files.exists(hist)) {
-        val prev = scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(hist)).asScala
-          .flatMap { l =>
-            l.split(' ') match {
-              case Array(n, t) => t.toDoubleOption.map(n -> _)
-              case _ => None
-            }
-          }.toMap
-        results.foreach { case (name, t) =>
-          prev.get(name).foreach { p =>
-            if (t > p * 1.25 && t - p > 0.5)
-              System.err.println(
-                f"[bench-warn] $name regressed: $p%.2fs -> $t%.2fs (${t / p}%.2fx)")
-          }
+      val prev: Map[String, Double] =
+        if (java.nio.file.Files.exists(hist))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(hist)).asScala
+            .flatMap { l =>
+              l.split(' ') match {
+                case Array(n, t) => t.toDoubleOption.map(n -> _)
+                case _ => None
+              }
+            }.toMap
+        else Map.empty
+      results.foreach { case (name, t) =>
+        prev.get(name).foreach { p =>
+          // -1 sentinels carry no timing signal: never compare against
+          // them, never compare them to history
+          if (t >= 0 && p >= 0 && t > p * 1.25 && t - p > 0.5)
+            System.err.println(
+              f"[bench-warn] $name regressed: $p%.2fs -> $t%.2fs (${t / p}%.2fx)")
         }
       }
+      // persist only real timings; a failed query keeps its prior entry
+      // so a later recovery still has a baseline to diff against
+      val merged = prev ++ results.filter(_._2 >= 0).toMap
       java.nio.file.Files.write(hist,
-        results.map { case (n, t) => s"$n $t" }.mkString("\n")
+        merged.toSeq.sortBy(_._1).map { case (n, t) => s"$n $t" }.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Exception => System.err.println(s"[bench-warn] history diff skipped: $e")

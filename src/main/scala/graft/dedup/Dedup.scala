@@ -169,9 +169,11 @@ object Dedup {
     * normalized text, slide a window of `w` hashes, keep each window's
     * minimum — guaranteeing any shared substring of length >= k + w - 1
     * contributes at least one SHARED fingerprint, at ~2/(w+1) the
-    * density of full k-gram hashing. The selection step is the
-    * frequency reducer built into the algorithm: downstream joins run
-    * on the compressed (doc_id, fp) table, never the full gram table.
+    * density of full k-gram hashing. Selection compresses PER-DOCUMENT
+    * density only — it does NOT bound document frequency (min-selection
+    * in fact concentrates df on globally-small hashes; see
+    * [[winnowDedupPairs]] for the measured numbers and the MOSS `-m`
+    * cut that restores the join bound).
     * Returns distinct (doc_id, fp); docs shorter than k after
     * normalization have no fingerprints, docs with fewer than `w` grams
     * contribute their single overall-min (so short docs still pair).
@@ -202,14 +204,49 @@ object Dedup {
 
   /** Near-dup pairs by Jaccard similarity over winnowing fingerprints:
     * the inverted-index join of [[exactJaccardPairs]] run on the
-    * winnowed table — fingerprint selection plays the role the
-    * frequency cut plays for raw shingles, so the join input is
-    * ~2/(w+1) of the gram table BY CONSTRUCTION, not by a recall-
-    * trading knob. Returns (doc_i, doc_j), doc_i < doc_j. */
+    * winnowed table. Returns (doc_i, doc_j), doc_i < doc_j.
+    *
+    * SCALE LESSON (measured, round 5): winnowing bounds per-doc density
+    * (~2/(w+1) of the gram table) but NOT document frequency — and df
+    * is what drives the inverted-index join (Σ df·(df−1)/2 rows).
+    * Worse, min-selection CONCENTRATES df: every window picks the
+    * corpus-globally-smallest hashes, so on a templated corpus the
+    * selected fingerprints are exactly the ones shared by most
+    * documents. Measured here: sf0.01 has 55,706 fp rows / 5,076
+    * distinct / max df 328 → 966K join rows; sf0.1 has 553,860 rows /
+    * 6,579 distinct / max df 3,379 → ~95M join rows. 98× rows for 10×
+    * data — quadratic, dead at 100 TB.
+    *
+    * `maxFpFreq` is therefore the algorithm's own answer, the MOSS
+    * `-m` option (Schleimer/Wilkerson/Aiken SIGMOD'03 §5, "winnowing
+    * in practice"): a fingerprint matching more than `m` documents is
+    * boilerplate and is IGNORED ENTIRELY — excluded from every doc's
+    * fingerprint SET, not merely from candidate generation. Jaccard is
+    * then exact over the cut sets on any engine, and the join is
+    * bounded by maxFpFreq·|fp table|/2 rows — linear in corpus size
+    * with the cut as a constant. (The q53-style split-intersection
+    * recovery is NOT sufficient here: it fixes the Jaccard VALUE for
+    * pairs the filtered join still finds, but a pair sharing
+    * exclusively hot fingerprints — e.g. two copies of a 3,379-doc
+    * template — produces no join row at all, so candidate recall, not
+    * value exactness, is what breaks. Dropping hot fps from the
+    * semantics, as MOSS does, is the fix that stays oracle-exact.)
+    * `maxFpFreq = 0` disables the cut (small-scale oracle anchor). */
   def winnowDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, threshold: Double): DataFrame = {
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      k: Int, w: Int, threshold: Double, maxFpFreq: Long = 0L): DataFrame = {
+    val raw = winnowFingerprints(docs, idCol, textCol, k, w)
+    val cut =
+      if (maxFpFreq <= 0) raw
+      else {
+        val hot = raw.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxFpFreq).select("fp")
+        raw.join(hot, Seq("fp"), "left_anti")
+      }
+    // downstream of the (bounded) cut, joins and intersection counts run
+    // on fixed-width longs, not 32-char md5 strings — same w.h.p.
+    // set-cardinality-preservation argument as [[shingleTable]]
+    val fps = cut.select(col("doc_id"), xxhash64(col("fp")).as("fp"))
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -359,7 +396,7 @@ object Dedup {
     * bands — by pigeonhole a pair within `maxHamming` bits agrees on at
     * least one whole band — made as WIDE as recall allows: more bucket
     * values, smaller buckets, quadratically fewer pairs per bucket. */
-  private def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val wide = 64 % nBands // first `wide` bands get an extra bit

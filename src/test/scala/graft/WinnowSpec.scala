@@ -75,4 +75,24 @@ class WinnowSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("MOSS -m cut: boilerplate fingerprints drop out of the sets entirely") {
+    import spark.implicits._
+    val template = "this exact same boilerplate notice appears in every single copy of the corpus"
+    val docs = ((1L to 6L).map(_ -> template) ++ Seq(
+      7L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      8L -> "the quick brown fox jumps over the lazy dog near the river bend")).toDF("doc_id", "text")
+    // uncut: the 6 template copies pair with each other (15 pairs) plus (7,8)
+    val uncut = Dedup.winnowDedupPairs(docs, "doc_id", "text", K, W, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncut.size == 16 && uncut.contains((7L, 8L)))
+    // cut at m=5: every template fingerprint has df=6 > 5 and is ignored,
+    // so the copies no longer pair — this is the case split-intersection
+    // recovery cannot express (those pairs share ZERO cold fingerprints,
+    // so a filtered join never sees them; MOSS's answer is to define
+    // them away as boilerplate)
+    val cut = Dedup.winnowDedupPairs(docs, "doc_id", "text", K, W, 0.5, maxFpFreq = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut == Set((7L, 8L)))
+  }
 }
