@@ -160,9 +160,11 @@ object DedupQueries extends QueryModule {
 
   private[graft] val MaxFpFreq = 20L
 
+  // MaxFpFreq is interpolated so the two engines share one source of
+  // truth for the cut (a hardcoded 20 here silently diverged once)
   private val q63Sql =
-    """WITH n AS (
-      |  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS s
+    s"""WITH n AS (
+      |  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS s
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, [MD5(SUBSTRING(s, i, 8)) FOR i IN RANGE(1, LEN(s) - 8 + 2)] AS hashes
@@ -173,7 +175,7 @@ object DedupQueries extends QueryModule {
       |                        FOR j IN RANGE(1, LEN(hashes) - 4 + 2)])
       |    ELSE [LIST_AGGREGATE(hashes, 'min')] END AS fps FROM g),
       |fa AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
-      |hot AS (SELECT fp FROM fa GROUP BY fp HAVING COUNT(*) > 20),
+      |hot AS (SELECT fp FROM fa GROUP BY fp HAVING COUNT(*) > $MaxFpFreq),
       |f AS (SELECT doc_id, fp FROM fa ANTI JOIN hot USING (fp)),
       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM f GROUP BY doc_id),
       |inter AS (
