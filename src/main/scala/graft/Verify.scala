@@ -1,9 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeoutException
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * SIGNAL-FIRST by construction (the round-6 lesson: one hung query
+  * zeroed all 63 queries' evidence because the oracle map was written
+  * last and the loop had no timeout):
+  *  - `oracle_sql.json` is written BEFORE any query runs — the driver
+  *    can always pair whatever dumps exist with their oracles;
+  *  - every query runs under a watchdog (Future + job-group cancel):
+  *    a pathological query costs its own row, never the round;
+  *  - per-query progress goes to stderr, so a tail of the run log
+  *    shows exactly where time went or a hang happened.
+  */
 object Verify {
+
+  /** Per-query cap. Generous: every healthy query at sf0.01 runs in
+    * seconds; the driver's whole-run budget is the scarce resource. */
+  private val QueryTimeout = 120.seconds
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,13 +39,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,6 +55,40 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sc = spark.sparkContext
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val task = Future {
+        sc.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally sc.clearJobGroup()
+      }
+      try {
+        Await.result(task, QueryTimeout)
+        System.err.println(
+          f"[verify] $name: ok (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      } catch {
+        case _: TimeoutException =>
+          sc.cancelJobGroup(s"verify-$name")
+          System.err.println(s"[verify] $name: SKIPPED timeout after $QueryTimeout")
+          // a cancelled query's tasks die between rows, not instantly;
+          // wait for the scheduler to go idle (bounded) so the orphans
+          // don't poison the next query's run
+          drain(sc, 60.seconds)
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
+  }
+
+  /** Poll until no Spark job is active, or `max` elapses. */
+  private def drain(sc: org.apache.spark.SparkContext, max: FiniteDuration): Unit = {
+    val deadline = System.nanoTime() + max.toNanos
+    while (sc.statusTracker.getActiveJobIds().nonEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(200)
   }
 }
