@@ -4,27 +4,33 @@ import java.util.concurrent.TimeoutException
 
 import scala.concurrent.{Await, Future}
 import scala.concurrent.duration._
+import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at the scale factor in
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warm-up pass (first
-  * query, untimed) absorbs JVM/Spark session start-up (~9 s) so
-  * per-query numbers measure the plans, not classloading; queries run
-  * in name order for run-to-run comparability.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line — as the LAST stdout
+  * line, after `spark.stop()`, so shutdown noise can never displace it
+  * from a tail; a copy lands in `target/bench_last.json`. A single
+  * warm-up query (first in name order, untimed) absorbs JVM/Spark
+  * session start-up (~9 s) so per-query numbers measure the plans, not
+  * classloading; queries run in name order for run-to-run
+  * comparability.
   *
   * Every execution goes through a per-query WATCHDOG: a query that
   * neither finishes nor fails within [[QueryTimeout]] has its Spark
   * jobs cancelled (job-group cancellation reaches running stages) and
   * is recorded as -1 — one pathological query must never zero out the
-  * whole round's perf signal (round 4's bench died with rc=124 because
-  * a single quadratic query ran past the external timeout with no
-  * per-query bound).
+  * whole round's perf signal. After any timeout the scheduler is
+  * DRAINED (bounded poll for zero active jobs) before the next timer
+  * starts: cancelled tasks die between rows, not instantly, and the
+  * round-6 bench showed orphans inflating every subsequent number
+  * 20-60x until they finished.
   */
 object Bench {
 
   /** Per-query wall-clock cap. Generous: every healthy query at sf0.1
-    * runs in < 4 s; anything near 60 s is already a scale bug and its
+    * runs in < 10 s; anything near 60 s is already a scale bug and its
     * exact number carries no extra information. */
   private val QueryTimeout = 60.seconds
 
@@ -44,17 +50,26 @@ object Bench {
     try Await.result(task, QueryTimeout)
     catch {
       case _: TimeoutException =>
-        // cancel the runaway jobs, then wait briefly for the orphaned
-        // future to die so the next query starts on an idle scheduler
-        // (cancelJobGroup is asynchronous)
+        // cancel the runaway jobs, then wait (bounded) for the scheduler
+        // to go idle so the orphans can't poison the next query's number
         spark.sparkContext.cancelJobGroup(group)
-        try Await.ready(task, 10.seconds) catch { case _: Throwable => () }
+        try Await.ready(task, 10.seconds)
+        catch { case _: TimeoutException => () }
+        drain(spark, 60.seconds)
         System.err.println(s"[bench-warn] $name timed out after $QueryTimeout, recorded -1")
         -1.0
-      case e: Throwable =>
+      case NonFatal(e) =>
         System.err.println(s"[bench-warn] $name failed: ${e.getMessage}")
         -1.0
     }
+  }
+
+  /** Poll until no Spark job is active, or `max` elapses. */
+  private def drain(spark: SparkSession, max: FiniteDuration): Unit = {
+    val sc = spark.sparkContext
+    val deadline = System.nanoTime() + max.toNanos
+    while (sc.statusTracker.getActiveJobIds().nonEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(200)
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,10 +85,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warm-up pass over every query: absorbs JVM/codegen start-up and
-    // the one-time demo dataset/index builds, so the timed pass below
-    // measures steady-state plan execution
-    ordered.foreach { case (name, fn) => timedRun(spark, name, fn, sfDir) }
+    // ONE warm-up query: absorbs JVM/Spark start-up. (A full warm-up
+    // sweep was tried in round 6 and measured WORSE: it doubles wall
+    // time, and any timed-out query's orphans bleed into the next
+    // timer. One-time index builds inside individual queries are part
+    // of those queries' honest cost.)
+    ordered.headOption.foreach { case (name, fn) => timedRun(spark, name, fn, sfDir) }
     val results = ordered.map { case (name, fn) =>
       name -> timedRun(spark, name, fn, sfDir)
     }
@@ -84,9 +101,17 @@ object Bench {
     // faster than a healthy one
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     diffAgainstHistory(sfDir, results)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json)
+    catch { case NonFatal(e) => System.err.println(s"[bench-warn] file write skipped: $e") }
+    drain(spark, 30.seconds)
     spark.stop()
+    // LAST line of stdout, after every Spark shutdown message has been
+    // emitted — the driver records the tail of this stream
+    println(json)
   }
 
   /** Round-over-round guardrail: keep the previous run's per-query times
@@ -119,14 +144,19 @@ object Bench {
               f"[bench-warn] $name regressed: $p%.2fs -> $t%.2fs (${t / p}%.2fx)")
         }
       }
-      // persist only real timings; a failed query keeps its prior entry
-      // so a later recovery still has a baseline to diff against
-      val merged = prev ++ results.filter(_._2 >= 0).toMap
+      // persist only real timings, only for queries still in the suite
+      // (dropped queries would otherwise haunt the file forever); a
+      // failed query keeps its prior entry so a later recovery still
+      // has a baseline to diff against
+      val current = results.map(_._1).toSet
+      val merged = (prev ++ results.filter(_._2 >= 0).toMap).filter {
+        case (n, _) => current(n)
+      }
       java.nio.file.Files.write(hist,
         merged.toSeq.sortBy(_._1).map { case (n, t) => s"$n $t" }.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
-      case e: Exception => System.err.println(s"[bench-warn] history diff skipped: $e")
+      case NonFatal(e) => System.err.println(s"[bench-warn] history diff skipped: $e")
     }
   }
 }
