@@ -35,6 +35,36 @@ object JoinQueries extends QueryModule {
       |FROM errors e ASOF JOIN clicks c
       |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
 
+  /** Range join (point-in-interval): per order, how many high-quantity
+    * lineitems (corpus-wide, not the order's own) shipped inside the
+    * order's 7-day fulfillment window [o_orderdate, o_orderdate + 7d].
+    * Exercises [[RangeJoin.pointInInterval]]'s bin decomposition — the
+    * scale-safe alternative to the BroadcastNestedLoopJoin Spark would
+    * pick for a bare BETWEEN predicate. Bin width = the interval length
+    * (7 days), so each interval lands in at most 2 bins. */
+  private def q64RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val points = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 49)
+      .select("l_shipdate")
+    val intervals = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    RangeJoin.pointInInterval(
+        points, unix_timestamp(col("l_shipdate")),
+        intervals, unix_timestamp(col("o_orderdate")),
+        unix_timestamp(col("o_orderdate")) + 7L * day,
+        binWidth = 7L * day)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+  }
+
+  private val q64Sql =
+    """SELECT o.o_orderkey, COUNT(*) AS n_shipped
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+      |WHERE l.l_quantity >= 49
+      |GROUP BY o.o_orderkey""".stripMargin
+
   override def queries: Seq[Q] = Seq(
-    Q("q43_asof_join", q43AsOfJoin, Some(q43Sql)))
+    Q("q43_asof_join", q43AsOfJoin, Some(q43Sql)),
+    Q("q64_range_join", q64RangeJoin, Some(q64Sql)))
 }
