@@ -270,14 +270,25 @@ object CoreQueries extends QueryModule {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** HLL approximate distinct (§2.4 extension row) next to the exact
-    * count — sketch values are engine-specific, so no SQL oracle; the
-    * error bound is asserted in OperatorsSpec and the driver records a
-    * rows-only check. */
+    * count. Sketch values are engine-specific, so the HASH-CHECKABLE
+    * output is the BOUND ITSELF: `hll_ok` = relative error within 5%
+    * (2.5x the requested 2% rsd), computed in integer arithmetic so
+    * there is no float edge at the boundary. The oracle recomputes the
+    * exact count and asserts TRUE — an HLL regression (or a broken
+    * sketch) flips the boolean and fails the hash compare. */
   private def q40ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("hll_ok"))
+
+  private val q40Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS hll_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** Exact interpolated percentiles per group (sort-based aggregate;
     * Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -317,6 +328,6 @@ object CoreQueries extends QueryModule {
     Q("q14_set_ops", q14SetOps, Some(q14Sql)),
     Q("q15_having", q15Having, Some(q15Sql)),
     Q("q39_cube", q39Cube, Some(q39Sql)),
-    Q("q40_approx_distinct", q40ApproxDistinct, None),
+    Q("q40_approx_distinct", q40ApproxDistinct, Some(q40Sql)),
     Q("q47_percentiles", q47Percentiles, Some(q47Sql)))
 }

@@ -79,26 +79,54 @@ object SimilarityQueries extends QueryModule {
       |  WHERE q.vec_id < 3)
       |WHERE rank <= 5""".stripMargin
 
-  /** LSH-bucketed ANN (sign-LSH, 16 planes, 4 bands) — approximate by
-    * design, so no SQL oracle; recall vs brute force is asserted in
-    * AnnSpec, and the driver records a rows-only check here. */
-  private def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    Ann.lshTopK(emb, emb.filter(col("vec_id") < 3), 5)
+  /** Recall-at-k of an approximate top-k against the exact brute-force
+    * top-k, reduced to a hash-checkable row per query: (query_id,
+    * n_ret, recall_ok). Both engines can state the EXPECTED values —
+    * n_ret = k (buckets at this corpus always fill the top-k) and
+    * recall_ok = TRUE for a floor the deterministic (seeded) structure
+    * clears with margin — so an ANN regression flips a bit the driver's
+    * hash compare catches, where a raw neighbor list (legitimately
+    * engine-specific) could only ever be rows-only-checked. */
+  private def recallCheck(approx: DataFrame, exact: DataFrame, minHits: Int): DataFrame = {
+    val hits = approx
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    approx.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ret"),
+        (coalesce(col("hits"), lit(0L)) >= minHits).as("recall_ok"))
   }
 
+  /** LSH-bucketed ANN (sign-LSH, 16 planes, 4 bands) — approximate by
+    * design; the registered output is the recall BOUND vs brute force
+    * (measured 2-3 of 5 exact hits per query on this corpus; floor 2),
+    * which is deterministic because the hyperplanes are seeded. */
+  private def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(Ann.lshTopK(emb, q, 5), Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
+  private def recallSql(minHits: Int): String =
+    s"""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ret, TRUE AS recall_ok
+       |FROM embeddings WHERE vec_id < 3""".stripMargin
+
   /** IVF ANN (centroid cells, nprobe probing, exact rerank) — the
-    * second scale path beside sign-LSH; approximate by design, so
-    * rows-only check + recall bound in OperatorsSpec. */
+    * second scale path beside sign-LSH; registered output is the recall
+    * bound (measured 4-5 of 5 exact hits; floor 4 — probing half the
+    * cells on isotropic data is near-exhaustive). */
   private def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 3), 5, nlist = 16, nprobe = 8)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(Ann.ivfTopK(emb, q, 5, nlist = 16, nprobe = 8),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 4)
   }
 
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
     Q("q51_embed_neardup_lsh", q51EmbedNearDupLsh, Some(q51Sql)),
     Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
-    Q("q30_ann_lsh", q30AnnLsh, None),
-    Q("q45_ann_ivf", q45AnnIvf, None))
+    Q("q30_ann_lsh", q30AnnLsh, Some(recallSql(2))),
+    Q("q45_ann_ivf", q45AnnIvf, Some(recallSql(4))))
 }

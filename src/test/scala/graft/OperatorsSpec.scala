@@ -203,12 +203,14 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within its error bound") {
+    // q40's registered output IS the bound check: (event_type,
+    // exact_users, hll_ok) with hll_ok = |approx-exact| <= 5% of exact
     val rows = SparkEntry.queries("q40_approx_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.1,
-        s"approx=$approx exact=$exact for ${r.getString(0)}")
+      assert(r.getLong(1) > 0, s"empty group ${r.getString(0)}")
+      assert(r.getBoolean(2),
+        s"HLL error above 5% for ${r.getString(0)} (exact=${r.getLong(1)})")
     }
   }
 
