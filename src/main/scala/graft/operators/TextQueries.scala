@@ -208,6 +208,25 @@ object TextQueries extends QueryModule {
       |SELECT v.doc_id, CAST(s.c + v.c AS BIGINT) AS score
       |FROM vector_m v JOIN src_m s USING (doc_id)""".stripMargin
 
+  /** PREFIX query (`s*`, Lucene trailing-wildcard surface — the stock
+    * QueryParser accepts `engineer*` for free, `HDFSQueryEngine.java:
+    * 75-82`) AND'd with a plain term: the prefix compiles to a range
+    * scan of the term-sorted postings ([s, t) bounds reach the parquet
+    * row-group stats), scoring the summed tf of every matching term
+    * (6 distinct terms on this corpus). Oracle recomputes with LIKE. */
+  private def q65TextPrefix(s: SparkSession, dir: String): DataFrame =
+    graft.text.QueryLang.run(fieldedPostings(s, dir), "s* AND part", "text")
+
+  private val q65Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(LIST_FILTER(
+      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |pm AS (SELECT doc_id, COUNT(*) AS c FROM toks WHERE tok LIKE 's%' GROUP BY doc_id),
+      |tm AS (SELECT doc_id, COUNT(*) AS c FROM toks WHERE tok = 'part' GROUP BY doc_id)
+      |SELECT pm.doc_id, CAST(pm.c + tm.c AS BIGINT) AS score
+      |FROM pm JOIN tm USING (doc_id)""".stripMargin
+
   /** Block-granular text index scan (Lucene DocType.BLOCK analog): find
     * docs containing a term via the term->byte-range index over a
     * multi-file copy of documents; oracle is the plain contains filter. */
@@ -244,5 +263,6 @@ object TextQueries extends QueryModule {
     Q("q55_text_phrase", q55TextPhrase, Some(q55Sql)),
     Q("q56_text_bm25", q56TextBm25, Some(q56Sql)),
     Q("q61_text_querylang", q61TextQueryLang, Some(q61Sql)),
-    Q("q62_text_field_scoped", q62TextFieldScoped, Some(q62Sql)))
+    Q("q62_text_field_scoped", q62TextFieldScoped, Some(q62Sql)),
+    Q("q65_text_prefix", q65TextPrefix, Some(q65Sql)))
 }

@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
   *   or     := and ((OR)? and)*          // adjacency = OR, Lucene's default
   *   and    := unary (AND unary)*
   *   unary  := NOT unary | atom
-  *   atom   := '(' query ')' | [field:] word | [field:] '"' word+ '"'
+  *   atom   := '(' query ')' | [field:] word | [field:] word '*'
+  *           | [field:] '"' word+ '"'
   * }}}
   *
   * Semantics (all set operations are over doc_ids; scores ride along):
   *  - a TERM matches docs containing it in the (default or scoped)
   *    field, contributing its term frequency to the score;
+  *  - a trailing-`*` PREFIX term matches docs containing any term with
+  *    that prefix (Lucene `engineer*`), scoring the summed tf of the
+  *    matching terms — compiled to a RANGE SCAN of the term-sorted
+  *    postings (`term >= p AND term < p⁺`), so at 100 TB it prunes to
+  *    the prefix's row groups instead of enumerating the dictionary;
   *  - a PHRASE matches docs with the words consecutive in one field,
   *    contributing the occurrence count (positional-intersection
   *    semantics of [[TextIndex.searchPhrase]]);
@@ -43,6 +49,7 @@ object QueryLang {
   // ---------------------------------------------------------------- AST
   sealed trait Node
   final case class Term(field: Option[String], word: String) extends Node
+  final case class Prefix(field: Option[String], prefix: String) extends Node
   final case class Phrase(field: Option[String], words: Seq[String]) extends Node
   final case class And(children: Seq[Node]) extends Node
   final case class Or(children: Seq[Node]) extends Node
@@ -138,14 +145,22 @@ object QueryLang {
         val inner = parseOr()
         if (!peek.contains(RParen)) throw ParseException("expected ')'")
         next(); inner
-      case WordTok(w) => Term(None, w)
+      case WordTok(w) => termOf(None, w)
       case QuotedTok(p) => phraseOf(None, p)
       case FieldTok(f) => next() match {
-        case WordTok(w) => Term(Some(f), w)
+        case WordTok(w) => termOf(Some(f), w)
         case QuotedTok(p) => phraseOf(Some(f), p)
         case t => throw ParseException(s"expected term or phrase after '$f:', got $t")
       }
       case t => throw ParseException(s"unexpected $t")
+    }
+
+    def termOf(field: Option[String], w: String): Node = {
+      val star = w.indexOf('*')
+      if (star < 0) Term(field, w)
+      else if (star == w.length - 1 && w.length > 1) Prefix(field, w.init)
+      else throw ParseException(
+        s"'*' is only supported as a trailing prefix wildcard, got '$w'")
     }
 
     def phraseOf(field: Option[String], body: String): Node = {
@@ -192,6 +207,23 @@ object QueryLang {
         .filter(col("field") === field.getOrElse(dflt) &&
           col("term") === word.toLowerCase)
         .select(col("doc_id"), col("tf").as("score")))
+
+    case Prefix(field, p) =>
+      // range scan over the term-sorted postings: [p, p⁺) where p⁺ is p
+      // with its last char incremented — this reaches the parquet scan
+      // as min/max-prunable bounds; the startsWith residual keeps the
+      // semantics exact independent of any collation subtlety (free: it
+      // evaluates only on rows the range already admitted). A doc can
+      // match several terms under the prefix, hence the tf sum.
+      val pl = p.toLowerCase
+      val range =
+        if (pl.last == Char.MaxValue) col("term").startsWith(pl)
+        else col("term") >= pl &&
+          col("term") < pl.init + (pl.last + 1).toChar &&
+          col("term").startsWith(pl)
+      Matches(fp
+        .filter(col("field") === field.getOrElse(dflt) && range)
+        .groupBy("doc_id").agg(sum(col("tf")).as("score")))
 
     case Phrase(field, words) =>
       // positional-intersection phrase count over the scoped field —

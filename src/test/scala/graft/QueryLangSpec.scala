@@ -82,4 +82,23 @@ class QueryLangSpec extends AnyFunSuite {
     assert(run("tag:spark").isEmpty) // 'spark' never appears in tag
     assert(run("tag:web AND spark") == Map(1L -> 2L, 2L -> 2L, 5L -> 3L))
   }
+
+  test("prefix: trailing-* sums tf across matching terms") {
+    assert(parse("sca*") == Prefix(None, "sca"))
+    assert(parse("tag:w*") == Prefix(Some("tag"), "w"))
+    // s* matches spark/slow/scan: doc1 spark(1); doc2 spark(1);
+    // doc4 slow+scan(2); doc5 spark(2)+slow(1)=3
+    assert(run("s*") == Map(1L -> 1L, 2L -> 1L, 4L -> 2L, 5L -> 3L))
+    // composes with boolean algebra like any term
+    assert(run("s* AND query") == Map(1L -> 2L, 5L -> 4L))
+    assert(run("tag:w*").keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // exact-term queries are unaffected: sc matches only via the star
+    assert(run("sca").isEmpty)
+  }
+
+  test("prefix parse errors: bare star, leading/mid-word wildcards") {
+    intercept[ParseException](parse("*"))
+    intercept[ParseException](parse("*abc"))
+    intercept[ParseException](parse("a*c"))
+  }
 }
