@@ -23,6 +23,28 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** ALL n-word grams of a token array, multiplicity preserved (unlike
+    * [[wordShingles]], which dedupes for set-Jaccard) — the unit of the
+    * Gopher-style intra-document repetition filters, where how often a
+    * gram repeats IS the signal. Empty when fewer than n tokens. */
+  def wordNGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Email/phone patterns shared by the PII scrubbing operator and its
+    * oracle — deliberately dialect-neutral (no lookarounds, no anchors)
+    * so Java regex and DuckDB's RE2 match byte-identically. */
+  val EmailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII-scrubbed text: emails then phones replaced with typed redaction
+    * markers. Counts come from `regexp_count` on the same patterns. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** A stable 32-bit token hash both engines could reproduce: the first
     * 8 hex chars of md5, as a long in [0, 2^32). */
   def tokenHash32(tok: Column): Column =

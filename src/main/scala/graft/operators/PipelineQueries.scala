@@ -55,6 +55,49 @@ object PipelineQueries extends QueryModule {
       |JOIN canonical c ON c.doc_id = d.doc_id
       |JOIN kept k ON k.doc_id = d.doc_id""".stripMargin
 
+  /** SEQUENCE PACKING — the batch-construction step of a pretraining
+    * pipeline: documents are concatenated into a token stream and split
+    * every `PackBudget` tokens; each document reports the sample (bin)
+    * its first token lands in and its offset inside it. Packing is done
+    * independently per RANGE BUCKET of doc_ids (100 docs here), which
+    * is the distributed formulation: a global running sum would be one
+    * sequential window over the corpus — a single task at any scale —
+    * while bucketed packing is embarrassingly parallel, loses at most
+    * one partially-filled sample per bucket boundary, and keeps sample
+    * ids deterministic (bucket * 10_000 + chunk). At 100 TB the bucket
+    * key would be the ingest shard; the shape is identical. */
+  private def q68SeqPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("doc_id DIV 100").as("bucket"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sizes.withColumn("cum", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col("n_toks"),
+        (col("bucket") * 10000 +
+          expr(s"(cum - n_toks) DIV $PackBudget")).as("sample_id"),
+        expr(s"(cum - n_toks) % $PackBudget").as("offset"))
+  }
+
+  private val PackBudget = 512L
+
+  private val q68Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id // 100 AS bucket,
+       |    CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                         x -> LEN(x) > 0)) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, bucket, n_toks,
+       |    SUM(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum FROM t)
+       |SELECT doc_id, n_toks,
+       |  bucket * 10000 + (cum - n_toks) // $PackBudget AS sample_id,
+       |  (cum - n_toks) % $PackBudget AS offset
+       |FROM c""".stripMargin
+
   override def queries: Seq[Q] = Seq(
-    Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)))
+    Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),
+    Q("q68_seq_pack", q68SeqPack, Some(q68Sql)))
 }

@@ -128,9 +128,89 @@ object TextAnalysisQueries extends QueryModule {
       |  CAST(h1 + h2 + h3 + h4 = 4 AS INT) AS keep
       |FROM h""".stripMargin
 
+  /** PII scrubbing (email/phone redaction + counts) — the compliance
+    * pass every training-data pipeline runs before anything else. The
+    * synthetic corpus carries no PII, so the query PLANTS deterministic
+    * contact lines on every 10th document (the q51 planted-near-dup
+    * pattern: both engines construct the identical augmented corpus),
+    * then counts matches and fingerprints the redacted text — the md5
+    * proves the replacement output byte-identical, not just counted. */
+  private def q66PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(col("doc_id").cast("string"), 4, "0")))
+        .otherwise(col("text")).as("t"))
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("t"), lit(TextFunctions.EmailRe)).as("n_emails"),
+      regexp_count(col("t"), lit(TextFunctions.PhoneRe)).as("n_phones"),
+      md5(TextFunctions.redactPii(col("t"))).as("red_fp"))
+  }
+
+  private val q66Sql =
+    """WITH p AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+      |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |         '@example.com or 555-' || LPAD(CAST(doc_id AS VARCHAR), 4, '0')
+      |    ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS INT) AS n_emails,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '555-[0-9]{4}')) AS INT) AS n_phones,
+      |  MD5(REGEXP_REPLACE(REGEXP_REPLACE(t,
+      |    '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '555-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
+      |FROM p""".stripMargin
+
+  /** Gopher-style intra-document repetition stats (Rae et al. 2021 §A1:
+    * drop docs dominated by a repeated n-gram or by repeated n-grams in
+    * aggregate): per doc, the top 2-gram's occurrence count, total
+    * occurrences of repeated 2-grams, and the 2-gram count, plus the
+    * two keep-flags in integer cross-multiplication (top 2-gram <= 10%
+    * of grams; repeated grams <= 20%) — thresholds that split this
+    * corpus 489/500 and 497/500, so both flag values are exercised. */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextFunctions.wordNGrams(
+          TextFunctions.tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top2"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("rep_occ"),
+        sum(col("c")).as("n2"))
+      .select(col("doc_id"), col("top2"), col("rep_occ"), col("n2"),
+        (col("top2") * 10 <= col("n2")).as("top_ok"),
+        (col("rep_occ") * 5 <= col("n2")).as("rep_ok"))
+
+  private def q67Repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(s, dir))
+
+  private val q67Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS tk
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, UNNEST([tk[i] || ' ' || tk[i+1] FOR i IN RANGE(1, LEN(tk))]) AS g
+      |  FROM t WHERE LEN(tk) >= 2),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM u GROUP BY doc_id, g)
+      |SELECT doc_id,
+      |  CAST(MAX(c) AS BIGINT) AS top2,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS rep_occ,
+      |  CAST(SUM(c) AS BIGINT) AS n2,
+      |  MAX(c) * 10 <= SUM(c) AS top_ok,
+      |  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 5 <= SUM(c) AS rep_ok
+      |FROM c GROUP BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
     Q("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
-    Q("q44_quality_score", q44QualityScore, Some(q44Sql)))
+    Q("q44_quality_score", q44QualityScore, Some(q44Sql)),
+    Q("q66_pii_redact", q66PiiRedact, Some(q66Sql)),
+    Q("q67_repetition", q67Repetition, Some(q67Sql)))
 }

@@ -33,6 +33,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("wordNGrams keeps multiplicity; repetitionStats counts it") {
+    import spark.implicits._
+    val grams = Seq("x y x y x").toDF("text")
+      .select(TextFunctions.wordNGrams(TextFunctions.tokens(col("text")), 2).as("g"))
+      .first().getSeq[String](0)
+    assert(grams == Seq("x y", "y x", "x y", "y x")) // no dedupe
+    val stats = graft.operators.TextAnalysisQueries.repetitionStats(
+        Seq((1L, "x y x y x"), (2L, "a b c d e"), (3L, "q")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    // doc 1: grams (x y)x2 (y x)x2 -> top2=2, rep_occ=4, n2=4; both flags fail
+    assert(stats(1L) == ((2L, 4L, 4L, false, false)))
+    // doc 2: all grams unique -> top2=1, rep_occ=0; top 1*10<=4 fails, rep ok
+    assert(stats(2L) == ((1L, 0L, 4L, false, true)))
+    assert(!stats.contains(3L)) // <2 tokens: no grams, no row
+  }
+
+  test("redactPii scrubs emails and phones, untouched text passes through") {
+    import spark.implicits._
+    val got = Seq(
+      "mail me at jo.doe@site.org or call 555-0199 or 555-1234",
+      "no pii here").toDF("t")
+      .select(TextFunctions.redactPii(col("t")).as("r"),
+        regexp_count(col("t"), lit(TextFunctions.EmailRe)).as("ne"),
+        regexp_count(col("t"), lit(TextFunctions.PhoneRe)).as("np"))
+      .collect()
+    assert(got(0).getString(0) == "mail me at <EMAIL> or call <PHONE> or <PHONE>")
+    assert(got(0).getInt(1) == 1 && got(0).getInt(2) == 2)
+    assert(got(1).getString(0) == "no pii here")
+    assert(got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
+  }
+
   test("cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")

@@ -17,6 +17,9 @@ class PlanShapeSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // PushedFilters lists get elided at the default 100 chars, which
+    // would make the assertions below pass/fail on string luck
+    .config("spark.sql.maxMetadataStringLength", "1000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -92,6 +95,30 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(lookup)
     assert(p.contains("PartitionFilters") && p.contains("event_type"),
       s"expected partition pruning on the postings directory:\n$p")
+  }
+
+  test("prefix term compiles to range bounds pushed into the postings scan") {
+    // q65's scale guarantee: a trailing-* term must reach the postings
+    // parquet as min/max-prunable [p, p-next) bounds, not a residual
+    // the scan evaluates row by row after reading everything
+    val df = SparkEntry.queries("q65_text_prefix")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(term,s)") && p.contains("LessThan(term,t)"),
+      s"expected [s, t) range bounds in PushedFilters:\n$p")
+    assert(p.contains("StringStartsWith(term,s)"),
+      s"expected the startsWith residual pushed too:\n$p")
+  }
+
+  test("sequence packing windows per bucket, never a single global partition") {
+    // q68's scale property: the running token sum must partition by the
+    // range bucket — a global-order window plans Exchange SinglePartition
+    // and serializes the corpus through one task
+    val p = plan(SparkEntry.queries("q68_seq_pack")(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"packing window must not serialize into one partition:\n$p")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"expected the window exchange keyed on the pack bucket:\n$p")
   }
 
   test("build-scan path canonicalization is a codegen expression, not a scalar UDF") {
