@@ -27,6 +27,14 @@ object Components {
       .localCheckpoint(eager = true)
     var labels = nodes.select(col("id"), col("id").as("comp"))
       .localCheckpoint(eager = true)
+    // convergence = label-sum fixed point: labels only ever DECREASE
+    // (least/min of monotone inputs), so Σcomp strictly drops while any
+    // node changed — one aggregation per round instead of a full-table
+    // join against the previous labels. decimal(38,0) keeps the sum
+    // exact for any node count × 64-bit ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -46,11 +54,10 @@ object Components {
           col("x.comp") === col("cid"))
         .select(col("x.id").as("id"), col("ccomp").as("comp"))
         .localCheckpoint(eager = true)
-      val changed = updated.as("u")
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).count()
+      val newSum = labelSum(updated)
       labels = updated
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     labels

@@ -174,9 +174,13 @@ object TextAnalysisQueries extends QueryModule {
     * corpus 489/500 and 497/500, so both flag values are exercised. */
   private[graft] def repetitionStats(docs: DataFrame): DataFrame =
     docs
+      // tokens land in a CONCRETE column before the n-gram lambda reads
+      // them — inlining tokens(text) into the lambda re-runs the regex
+      // split per element_at (the shingleTable lesson, measured 8x; as
+      // q67 first shipped it was a 60 s bench timeout at sf0.1)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextFunctions.wordNGrams(
-          TextFunctions.tokens(col("text")), 2)).as("g"))
+        explode(TextFunctions.wordNGrams(col("toks"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max(col("c")).as("top2"),
