@@ -41,19 +41,28 @@ object JoinQueries extends QueryModule {
     * Exercises [[RangeJoin.pointInInterval]]'s bin decomposition — the
     * scale-safe alternative to the BroadcastNestedLoopJoin Spark would
     * pick for a bare BETWEEN predicate. Bin width = the interval length
-    * (7 days), so each interval lands in at most 2 bins. */
+    * (7 days), so each interval lands in at most 2 bins.
+    *
+    * Points are PRE-AGGREGATED to (day, count) before the join: the
+    * point side only matters at day granularity here, so collapsing it
+    * first (~24K filtered lineitems → ~2.4K distinct ship days at
+    * sf0.1) shrinks the bin-join's output by the per-day multiplicity
+    * — count(*) then becomes sum(n_pts). The generic aggregate-below-
+    * join rewrite, applied by hand because Catalyst only pushes
+    * aggregates through joins when the optimizer rule set says the
+    * join preserves keys (not provable for a range join). */
   private def q64RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val day = 86400L
     val points = Tables.lineitem(s, dir)
       .filter(col("l_quantity") >= 49)
-      .select("l_shipdate")
+      .groupBy("l_shipdate").agg(count(lit(1)).as("n_pts"))
     val intervals = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
     RangeJoin.pointInInterval(
         points, unix_timestamp(col("l_shipdate")),
         intervals, unix_timestamp(col("o_orderdate")),
         unix_timestamp(col("o_orderdate")) + 7L * day,
         binWidth = 7L * day)
-      .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+      .groupBy("o_orderkey").agg(sum(col("n_pts")).as("n_shipped"))
   }
 
   private val q64Sql =

@@ -97,7 +97,51 @@ object PipelineQueries extends QueryModule {
        |  (cum - n_toks) % $PackBudget AS offset
        |FROM c""".stripMargin
 
+  /** DECONTAMINATION — benchmark n-gram overlap (the PaLM/GPT-3-style
+    * eval-leakage check): flag every corpus document sharing at least
+    * one word 3-gram with the eval set, reporting how many distinct
+    * eval grams it hits. The eval set here is docs with doc_id <
+    * [[EvalSetMax]] (deterministic, both engines construct it
+    * identically); in production it is the benchmark suites.
+    *
+    * Scale shape: eval sets are MBs while the corpus is TBs, so the
+    * distinct eval-gram set is BROADCAST — the corpus side streams
+    * through a map-side hash semi-join with no shuffle of the corpus
+    * grams at all; the only shuffle is the per-doc hit count, keyed on
+    * doc_id (pre-combined map-side). */
+  private def q69Contamination(s: SparkSession, dir: String): DataFrame = {
+    // tokenTable = concrete tokens column before the shingle lambda
+    // (q67 lesson) + the narrow-input spread, so the gram explode isn't
+    // pinned to the scan's task count
+    val grams = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("toks"), 3)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") < EvalSetMax)
+      .select("g").distinct()
+    grams.filter(col("doc_id") >= EvalSetMax)
+      .join(broadcast(evalGrams), "g")
+      // wordShingles dedupes per doc, so this counts DISTINCT shared grams
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  private val EvalSetMax = 20L
+
+  private val q69Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
+       |  FROM toks WHERE LEN(t) >= 3),
+       |eg AS (SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id < $EvalSetMax),
+       |cg AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id >= $EvalSetMax)
+       |SELECT cg.doc_id, COUNT(*) AS n_hits
+       |FROM cg JOIN eg USING (g) GROUP BY cg.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),
-    Q("q68_seq_pack", q68SeqPack, Some(q68Sql)))
+    Q("q68_seq_pack", q68SeqPack, Some(q68Sql)),
+    Q("q69_contamination", q69Contamination, Some(q69Sql)))
 }

@@ -210,11 +210,38 @@ object TextAnalysisQueries extends QueryModule {
       |  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 5 <= SUM(c) AS rep_ok
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** Corpus vocabulary with document frequencies — the tokenizer/vocab-
+    * building precursor (and the IDF table for any TF-IDF scoring):
+    * per token, total occurrences and document frequency, thresholded
+    * on occurrences. A frequency THRESHOLD instead of top-k keeps the
+    * output deterministic (top-k ties at the cutoff are engine-
+    * dependent); the classic wordcount shape — one shuffle on the
+    * token, partial counts map-side combined, so shuffle volume is the
+    * distinct-token count per partition, not the corpus token count. */
+  private def q70Vocab(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= VocabMinOcc)
+
+  private val VocabMinOcc = 50L
+
+  private val q70Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                       x -> LEN(x) > 0)) AS tok
+       |  FROM documents)
+       |SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM tok GROUP BY tok HAVING COUNT(*) >= $VocabMinOcc""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
     Q("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     Q("q44_quality_score", q44QualityScore, Some(q44Sql)),
     Q("q66_pii_redact", q66PiiRedact, Some(q66Sql)),
-    Q("q67_repetition", q67Repetition, Some(q67Sql)))
+    Q("q67_repetition", q67Repetition, Some(q67Sql)),
+    Q("q70_vocab", q70Vocab, Some(q70Sql)))
 }

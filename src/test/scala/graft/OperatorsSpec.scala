@@ -259,6 +259,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination hit counts match a driver-side set intersection") {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.select(col("doc_id"),
+      TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3).as("s"))
+    // independent oracle: collect the eval-gram set and intersect each
+    // non-eval doc's gram array driver-side (a different plan from the
+    // query's broadcast semi-join)
+    val evalSet = grams.filter(col("doc_id") < 20)
+      .select(explode(col("s")).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = grams.filter(col("doc_id") >= 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).count(evalSet).toLong)
+      .filter(_._2 > 0).toMap
+    val got = SparkEntry.queries("q69_contamination")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "corpus shares no grams with the eval set")
+    assert(got == expected)
+  }
+
+  test("vocab counts match a driver-side wordcount") {
+    val docs = Tables.documents(spark, sfDir)
+    val all = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val occ = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val dfq = all.distinct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = occ.filter(_._2 >= 50)
+      .map { case (t, n) => t -> ((n, dfq(t))) }
+    val got = SparkEntry.queries("q70_vocab")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty, "no token reaches the occurrence threshold")
+    assert(got == expected)
+  }
+
   test("exact dedup keeps the smallest id per digest") {
     import spark.implicits._
     val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")
