@@ -140,8 +140,42 @@ object PipelineQueries extends QueryModule {
        |SELECT cg.doc_id, COUNT(*) AS n_hits
        |FROM cg JOIN eg USING (g) GROUP BY cg.doc_id""".stripMargin
 
+  /** STRATIFIED REBALANCING — cap every language stratum at
+    * [[StratumCap]] documents (the "don't let the dominant language
+    * drown the mix" downsampling step of corpus construction; the en
+    * stratum is ~40% of this corpus). Per-stratum keep probability is
+    * cap/n, applied DETERMINISTICALLY: doc kept iff its 16-bit md5
+    * bucket falls under the stratum's threshold, compared by integer
+    * cross-multiplication (bucket·n < cap·2^16) so both engines agree
+    * exactly — `rand()` sampling is irreproducible across engines AND
+    * across retried tasks, which is why hash sampling is the only kind
+    * this contract registers (q08 is the uniform flavor).
+    *
+    * Scale shape: stratum counts are one tiny aggregation broadcast
+    * back onto the corpus; the keep decision is then map-side — the
+    * corpus itself never shuffles. */
+  private def q71StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    docs.join(broadcast(rates), "lang")
+      .filter(bucket * col("n") < lit(StratumCap) * 65536L)
+      .select("doc_id", "lang")
+  }
+
+  private val StratumCap = 100L
+
+  private val q71Sql =
+    s"""WITH r AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN r USING (lang)
+       |WHERE CAST('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) * n
+       |      < $StratumCap * 65536""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),
     Q("q68_seq_pack", q68SeqPack, Some(q68Sql)),
-    Q("q69_contamination", q69Contamination, Some(q69Sql)))
+    Q("q69_contamination", q69Contamination, Some(q69Sql)),
+    Q("q71_stratified_sample", q71StratifiedSample, Some(q71Sql)))
 }

@@ -293,6 +293,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stratified sample caps large strata and keeps small ones whole") {
+    val docs = Tables.documents(spark, sfDir)
+    val strata = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent oracle: recompute the hash threshold in plain Scala
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, lang) => bucket(id) * strata(lang) < 100L * 65536L }
+      .toSet
+    val got = SparkEntry.queries("q71_stratified_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+    val kept = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    strata.foreach { case (lang, n) =>
+      if (n <= 100) assert(kept(lang) == n, s"small stratum $lang must be kept whole")
+      else assert(kept(lang) > 50 && kept(lang) < 150,
+        s"stratum $lang: expected ~100 of $n kept, got ${kept(lang)}")
+    }
+  }
+
   test("exact dedup keeps the smallest id per digest") {
     import spark.implicits._
     val docs = Seq((5L, "same text"), (2L, "same text"), (9L, "other")).toDF("doc_id", "text")

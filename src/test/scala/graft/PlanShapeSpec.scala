@@ -121,6 +121,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the window exchange keyed on the pack bucket:\n$p")
   }
 
+  test("contamination check broadcasts the eval-gram set (no corpus-side shuffle join)") {
+    // q69's scale property: eval sets are MBs while the corpus is TBs —
+    // the gram join must be a broadcast hash join, never a shuffled
+    // SortMergeJoin that moves every corpus gram
+    val p = plan(SparkEntry.queries("q69_contamination")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast of eval grams:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus grams must not shuffle for the eval join:\n$p")
+  }
+
+  test("vocab aggregation is partial (map-side combine) before the token shuffle") {
+    val p = plan(SparkEntry.queries("q70_vocab")(spark, sfDir))
+    assert(p.contains("partial_"),
+      s"wordcount must combine map-side so shuffle volume is distinct tokens:\n$p")
+  }
+
+  test("range join stays an equi-join on the bin key, never a nested loop") {
+    // q64's reason to exist: a bare BETWEEN with no equi-key plans
+    // BroadcastNestedLoopJoin (O(n*m) compares); the bin decomposition
+    // must give the planner a hash-joinable key
+    val p = plan(SparkEntry.queries("q64_range_join")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bin decomposition must avoid the nested-loop join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-join on the bin:\n$p")
+  }
+
   test("build-scan path canonicalization is a codegen expression, not a scalar UDF") {
     import graft.build.IndexBuilder
     val work = s"/root/repo/target/test_canon_${System.nanoTime()}"
