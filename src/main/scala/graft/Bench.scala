@@ -100,6 +100,9 @@ object Bench {
     val prevTimes = readHistory(sfDir)
     val results = ordered.map { case (name, fn) =>
       val t = timedRun(spark, name, fn, sfDir)
+      // per-query progress on stderr (stdout stays the one JSON line):
+      // a killed/hung run's log tail then shows exactly where time went
+      System.err.println(f"[bench] $name: $t%.2f s")
       val outlier = prevTimes.get(name) match {
         case Some(p) if p >= 0 => t > math.max(p * 4, p + 3)
         case _ => t > 20

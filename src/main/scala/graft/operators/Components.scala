@@ -32,8 +32,12 @@ object Components {
     // node changed — one aggregation per round instead of a full-table
     // join against the previous labels. decimal(38,0) keeps the sum
     // exact for any node count × 64-bit ids.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is null — map it to 0 so an empty node set
+      // converges on the first check instead of NPE-ing in compareTo
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

@@ -27,6 +27,12 @@ class ComponentsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
   }
 
+  test("empty node set returns an empty result (no NPE in the sum check)") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(nodes, edges).count() == 0L)
+  }
+
   test("no edges: every node is its own component; result is deterministic") {
     val nodes = (1L to 5L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -148,6 +148,13 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"expected an equi-join on the bin:\n$p")
   }
 
+  test("stratified sample broadcasts stratum rates; the corpus is not shuffled") {
+    val p = plan(SparkEntry.queries("q71_stratified_sample")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast of stratum counts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the rate join:\n$p")
+  }
+
   test("build-scan path canonicalization is a codegen expression, not a scalar UDF") {
     import graft.build.IndexBuilder
     val work = s"/root/repo/target/test_canon_${System.nanoTime()}"
