@@ -173,9 +173,121 @@ object PipelineQueries extends QueryModule {
        |WHERE CAST('0x' || SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) * n
        |      < $StratumCap * 65536""".stripMargin
 
+  /** KEEP-BEST-PER-KEY — URL-level dedup: one canonical document per
+    * `source`, the longest one, ties to the smallest doc_id (the
+    * CommonCrawl "keep the longest capture of each URL" step; the
+    * reference's canonical-per-group shape is q50's min-per-digest).
+    *
+    * Shape: a single `max_by` aggregation keyed on the (n_chars,
+    * -doc_id) struct — NOT a window. A window needs a full sort of
+    * every group and carries all rows to one partition per key; max_by
+    * partial-aggregates map-side, so each executor forwards ONE
+    * candidate row per source it saw, and the shuffle is |sources|
+    * rows regardless of corpus size. Struct ordering is lexicographic
+    * in both engines' argmax tie-break here because the tie-break is
+    * encoded IN the key (bigger n_chars wins, then bigger -doc_id =
+    * smaller doc_id), making the winner total-order-deterministic. */
+  private def q72KeepBest(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(max_by(
+        struct(col("doc_id"), col("n_chars")),
+        struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("source"), col("best.doc_id").as("doc_id"),
+        col("best.n_chars").as("n_chars"))
+  }
+
+  private val q72Sql =
+    """SELECT source, doc_id, n_chars FROM documents
+      |QUALIFY ROW_NUMBER() OVER (
+      |  PARTITION BY source ORDER BY n_chars DESC, doc_id) = 1""".stripMargin
+
+  /** DOCUMENT CHUNKING — the context-window construction step: each
+    * document's token stream is cut into [[ChunkSize]]-token windows
+    * every [[ChunkStride]] tokens (overlapping, stride < size, as
+    * training pipelines do so no boundary context is lost). Output is
+    * one row per chunk: its 1-based token start, its real length
+    * (tail chunks are short), and a content digest.
+    *
+    * Shape: `sequence(1, n, stride)` builds the (tiny) start-offset
+    * array, one generator explode per chunk, then the slice/digest are
+    * PLAIN row-at-a-time expressions on the exploded rows — no
+    * higher-order lambdas re-evaluating per element (the q63 lesson:
+    * HOF trees evaluate interpreted and re-inline their inputs).
+    * Map-only: no shuffle at any scale; chunk count ~ n/stride rows
+    * per doc is the unavoidable output size. */
+  private def q73DocChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    toks
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")), lit(ChunkStride))).as("start"))
+      .select(col("doc_id"), col("start"),
+        least(lit(ChunkSize), size(col("tk")) - col("start") + 1).as("chunk_len"),
+        md5(concat_ws(" ", slice(col("tk"), col("start"), lit(ChunkSize)))).as("chunk_fp"))
+  }
+
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  private val q73Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                x -> LEN(x) > 0) AS tk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tk, UNNEST(RANGE(1, LEN(tk) + 1, $ChunkStride)) AS start
+       |  FROM t WHERE LEN(tk) > 0)
+       |SELECT doc_id, CAST(start AS INT) AS start,
+       |  CAST(LEAST($ChunkSize, LEN(tk) - start + 1) AS INT) AS chunk_len,
+       |  MD5(ARRAY_TO_STRING(tk[start : start + ${ChunkSize - 1}], ' ')) AS chunk_fp
+       |FROM c""".stripMargin
+
+  /** UNIGRAM-LM SCORING — the cheap perplexity proxy used for corpus
+    * quality filtering (CCNet-style): score each document by the mean
+    * negative log-probability of its tokens under the corpus's own
+    * unigram distribution. Rare-token-laden (gibberish) docs score
+    * high, boilerplate scores low. Rounded to 6dp on both sides; the
+    * probabilities are ratios of exact counts, so the doubles agree
+    * before rounding (q56's convention).
+    *
+    * Scale shape: the unigram table is Zipf-skewed but TINY relative
+    * to the corpus (millions of types vs trillions of tokens), so it
+    * is BROADCAST and the per-token lookup is a map-side hash join —
+    * broadcasting also dissolves the "the"-key skew a shuffled join
+    * would suffer. The only corpus-keyed shuffle is the final per-doc
+    * mean, pre-combined map-side. Token totals ride the same broadcast
+    * (a 1-row cross join folded into it). */
+  private def q74UnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(tok.agg(count(lit(1)).as("total")))
+    tok.join(broadcast(freq), "tok")
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("cnt") / col("total"))), 6).as("lm_score"))
+  }
+
+  private val q74Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(LIST_FILTER(
+      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT COUNT(*) AS total FROM tok)
+      |SELECT t.doc_id, ROUND(AVG(-LN(f.cnt / tot.total)), 6) AS lm_score
+      |FROM tok t JOIN freq f USING (tok), tot
+      |GROUP BY t.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),
     Q("q68_seq_pack", q68SeqPack, Some(q68Sql)),
     Q("q69_contamination", q69Contamination, Some(q69Sql)),
-    Q("q71_stratified_sample", q71StratifiedSample, Some(q71Sql)))
+    Q("q71_stratified_sample", q71StratifiedSample, Some(q71Sql)),
+    Q("q72_keep_best", q72KeepBest, Some(q72Sql)),
+    Q("q73_doc_chunks", q73DocChunks, Some(q73Sql)),
+    Q("q74_unigram_lm", q74UnigramLm, Some(q74Sql)))
 }

@@ -326,4 +326,50 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((2L, 2L), (9L, 1L)))
   }
+
+  test("keep-best picks the longest doc per source, ties to the smallest id") {
+    // independent oracle: driver-side argmax with the same total order
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).view.mapValues(
+      _.maxBy { case (_, id, n) => (n, -id) }).values.toSet
+    val got = SparkEntry.queries("q72_keep_best")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("doc chunks tile the token stream: strided starts, clipped tails") {
+    val got = SparkEntry.queries("q73_doc_chunks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_._1)
+    val nToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val n = nToks(doc)
+      val starts = chunks.map(_._2).sorted.toList
+      assert(starts == (1 to n by 48).toList,
+        s"doc $doc strides wrong: ${starts.mkString(",")}")
+      chunks.foreach { case (_, start, len) =>
+        assert(len == math.min(64, n - start + 1), s"doc $doc chunk at $start")
+      }
+    }
+  }
+
+  test("unigram-LM score is order-correct: rare-token docs score higher") {
+    import spark.implicits._
+    // 'zzz' appears once in a 4-token corpus; 'the' three times
+    Seq((1L, "the the the"), (2L, "zzz")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_lm_docs/documents.parquet")
+    // q74 reads the documents table from a dir; point it at the fixture
+    val fixture = "target/test_lm_docs"
+    val got = SparkEntry.queries("q74_unigram_lm")(spark, fixture)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // -ln(3/4) ~= 0.2877 ; -ln(1/4) ~= 1.3863
+    assert(math.abs(got(1L) - 0.287682) < 1e-6)
+    assert(math.abs(got(2L) - 1.386294) < 1e-6)
+    assert(got(2L) > got(1L), "rare tokens must score higher than common ones")
+  }
 }

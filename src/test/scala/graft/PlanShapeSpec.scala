@@ -155,6 +155,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must not shuffle for the rate join:\n$p")
   }
 
+  test("keep-best is a partial aggregation, not a per-key window sort") {
+    // q72's reason to be max_by: a window carries every row of a key to
+    // one partition and sorts it; partial max_by ships one candidate
+    // per key per map task
+    val p = plan(SparkEntry.queries("q72_keep_best")(spark, sfDir))
+    assert(!p.contains("Window"), s"keep-best must not plan a Window:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partial max_by before the shuffle:\n$p")
+  }
+
+  test("doc chunking is map-only: no exchange anywhere in the plan") {
+    val p = plan(SparkEntry.queries("q73_doc_chunks")(spark, sfDir))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle the corpus:\n$p")
+  }
+
+  test("unigram-LM lookup broadcasts the frequency table onto the tokens") {
+    val p = plan(SparkEntry.queries("q74_unigram_lm")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the unigram table broadcast onto the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must not shuffle for the frequency join:\n$p")
+  }
+
   test("build-scan path canonicalization is a codegen expression, not a scalar UDF") {
     import graft.build.IndexBuilder
     val work = s"/root/repo/target/test_canon_${System.nanoTime()}"
