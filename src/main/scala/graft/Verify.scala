@@ -58,7 +58,8 @@ object Verify {
 
     import scala.concurrent.ExecutionContext.Implicits.global
     val sc = spark.sparkContext
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // returns true when the dump was written, false on timeout
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
       val t0 = System.nanoTime()
       val task = Future {
         sc.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
@@ -70,16 +71,32 @@ object Verify {
         Await.result(task, QueryTimeout)
         System.err.println(
           f"[verify] $name: ok (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        true
       } catch {
         case _: TimeoutException =>
           sc.cancelJobGroup(s"verify-$name")
-          System.err.println(s"[verify] $name: SKIPPED timeout after $QueryTimeout")
+          System.err.println(s"[verify] $name: timeout after $QueryTimeout")
           // a cancelled query's tasks die between rows, not instantly;
           // wait for the scheduler to go idle (bounded) so the orphans
           // don't poison the next query's run
           drain(sc, 60.seconds)
+          false
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          true // a real failure won't improve on retry; move on
+      }
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // never START a query while a host steal wave is running: a
+      // 10-80x wall-clock inflation turns a 3 s query into a false
+      // timeout, and every false timeout costs a correctness row
+      Contention.waitCalm(60000L)
+      if (!runOnce(name, fn)) {
+        // the timeout itself usually IS the wave; re-gate and give the
+        // query one more chance before conceding its row
+        Contention.waitCalm(60000L)
+        if (!runOnce(name, fn))
+          System.err.println(s"[verify] $name: SKIPPED after retry")
       }
     }
     spark.stop()
