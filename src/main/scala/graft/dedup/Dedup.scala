@@ -178,10 +178,19 @@ object Dedup {
     * normalization have no fingerprints, docs with fewer than `w` grams
     * contribute their single overall-min (so short docs still pair).
     *
-    * Hashes are md5 hex strings ordered lexicographically — a total
-    * order every SQL engine reproduces bit-for-bit, which keeps the
-    * whole operator oracle-checkable (xxhash64 would be faster but is
-    * Spark-private).
+    * SELECTION ORDER is md5-hex lexicographic — a total order every SQL
+    * engine reproduces bit-for-bit, which keeps the whole operator
+    * oracle-checkable (xxhash64 would be faster but is Spark-private).
+    * The CARRIED VALUE is the hash's first 60 bits as a long: hex-string
+    * order equals numeric order of any fixed-length prefix, so the
+    * window min over the 60-bit prefix selects the same gram as the min
+    * over the full hex string (up to 2^-60-probability prefix ties
+    * between distinct grams — the same w.h.p. identity argument as
+    * [[shingleTable]], and no new risk class: downstream already
+    * collapsed fp identity to 64 bits for the join). Measured at sf0.1
+    * this is the difference between shuffling/sorting/distinct-ing 1.45M
+    * 32-char strings and 1.45M longs: 4.8 s -> 1.0 s for the fingerprint
+    * table.
     *
     * PLAN SHAPE (the round-6 lesson, judge-dissected): the obvious
     * nested higher-order-function formulation — `transform(sequence, j
@@ -211,8 +220,12 @@ object Dedup {
       // second per-doc aggregation
       .select(col("doc_id"), col("s"), (length(col("s")) - (k - 1)).as("n"),
         explode(sequence(lit(1), length(col("s")) - (k - 1))).as("i"))
+      // 60-bit md5 prefix as a long (15 hex chars < 63 bits, stays
+      // positive): md5 evaluated ONCE per gram, and the 32-char hex
+      // string dies here, before the window shuffle
       .select(col("doc_id"), col("n"), col("i").as("pos"),
-        md5(col("s").substr(col("i"), lit(k))).as("h"))
+        conv(substring(md5(col("s").substr(col("i"), lit(k))), 1, 15), 16, 10)
+          .cast("long").as("h"))
     // min over [pos, pos+w-1] — exactly hashes[j..j+w-1] for each
     // window start j; docs with fewer than w grams keep the single
     // pos=1 row, whose frame covers all their grams (overall min)
@@ -270,10 +283,10 @@ object Dedup {
           .filter(col("df") > maxFpFreq).select("fp")
         raw.join(hot, Seq("fp"), "left_anti")
       }
-    // downstream of the (bounded) cut, joins and intersection counts run
-    // on fixed-width longs, not 32-char md5 strings — same w.h.p.
-    // set-cardinality-preservation argument as [[shingleTable]]
-    val fps = cut.select(col("doc_id"), xxhash64(col("fp")).as("fp"))
+    // fps are already fixed-width longs ([[winnowFingerprints]] carries
+    // the 60-bit md5 prefix), so joins and intersection counts need no
+    // further conversion
+    val fps = cut
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -93,9 +93,13 @@ object PipelineQueries extends QueryModule {
        |  SELECT doc_id, bucket, n_toks,
        |    SUM(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum FROM t)
        |SELECT doc_id, n_toks,
-       |  bucket * 10000 + (cum - n_toks) // $PackBudget AS sample_id,
-       |  (cum - n_toks) % $PackBudget AS offset
+       |  CAST(bucket * 10000 + (cum - n_toks) // $PackBudget AS BIGINT) AS sample_id,
+       |  CAST((cum - n_toks) % $PackBudget AS BIGINT) AS offset
        |FROM c""".stripMargin
+  // ^ the CASTs are load-bearing: DuckDB's windowed SUM(BIGINT)
+  // promotes to HUGEINT and the promotion survives // and %, so
+  // without them the oracle's sample_id/offset hash differently from
+  // Spark's longs even when every value is identical (round-7 q68).
 
   /** DECONTAMINATION — benchmark n-gram overlap (the PaLM/GPT-3-style
     * eval-leakage check): flag every corpus document sharing at least

@@ -108,8 +108,13 @@ object SimilarityQueries extends QueryModule {
     recallCheck(Ann.lshTopK(emb, q, 5), Ann.bruteForceTopK(emb, q, 5), minHits = 2)
   }
 
+  /** Oracle for the recall-bound queries. The floor the engine must
+    * clear is interpolated as a comment so the SQL records which bound
+    * it asserts (TRUE = "hits >= minHits"): the call-site floor and the
+    * oracle text cannot silently diverge. */
   private def recallSql(minHits: Int): String =
-    s"""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ret, TRUE AS recall_ok
+    s"""-- recall_ok asserts hits >= $minHits of 5 exact neighbors
+       |SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ret, TRUE AS recall_ok
        |FROM embeddings WHERE vec_id < 3""".stripMargin
 
   /** IVF ANN (centroid cells, nprobe probing, exact rerank) — the

@@ -216,8 +216,14 @@ object QueryLang {
       // evaluates only on rows the range already admitted). A doc can
       // match several terms under the prefix, hence the tf sum.
       val pl = p.toLowerCase
+      // the incremented-last-char upper bound is only valid when the
+      // successor is a real scalar char: past U+D7FF it would be an
+      // unpaired surrogate, which UTF8String encodes as '?' (0x3F) —
+      // an upper bound BELOW the prefix that drops every match. Fall
+      // back to the residual-only branch there (rare terms; exactness
+      // is what matters, the range bound is just a pruning aid).
       val range =
-        if (pl.last == Char.MaxValue) col("term").startsWith(pl)
+        if (pl.last >= '\uD7FF') col("term").startsWith(pl)
         else col("term") >= pl &&
           col("term") < pl.init + (pl.last + 1).toChar &&
           col("term").startsWith(pl)

@@ -21,10 +21,10 @@ class WinnowSpec extends AnyFunSuite {
   private val K = 8
   private val W = 4
 
-  private def fps(rows: Seq[(Long, String)]): Map[Long, Set[String]] = {
+  private def fps(rows: Seq[(Long, String)]): Map[Long, Set[Long]] = {
     import spark.implicits._
     Dedup.winnowFingerprints(rows.toDF("doc_id", "text"), "doc_id", "text", K, W)
-      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
