@@ -9,9 +9,12 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at the scale factor in
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line — as the LAST stdout
-  * line, after `spark.stop()`, so shutdown noise can never displace it
-  * from a tail; a copy lands in `target/bench_last.json`. A single
+  * SPARK_GRAFT_SF_DIR and prints the results as JSON on stdout — the
+  * full per-query line first, then a COMPACT (<200 char) summary line
+  * LAST, after `spark.stop()`, so shutdown noise can never displace it
+  * and a consumer that keeps only a short tail of the stream still
+  * gets one complete object; a copy of the full line lands in
+  * `target/bench_last.json`. A single
   * warm-up query (first in name order, untimed) absorbs JVM/Spark
   * session start-up (~9 s) so per-query numbers measure the plans, not
   * classloading; queries run in name order for run-to-run
@@ -126,24 +129,56 @@ object Bench {
       System.err.println(f"[bench] $name: $t%.2f s")
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // RESCUE SWEEP for -1 sentinels: during a steal wave the in-place
+    // retries all land inside the SAME wave (round 7: q27 best-known
+    // 3.2 s and q51 best-known 1.7 s both recorded -1 twice within one
+    // wave, and passed minutes later). One more attempt at the very end
+    // of the run — after every other query, re-gated — gives the host
+    // time to go calm; keep the better result.
+    val rescued = if (results.exists(_._2 < 0)) {
+      val fnByName = ordered.toMap
+      results.map { case (name, t) =>
+        if (t >= 0) name -> t
+        else {
+          System.err.println(s"[bench-warn] $name: end-of-run rescue re-run after -1")
+          Contention.waitCalm()
+          val t2 = timedRun(spark, name, fnByName(name), sfDir)
+          System.err.println(f"[bench] $name (rescue): $t2%.2f s")
+          name -> math.max(t, t2) // t is -1, so any real time wins
+        }
+      }
+    } else results
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // 3-decimal times: ms resolution is below this box's noise floor and
+    // the full line must approach the consumer's 2,000-char tail window
+    val qs = rescued.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failure sentinels (-1) must not deflate the headline total; report
     // them as a separate count so a round with failures can never look
     // faster than a healthy one
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
+    val total = rescued.map(_._2).filter(_ >= 0).sum
+    val failed = rescued.count(_._2 < 0)
+    val best = diffAgainstHistory(sfDir, rescued)
+    // best_total = sum of per-query MINs across all runs at this sf: the
+    // steady-state floor. A contended round shows value >> best_total; a
+    // regressed round raises best_total itself.
+    val bestTotal = best.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    diffAgainstHistory(sfDir, results)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"best_total":${fmt(bestTotal)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json)
     catch { case NonFatal(e) => System.err.println(s"[bench-warn] file write skipped: $e") }
     drain(spark, 30.seconds)
     spark.stop()
-    // LAST line of stdout, after every Spark shutdown message has been
-    // emitted — the driver records the tail of this stream
+    // LAST lines of stdout, after every Spark shutdown message has been
+    // emitted — the driver records only the final ~2,000 chars of this
+    // stream, so after the full per-query line a COMPACT summary (<200
+    // chars) goes last: even if the full line is truncated mid-object,
+    // one complete parseable JSON object always sits inside the window.
     println(json)
+    println(compact)
   }
 
   /** Round-over-round guardrail: keep the previous run's per-query times
@@ -171,7 +206,11 @@ object Bench {
       else Map.empty
     } catch { case NonFatal(_) => Map.empty }
 
-  private def diffAgainstHistory(sfDir: String, results: Seq[(String, Double)]): Unit = {
+  /** Warn on regressions, persist per-query MINs, and RETURN the merged
+    * min map (the best-known steady-state floor per query) so the
+    * summary line can report `best_total`. */
+  private def diffAgainstHistory(
+      sfDir: String, results: Seq[(String, Double)]): Map[String, Double] = {
     val hist = histPath(sfDir)
     try {
       val prev: Map[String, Double] = readHistory(sfDir)
@@ -199,8 +238,11 @@ object Bench {
       java.nio.file.Files.write(hist,
         merged.toSeq.sortBy(_._1).map { case (n, t) => s"$n $t" }.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      merged
     } catch {
-      case NonFatal(e) => System.err.println(s"[bench-warn] history diff skipped: $e")
+      case NonFatal(e) =>
+        System.err.println(s"[bench-warn] history diff skipped: $e")
+        results.filter(_._2 >= 0).toMap
     }
   }
 }

@@ -48,10 +48,16 @@ object Contention {
   }
 
   /** One probe says the box is currently contended: the fixed loop took
-    * 3x its floor (+2 ms absolute so a sub-ms floor can't false-flag). */
+    * 3x its floor (+2 ms absolute so a sub-ms floor can't false-flag).
+    * Every probe also RATCHETS the floor down: if a steal wave overlaps
+    * [[calibrate]], the floor starts inflated and the gate would
+    * otherwise silently report calm for the whole run — any later calm
+    * probe repairs the poisoned calibration. */
   def contended(): Boolean = {
     if (floorNs == Long.MaxValue) calibrate()
-    probeNs() > floorNs * 3 + 2000000L
+    val t = probeNs()
+    floorNs = math.min(floorNs, t)
+    t > floorNs * 3 + 2000000L
   }
 
   /** Block (1 s polls) until two consecutive probes look calm, up to
