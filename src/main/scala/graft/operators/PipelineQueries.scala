@@ -286,6 +286,141 @@ object PipelineQueries extends QueryModule {
       |FROM tok t JOIN freq f USING (tok), tot
       |GROUP BY t.doc_id""".stripMargin
 
+  /** PARAGRAPH-LEVEL EXACT DEDUP — the Gopher/RefinedWeb boilerplate
+    * removal step: segment every document into paragraphs, drop every
+    * paragraph whose exact content recurs in MORE THAN ONE document
+    * (navigation chrome, license notices, templated headers — all
+    * copies go, the step removes boilerplate rather than electing a
+    * canonical copy), and report per document how much survived plus a
+    * digest of the surviving sequence. This corpus has no newlines, so
+    * "paragraph" is a fixed [[ParaBlock]]-token block — the
+    * segmentation rule is corpus-specific, the operator shape is not.
+    *
+    * Scale shape: one shuffle keyed on the paragraph digest builds the
+    * document-frequency table (map-side partial counts); the repeated
+    * set (df > 1) is a small fraction of distinct paragraphs in real
+    * corpora and joins back digest-keyed — the document text itself is
+    * never shuffled, only (doc_id, start, 16-byte digest) rows. The
+    * per-doc reassembly aggregation collects ~n_tokens/[[ParaBlock]]
+    * digests per doc: bounded, and the sort_array+transform runs once
+    * per doc on that small array, not per element of the corpus. */
+  private def q75ParaDedup(s: SparkSession, dir: String): DataFrame = {
+    // materialized: three consumers below (df table, anti-join left
+    // side, per-doc block counts) — without this the tokenize + explode
+    // + md5 pipeline runs once per DAG branch
+    val blocks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")), lit(ParaBlock))).as("start"))
+      .select(col("doc_id"), col("start"),
+        md5(concat_ws(" ", slice(col("tk"), col("start"), lit(ParaBlock)))).as("dg"))
+      .localCheckpoint(false)
+    val hot = blocks.groupBy("dg")
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+      .filter(col("ddf") > 1).select("dg")
+    val kept = blocks.join(hot, Seq("dg"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("start"), col("dg")))),
+          x => x.getField("dg")))).as("kept_fp"))
+    blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        // md5 of the empty string = the digest of a fully-deduped doc
+        coalesce(col("kept_fp"), lit("d41d8cd98f00b204e9800998ecf8427e"))
+          .as("kept_fp"))
+  }
+
+  private val ParaBlock = 20
+
+  private val q75Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                             x -> LEN(x) > 0) AS tk
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, start,
+       |    MD5(ARRAY_TO_STRING(tk[start : start + ${ParaBlock - 1}], ' ')) AS dg
+       |  FROM (SELECT doc_id, tk, UNNEST(RANGE(1, LEN(tk) + 1, $ParaBlock)) AS start
+       |        FROM t WHERE LEN(tk) > 0)),
+       |hot AS (SELECT dg FROM b GROUP BY dg HAVING COUNT(DISTINCT doc_id) > 1),
+       |k AS (SELECT doc_id, start, dg FROM b ANTI JOIN hot USING (dg)),
+       |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         MD5(STRING_AGG(dg, ' ' ORDER BY start)) AS kept_fp
+       |       FROM k GROUP BY doc_id),
+       |na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks FROM b GROUP BY doc_id)
+       |SELECT na.doc_id, na.n_blocks,
+       |  COALESCE(ka.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  COALESCE(ka.kept_fp, MD5('')) AS kept_fp
+       |FROM na LEFT JOIN ka USING (doc_id)""".stripMargin
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each
+    * document by how much more likely its tokens are under a TARGET
+    * domain's hashed-n-gram distribution than under the raw corpus's —
+    * the log importance weight Σ_tok log(p_target(b)/p_raw(b)), with
+    * tokens hashed into [[DsirBuckets]] buckets and both distributions
+    * Laplace-smoothed. Sampling against these weights tilts a crawl
+    * toward the target domain (here: the `lang = 'en'` slice; in
+    * production, a trusted high-quality corpus). Rounded to 6dp — the
+    * bucket probabilities are ratios of exact counts (q74's convention)
+    * and the per-doc sum's accumulation-order noise is ~1e-12, far
+    * below the rounding granularity.
+    *
+    * Scale shape: both distributions are tiny fixed-size aggregations
+    * (≤ [[DsirBuckets]] rows, map-side partial counts) folded into ONE
+    * broadcast lookup of per-bucket log-ratios; the corpus-side scan
+    * then maps each token to its bucket and the only corpus-keyed
+    * shuffle is the per-doc sum, pre-combined map-side. Broadcasting
+    * dissolves the Zipf head skew a shuffled bucket join would suffer
+    * (the hottest bucket holds "the"). */
+  private def q76DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(DsirBuckets.toLong)).as("b"))
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val totals = tok.agg(count(lit(1)).as("r"),
+      count(when(col("lang") === "en", 1)).as("t"))
+    val lookup = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(totals)
+      .select(col("b"),
+        log(((coalesce(col("tc"), lit(0L)) + 1) / (col("t") + DsirBuckets)) /
+            ((col("rc") + 1) / (col("r") + DsirBuckets))).as("lr"))
+    tok.join(broadcast(lookup), "b")
+      .groupBy("doc_id").agg(round(sum(col("lr")), 6).as("dsir_w"))
+  }
+
+  private val DsirBuckets = 1024
+
+  private val q76Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                       x -> LEN(x) > 0)) AS tok
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || SUBSTRING(MD5(tok), 1, 8) AS BIGINT) % $DsirBuckets AS b
+       |  FROM tok),
+       |raw AS (SELECT b, COUNT(*) AS rc FROM tb GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS tc FROM tb WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT COUNT(*) AS r, COUNT(*) FILTER (lang = 'en') AS t FROM tb),
+       |lk AS (
+       |  SELECT raw.b,
+       |    LN(((COALESCE(tc, 0) + 1.0) / (t + $DsirBuckets)) /
+       |       ((rc + 1.0) / (r + $DsirBuckets))) AS lr
+       |  FROM raw LEFT JOIN tgt USING (b), tot)
+       |SELECT tb.doc_id, ROUND(SUM(lr), 6) AS dsir_w
+       |FROM tb JOIN lk USING (b) GROUP BY tb.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),
     Q("q68_seq_pack", q68SeqPack, Some(q68Sql)),
@@ -293,5 +428,7 @@ object PipelineQueries extends QueryModule {
     Q("q71_stratified_sample", q71StratifiedSample, Some(q71Sql)),
     Q("q72_keep_best", q72KeepBest, Some(q72Sql)),
     Q("q73_doc_chunks", q73DocChunks, Some(q73Sql)),
-    Q("q74_unigram_lm", q74UnigramLm, Some(q74Sql)))
+    Q("q74_unigram_lm", q74UnigramLm, Some(q74Sql)),
+    Q("q75_para_dedup", q75ParaDedup, Some(q75Sql)),
+    Q("q76_dsir_weights", q76DsirWeights, Some(q76Sql)))
 }

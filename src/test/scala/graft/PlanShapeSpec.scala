@@ -178,6 +178,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the token stream must not shuffle for the frequency join:\n$p")
   }
 
+  test("paragraph dedup anti-joins the repeated set on the digest, never a nested loop") {
+    val p = plan(SparkEntry.queries("q75_para_dedup")(spark, sfDir))
+    assert(p.contains("LeftAnti"),
+      s"expected an anti-join dropping repeated paragraphs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"paragraph dedup must stay digest-keyed:\n$p")
+  }
+
+  test("DSIR weighting broadcasts the bucket log-ratio lookup onto the tokens") {
+    val p = plan(SparkEntry.queries("q76_dsir_weights")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the <=1024-row log-ratio table broadcast onto the token stream:\n$p")
+  }
+
   test("build-scan path canonicalization is a codegen expression, not a scalar UDF") {
     import graft.build.IndexBuilder
     val work = s"/root/repo/target/test_canon_${System.nanoTime()}"
