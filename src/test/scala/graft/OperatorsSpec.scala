@@ -358,6 +358,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup drops cross-doc repeated blocks from ALL docs, keeps within-doc repeats") {
+    import spark.implicits._
+    // blocks are 20 tokens; four docs, block-aligned by construction:
+    //  d1 = [shared][u1], d2 = [shared][u2]  -> shared recurs in 2 docs, dropped from both
+    //  d3 = [u3]                             -> untouched
+    //  d4 = [rep][rep]                       -> repeats only WITHIN d4 (doc-df = 1), kept
+    def blk(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (1L, blk("s") + " " + blk("u1")),
+      (2L, blk("s") + " " + blk("u2")),
+      (3L, blk("u3")),
+      (4L, blk("rep") + " " + blk("rep"))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_para_docs/documents.parquet")
+    val got = SparkEntry.queries("q75_para_dedup")(spark, "target/test_para_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)) && got(2L) == ((2L, 1L)),
+      "the shared block must be dropped from BOTH carriers (boilerplate, not canonical-copy)")
+    assert(got(3L) == ((1L, 1L)))
+    assert(got(4L) == ((2L, 2L)),
+      "a block repeated only within one doc has doc-frequency 1 and must survive")
+  }
+
+  test("DSIR weights tilt toward the target domain: en-typical positive, off-domain negative") {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha alpha alpha", "en"),
+      (2L, "beta beta beta", "fr")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet("target/test_dsir_docs/documents.parquet")
+    val got = SparkEntry.queries("q76_dsir_weights")(spark, "target/test_dsir_docs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // alpha's bucket: target count 3 of 3, raw 3 of 6 -> ratio > 1 -> positive;
+    // beta's bucket: target count 0 (smoothed) -> ratio < 1 -> negative
+    assert(got(1L) > 0, s"target-typical doc must weigh positive, got ${got(1L)}")
+    assert(got(2L) < 0, s"off-domain doc must weigh negative, got ${got(2L)}")
+    assert(got(1L) > got(2L))
+  }
+
   test("unigram-LM score is order-correct: rare-token docs score higher") {
     import spark.implicits._
     // 'zzz' appears once in a 4-token corpus; 'the' three times
