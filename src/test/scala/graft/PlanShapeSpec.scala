@@ -184,12 +184,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected an anti-join dropping repeated paragraphs:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"paragraph dedup must stay digest-keyed:\n$p")
+    // column pruning: only doc_id + text reach the documents scan
+    assert(!p.contains("n_chars#") && !p.contains("lang#") && !p.contains("source#"),
+      s"untouched documents columns must be pruned:\n$p")
   }
 
   test("DSIR weighting broadcasts the bucket log-ratio lookup onto the tokens") {
     val p = plan(SparkEntry.queries("q76_dsir_weights")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
       s"expected the <=1024-row log-ratio table broadcast onto the token stream:\n$p")
+    // column pruning: doc_id + lang + text reach the scan, nothing else
+    assert(!p.contains("n_chars#") && !p.contains("source#"),
+      s"untouched documents columns must be pruned:\n$p")
   }
 
   test("build-scan path canonicalization is a codegen expression, not a scalar UDF") {
