@@ -33,11 +33,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# optional third arg: comma-separated query-name substrings to check
+# (e.g. "q63,q75") — the full sweep at sf0.1 spends most of its time in
+# the deliberately-quadratic oracle anchors, so targeted re-checks of
+# just-changed queries need a filter
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+
 n_pass = n_fail = 0
 for qdir in sorted(out_dir.iterdir()):
     if not qdir.is_dir():
         continue
     name = qdir.name
+    if only is not None and not any(s in name for s in only):
+        continue
     spark_df = duckdb.connect().execute(
         f"SELECT * FROM '{qdir}/*.parquet'").df()
     if name not in oracle:
