@@ -236,6 +236,47 @@ object TextAnalysisQueries extends QueryModule {
        |SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
        |FROM tok GROUP BY tok HAVING COUNT(*) >= $VocabMinOcc""".stripMargin
 
+  /** BPE MERGE-PAIR COUNTS — the first iteration of byte-pair-encoding
+    * tokenizer training: the corpus-wide frequency of every adjacent
+    * character pair, which is the statistic the trainer maximizes when
+    * choosing the next merge. Computed the way real BPE trainers scale:
+    * pairs are enumerated over the DISTINCT-TOKEN VOCABULARY (thousands
+    * of types) weighted by each token's corpus count — never over the
+    * corpus's token stream (trillions of occurrences re-enumerating the
+    * same pairs). An occurrence floor keeps the output deterministic
+    * across engines (q70's convention, no top-k ties).
+    *
+    * Scale shape: one corpus-keyed shuffle builds the vocabulary
+    * (map-side combined wordcount); everything after runs on the
+    * vocab — the pair explode is |vocab| × avg token length rows and
+    * the final pair aggregation is alphabet-squared sized. */
+  private def q77BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    vocab.filter(length(col("tok")) >= 2)
+      .select(col("tok"), col("cnt"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(col("tok").substr(col("i"), lit(2)).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum(col("cnt")).as("n_occ"))
+      .filter(col("n_occ") >= BpeMinOcc)
+  }
+
+  private val BpeMinOcc = 100L
+
+  private val q77Sql =
+    s"""WITH tok AS (
+       |  SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                            x -> LEN(x) > 0)) AS tok
+       |  FROM documents),
+       |v AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+       |p AS (
+       |  SELECT SUBSTRING(tok, i, 2) AS pair, cnt
+       |  FROM (SELECT tok, cnt, UNNEST(RANGE(1, LEN(tok))) AS i
+       |        FROM v WHERE LEN(tok) >= 2))
+       |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occ
+       |FROM p GROUP BY pair HAVING SUM(cnt) >= $BpeMinOcc""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
@@ -243,5 +284,6 @@ object TextAnalysisQueries extends QueryModule {
     Q("q44_quality_score", q44QualityScore, Some(q44Sql)),
     Q("q66_pii_redact", q66PiiRedact, Some(q66Sql)),
     Q("q67_repetition", q67Repetition, Some(q67Sql)),
-    Q("q70_vocab", q70Vocab, Some(q70Sql)))
+    Q("q70_vocab", q70Vocab, Some(q70Sql)),
+    Q("q77_bpe_pairs", q77BpePairs, Some(q77Sql)))
 }
