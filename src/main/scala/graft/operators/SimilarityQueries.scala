@@ -128,10 +128,53 @@ object SimilarityQueries extends QueryModule {
       Ann.bruteForceTopK(emb, q, 5), minHits = 4)
   }
 
+  /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
+    * engine clusters the q51 planted-near-dup corpus with
+    * [[Ann.semanticDedup]] (IVF cells, within-cell drop of close
+    * smaller-id neighbors) and reports, for every EXACT cosine>=0.9
+    * pair, whether cluster-scoped dedup resolved it (at least one
+    * endpoint dropped). Cell assignment is cosine-based and therefore
+    * scale-invariant, so each planted x0.5 copy lands in its
+    * original's cell EXACTLY and `handled` is deterministically TRUE —
+    * which is what the oracle asserts alongside the SQL-computed exact
+    * pair list. A regression that splits dup pairs across cells (the
+    * failure mode cluster-scoped dedup risks) flips the bit and fails
+    * the hash compare. The engine-side pair list reuses the verified
+    * LSH scale path (recall deterministically 1.0 for the planted
+    * pairs at signature hamming 0, precision exact). */
+  private def q78SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val verdicts = Ann.semanticDedup(corpus, 0.9, nlist = 16)
+      .select(col("vec_id"), col("kept"))
+    val pairs = Ann.lshNearDupPairs(corpus, 0.9, nPlanes = 64, bands = 8)
+    pairs
+      .join(verdicts.select(col("vec_id").as("id_i"), col("kept").as("kept_i")), "id_i")
+      .join(verdicts.select(col("vec_id").as("id_j"), col("kept").as("kept_j")), "id_j")
+      .select(col("id_i"), col("id_j"),
+        (!(col("kept_i") && col("kept_j"))).as("handled"))
+  }
+
+  private val q78Sql =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(0.5 AS FLOAT))
+      |  FROM embeddings WHERE vec_id < 50
+      |)
+      |SELECT a.vec_id AS id_i, b.vec_id AS id_j, TRUE AS handled
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.9""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
     Q("q51_embed_neardup_lsh", q51EmbedNearDupLsh, Some(q51Sql)),
     Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
     Q("q30_ann_lsh", q30AnnLsh, Some(recallSql(2))),
-    Q("q45_ann_ivf", q45AnnIvf, Some(recallSql(4))))
+    Q("q45_ann_ivf", q45AnnIvf, Some(recallSql(4))),
+    Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

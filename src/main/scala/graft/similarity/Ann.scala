@@ -143,63 +143,8 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = 32, nprobe: Int = 8, lloydIters: Int = 2): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    val trainCap = math.max(64 * nlist, 2048)
-    val train: Array[Array[Double]] =
-      corpus.orderBy(col(idCol)).limit(trainCap)
-        .select(col(vecCol).cast("array<double>"))
-        .as[Seq[Double]].collect().map(_.toArray)
-    var cs: Array[Array[Double]] = train.take(nlist).map(_.clone())
-
-    def normOf(v: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    for (_ <- 1 to lloydIters if train.length > nlist) {
-      val cn = cs.map(normOf)
-      val dim = cs(0).length
-      val sums = Array.fill(cs.length)(new Array[Double](dim))
-      val counts = new Array[Long](cs.length)
-      train.foreach { v =>
-        val vn = normOf(v)
-        var best = 0; var bestSim = Double.NegativeInfinity
-        var c = 0
-        while (c < cs.length) {
-          var dot = 0.0; var i = 0
-          while (i < dim) { dot += v(i) * cs(c)(i); i += 1 }
-          val sim = dot / (vn * cn(c))
-          if (sim > bestSim) { bestSim = sim; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
-      }
-      // empty cells keep their previous centroid
-      cs = cs.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0L) old else sums(c).map(_ / counts(c))
-      }
-    }
-
-    // Nearest-cell assignment as a MAP-ONLY projection: the centroids
-    // are plan-time literal arrays (constant-folded by Catalyst), so
-    // per row we evaluate nlist codegen'd dot products into an array of
-    // (negsim, cell) structs — array_min picks the best cell (struct
-    // ordering = lexicographic, so ties break on the lower cell id) and
-    // array_sort+slice the nprobe best. No crossJoin, no aggregation,
-    // no window: assignment costs zero shuffles at any corpus size.
-    val cellScores: Column => Column = { vn =>
-      array(cs.toSeq.zipWithIndex.map { case (cvec, i) =>
-        val centLit = array(cvec.toSeq.map(lit): _*)
-        struct(
-          (-Vectors.dot(vn.getField("v"), centLit) /
-            (vn.getField("n") * lit(normOf(cvec)))).as("negsim"),
-          lit(i.toLong).as("cell"))
-      }: _*)
-    }
+    val cs = trainCentroids(corpus, idCol, vecCol, nlist, lloydIters)
+    val cellScores = cellScoresFor(cs)
 
     def project(df: DataFrame, outId: String, vOut: String, nOut: String): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as(vOut),
@@ -222,6 +167,115 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Driver-side deterministic Lloyd centroid training on a bounded
+    * sample (the first `max(64*nlist, 2048)` vectors by id): seed =
+    * first `nlist`, then `lloydIters` recentering rounds in a tight
+    * local loop with fixed iteration order — exact-deterministic, the
+    * way production IVF trains (on a sample, never the corpus). Shared
+    * by [[ivfTopK]] and [[semanticDedup]]. */
+  private def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, lloydIters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trainCap = math.max(64 * nlist, 2048)
+    val train: Array[Array[Double]] =
+      corpus.orderBy(col(idCol)).limit(trainCap)
+        .select(col(vecCol).cast("array<double>"))
+        .as[Seq[Double]].collect().map(_.toArray)
+    var cs: Array[Array[Double]] = train.take(nlist).map(_.clone())
+    for (_ <- 1 to lloydIters if train.length > nlist) {
+      val cn = cs.map(l2)
+      val dim = cs(0).length
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      train.foreach { v =>
+        val vn = l2(v)
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * cs(c)(i); i += 1 }
+          val sim = dot / (vn * cn(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      // empty cells keep their previous centroid
+      cs = cs.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cs
+  }
+
+  private def l2(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Nearest-cell assignment as a MAP-ONLY projection: the centroids
+    * are plan-time literal arrays (constant-folded by Catalyst), so per
+    * row we evaluate nlist codegen'd dot products into an array of
+    * (negsim, cell) structs — array_min picks the best cell (struct
+    * ordering = lexicographic, so ties break on the lower cell id).
+    * No crossJoin, no aggregation, no window: assignment costs zero
+    * shuffles at any corpus size. Input column: a struct (v, n). */
+  private def cellScoresFor(cs: Array[Array[Double]]): Column => Column = { vn =>
+    array(cs.toSeq.zipWithIndex.map { case (cvec, i) =>
+      val centLit = array(cvec.toSeq.map(lit): _*)
+      struct(
+        (-Vectors.dot(vn.getField("v"), centLit) /
+          (vn.getField("n") * lit(l2(cvec)))).as("negsim"),
+        lit(i.toLong).as("cell"))
+    }: _*)
+  }
+
+  /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space with the same deterministic IVF centroids as
+    * [[ivfTopK]], then WITHIN each cell drop every vector that has a
+    * close (cosine >= threshold) neighbor with a smaller id — one
+    * representative survives per within-cell duplicate neighborhood.
+    * Returns (idCol, cell, kept).
+    *
+    * Scale shape: this is the paper's point — the O(n²) similarity
+    * comparison runs per CELL, never over the corpus: assignment is the
+    * map-only constant-folded projection, the self-join shuffles on the
+    * cell key only (candidate volume is cell-local, (n/nlist)² per
+    * cell), and the verdict join is id-keyed. Cell assignment is
+    * cosine-based, so a scaled copy of a vector lands in its original's
+    * cell EXACTLY (cosine is scale-invariant — every cell score is
+    * identical), which is what makes near-duplicate capture
+    * deterministic rather than probabilistic for true dups. */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val cs = trainCentroids(corpus, idCol, vecCol, nlist, lloydIters)
+    val cellScores = cellScoresFor(cs)
+    val cells = corpus
+      .select(col(idCol), col(vecCol).as("v"), Vectors.norm(col(vecCol)).as("n"))
+      .withColumn("cell",
+        array_min(cellScores(struct(col("v").as("v"), col("n").as("n"))))
+          .getField("cell"))
+    val dropped = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"b.$idCol") < col(s"a.$idCol"))
+      .filter(Vectors.dot(col("a.v"), col("b.v")) /
+        (col("a.n") * col("b.n")) >= threshold)
+      .select(col(s"a.$idCol").as(idCol)).distinct()
+    cells.select(col(idCol), col("cell"))
+      .join(dropped.withColumn("d", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("d"), lit(false)).as("dropped"))
+      .withColumn("kept", !col("dropped"))
+      .drop("dropped")
   }
 
   /** LSH-bucketed near-dup PAIRS — the scale path behind

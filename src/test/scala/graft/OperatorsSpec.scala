@@ -358,6 +358,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: scaled copies share their original's cell and only the copy drops") {
+    import spark.implicits._
+    // 8 orthogonal unit vectors (pairwise cosine 0) + exact x0.5 copies
+    // of the first 3 (cosine 1.0 to their originals, scale-invariant
+    // cell scores => provably the same cell)
+    val base = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => if (d == i) 1f else 0f))
+    }
+    val copies = base.take(3).map { case (i, v) => (i + 1000L, v.map(_ * 0.5f)) }
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val d = Ann.semanticDedup(emb, 0.95, nlist = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    copies.foreach { case (cid, _) =>
+      val (origCell, origKept) = d(cid - 1000L)
+      val (copyCell, copyKept) = d(cid)
+      assert(copyCell == origCell, s"copy $cid must land in its original's cell")
+      assert(origKept && !copyKept, s"original kept, copy $cid dropped")
+    }
+    assert(d.values.count(_._2) == 8, "every vector without a close neighbor is kept")
+  }
+
   test("paragraph dedup drops cross-doc repeated blocks from ALL docs, keeps within-doc repeats") {
     import spark.implicits._
     // blocks are 20 tokens; four docs, block-aligned by construction:
