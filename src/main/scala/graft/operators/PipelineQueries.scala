@@ -421,7 +421,65 @@ object PipelineQueries extends QueryModule {
        |SELECT tb.doc_id, ROUND(SUM(lr), 6) AS dsir_w
        |FROM tb JOIN lk USING (b) GROUP BY tb.doc_id""".stripMargin
 
+  /** CORPUS REPORT CARD — the per-slice health summary every corpus
+    * curation run ends with: for each (source, lang) stratum, document
+    * and token counts, how many documents are exact-duplicate copies
+    * (non-canonical under the q24 digest rule), and how many clear the
+    * q44 quality bar. Pure composition of verified operators, reduced
+    * to integer-exact aggregates.
+    *
+    * Scale shape: the digest canonical-set is one hash-keyed
+    * aggregation (16-byte digest rows, map-side partials), the quality
+    * columns are map-only expressions, both joins are id-keyed
+    * equi-joins, and the final aggregation has |sources × langs| groups
+    * — every stage linear, nothing corpus-sized ever broadcast. */
+  private def q79CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val canonical = docs
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1).as("is_canon"))
+    val quality = TextAnalysisQueries.qualityScores(docs)
+      .select("doc_id", "n_tokens", "keep")
+    docs.select("doc_id", "source", "lang")
+      .join(canonical, Seq("doc_id"), "left")
+      .join(quality, "doc_id")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("is_canon").isNull, 1L).otherwise(0L)).as("n_dupes"),
+        sum(col("keep").cast("long")).as("n_keep"))
+  }
+
+  private val q79Sql =
+    """WITH canonical AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
+      |t AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(text) AS INT) AS n_chars,
+      |    CAST(LEN(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS tk
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(LEN(tk) AS INT) AS n_tokens,
+      |    CAST(LEN(tk) BETWEEN 5 AND 1000 AS INT) +
+      |    CAST(LEN(LIST_FILTER(tk, x -> x IN ('the', 'a'))) * 20 >= LEN(tk) AS INT) +
+      |    CAST(n_alpha * 2 >= n_chars AS INT) +
+      |    CAST(LIST_MAX(LIST_TRANSFORM(tk, x -> LEN(x))) <= 25 AS INT) AS hits
+      |  FROM t)
+      |SELECT d.source, d.lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(h.n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+      |  CAST(SUM(CASE WHEN h.hits = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM documents d
+      |LEFT JOIN canonical c ON c.doc_id = d.doc_id
+      |JOIN h ON h.doc_id = d.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),
     Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),
     Q("q68_seq_pack", q68SeqPack, Some(q68Sql)),
     Q("q69_contamination", q69Contamination, Some(q69Sql)),
