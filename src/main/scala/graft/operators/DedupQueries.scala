@@ -151,9 +151,12 @@ object DedupQueries extends QueryModule {
     * published semantics AND the scale guarantee: the inverted-index
     * join is bounded by m·|fp table|/2 rows (measured: 95M uncut →
     * 203K cut join rows at sf0.1, and 3.1× row growth for 10× data).
-    * Hashes are md5 hex strings on both engines, so the oracle
-    * recomputes the identical fingerprint sets with list
-    * comprehensions and applies the identical df cut. */
+    * Fingerprint SELECTION order is md5-hex on both engines; the oracle
+    * recomputes the same selections with list comprehensions and
+    * applies the identical df cut. (The Spark side carries each
+    * selected hash as its 60-bit prefix long rather than the hex
+    * string — order-preserving, w.h.p.-identical sets; see
+    * [[graft.dedup.Dedup.winnowFingerprints]].) */
   private def q63DedupWinnow(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowDedupPairs(Tables.documents(s, dir), "doc_id", "text",
       k = 8, w = 4, threshold = 0.5, maxFpFreq = MaxFpFreq)

@@ -384,15 +384,18 @@ object PipelineQueries extends QueryModule {
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
           lit(DsirBuckets.toLong)).as("b"))
-    val raw = tok.groupBy("b").agg(count(lit(1)).as("rc"))
-    val tgt = tok.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("tc"))
-    val totals = tok.agg(count(lit(1)).as("r"),
-      count(when(col("lang") === "en", 1)).as("t"))
-    val lookup = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(totals)
+    // BOTH distributions in ONE aggregation pass (raw count + filtered
+    // target count per bucket), totals derived from the tiny result —
+    // the corpus is scanned exactly twice (distributions, then scoring),
+    // which is DSIR's inherent two-pass shape; a naive
+    // raw/target/totals split re-tokenized it four times
+    val dist = tok.groupBy("b").agg(
+      count(lit(1)).as("rc"),
+      count(when(col("lang") === "en", 1)).as("tc"))
+    val totals = dist.agg(sum("rc").as("r"), sum("tc").as("t"))
+    val lookup = dist.crossJoin(totals)
       .select(col("b"),
-        log(((coalesce(col("tc"), lit(0L)) + 1) / (col("t") + DsirBuckets)) /
+        log(((col("tc") + 1) / (col("t") + DsirBuckets)) /
             ((col("rc") + 1) / (col("r") + DsirBuckets))).as("lr"))
     tok.join(broadcast(lookup), "b")
       .groupBy("doc_id").agg(round(sum(col("lr")), 6).as("dsir_w"))
@@ -449,7 +452,11 @@ object PipelineQueries extends QueryModule {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("n_tokens"),
         sum(when(col("is_canon").isNull, 1L).otherwise(0L)).as("n_dupes"),
-        sum(col("keep").cast("long")).as("n_keep"))
+        // keep is NULL for zero-token docs (array_max of an empty array);
+        // the oracle's SUM(CASE ...) counts those as 0, so mirror that
+        // exactly — a plain sum(keep) would emit NULL for an all-empty
+        // stratum and hash-diverge
+        sum(when(col("keep") === 1, 1L).otherwise(0L)).as("n_keep"))
   }
 
   private val q79Sql =

@@ -38,24 +38,42 @@ object SimilarityQueries extends QueryModule {
     * threshold-0.45 distribution where the ~63-degree angle makes any
     * disjoint banding boundary-blind by construction. */
   private def q51EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val planted = emb.filter(col("vec_id") < 50)
-      .select((col("vec_id") + 100000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
     // 64 planes / 8 bands = 8-bit buckets: ~256 buckets per band keeps
     // candidate volume ~n^2/256 per band (the 2-bit default generates
     // MORE pairs than brute force at this corpus size), while the
     // pigeonhole guarantee still covers every pair within 7 differing
     // signature bits — planted near-dups sit at hamming 0
-    Ann.lshNearDupPairs(emb.unionByName(planted), 0.9, nPlanes = 64, bands = 8)
+    Ann.lshNearDupPairs(plantedCorpus(s, dir), 0.9, nPlanes = 64, bands = 8)
   }
 
+  /** The planted-near-dup corpus shared by q51 and q78: the natural
+    * embeddings plus an exact x0.5-scaled copy of the first
+    * [[PlantedCutoff]] vectors (power-of-two scaling is exact in float,
+    * so signatures and cosines are preserved bit-for-bit; planted
+    * cosine ~1.0, next natural pair <= 0.52). ONE construction in Scala
+    * and ONE in SQL, shared by both queries' engine sides and oracles —
+    * q78's determinism argument leans on exactly these corpus
+    * properties, so the two queries must never drift apart. */
+  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < PlantedCutoff)
+      .select((col("vec_id") + PlantedIdShift).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    emb.unionByName(planted)
+  }
+
+  private val PlantedCutoff = 50L
+  private val PlantedIdShift = 100000L
+
+  private val plantedCorpusSql =
+    s"""SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantedIdShift, list_transform(embedding, x -> x * CAST(0.5 AS FLOAT))
+       |  FROM embeddings WHERE vec_id < $PlantedCutoff""".stripMargin
+
   private val q51Sql =
-    """WITH corpus AS (
-      |  SELECT vec_id, embedding FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(0.5 AS FLOAT))
-      |  FROM embeddings WHERE vec_id < 50
+    s"""WITH corpus AS (
+      |  $plantedCorpusSql
       |)
       |SELECT a.vec_id AS id_i, b.vec_id AS id_j
       |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -143,11 +161,7 @@ object SimilarityQueries extends QueryModule {
     * LSH scale path (recall deterministically 1.0 for the planted
     * pairs at signature hamming 0, precision exact). */
   private def q78SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val planted = emb.filter(col("vec_id") < 50)
-      .select((col("vec_id") + 100000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
-    val corpus = emb.unionByName(planted)
+    val corpus = plantedCorpus(s, dir)
     val verdicts = Ann.semanticDedup(corpus, 0.9, nlist = 16)
       .select(col("vec_id"), col("kept"))
     val pairs = Ann.lshNearDupPairs(corpus, 0.9, nPlanes = 64, bands = 8)
@@ -159,11 +173,8 @@ object SimilarityQueries extends QueryModule {
   }
 
   private val q78Sql =
-    """WITH corpus AS (
-      |  SELECT vec_id, embedding FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(0.5 AS FLOAT))
-      |  FROM embeddings WHERE vec_id < 50
+    s"""WITH corpus AS (
+      |  $plantedCorpusSql
       |)
       |SELECT a.vec_id AS id_i, b.vec_id AS id_j, TRUE AS handled
       |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id

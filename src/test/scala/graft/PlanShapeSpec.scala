@@ -184,9 +184,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected an anti-join dropping repeated paragraphs:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"paragraph dedup must stay digest-keyed:\n$p")
-    // column pruning: only doc_id + text reach the documents scan
-    assert(!p.contains("n_chars#") && !p.contains("lang#") && !p.contains("source#"),
-      s"untouched documents columns must be pruned:\n$p")
+    // (no pruning assertion here: q75's blocks table is localCheckpoint'd,
+    // which replaces the documents scan with a LogicalRDD in the executed
+    // plan — a pruning check against it would be vacuously green)
   }
 
   test("DSIR weighting broadcasts the bucket log-ratio lookup onto the tokens") {
