@@ -277,6 +277,76 @@ object TextAnalysisQueries extends QueryModule {
        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occ
        |FROM p GROUP BY pair HAVING SUM(cnt) >= $BpeMinOcc""".stripMargin
 
+  /** PMI CO-OCCURRENCE PAIRS — the pointwise-mutual-information table
+    * over skip-gram pairs within a [[PmiWindow]]-token window (the
+    * word2vec/GloVe-era corpus statistic, still the standard collocation
+    * and phrase-mining signal). PMI = ln(p(a,b) / (p(a)·p(b))) with all
+    * probabilities ratios of exact counts, so both engines compute
+    * bit-identical doubles (each PMI is one log of exact-int ratios —
+    * no accumulation-order noise at all); 6dp rounding per q74's
+    * convention anyway. A pair-count floor bounds the output and keeps
+    * it deterministic (no top-k ties).
+    *
+    * Scale shape: pair generation is MAP-ONLY (two chained position
+    * explodes, both doc-local — no self-join, no shuffle until the pair
+    * count); the unigram table and the two scalar totals are tiny
+    * aggregates joined back BROADCAST, so the hot-word skew ("the"
+    * appears in most pairs) never shuffles; the only corpus-sized
+    * shuffle is the (w_a, w_b) pair count, map-side pre-combined. */
+  private def q80PmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("toks").as("tk"))
+    val pr = t.filter(size(col("tk")) >= 2)
+      .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("tk"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(PmiWindow), size(col("tk")) - col("i")))).as("d"))
+      .select(element_at(col("tk"), col("i")).as("w_a"),
+        element_at(col("tk"), col("i") + col("d")).as("w_b"))
+      .localCheckpoint(false) // consumed by the pair count AND the pair total
+    val uni = t.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("n_tok"))
+      .crossJoin(pr.agg(count(lit(1)).as("n_pairs")))
+    val cp = pr.groupBy("w_a", "w_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinPairs)
+    cp.join(broadcast(uni.select(col("tok").as("w_a"), col("c").as("c_a"))), "w_a")
+      .join(broadcast(uni.select(col("tok").as("w_b"), col("c").as("c_b"))), "w_b")
+      .crossJoin(tot)
+      .select(col("w_a"), col("w_b"),
+        round(log((col("c_ab") / col("n_pairs")) /
+          ((col("c_a") / col("n_tok")) * (col("c_b") / col("n_tok")))), 6).as("pmi"),
+        col("c_ab"))
+  }
+
+  private val PmiWindow = 3
+  private val PmiMinPairs = 25L
+
+  private val q80Sql =
+    s"""WITH t AS (
+       |  SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                     x -> LEN(x) > 0) AS tk
+       |  FROM documents),
+       |pos AS (SELECT tk, UNNEST(RANGE(1, LEN(tk))) AS i FROM t WHERE LEN(tk) >= 2),
+       |pr AS (
+       |  SELECT tk[i] AS w_a, tk[i + d] AS w_b
+       |  FROM (SELECT tk, i,
+       |          UNNEST(RANGE(1, LEAST($PmiWindow, LEN(tk) - i) + 1)) AS d
+       |        FROM pos)),
+       |uni AS (SELECT UNNEST(tk) AS tok FROM t),
+       |cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+       |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS n_tok,
+       |               (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_pairs),
+       |cp AS (SELECT w_a, w_b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pr
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $PmiMinPairs)
+       |SELECT cp.w_a, cp.w_b,
+       |  ROUND(LN((cp.c_ab / tot.n_pairs) /
+       |           ((ca.c / tot.n_tok) * (cb.c / tot.n_tok))), 6) AS pmi,
+       |  cp.c_ab
+       |FROM cp
+       |JOIN cu ca ON ca.tok = cp.w_a
+       |JOIN cu cb ON cb.tok = cp.w_b, tot""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
@@ -285,5 +355,6 @@ object TextAnalysisQueries extends QueryModule {
     Q("q66_pii_redact", q66PiiRedact, Some(q66Sql)),
     Q("q67_repetition", q67Repetition, Some(q67Sql)),
     Q("q70_vocab", q70Vocab, Some(q70Sql)),
-    Q("q77_bpe_pairs", q77BpePairs, Some(q77Sql)))
+    Q("q77_bpe_pairs", q77BpePairs, Some(q77Sql)),
+    Q("q80_pmi_pairs", q80PmiPairs, Some(q80Sql)))
 }
