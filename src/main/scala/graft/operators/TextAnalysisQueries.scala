@@ -281,18 +281,23 @@ object TextAnalysisQueries extends QueryModule {
     * over skip-gram pairs within a [[PmiWindow]]-token window (the
     * word2vec/GloVe-era corpus statistic, still the standard collocation
     * and phrase-mining signal). PMI = ln(p(a,b) / (p(a)·p(b))) with all
-    * probabilities ratios of exact counts, so both engines compute
-    * bit-identical doubles (each PMI is one log of exact-int ratios —
-    * no accumulation-order noise at all); 6dp rounding per q74's
-    * convention anyway. A pair-count floor bounds the output and keeps
-    * it deterministic (no top-k ties).
+    * probabilities ratios of exact counts — the ratio chain is exact
+    * IEEE arithmetic with no accumulation-order noise, but ln() itself
+    * is libm-dependent (JVM Math.log vs DuckDB's std::log may differ in
+    * the last ulp), so the 6dp rounding per q74's convention is what
+    * makes the oracle comparison robust. A pair-count floor bounds the
+    * output and keeps it deterministic (no top-k ties).
     *
     * Scale shape: pair generation is MAP-ONLY (two chained position
     * explodes, both doc-local — no self-join, no shuffle until the pair
-    * count); the unigram table and the two scalar totals are tiny
-    * aggregates joined back BROADCAST, so the hot-word skew ("the"
-    * appears in most pairs) never shuffles; the only corpus-sized
-    * shuffle is the (w_a, w_b) pair count, map-side pre-combined. */
+    * count), consumed exactly once; the pair total n_pairs is computed
+    * in closed form from token-array lengths (sum over docs of
+    * W·L − W(W+1)/2 for L>W, else L(L−1)/2), so nothing is
+    * checkpointed or recomputed. The unigram table and the two scalar
+    * totals are tiny aggregates joined back BROADCAST, so the hot-word
+    * skew ("the" appears in most pairs) never shuffles; the only
+    * corpus-sized shuffle is the (w_a, w_b) pair count, map-side
+    * pre-combined. */
   private def q80PmiPairs(s: SparkSession, dir: String): DataFrame = {
     val t = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
       .select(col("toks").as("tk"))
@@ -303,11 +308,15 @@ object TextAnalysisQueries extends QueryModule {
           least(lit(PmiWindow), size(col("tk")) - col("i")))).as("d"))
       .select(element_at(col("tk"), col("i")).as("w_a"),
         element_at(col("tk"), col("i") + col("d")).as("w_b"))
-      .localCheckpoint(false) // consumed by the pair count AND the pair total
     val uni = t.select(explode(col("tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val tot = uni.agg(sum("c").as("n_tok"))
-      .crossJoin(pr.agg(count(lit(1)).as("n_pairs")))
+    // n_pairs in closed form (see docstring) — avoids a second pass
+    // over (and checkpoint of) the corpus-sized pair stream.
+    val len = size(col("tk"))
+    val np = t.agg(sum(when(len > PmiWindow,
+        len.cast("long") * PmiWindow - PmiWindow * (PmiWindow + 1) / 2)
+      .otherwise(len.cast("long") * (len - 1) / 2)).as("n_pairs"))
+    val tot = uni.agg(sum("c").as("n_tok")).crossJoin(np)
     val cp = pr.groupBy("w_a", "w_b").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= PmiMinPairs)
     cp.join(broadcast(uni.select(col("tok").as("w_a"), col("c").as("c_a"))), "w_a")
