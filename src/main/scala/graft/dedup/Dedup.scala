@@ -307,18 +307,25 @@ object Dedup {
     shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs from banded signatures: docs sharing any band
-    * bucket. bands*rowsPerBand must equal the signature width. */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** (doc_id, band, bucket) rows from banded signatures — one row per
+    * doc per band, bucket = hash of that band's signature slice. */
+  private def bandedBuckets(
+      signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
+    signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH candidate pairs from banded signatures: docs sharing any band
+    * bucket. bands*rowsPerBand must equal the signature width. */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     // materialized: the self-join consumes it twice, and behind it sits
     // the full signature aggregation
-    val banded = mat(signatures
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    val banded = mat(bandedBuckets(signatures, bands, rowsPerBand))
     // NOT distinct here: verifyPairs dedupes candidates while building
     // `plausible` — doing it there folds the dedupe into a shuffle that
     // must happen anyway instead of adding one
@@ -337,6 +344,38 @@ object Dedup {
     val sh = mat(shingleTable(docs, idCol, textCol, n))
     val cand = lshCandidates(minHashSignatures(sh, k), bands, k / bands)
     verifyPairs(cand, sh, threshold)
+  }
+
+  /** Cross-set MinHash+LSH near-dup pairs between a small PROBE slice
+    * (ids < probeMax — an eval/benchmark set) and the rest of the
+    * corpus, candidates re-verified with exact Jaccard like
+    * [[minHashDedupPairs]]. The asymmetry is the scale point: the probe
+    * side's banded buckets are BROADCAST, so the corpus-sized banded
+    * table is consumed by a map-side hash join — no self-join, no
+    * corpus shuffle for candidate generation at all (contrast
+    * [[lshCandidates]], whose self-join must shuffle the corpus on
+    * (band, bucket)). Output ids satisfy doc_i < probeMax <= doc_j by
+    * construction. */
+  def minHashCrossPairs(
+      docs: DataFrame, idCol: String, textCol: String, probeMax: Long,
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sh = mat(shingleTable(docs, idCol, textCol, n))
+    verifyPairs(crossCandidates(sh, probeMax, k, bands), sh, threshold)
+  }
+
+  /** The candidate stage of [[minHashCrossPairs]], package-visible so
+    * its plan shape (hint-forced broadcast of the probe side) can be
+    * asserted directly — in the full query it sits behind the banded
+    * table's checkpoint boundary, invisible to a plan-string check. */
+  private[graft] def crossCandidates(
+      sh: DataFrame, probeMax: Long, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val banded = mat(bandedBuckets(minHashSignatures(sh, k), bands, k / bands))
+    broadcast(banded.filter(col("doc_id") < probeMax)).as("a")
+      .join(banded.filter(col("doc_id") >= probeMax).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
   }
 
   /** Exact-Jaccard check of explicit candidate pairs. Candidates are

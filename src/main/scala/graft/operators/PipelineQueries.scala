@@ -144,6 +144,42 @@ object PipelineQueries extends QueryModule {
        |SELECT cg.doc_id, COUNT(*) AS n_hits
        |FROM cg JOIN eg USING (g) GROUP BY cg.doc_id""".stripMargin
 
+  /** DECONTAMINATION, near-duplicate flavor — q69 catches verbatim
+    * n-gram leakage; this catches lightly-edited eval copies (the
+    * "benchmark got paraphrased into the crawl" case) as MinHash+LSH
+    * near-dup pairs BETWEEN the eval slice and the corpus, every
+    * candidate re-verified with exact Jaccard >= [[DecontamThreshold]].
+    * The q26/q53 pairing argument applies across the set boundary too:
+    * the oracle is the exact cross-set Jaccard join, so the banded
+    * approximation must reproduce the exact answer.
+    *
+    * Scale shape (see [[graft.dedup.Dedup.minHashCrossPairs]]): the
+    * eval side's band buckets are BROADCAST, so candidate generation is
+    * a map-side hash join over the corpus's banded table — unlike the
+    * q25 self-join, the corpus never shuffles on (band, bucket); the
+    * exact-verify stage then touches only candidate pairs. */
+  private def q83DecontamMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minHashCrossPairs(Tables.documents(s, dir),
+      "doc_id", "text", EvalSetMax, n = 3, threshold = DecontamThreshold,
+      k = 32, bands = 16)
+
+  private val DecontamThreshold = 0.8
+
+  private val q83Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
+       |  FROM toks WHERE LEN(t) >= 3)
+       |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id < $EvalSetMax AND b.doc_id >= $EvalSetMax
+       |WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+       |      LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= $DecontamThreshold""".stripMargin
+
   /** STRATIFIED REBALANCING — cap every language stratum at
     * [[StratumCap]] documents (the "don't let the dominant language
     * drown the mix" downsampling step of corpus construction; the en
@@ -485,11 +521,61 @@ object PipelineQueries extends QueryModule {
       |JOIN h ON h.doc_id = d.doc_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** TRAIN/VAL/TEST SPLIT + SHARD ASSIGNMENT — the last step before a
+    * corpus ships to a trainer: every document is routed to a split
+    * (90/5/5) and a shard within it, DETERMINISTICALLY, by hashing the
+    * stable document id — never `rand()`, which is irreproducible
+    * across engines, retried tasks, and reruns (the q71 argument; the
+    * salt `:split` decorrelates this routing from q71's sampling
+    * buckets so the two decisions are independent). The registered
+    * output is the (split, shard) manifest — doc and char counts per
+    * cell — which is what a training job actually consumes to size its
+    * data loader.
+    *
+    * Scale shape: the assignment is MAP-ONLY (one md5 per row, two
+    * substring/conv extractions — no join, no lookup table), and the
+    * manifest aggregation has 3 × [[NumShards]] groups with map-side
+    * partials, so the shuffle is |cells| rows per executor regardless
+    * of corpus size. At 100 TB this is the shape you want: routing is
+    * a pure function of the row, so shards can be written directly by
+    * a partitioned writer with no global coordination. */
+  private def q81TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":split")))
+    val b = conv(substring(h, 1, 4), 16, 10).cast("long")
+    val shard = conv(substring(h, 5, 4), 16, 10).cast("long") % NumShards
+    Tables.documents(s, dir)
+      .select(
+        when(b < TrainCut, "train").when(b < ValCut, "val").otherwise("test")
+          .as("split"),
+        shard.as("shard"), col("n_chars"))
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
+
+  // 16-bit bucket thresholds: floor(0.90 * 65536), floor(0.95 * 65536)
+  private val TrainCut = 58982L
+  private val ValCut   = 62259L
+  private val NumShards = 8L
+
+  private val q81Sql =
+    s"""WITH a AS (
+       |  SELECT n_chars,
+       |    CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) AS BIGINT) AS b,
+       |    CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':split'), 5, 4) AS BIGINT) % $NumShards AS shard
+       |  FROM documents)
+       |SELECT CASE WHEN b < $TrainCut THEN 'train'
+       |            WHEN b < $ValCut THEN 'val' ELSE 'test' END AS split,
+       |  shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM a GROUP BY 1, 2""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),
+    Q("q81_train_split", q81TrainSplit, Some(q81Sql)),
     Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),
     Q("q68_seq_pack", q68SeqPack, Some(q68Sql)),
     Q("q69_contamination", q69Contamination, Some(q69Sql)),
+    Q("q83_decontam_minhash", q83DecontamMinhash, Some(q83Sql)),
     Q("q71_stratified_sample", q71StratifiedSample, Some(q71Sql)),
     Q("q72_keep_best", q72KeepBest, Some(q72Sql)),
     Q("q73_doc_chunks", q73DocChunks, Some(q73Sql)),

@@ -313,15 +313,18 @@ object TextAnalysisQueries extends QueryModule {
     // n_pairs in closed form (see docstring) — avoids a second pass
     // over (and checkpoint of) the corpus-sized pair stream.
     val len = size(col("tk"))
+    // Column./ is double division, so the per-doc terms ride through
+    // DoubleType; every term and the sum are integers < 2^53, so the
+    // value is exact — the cast just restores the count's LongType
     val np = t.agg(sum(when(len > PmiWindow,
         len.cast("long") * PmiWindow - PmiWindow * (PmiWindow + 1) / 2)
-      .otherwise(len.cast("long") * (len - 1) / 2)).as("n_pairs"))
+      .otherwise(len.cast("long") * (len - 1) / 2)).cast("long").as("n_pairs"))
     val tot = uni.agg(sum("c").as("n_tok")).crossJoin(np)
     val cp = pr.groupBy("w_a", "w_b").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= PmiMinPairs)
     cp.join(broadcast(uni.select(col("tok").as("w_a"), col("c").as("c_a"))), "w_a")
       .join(broadcast(uni.select(col("tok").as("w_b"), col("c").as("c_b"))), "w_b")
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .select(col("w_a"), col("w_b"),
         round(log((col("c_ab") / col("n_pairs")) /
           ((col("c_a") / col("n_tok")) * (col("c_b") / col("n_tok")))), 6).as("pmi"),
@@ -356,6 +359,56 @@ object TextAnalysisQueries extends QueryModule {
        |JOIN cu ca ON ca.tok = cp.w_a
        |JOIN cu cb ON cb.tok = cp.w_b, tot""".stripMargin
 
+  /** TF-IDF KEYWORD EXTRACTION — the per-document salient-term table
+    * (tf · ln(N/df)) for an id-bounded document slice, with the idf
+    * statistics computed over the ENTIRE corpus (an idf from the slice
+    * alone would be a different — wrong — statistic). Membership is
+    * integer-exact (doc slice by id, tf floor [[TfMin]]), so only the
+    * rounded tfidf VALUE carries the cross-engine ln() ulp caveat (6dp
+    * rounding per q74's convention); row membership cannot flip.
+    *
+    * Scale shape: tokenization and tf counting are corpus-local; the
+    * global df table is ONE (doc, term)-keyed distinct + term agg —
+    * vocabulary-sized, so it stays DISTRIBUTED (a 100 TB corpus has a
+    * vocab too big to broadcast). The bounded extract side is the one
+    * that broadcasts into the join, so the df table never moves. */
+  private def q82TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = graft.dedup.Dedup.tokenTable(docs, "doc_id", "text")
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tfSlice = toks.filter(col("doc_id") < TfIdfDocMax)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= TfMin)
+    broadcast(tfSlice).join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+  }
+
+  private val TfIdfDocMax = 100L
+  private val TfMin = 3L
+
+  private val q82Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                x -> LEN(x) > 0) AS tk
+       |  FROM documents),
+       |u AS (SELECT doc_id, UNNEST(tk) AS term FROM t),
+       |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM u GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM u WHERE doc_id < $TfIdfDocMax
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $TfMin)
+       |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |  ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+       |FROM tf JOIN df USING (term), n""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
@@ -365,5 +418,6 @@ object TextAnalysisQueries extends QueryModule {
     Q("q67_repetition", q67Repetition, Some(q67Sql)),
     Q("q70_vocab", q70Vocab, Some(q70Sql)),
     Q("q77_bpe_pairs", q77BpePairs, Some(q77Sql)),
-    Q("q80_pmi_pairs", q80PmiPairs, Some(q80Sql)))
+    Q("q80_pmi_pairs", q80PmiPairs, Some(q80Sql)),
+    Q("q82_tfidf_terms", q82TfidfTerms, Some(q82Sql)))
 }

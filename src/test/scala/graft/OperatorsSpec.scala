@@ -430,4 +430,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - 1.386294) < 1e-6)
     assert(got(2L) > got(1L), "rare tokens must score higher than common ones")
   }
+
+  test("train split partitions the corpus 90/5/5 into bounded shards") {
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, 10L)).toDF("doc_id", "n_chars")
+      .write.mode("overwrite").parquet("target/test_split_docs/documents.parquet")
+    val rows = SparkEntry.queries("q81_train_split")(spark, "target/test_split_docs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == 1000L, "splits must partition every doc exactly once")
+    assert(rows.map(_._4).sum == 10000L)
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8), "shard ids must be 0..NumShards-1")
+    val train = rows.filter(_._1 == "train").map(_._3).sum
+    assert(train > 850 && train < 950,
+      s"train fraction must sit near 0.90 of 1000 docs, got $train")
+  }
+
+  test("tfidf keywords: corpus-global df, slice-local tf, exact score") {
+    import spark.implicits._
+    Seq(
+      (1L, "apple apple apple common"),
+      (2L, "common banana"),
+      (3L, "common common")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_tfidf_docs/documents.parquet")
+    val got = SparkEntry.queries("q82_tfidf_terms")(spark, "target/test_tfidf_docs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // only (d1, apple) clears tf >= 3; common has tf <= 2 everywhere
+    assert(got.toSeq == Seq((1L, "apple", 3L, 1L, 3.295837)),
+      s"expected the one planted keyword row, got ${got.toSeq}")
+  }
+
+  test("minhash decontamination pairs eval docs with corpus copies only across the boundary") {
+    import spark.implicits._
+    val evalText = (1 to 10).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, evalText),            // eval
+      (2L, evalText),            // eval near-dup of 1 — same side, excluded
+      (100L, evalText),          // corpus copy of eval doc 1 -> the leak
+      (101L, (1 to 10).map(i => s"z$i").mkString(" ")), // unrelated corpus doc
+      (102L, "x1 x2 x3 x4 x5"), (103L, "x1 x2 x3 x4 x5") // corpus-corpus dup, excluded
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_decontam_docs/documents.parquet")
+    val got = SparkEntry.queries("q83_decontam_minhash")(spark, "target/test_decontam_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L)),
+      s"only eval-to-corpus pairs may surface, got $got")
+  }
 }

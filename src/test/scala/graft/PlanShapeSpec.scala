@@ -20,6 +20,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // PushedFilters lists get elided at the default 100 chars, which
     // would make the assertions below pass/fail on string luck
     .config("spark.sql.maxMetadataStringLength", "1000")
+    // getOrCreate applies builder configs onto a shared session, so an
+    // earlier suite (BucketingSpec) may have left auto-broadcast OFF;
+    // re-pin the default or every unhinted-broadcast assertion becomes
+    // suite-order-dependent
+    .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -196,6 +201,55 @@ class PlanShapeSpec extends AnyFunSuite {
     // column pruning: doc_id + lang + text reach the scan, nothing else
     assert(!p.contains("n_chars#") && !p.contains("source#"),
       s"untouched documents columns must be pruned:\n$p")
+  }
+
+  test("train split is map-only routing into one bounded-key aggregation") {
+    val p = plan(SparkEntry.queries("q81_train_split")(spark, sfDir))
+    assert(!p.contains("Join"), s"split routing must be a pure row function:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partials for the (split, shard) manifest:\n$p")
+    // only doc_id + n_chars reach the scan
+    assert(!p.contains("text#") && !p.contains("source#"),
+      s"untouched documents columns must be pruned:\n$p")
+  }
+
+  test("tfidf broadcasts the bounded doc slice; the global df table never moves") {
+    val p = plan(SparkEntry.queries("q82_tfidf_terms")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the bounded tf slice broadcast onto the df table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the vocabulary-sized df table must not shuffle for the join:\n$p")
+  }
+
+  test("cross-set decontamination broadcasts the eval band buckets over the corpus") {
+    // the candidate stage directly (the full query hides it behind the
+    // banded table's checkpoint boundary): the probe side's broadcast
+    // is HINTED, so this holds under any threshold conf
+    val sh = graft.dedup.Dedup.shingleTable(
+      Tables.documents(spark, sfDir), "doc_id", "text", 3)
+    val pc = plan(graft.dedup.Dedup.crossCandidates(sh, 20L, 32, 16))
+    assert(pc.contains("BroadcastHashJoin"),
+      s"expected the eval side's banded buckets broadcast:\n$pc")
+    assert(!pc.contains("SortMergeJoin"),
+      s"the corpus banded table must not shuffle for candidates:\n$pc")
+    // and the full query never degenerates into a cartesian pair join
+    val p = plan(SparkEntry.queries("q83_decontam_minhash")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay (band, bucket)-keyed:\n$p")
+  }
+
+  test("BPE pair counting and PMI pair counting pre-combine map-side") {
+    for (q <- Seq("q77_bpe_pairs", "q80_pmi_pairs")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(p.contains("partial_"),
+        s"$q: expected map-side partial aggregation of the pair stream:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: pair generation must be doc-local, never a cartesian join:\n$p")
+      // (q80's scalar totals legitimately attach via a 1-row
+      // BroadcastNestedLoopJoin — the scalar-subquery shape — so no
+      // blanket BNLJ ban here; the corpus-sized joins are asserted
+      // broadcast-hash above and in the q82/q83 pins)
+    }
   }
 
   test("build-scan path canonicalization is a codegen expression, not a scalar UDF") {
