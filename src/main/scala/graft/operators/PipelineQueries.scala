@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed training-data pipeline — the operators working
@@ -197,11 +197,21 @@ object PipelineQueries extends QueryModule {
   private def q71StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val rates = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("long")
+    val bucket = md5Bucket16(col("doc_id"), salt = "", hexOffset = 1)
     docs.join(broadcast(rates), "lang")
       .filter(bucket * col("n") < lit(StratumCap) * 65536L)
       .select("doc_id", "lang")
+  }
+
+  /** Uniform 16-bit bucket from an id: 4 hex chars of md5(id || salt)
+    * starting at `hexOffset`, as a long in [0, 65536). One definition
+    * for every deterministic-sampling decision in this module — the
+    * 4-char width and the 65536 threshold scale (and the floor(f·2^16)
+    * cut constants) must move together or buckets silently skew. */
+  private def md5Bucket16(id: Column, salt: String, hexOffset: Int): Column = {
+    val hashed = if (salt.isEmpty) id.cast("string")
+      else concat(id.cast("string"), lit(salt))
+    conv(substring(md5(hashed), hexOffset, 4), 16, 10).cast("long")
   }
 
   private val StratumCap = 100L
@@ -540,9 +550,8 @@ object PipelineQueries extends QueryModule {
     * a pure function of the row, so shards can be written directly by
     * a partitioned writer with no global coordination. */
   private def q81TrainSplit(s: SparkSession, dir: String): DataFrame = {
-    val h = md5(concat(col("doc_id").cast("string"), lit(":split")))
-    val b = conv(substring(h, 1, 4), 16, 10).cast("long")
-    val shard = conv(substring(h, 5, 4), 16, 10).cast("long") % NumShards
+    val b = md5Bucket16(col("doc_id"), salt = ":split", hexOffset = 1)
+    val shard = md5Bucket16(col("doc_id"), salt = ":split", hexOffset = 5) % NumShards
     Tables.documents(s, dir)
       .select(
         when(b < TrainCut, "train").when(b < ValCut, "val").otherwise("test")

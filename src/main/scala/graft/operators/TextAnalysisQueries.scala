@@ -299,8 +299,12 @@ object TextAnalysisQueries extends QueryModule {
     * corpus-sized shuffle is the (w_a, w_b) pair count, map-side
     * pre-combined. */
   private def q80PmiPairs(s: SparkSession, dir: String): DataFrame = {
+    // materialized: three consumers (pair stream, unigram counts, the
+    // closed-form pair total) would each re-run the tokenize pipeline —
+    // Catalyst does no cross-branch reuse
     val t = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
       .select(col("toks").as("tk"))
+      .localCheckpoint(false)
     val pr = t.filter(size(col("tk")) >= 2)
       .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
       .select(col("tk"), col("i"),
@@ -315,10 +319,14 @@ object TextAnalysisQueries extends QueryModule {
     val len = size(col("tk"))
     // Column./ is double division, so the per-doc terms ride through
     // DoubleType; every term and the sum are integers < 2^53, so the
-    // value is exact — the cast just restores the count's LongType
+    // value is exact — the cast just restores the count's LongType.
+    // The len >= 2 guard matters: size(null) = -1 for a NULL-text doc,
+    // and (-1)(-2)/2 would add a phantom pair the pair stream (filtered
+    // to size >= 2) and the oracle never generate.
     val np = t.agg(sum(when(len > PmiWindow,
         len.cast("long") * PmiWindow - PmiWindow * (PmiWindow + 1) / 2)
-      .otherwise(len.cast("long") * (len - 1) / 2)).cast("long").as("n_pairs"))
+      .when(len >= 2, len.cast("long") * (len - 1) / 2)
+      .otherwise(lit(0L))).cast("long").as("n_pairs"))
     val tot = uni.agg(sum("c").as("n_tok")).crossJoin(np)
     val cp = pr.groupBy("w_a", "w_b").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= PmiMinPairs)
