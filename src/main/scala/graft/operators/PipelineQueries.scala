@@ -203,6 +203,59 @@ object PipelineQueries extends QueryModule {
       .select("doc_id", "lang")
   }
 
+  /** DATA-MIXING BUDGET — the sampling-proportion table a pretraining
+    * run is configured from: each source's contribution to a
+    * [[TokenBudget]]-token draw, with dominant sources CAPPED at
+    * [[SourceCap]] tokens before normalization (the "don't let one
+    * crawl drown the mixture" rule; weights-by-capped-share is the
+    * integer-exact cousin of the usual temperature reweighting, chosen
+    * because a sqrt/power weight needs an accumulation-ordered float
+    * sum that no two engines reproduce bit-for-bit). `epochs` > 1
+    * means the source is oversampled (multiple passes), < 1
+    * subsampled — exactly the knob a trainer's data loader reads.
+    * All inputs are exact longs; the two emitted ratios are single
+    * exact-long divisions rounded to 6dp (q74's convention).
+    *
+    * Scale shape: one |sources|-group aggregation with map-side
+    * partials over doc-local token counts; the grand total is a
+    * broadcast scalar. The corpus never shuffles. */
+  private def q84MixBudget(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val bySrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_tokens"))
+      .withColumn("alloc", least(col("n_tokens"), lit(SourceCap)))
+    val total = bySrc.agg(sum("alloc").as("total_alloc"))
+    bySrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("alloc"),
+        round(col("alloc").cast("double") / col("total_alloc"), 6).as("mix_frac"),
+        round((lit(TokenBudget) * col("alloc")).cast("double") /
+          (col("total_alloc") * col("n_tokens")), 6).as("epochs"))
+  }
+
+  private val TokenBudget = 200000L
+  private val SourceCap = 20000L
+
+  private val q84Sql =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                    x -> LEN(x) > 0)) AS n_tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    LEAST(CAST(SUM(n_tok) AS BIGINT), $SourceCap) AS alloc
+       |  FROM d WHERE n_tok > 0 GROUP BY source),
+       |t AS (SELECT CAST(SUM(alloc) AS BIGINT) AS total_alloc FROM s)
+       |SELECT s.source, s.n_docs, s.n_tokens, s.alloc,
+       |  ROUND(CAST(s.alloc AS DOUBLE) / t.total_alloc, 6) AS mix_frac,
+       |  ROUND(CAST($TokenBudget * s.alloc AS DOUBLE) /
+       |        (t.total_alloc * s.n_tokens), 6) AS epochs
+       |FROM s, t""".stripMargin
+
   /** Uniform 16-bit bucket from an id: 4 hex chars of md5(id || salt)
     * starting at `hexOffset`, as a long in [0, 65536). One definition
     * for every deterministic-sampling decision in this module — the
@@ -581,6 +634,7 @@ object PipelineQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),
     Q("q81_train_split", q81TrainSplit, Some(q81Sql)),
+    Q("q84_mix_budget", q84MixBudget, Some(q84Sql)),
     Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),
     Q("q68_seq_pack", q68SeqPack, Some(q68Sql)),
     Q("q69_contamination", q69Contamination, Some(q69Sql)),

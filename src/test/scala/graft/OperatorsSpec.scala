@@ -460,6 +460,29 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected the one planted keyword row, got ${got.toSeq}")
   }
 
+  test("mix budget caps dominant sources and allocates epochs by capped share") {
+    import spark.implicits._
+    // source "big": 3 docs x 20k+ tokens -> capped at 20000
+    // source "small": 1 doc x 100 tokens -> kept whole
+    val bigDoc = (1 to 10000).map(_ => "w").mkString(" ") // 10k tokens
+    Seq(
+      (1L, bigDoc, "big"), (2L, bigDoc, "big"), (3L, bigDoc, "big"),
+      (4L, (1 to 100).map(_ => "v").mkString(" "), "small"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_mix_docs/documents.parquet")
+    val got = SparkEntry.queries("q84_mix_budget")(spark, "target/test_mix_docs")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // total_alloc = 20000 + 100 = 20100
+    assert(got("big") == ((3L, 30000L, 20000L,
+      math.rint(20000.0 / 20100 * 1e6) / 1e6,
+      math.rint(200000L * 20000L / (20100.0 * 30000L) * 1e6) / 1e6)),
+      s"capped source: got ${got("big")}")
+    assert(got("small")._3 == 100L, "an under-cap source keeps its full token count")
+    assert(got("small")._5 > 1.0,
+      "a tiny source under a capped mixture must be oversampled (epochs > 1)")
+  }
+
   test("minhash decontamination pairs eval docs with corpus copies only across the boundary") {
     import spark.implicits._
     val evalText = (1 to 10).map(i => s"w$i").mkString(" ")

@@ -238,6 +238,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate generation must stay (band, bucket)-keyed:\n$p")
   }
 
+  test("mix budget is one bounded-key aggregation plus a broadcast scalar") {
+    val p = plan(SparkEntry.queries("q84_mix_budget")(spark, sfDir))
+    assert(p.contains("partial_"),
+      s"expected map-side partials for the per-source token counts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the grand total must attach as a broadcast scalar:\n$p")
+  }
+
   test("BPE pair counting and PMI pair counting pre-combine map-side") {
     for (q <- Seq("q77_bpe_pairs", "q80_pmi_pairs")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
