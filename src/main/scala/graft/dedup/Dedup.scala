@@ -303,23 +303,22 @@ object Dedup {
     * doc's shingles of the j-th hash function. One aggregation, k longs
     * of state per doc.
     *
-    * Each shingle STRING is hashed once in the projection; the k
-    * per-function values are salted re-hashes of that fixed-width
-    * long, so the aggregate's per-row cost is k × O(8-byte hash)
-    * instead of k × O(string hash) — ~3× on the q25 path at sf0.1.
-    * (A Carter-Wegman affine family aᵢ·x+cᵢ over ONE base was measured
-    * faster still, but its functions are correlated through the shared
-    * x: DedupScaleSpec showed candidate pairs growing 50× for 10× data
-    * vs ~15× with independent functions — at 100 TB that correlation,
-    * not arithmetic cost, is the bottleneck. Independent salted hashes
-    * keep band collisions at the J^rows theory rate.) Family quality
-    * only affects RECALL of the banding stage; every emitted pair is
-    * exact-Jaccard verified, and the exact oracle plus LshNearDupSpec's
-    * planted corpus pin the recall. */
+    * `sh` is already a fixed-width long ([[shingleTable]] hashes the
+    * shingle text once), so the per-row aggregate cost is k cheap
+    * 8-byte hashes — measured 0.65 s warm for the whole q25 path at
+    * sf0.1, and NOT worth "optimizing" further: two cheaper families
+    * were tried and rejected. A Carter-Wegman affine family aᵢ·x+cᵢ
+    * over one shared base correlates its functions through x —
+    * DedupScaleSpec showed LSH candidate pairs growing 50× for 10×
+    * data vs ~15× with independent salted hashes, and at 100 TB that
+    * correlation, not hash arithmetic, is the real cost. An extra
+    * pre-hash projection layer was also measured: pure overhead.
+    * Family quality only affects RECALL of the banding stage; every
+    * emitted pair is exact-Jaccard verified, and the exact oracle plus
+    * LshNearDupSpec's planted corpus pin the recall. */
   def minHashSignatures(shingles: DataFrame, k: Int): DataFrame = {
-    val based = shingles.select(col("doc_id"), xxhash64(col("sh")).as("b"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("b"))).as(s"h$i"))
-    based.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (doc_id, band, bucket) rows from banded signatures — one row per

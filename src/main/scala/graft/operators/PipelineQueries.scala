@@ -224,15 +224,23 @@ object PipelineQueries extends QueryModule {
       .select(col("source"),
         size(TextFunctions.tokens(col("text"))).as("n_tok"))
       .filter(col("n_tok") > 0)
+    // materialized: |sources| rows consumed by BOTH the grand total and
+    // the output join — without this the corpus tokenization upstream
+    // runs once per branch (no cross-branch reuse in Catalyst)
     val bySrc = perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_tokens"))
       .withColumn("alloc", least(col("n_tokens"), lit(SourceCap)))
+      .localCheckpoint(false)
     val total = bySrc.agg(sum("alloc").as("total_alloc"))
     bySrc.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("alloc"),
         round(col("alloc").cast("double") / col("total_alloc"), 6).as("mix_frac"),
+        // divide twice rather than multiplying the two long denominators:
+        // total_alloc * n_tokens can pass 2^63 at real corpus scale and
+        // Spark 4's ANSI mode throws on long overflow (the numerator is
+        // bounded by constants: TokenBudget * SourceCap = 4e9)
         round((lit(TokenBudget) * col("alloc")).cast("double") /
-          (col("total_alloc") * col("n_tokens")), 6).as("epochs"))
+          col("total_alloc") / col("n_tokens"), 6).as("epochs"))
   }
 
   private val TokenBudget = 200000L
@@ -253,7 +261,7 @@ object PipelineQueries extends QueryModule {
        |SELECT s.source, s.n_docs, s.n_tokens, s.alloc,
        |  ROUND(CAST(s.alloc AS DOUBLE) / t.total_alloc, 6) AS mix_frac,
        |  ROUND(CAST($TokenBudget * s.alloc AS DOUBLE) /
-       |        (t.total_alloc * s.n_tokens), 6) AS epochs
+       |        t.total_alloc / s.n_tokens, 6) AS epochs
        |FROM s, t""".stripMargin
 
   /** Uniform 16-bit bucket from an id: 4 hex chars of md5(id || salt)

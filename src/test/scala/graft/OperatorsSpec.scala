@@ -476,7 +476,9 @@ class OperatorsSpec extends AnyFunSuite {
     // total_alloc = 20000 + 100 = 20100
     assert(got("big") == ((3L, 30000L, 20000L,
       math.rint(20000.0 / 20100 * 1e6) / 1e6,
-      math.rint(200000L * 20000L / (20100.0 * 30000L) * 1e6) / 1e6)),
+      // same division chain as the query (divide twice, never multiply
+      // the two long denominators — ANSI overflow at real scale)
+      math.rint((200000L * 20000L).toDouble / 20100 / 30000 * 1e6) / 1e6)),
       s"capped source: got ${got("big")}")
     assert(got("small")._3 == 100L, "an under-cap source keeps its full token count")
     assert(got("small")._5 > 1.0,
