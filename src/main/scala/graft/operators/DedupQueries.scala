@@ -143,6 +143,64 @@ object DedupQueries extends QueryModule {
       |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
       |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
+  /** SYNDICATION REPORT — the cross-source view of the q49 dedup
+    * clusters: for every multi-document near-dup cluster, how many
+    * documents it holds and how many distinct sources and languages it
+    * spans. n_sources > 1 is the "same article syndicated across
+    * sites" signal (CommonCrawl's dominant duplication mode) that
+    * decides whether dedup should be source-local or global; a cluster
+    * confined to one source is re-crawl noise instead. Pure
+    * composition of verified parts: q25's verified-exact edges, q49's
+    * components, one metadata join.
+    *
+    * Scale shape: components is the q49 pointer-jumping machinery; the
+    * per-cluster rollup joins cluster ids to (source, lang) metadata
+    * id-keyed and aggregates |clusters| groups with map-side partials.
+    * The count_distinct carries at most |sources| values per group. */
+  private def q85Syndication(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = Dedup.minHashDedupPairs(docs, "doc_id", "text", N, Threshold,
+        k = 32, bands = 16)
+      .select(col("doc_i").as("src"), col("doc_j").as("dst"))
+    Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+      .join(docs.select("doc_id", "source", "lang"), "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private val q85Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
+      |  FROM toks WHERE LEN(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS pa, b.doc_id AS pb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8),
+      |edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id),
+      |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+      |SELECT c.cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+      |  CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
+      |FROM comp c JOIN documents d USING (doc_id)
+      |GROUP BY c.cluster_rep HAVING COUNT(*) >= 2""".stripMargin
+
   /** WINNOWING near-dup pairs (MOSS fingerprint selection): character
     * 8-grams, window 4, Jaccard >= 0.5 over the selected fingerprints,
     * with the MOSS `-m` boilerplate cut — fingerprints matching more
@@ -196,5 +254,6 @@ object DedupQueries extends QueryModule {
     Q("q53_dedup_ngram_cut", q53DedupNgramCut, Some(jaccardSql)),
     Q("q27_dedup_simhash", q27DedupSimHash, Some(q27Sql)),
     Q("q49_dedup_clusters", q49DedupClusters, Some(q49Sql)),
+    Q("q85_syndication", q85Syndication, Some(q85Sql)),
     Q("q63_dedup_winnow", q63DedupWinnow, Some(q63Sql)))
 }

@@ -460,6 +460,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected the one planted keyword row, got ${got.toSeq}")
   }
 
+  test("syndication report spans clusters across sources; singletons are excluded") {
+    import spark.implicits._
+    val article = (1 to 30).map(i => s"a$i").mkString(" ")
+    val local = (1 to 30).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, article, "en", "siteA"),   // 3-copy cluster across 2 sources,
+      (2L, article, "en", "siteB"),   // 2 langs -> the syndication signal
+      (3L, article, "fr", "siteB"),
+      (10L, local, "en", "siteC"),    // 2-copy cluster inside ONE source
+      (11L, local, "en", "siteC"),
+      (20L, (1 to 30).map(i => s"c$i").mkString(" "), "en", "siteD")) // singleton
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet("target/test_synd_docs/documents.parquet")
+    val got = SparkEntry.queries("q85_syndication")(spark, "target/test_synd_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((3L, 2L, 2L)), 10L -> ((2L, 1L, 1L))),
+      s"expected the two planted clusters keyed by min doc_id, got $got")
+  }
+
   test("mix budget caps dominant sources and allocates epochs by capped share") {
     import spark.implicits._
     // source "big": 3 docs x 20k+ tokens -> capped at 20000
