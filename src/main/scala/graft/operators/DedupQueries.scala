@@ -120,7 +120,12 @@ object DedupQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
   }
 
-  private val q49Sql =
+  /** Shared transitive-closure CTE prefix for the cluster oracles
+    * (q49, q85): exact-Jaccard edges + recursive reachability. One
+    * literal so a closure fix can never land in one oracle and miss
+    * the other (the MaxFpFreq lesson: duplicated constants silently
+    * diverged once). */
+  private val closureCte =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id,
       |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
@@ -140,8 +145,10 @@ object DedupQueries extends QueryModule {
       |reach AS (
       |  SELECT doc_id AS id, doc_id AS r FROM documents
       |  UNION
-      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
-      |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)""".stripMargin
+
+  private val q49Sql = closureCte +
+    "\nSELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id"
 
   /** SYNDICATION REPORT — the cross-source view of the q49 dedup
     * clusters: for every multi-document near-dup cluster, how many
@@ -157,43 +164,16 @@ object DedupQueries extends QueryModule {
     * per-cluster rollup joins cluster ids to (source, lang) metadata
     * id-keyed and aggregates |clusters| groups with map-side partials.
     * The count_distinct carries at most |sources| values per group. */
-  private def q85Syndication(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val edges = Dedup.minHashDedupPairs(docs, "doc_id", "text", N, Threshold,
-        k = 32, bands = 16)
-      .select(col("doc_i").as("src"), col("doc_j").as("dst"))
-    Components.connectedComponents(
-        docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
-      .join(docs.select("doc_id", "source", "lang"), "doc_id")
+  private def q85Syndication(s: SparkSession, dir: String): DataFrame =
+    q49DedupClusters(s, dir)   // same edges, banding, and components wiring
+      .join(Tables.documents(s, dir).select("doc_id", "source", "lang"), "doc_id")
       .groupBy("cluster_rep")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("source").as("n_sources"),
         countDistinct("lang").as("n_langs"))
       .filter(col("n_docs") >= 2)
-  }
 
-  private val q85Sql =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id,
-      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
-      |  FROM toks WHERE LEN(t) >= 3),
-      |pairs AS (
-      |  SELECT a.doc_id AS pa, b.doc_id AS pb
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
-      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8),
-      |edges AS (
-      |  SELECT pa AS ea, pb AS eb FROM pairs
-      |  UNION ALL SELECT pb, pa FROM pairs),
-      |reach AS (
-      |  SELECT doc_id AS id, doc_id AS r FROM documents
-      |  UNION
-      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id),
+  private val q85Sql = closureCte + """,
       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
       |SELECT c.cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
