@@ -250,32 +250,80 @@ object TextAnalysisQueries extends QueryModule {
     * (map-side combined wordcount); everything after runs on the
     * vocab — the pair explode is |vocab| × avg token length rows and
     * the final pair aggregation is alphabet-squared sized. */
-  private def q77BpePairs(s: SparkSession, dir: String): DataFrame = {
-    val vocab = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+  private def q77BpePairs(s: SparkSession, dir: String): DataFrame =
+    bpePairCounts(bpeVocab(s, dir)).filter(col("n_occ") >= BpeMinOcc)
+
+  /** (tok, cnt) corpus vocabulary — the table BPE training runs on. */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** (pair, n_occ) sliding adjacent-char pair counts over the
+    * vocabulary, weighted by corpus count — shared by q77 and q86. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
     vocab.filter(length(col("tok")) >= 2)
       .select(col("tok"), col("cnt"),
         explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
       .select(col("tok").substr(col("i"), lit(2)).as("pair"), col("cnt"))
       .groupBy("pair").agg(sum(col("cnt")).as("n_occ"))
-      .filter(col("n_occ") >= BpeMinOcc)
-  }
 
   private val BpeMinOcc = 100L
 
-  private val q77Sql =
-    s"""WITH tok AS (
-       |  SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
-       |                            x -> LEN(x) > 0)) AS tok
-       |  FROM documents),
-       |v AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
-       |p AS (
-       |  SELECT SUBSTRING(tok, i, 2) AS pair, cnt
-       |  FROM (SELECT tok, cnt, UNNEST(RANGE(1, LEN(tok))) AS i
-       |        FROM v WHERE LEN(tok) >= 2))
-       |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occ
-       |FROM p GROUP BY pair HAVING SUM(cnt) >= $BpeMinOcc""".stripMargin
+  /** Shared vocabulary + pair-count CTE prefix for the BPE oracles
+    * (q77, q86) — one literal so a tokenization or counting fix can
+    * never land in one oracle and miss the other. */
+  private val bpeCte =
+    """WITH tok AS (
+      |  SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+      |                            x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |v AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+      |p AS (
+      |  SELECT SUBSTRING(tok, i, 2) AS pair, cnt
+      |  FROM (SELECT tok, cnt, UNNEST(RANGE(1, LEN(tok))) AS i
+      |        FROM v WHERE LEN(tok) >= 2)),
+      |pc AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occ FROM p GROUP BY pair)""".stripMargin
+
+  private val q77Sql = bpeCte +
+    s"\nSELECT pair, n_occ FROM pc WHERE n_occ >= $BpeMinOcc"
+
+  /** BPE MERGE STEP — what the trainer DOES with q77's statistic: pick
+    * the top pair (highest count, ties to the lexicographically first —
+    * total order, no top-k ambiguity) and report the effect of applying
+    * that merge across the vocabulary: how many token types contain it
+    * and how many corpus-weighted merge applications happen. Application
+    * counts are GREEDY NON-OVERLAPPING (left-to-right REPLACE in both
+    * engines — 'aaa' takes ONE 'aa' merge), which is BPE's actual merge
+    * semantics and deliberately differs from q77's sliding pair count
+    * ('aaa' contains two 'aa' pairs as candidates).
+    *
+    * Scale shape: everything after the vocabulary wordcount runs on
+    * |vocab| rows; the chosen pair is a 1-row broadcast onto the vocab
+    * scan, and the report is a single-group aggregation. The corpus
+    * itself is touched once, by the wordcount. */
+  private def q86BpeMerge(s: SparkSession, dir: String): DataFrame = {
+    // materialized: consumed by the pair-count branch AND the apply scan
+    val vocab = bpeVocab(s, dir).localCheckpoint(false)
+    val top = bpePairCounts(vocab)
+      .orderBy(col("n_occ").desc, col("pair").asc).limit(1)
+    val occ = ((length(col("tok")) -
+      length(replace(col("tok"), col("pair")))) / 2).cast("long")
+    vocab.crossJoin(broadcast(top))
+      .select(col("pair"), col("n_occ"), col("cnt"), occ.as("occ"))
+      .groupBy("pair", "n_occ")
+      .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_types"),
+        sum(col("occ") * col("cnt")).as("n_apply"))
+  }
+
+  private val q86Sql = bpeCte + """,
+      |top AS (SELECT pair, n_occ FROM pc ORDER BY n_occ DESC, pair LIMIT 1)
+      |SELECT top.pair, top.n_occ,
+      |  CAST(SUM(CASE WHEN LEN(v.tok) > LEN(REPLACE(v.tok, top.pair, ''))
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+      |  CAST(SUM((LEN(v.tok) - LEN(REPLACE(v.tok, top.pair, ''))) // 2 * v.cnt)
+      |       AS BIGINT) AS n_apply
+      |FROM v, top GROUP BY top.pair, top.n_occ""".stripMargin
 
   /** PMI CO-OCCURRENCE PAIRS — the pointwise-mutual-information table
     * over skip-gram pairs within a [[PmiWindow]]-token window (the
@@ -427,5 +475,6 @@ object TextAnalysisQueries extends QueryModule {
     Q("q70_vocab", q70Vocab, Some(q70Sql)),
     Q("q77_bpe_pairs", q77BpePairs, Some(q77Sql)),
     Q("q80_pmi_pairs", q80PmiPairs, Some(q80Sql)),
-    Q("q82_tfidf_terms", q82TfidfTerms, Some(q82Sql)))
+    Q("q82_tfidf_terms", q82TfidfTerms, Some(q82Sql)),
+    Q("q86_bpe_merge", q86BpeMerge, Some(q86Sql)))
 }

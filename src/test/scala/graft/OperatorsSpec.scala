@@ -460,6 +460,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected the one planted keyword row, got ${got.toSeq}")
   }
 
+  test("BPE merge picks the top sliding pair but applies greedily non-overlapping") {
+    import spark.implicits._
+    // vocab: aaa x5, ab x3, ba x2. Sliding pairs: aa=10 (two per 'aaa'),
+    // ab=3, ba=2 -> top = aa. Applying: 'aaa' takes ONE aa merge
+    // (greedy left-to-right), so n_types=1, n_apply = 1 * 5.
+    Seq((1L, "aaa aaa aaa aaa aaa ab ab ab ba ba")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_bpe_docs/documents.parquet")
+    val got = SparkEntry.queries("q86_bpe_merge")(spark, "target/test_bpe_docs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("aa", 10L, 1L, 5L)),
+      s"expected the hand-computed merge report, got ${got.toSeq}")
+  }
+
   test("syndication report spans clusters across sources; singletons are excluded") {
     import spark.implicits._
     val article = (1 to 30).map(i => s"a$i").mkString(" ")
