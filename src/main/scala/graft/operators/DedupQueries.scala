@@ -120,12 +120,12 @@ object DedupQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
   }
 
-  /** Shared transitive-closure CTE prefix for the cluster oracles
-    * (q49, q85): exact-Jaccard edges + recursive reachability. One
-    * literal so a closure fix can never land in one oracle and miss
-    * the other (the MaxFpFreq lesson: duplicated constants silently
+  /** Shared exact-Jaccard pair CTE prefix (toks → shingle sets →
+    * threshold pairs) for every oracle needing the edge set (q49, q85,
+    * q87). One literal so a fix can never land in one oracle and miss
+    * another (the MaxFpFreq lesson: duplicated constants silently
     * diverged once). */
-  private val closureCte =
+  private val pairsCte =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id,
       |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
@@ -138,7 +138,10 @@ object DedupQueries extends QueryModule {
       |  SELECT a.doc_id AS pa, b.doc_id AS pb
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
-      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8),
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8)""".stripMargin
+
+  /** Pair prefix + transitive closure, for the cluster oracles. */
+  private val closureCte = pairsCte + """,
       |edges AS (
       |  SELECT pa AS ea, pb AS eb FROM pairs
       |  UNION ALL SELECT pb, pa FROM pairs),
@@ -180,6 +183,39 @@ object DedupQueries extends QueryModule {
       |  CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
       |FROM comp c JOIN documents d USING (doc_id)
       |GROUP BY c.cluster_rep HAVING COUNT(*) >= 2""".stripMargin
+
+  /** COPY MATRIX — the provenance view of the near-dup mass: for every
+    * unordered source pair, how many verified near-dup pairs connect
+    * them. The off-diagonal cells are mirror/syndication detection at
+    * site granularity (finer than q85's per-cluster source span: it
+    * says WHICH sites share content, and how much); diagonal cells
+    * (source_a = source_b) are within-source re-crawl duplication. The
+    * unordered key is least/greatest on the source strings — binary
+    * collation in both engines, so the fold is deterministic.
+    *
+    * Scale shape: the pair set is the (bounded) dedup output, the two
+    * metadata attachments are id-keyed equi-joins, and the rollup has
+    * at most |sources|² groups with map-side partials. */
+  private def q87CopyMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val meta = docs.select(col("doc_id"), col("source"))
+    Dedup.minHashDedupPairs(docs, "doc_id", "text", N, Threshold,
+        k = 32, bands = 16)
+      .join(meta.select(col("doc_id").as("doc_i"), col("source").as("source_i")), "doc_i")
+      .join(meta.select(col("doc_id").as("doc_j"), col("source").as("source_j")), "doc_j")
+      .select(least(col("source_i"), col("source_j")).as("source_a"),
+        greatest(col("source_i"), col("source_j")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val q87Sql = pairsCte + """
+      |SELECT LEAST(da.source, db.source) AS source_a,
+      |  GREATEST(da.source, db.source) AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM pairs p
+      |JOIN documents da ON da.doc_id = p.pa
+      |JOIN documents db ON db.doc_id = p.pb
+      |GROUP BY 1, 2""".stripMargin
 
   /** WINNOWING near-dup pairs (MOSS fingerprint selection): character
     * 8-grams, window 4, Jaccard >= 0.5 over the selected fingerprints,
@@ -235,5 +271,6 @@ object DedupQueries extends QueryModule {
     Q("q27_dedup_simhash", q27DedupSimHash, Some(q27Sql)),
     Q("q49_dedup_clusters", q49DedupClusters, Some(q49Sql)),
     Q("q85_syndication", q85Syndication, Some(q85Sql)),
+    Q("q87_copy_matrix", q87CopyMatrix, Some(q87Sql)),
     Q("q63_dedup_winnow", q63DedupWinnow, Some(q63Sql)))
 }
