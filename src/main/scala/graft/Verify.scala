@@ -28,7 +28,11 @@ object Verify {
   private val QueryTimeout = 120.seconds
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional 3rd arg: comma-separated name substrings — targeted
+    // re-dumps after a change (pairs with selfcheck.py's filter)
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSeq) else None
     // match the stated local[32] environment unless the caller overrides
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -87,7 +91,9 @@ object Verify {
           true // a real failure won't improve on retry; move on
       }
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       // never START a query while a host steal wave is running: a
       // 10-80x wall-clock inflation turns a 3 s query into a false
       // timeout, and every false timeout costs a correctness row
