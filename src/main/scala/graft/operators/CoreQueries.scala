@@ -311,8 +311,64 @@ object CoreQueries extends QueryModule {
       |  ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** SESSIONIZATION (gaps-and-islands) — the batch twin of the
+    * streaming `EventStreams` sessionizer: a session is a maximal run
+    * of one user's events with no gap over 30 minutes. Per user:
+    * session count, the largest session, and total in-session seconds.
+    * Timestamps are reduced to epoch-microsecond longs FIRST so every
+    * comparison, gap test, and duration is integer arithmetic —
+    * nothing depends on cross-engine timestamp subtraction semantics.
+    *
+    * Scale shape: both windows share one (user_id) partitioning — a
+    * single shuffle and one per-user sort feed the gap flag and the
+    * running session id (explicit ROWS frame, not the RANGE default),
+    * then two shrinking aggregations. Per-user state only; no global
+    * order anywhere. */
+  private def q91Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap",
+        when(lag("us", 1).over(byUser).isNull ||
+          col("us") - lag("us", 1).over(byUser) > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session", sum("gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session")
+      .agg(count(lit(1)).as("n"),
+        expr("(max(us) - min(us)) DIV 1000000").as("dur_s"))
+    sessions.groupBy("user_id")
+      .agg(max("session").as("n_sessions"), max("n").as("max_session_events"),
+        sum("dur_s").as("sum_duration_s"))
+  }
+
+  private val SessionGapUs = 1800000000L // 30 min
+
+  private val q91Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, EPOCH_US(ts) AS us FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN LAG(us) OVER w IS NULL
+       |           OR us - LAG(us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS gap
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |g AS (
+       |  SELECT user_id, us,
+       |    SUM(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+       |  FROM f),
+       |sess AS (
+       |  SELECT user_id, session, COUNT(*) AS n,
+       |    (MAX(us) - MIN(us)) // 1000000 AS dur_s
+       |  FROM g GROUP BY 1, 2)
+       |SELECT user_id, CAST(MAX(session) AS BIGINT) AS n_sessions,
+       |  CAST(MAX(n) AS BIGINT) AS max_session_events,
+       |  CAST(SUM(dur_s) AS BIGINT) AS sum_duration_s
+       |FROM sess GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
+    Q("q91_sessionize", q91Sessionize, Some(q91Sql)),
     Q("q02_filter_eq", q02FilterEq, Some(q02Sql)),
     Q("q03_filter_and_or", q03FilterAndOr, Some(q03Sql)),
     Q("q04_group_count", q04GroupCount, Some(q04Sql)),

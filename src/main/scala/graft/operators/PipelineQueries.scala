@@ -639,8 +639,102 @@ object PipelineQueries extends QueryModule {
        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
        |FROM a GROUP BY 1, 2""".stripMargin
 
+  /** PACKING-EFFICIENCY HISTOGRAM — the sizing study BEFORE committing
+    * to a packing budget (q68's `PackBudget`): document token lengths
+    * in power-of-two buckets, with the padding a pad-to-budget loader
+    * would burn and the sample count a concat-and-chunk packer (q68)
+    * would emit. The bucket key is the binary magnitude of the length
+    * — `LENGTH(BIN(n)) - 1` — computed with integer/string ops only:
+    * `FLOOR(LOG2(n))` lands on libm and misrounds exact powers of two
+    * on some platforms, which would shift a bucket boundary
+    * cross-engine.
+    *
+    * Scale shape: one pass, map-only per-doc arithmetic into a
+    * ≤64-group aggregate with map-side partials — the histogram never
+    * sees more than one row per magnitude. */
+  private def q88PackEfficiency(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .groupBy((length(bin(col("n"))) - 1).cast("int").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("sum_tokens"),
+        sum((lit(PackBudget) - col("n") % PackBudget) % PackBudget)
+          .as("pad_tokens"),
+        sum(expr(s"(n + ${PackBudget - 1}) DIV $PackBudget")).as("n_samples"))
+
+  private val q88Sql =
+    s"""WITH t AS (
+       |  SELECT CAST(LEN(LIST_FILTER(
+       |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |    x -> LEN(x) > 0)) AS BIGINT) AS n
+       |  FROM documents)
+       |SELECT CAST(LENGTH(BIN(n)) - 1 AS INT) AS len_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(($PackBudget - n % $PackBudget) % $PackBudget) AS BIGINT)
+       |    AS pad_tokens,
+       |  CAST(SUM((n + ${PackBudget - 1}) // $PackBudget) AS BIGINT)
+       |    AS n_samples
+       |FROM t WHERE n > 0 GROUP BY 1""".stripMargin
+
+  /** PER-SOURCE QUALITY TERCILES — the CCNet head/middle/tail
+    * partition, cut WITHIN each source: rank every document by its
+    * unigram-LM score (q74, the perplexity proxy) among its source's
+    * documents and split each source into three equal tiers. The
+    * per-(source, tier) mass answers the curation question "which
+    * sources are worth keeping at which quality cut" — a global
+    * tercile would let one large low-quality source absorb the whole
+    * tail tier and hide every other source's tail.
+    *
+    * Scale shape: scoring is q74's broadcast lookup; the NTILE window
+    * is partitioned BY SOURCE — a per-key range sort, never a global
+    * single-partition window (q68's lesson). Ties are broken by
+    * doc_id so the tier assignment is deterministic in both engines.
+    * Tier stats are min/max picks of already-6dp-rounded doubles plus
+    * integer sums — no summation-order hazard (the q80 lesson: never
+    * re-aggregate unrounded doubles cross-engine). */
+  private def q90PplTerciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val scored = q74UnigramLm(s, dir)
+    val meta = docs.select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("lm_score"), col("doc_id"))
+    meta.join(scored, "doc_id")
+      .withColumn("tier", ntile(3).over(w))
+      .groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("lm_score").as("min_score"), max("lm_score").as("max_score"))
+  }
+
+  private val q90Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(LIST_FILTER(
+      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT COUNT(*) AS total FROM tok),
+      |scored AS (
+      |  SELECT t.doc_id, ROUND(AVG(-LN(f.cnt / tot.total)), 6) AS lm_score
+      |  FROM tok t JOIN freq f USING (tok), tot
+      |  GROUP BY t.doc_id),
+      |ranked AS (
+      |  SELECT d.source, s.lm_score,
+      |    CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(d.text)), '\s+'),
+      |      x -> LEN(x) > 0)) AS BIGINT) AS n_tokens,
+      |    NTILE(3) OVER (PARTITION BY d.source ORDER BY s.lm_score, s.doc_id) AS tier
+      |  FROM scored s JOIN documents d USING (doc_id))
+      |SELECT source, CAST(tier AS INT) AS tier,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
+      |FROM ranked GROUP BY 1, 2""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),
+    Q("q88_pack_efficiency", q88PackEfficiency, Some(q88Sql)),
+    Q("q90_ppl_terciles", q90PplTerciles, Some(q90Sql)),
     Q("q81_train_split", q81TrainSplit, Some(q81Sql)),
     Q("q84_mix_budget", q84MixBudget, Some(q84Sql)),
     Q("q50_pipeline_export", q50PipelineExport, Some(q50Sql)),

@@ -181,8 +181,30 @@ object SimilarityQueries extends QueryModule {
       |WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.9""".stripMargin
 
+  /** Hard-negative mining (contrastive-training data prep): exact
+    * top-5 different-label cosine neighbors for the three probe
+    * vectors. Same exact-oracle shape as q29 — the label inequality is
+    * the only delta, so the rank list is fully SQL-checkable. */
+  private def q89HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ann.hardNegativesTopK(emb, emb.filter(col("vec_id") < 3), 5)
+  }
+
+  private val q89Sql =
+    """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c
+      |    ON c.vec_id <> q.vec_id AND c.label <> q.label
+      |  WHERE q.vec_id < 3)
+      |WHERE rank <= 5""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
+    Q("q89_hard_negatives", q89HardNegatives, Some(q89Sql)),
     Q("q51_embed_neardup_lsh", q51EmbedNearDupLsh, Some(q51Sql)),
     Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
     Q("q30_ann_lsh", q30AnnLsh, Some(recallSql(2))),

@@ -42,6 +42,31 @@ object Ann {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: each query's top-k
+    * cosine neighbors drawn ONLY from rows carrying a different label —
+    * the near-misses that teach a retriever the decision boundary
+    * (same exact arithmetic and broadcast shape as [[bruteForceTopK]];
+    * the label inequality is one more predicate on the scored stream,
+    * applied BEFORE the ranking window so negatives never crowd out of
+    * the top-k by same-label rows). */
+  def hardNegativesTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"), Vectors.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("clabel"), Vectors.norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes: values derived
     * from a seeded hash, fixed at plan time. `private[graft]` so specs
     * can recompute signatures and assert the pigeonhole recall bound. */

@@ -533,4 +533,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L), (2L, 100L)),
       s"only eval-to-corpus pairs may surface, got $got")
   }
+
+  test("pack efficiency: magnitude buckets, pad-to-512 waste, sample counts") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // token counts 1, 3, 512, 513 -> buckets 0, 1, 9, 9
+    Seq((1L, words(1)), (2L, words(3)), (3L, words(512)), (4L, words(513)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_pack_docs/documents.parquet")
+    val got = SparkEntry.queries("q88_pack_efficiency")(spark, "target/test_pack_docs")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      0 -> ((1L, 1L, 511L, 1L)),       // 1 token: pads 511, one sample
+      1 -> ((1L, 3L, 509L, 1L)),       // 3 tokens: pads 509
+      9 -> ((2L, 1025L, 511L, 3L))),   // 512 exact-fit + 513 spilling to 2 samples
+      s"hand-computed histogram mismatch: $got")
+  }
+
+  test("hard negatives exclude same-label neighbors however close") {
+    import spark.implicits._
+    def e(x: Float, y: Float) = Array(x, y)
+    // query 0 (label 0) at e1; vec 100 is an exact same-label copy and
+    // must NOT appear; different-label 101..106 rank by cosine
+    Seq(
+      (0L, e(1f, 0f), 0),
+      (100L, e(1f, 0f), 0),          // same label, cosine 1.0 — excluded
+      (101L, e(10f, 1f), 1),         // closest different-label
+      (102L, e(10f, 2f), 1),
+      (103L, e(10f, 3f), 2),
+      (104L, e(10f, 4f), 2),
+      (105L, e(10f, 5f), 3),
+      (106L, e(10f, 6f), 3))         // 6th best — cut by k=5
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/test_hardneg_emb/embeddings.parquet")
+    val got = SparkEntry.queries("q89_hard_negatives")(spark, "target/test_hardneg_emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.sortBy(_._3).toSeq ==
+      Seq((0L, 101L, 1), (0L, 102L, 2), (0L, 103L, 3), (0L, 104L, 4), (0L, 105L, 5)),
+      s"expected the five closest different-label vectors in cosine order, got ${got.toSeq}")
+  }
+
+  test("quality terciles cut per source with deterministic tie order") {
+    import spark.implicits._
+    // doc i = unique word repeated i times: lm_score = -ln(i/21),
+    // strictly decreasing in i -> ascending-score order is 6,5,4,3,2,1
+    val docs = (1 to 6).map(i => (i.toLong, (1 to i).map(_ => s"u$i").mkString(" "), "s"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_tercile_docs/documents.parquet")
+    val got = SparkEntry.queries("q90_ppl_terciles")(spark, "target/test_tercile_docs")
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // tier1 = docs {6,5} (11 tokens), tier2 = {4,3} (7), tier3 = {2,1} (3)
+    assert(got == Map(1 -> ((2L, 11L)), 2 -> ((2L, 7L)), 3 -> ((2L, 3L))),
+      s"tercile membership mismatch: $got")
+  }
+
+  test("sessionize splits on >30min gaps and sums in-session time only") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      (1L, at(0), 1L, "view", 1.0, ""),    // user 1, session 1
+      (2L, at(10), 1L, "click", 1.0, ""),  // 10min gap — same session
+      (3L, at(50), 1L, "view", 1.0, ""),   // 40min gap — new session
+      (4L, at(0), 2L, "view", 1.0, ""))    // user 2, singleton
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_sess_events/events.parquet")
+    val got = SparkEntry.queries("q91_sessionize")(spark, "target/test_sess_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 600L)), 2L -> ((1L, 1L, 0L))),
+      s"expected 2 sessions for user 1 (best of 2 events, 600 s in-session), got $got")
+  }
 }
