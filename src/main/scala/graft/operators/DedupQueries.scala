@@ -263,8 +263,73 @@ object DedupQueries extends QueryModule {
       |JOIN sz sj ON sj.doc_id = inter.doc_j
       |WHERE CAST(i AS DOUBLE) / (si.sz + sj.sz - i) >= 0.5""".stripMargin
 
+  /** CONTENT-DEFINED CHUNKING dedup survey — the storage-side sibling
+    * of winnowing (q63): chunk boundaries are declared wherever the
+    * hash of the local `CdcW`-char gram clears a 1-in-16 condition
+    * (first md5 hex nibble '0' — the LBFS/FastCDC idea reduced to the
+    * suite's hash), so an insertion early in a document only re-chunks
+    * its neighborhood instead of shifting every fixed-width block.
+    * Reported: total chunks, distinct chunks, and the duplicated chars
+    * a chunk-store would NOT re-store (copies beyond each digest's
+    * first). Position 1 is always a boundary, making the interior
+    * boundary stream and the leading chunk one generate-filter pass —
+    * no union branch.
+    *
+    * Scale shape: boundary detection is content-LOCAL — explode
+    * positions, one codegen md5 per gram, a doc-local LEAD window (the
+    * q63 lesson: never an interpreted HOF over per-char arrays); the
+    * only corpus-wide shuffle is the digest-keyed count with map-side
+    * partials, and the final rollup is a single 3-long row. */
+  private def q92CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .filter(length(col("text")) >= CdcW)
+      .select(col("doc_id"), col("text"))
+    val starts = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (CdcW - 1))).as("i"))
+      .filter(col("i") === 1 ||
+        substring(md5(col("text").substr(col("i"), lit(CdcW))), 1, 1) === "0")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val perDigest = starts
+      .withColumn("nxt",
+        coalesce(lead("i", 1).over(w), length(col("text")) + 1))
+      .select(md5(col("text").substr(col("i"), col("nxt") - col("i"))).as("dg"),
+        (col("nxt") - col("i")).as("clen"))
+      .groupBy("dg").agg(count(lit(1)).as("cnt"), min("clen").as("len"))
+    perDigest.agg(sum("cnt").as("n_chunks"),
+      count(lit(1)).as("n_unique"),
+      sum((col("cnt") - 1) * col("len")).as("dup_chars"))
+  }
+
+  private val CdcW = 16
+
+  private val q92Sql =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE LEN(text) >= $CdcW),
+       |p AS (
+       |  SELECT doc_id, text,
+       |    UNNEST(GENERATE_SERIES(1, LEN(text) - ${CdcW - 1})) AS i
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, text, i FROM p
+       |  WHERE i = 1 OR SUBSTR(MD5(SUBSTR(text, i, $CdcW)), 1, 1) = '0'),
+       |c AS (
+       |  SELECT doc_id, text, i,
+       |    COALESCE(LEAD(i) OVER (PARTITION BY doc_id ORDER BY i),
+       |             LEN(text) + 1) AS nxt
+       |  FROM s),
+       |g AS (
+       |  SELECT MD5(SUBSTR(text, i, nxt - i)) AS dg, COUNT(*) AS cnt,
+       |    MIN(nxt - i) AS len
+       |  FROM c GROUP BY 1)
+       |SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+       |  CAST(SUM((cnt - 1) * len) AS BIGINT) AS dup_chars
+       |FROM g""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
+    Q("q92_cdc_chunks", q92CdcChunks, Some(q92Sql)),
     Q("q25_dedup_minhash", q25DedupMinHash, Some(jaccardSql)),
     Q("q26_dedup_ngram", q26DedupNgram, Some(jaccardSql)),
     Q("q53_dedup_ngram_cut", q53DedupNgramCut, Some(jaccardSql)),

@@ -588,6 +588,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"tercile membership mismatch: $got")
   }
 
+  test("cdc chunking: identical docs share all chunks; an insertion only disturbs the head") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_cdc_docs/documents.parquet")
+    val Array((chunks, unique, dup)) =
+      SparkEntry.queries("q92_cdc_chunks")(spark, "target/test_cdc_docs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every digest's count doubles (two identical docs), so chunk count
+    // is even, no digest is unique, and the dedup savings cover at
+    // least one full copy (a digest seen 2c times saves (2c-1) >= c
+    // lengths). Exact pairing can't be asserted: a doc may repeat one
+    // of its own chunks (e.g. "tokN "-boundary coincidences).
+    assert(chunks % 2 == 0 && unique <= chunks / 2 && dup >= base.length.toLong,
+      s"identical docs must dedup to one copy: chunks=$chunks unique=$unique dup=$dup")
+
+    // content-defined boundaries re-synchronize after an insertion: the
+    // copies diverge only until the first boundary past the edit, so
+    // most of the shared suffix still dedups (a fixed-width chunker
+    // would share nothing). Deterministic for this fixed content.
+    Seq((1L, base), (2L, "edit edit edit " + base)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_cdc_docs2/documents.parquet")
+    val Array((_, _, dup2)) =
+      SparkEntry.queries("q92_cdc_chunks")(spark, "target/test_cdc_docs2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dup2 > base.length / 2,
+      s"chunking must re-synchronize after the insertion, shared=$dup2 of ${base.length}")
+  }
+
   test("sessionize splits on >30min gaps and sums in-session time only") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
