@@ -343,6 +343,67 @@ object CoreQueries extends QueryModule {
 
   private val SessionGapUs = 1800000000L // 30 min
 
+  /** ORDERED FUNNEL — how many users progressed view → click →
+    * purchase in strict timestamp order (a click only counts with a
+    * view strictly before it; a purchase only with a QUALIFYING click
+    * strictly before it). The classic formulation self-joins the event
+    * log once per stage; here each stage is a running conditional MIN
+    * over the same per-user ordering, so the whole funnel is one
+    * shuffle, one per-user sort, and a 1-row conditional-distinct
+    * aggregate. Epoch-microsecond longs throughout (q91's convention).
+    *
+    * Scale shape: windows share one (user_id) partitioning; no
+    * self-join, no stage-count passes over the corpus. The final
+    * count-distincts expand to |stages| small aggregates over user
+    * ids, not events. */
+  private def q94Funnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("minv",
+        min(when(col("event_type") === "view", col("us"))).over(byUser))
+      .withColumn("qclick",
+        when(col("event_type") === "click" && col("minv") < col("us"), col("us")))
+      .withColumn("minqc", min("qclick").over(byUser))
+      .withColumn("qpurch",
+        when(col("event_type") === "purchase" && col("minqc") < col("us"), col("us")))
+      .agg(
+        countDistinct(when(col("event_type") === "view", col("user_id")))
+          .as("n_view_users"),
+        countDistinct(when(col("qclick").isNotNull, col("user_id")))
+          .as("n_click_users"),
+        countDistinct(when(col("qpurch").isNotNull, col("user_id")))
+          .as("n_purchase_users"))
+  }
+
+  private val q94Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS us FROM events),
+      |w1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END) OVER w AS minv
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |w2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND minv < us THEN us END AS qclick
+      |  FROM w1),
+      |w3 AS (
+      |  SELECT *, MIN(qclick) OVER w AS minqc
+      |  FROM w2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |w4 AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' AND minqc < us THEN us END AS qpurch
+      |  FROM w3)
+      |SELECT
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT)
+      |    AS n_view_users,
+      |  CAST(COUNT(DISTINCT CASE WHEN qclick IS NOT NULL THEN user_id END) AS BIGINT)
+      |    AS n_click_users,
+      |  CAST(COUNT(DISTINCT CASE WHEN qpurch IS NOT NULL THEN user_id END) AS BIGINT)
+      |    AS n_purchase_users
+      |FROM w4""".stripMargin
+
   private val q91Sql =
     s"""WITH e AS (
        |  SELECT user_id, event_id, EPOCH_US(ts) AS us FROM events),
@@ -369,6 +430,7 @@ object CoreQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q91_sessionize", q91Sessionize, Some(q91Sql)),
+    Q("q94_funnel", q94Funnel, Some(q94Sql)),
     Q("q02_filter_eq", q02FilterEq, Some(q02Sql)),
     Q("q03_filter_and_or", q03FilterAndOr, Some(q03Sql)),
     Q("q04_group_count", q04GroupCount, Some(q04Sql)),

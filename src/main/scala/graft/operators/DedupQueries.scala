@@ -327,9 +327,55 @@ object DedupQueries extends QueryModule {
        |  CAST(SUM((cnt - 1) * len) AS BIGINT) AS dup_chars
        |FROM g""".stripMargin
 
+  /** LEXICAL-vs-SEMANTIC DEDUP AGREEMENT — the curation cross-check
+    * the two dedup families enable together: MinHash-verified Jaccard
+    * pairs (q25's exact-verified output) set against embedding-cosine
+    * pairs (q28's threshold), bucketed into `both` / `lexical_only` /
+    * `semantic_only`. `lexical_only` mass is surface copies whose
+    * embeddings drifted (templated text); `semantic_only` is
+    * paraphrase-like mass that no n-gram dedup will ever catch — the
+    * number that justifies running the semantic pass at all.
+    *
+    * Scale shape: both inputs are bounded dedup OUTPUTS (pair lists,
+    * not corpora); the full-outer join keys on the pair and the rollup
+    * is three groups. The heavy lifting happens inside the two
+    * already-verified operators with their own 100 TB shapes. */
+  private def q93DedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    val lex = Dedup
+      .minHashDedupPairs(Tables.documents(s, dir), "doc_id", "text", N,
+        Threshold, k = 32, bands = 16)
+      .select(col("doc_i").as("id_i"), col("doc_j").as("id_j"),
+        lit(1).as("lex"))
+    val sem = graft.similarity.Ann
+      .cosineNearDupPairs(Tables.embeddings(s, dir), SemThreshold)
+      .withColumn("sem", lit(1))
+    lex.join(sem, Seq("id_i", "id_j"), "full_outer")
+      .select(when(col("lex").isNotNull && col("sem").isNotNull, "both")
+        .when(col("lex").isNotNull, "lexical_only")
+        .otherwise("semantic_only").as("agreement"))
+      .groupBy("agreement").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val SemThreshold = 0.45 // q28's embedding near-dup threshold
+
+  private val q93Sql = pairsCte + s""",
+      |sem AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) >= $SemThreshold),
+      |j AS (
+      |  SELECT CASE WHEN l.pa IS NOT NULL AND s.pa IS NOT NULL THEN 'both'
+      |              WHEN l.pa IS NOT NULL THEN 'lexical_only'
+      |              ELSE 'semantic_only' END AS agreement
+      |  FROM pairs l FULL OUTER JOIN sem s ON l.pa = s.pa AND l.pb = s.pb)
+      |SELECT agreement, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM j GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q92_cdc_chunks", q92CdcChunks, Some(q92Sql)),
+    Q("q93_dedup_agreement", q93DedupAgreement, Some(q93Sql)),
     Q("q25_dedup_minhash", q25DedupMinHash, Some(jaccardSql)),
     Q("q26_dedup_ngram", q26DedupNgram, Some(jaccardSql)),
     Q("q53_dedup_ngram_cut", q53DedupNgramCut, Some(jaccardSql)),

@@ -617,6 +617,55 @@ class OperatorsSpec extends AnyFunSuite {
       s"chunking must re-synchronize after the insertion, shared=$dup2 of ${base.length}")
   }
 
+  test("dedup agreement buckets lexical and semantic pairs independently") {
+    import spark.implicits._
+    val copyA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val copyB = (1 to 30).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, copyA), (2L, copyA),   // lexical pair, orthogonal embeddings
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")),
+      (4L, (1 to 30).map(i => s"d$i").mkString(" ")), // semantic pair only
+      (5L, copyB), (6L, copyB))   // both lexical and semantic
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_agree/documents.parquet")
+    // one-hot axes: every non-planted cosine is exactly 0 (q28's 0.45
+    // threshold would otherwise catch diagonal near-pairs)
+    def axis(i: Int, scale: Float) =
+      Array.tabulate(4)(j => if (j == i) scale else 0f)
+    Seq(
+      (1L, axis(0, 1f), 0), (2L, axis(1, 1f), 0),
+      (3L, axis(2, 1f), 0), (4L, axis(2, 2f), 0),
+      (5L, axis(3, 1f), 0), (6L, axis(3, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/test_agree/embeddings.parquet")
+    val got = SparkEntry.queries("q93_dedup_agreement")(spark, "target/test_agree")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("both" -> 1L, "lexical_only" -> 1L, "semantic_only" -> 1L),
+      s"expected one planted pair per bucket, got $got")
+  }
+
+  test("funnel counts stages only in strict view -> click -> purchase order") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      (1L, at(0), 1L, "view", 1.0, ""),      // user 1: the full ordered funnel
+      (2L, at(10), 1L, "click", 1.0, ""),
+      (3L, at(20), 1L, "purchase", 1.0, ""),
+      (4L, at(0), 2L, "purchase", 1.0, ""),  // user 2: purchase BEFORE the click
+      (5L, at(10), 2L, "view", 1.0, ""),
+      (6L, at(20), 2L, "click", 1.0, ""),
+      (7L, at(0), 3L, "click", 1.0, ""),     // user 3: click before any view
+      (8L, at(10), 3L, "view", 1.0, ""),
+      (9L, at(20), 3L, "purchase", 1.0, "")) // ...so no qualifying click -> no stage 3
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_funnel_events/events.parquet")
+    val got = SparkEntry.queries("q94_funnel")(spark, "target/test_funnel_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got == ((3L, 2L, 1L)),
+      s"expected (3 viewers, 2 ordered clickers, 1 ordered purchaser), got $got")
+  }
+
   test("sessionize splits on >30min gaps and sums in-session time only") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
