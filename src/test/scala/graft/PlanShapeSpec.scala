@@ -275,4 +275,40 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(df)
     assert(!p.contains("UDF"), s"expected UDF-free canonicalization:\n$p")
   }
+
+  test("pack efficiency is map-only arithmetic into one partial aggregation") {
+    val p = plan(SparkEntry.queries("q88_pack_efficiency")(spark, sfDir))
+    assert(p.contains("partial_"), s"expected map-side partials:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the histogram must not sort or join:\n$p")
+  }
+
+  test("sessionize and funnel share one per-user sort; no self-join") {
+    val sess = plan(SparkEntry.queries("q91_sessionize")(spark, sfDir))
+    // both windows and the first aggregation ride the same (user_id)
+    // hash partitioning: exactly one shuffle of the event stream
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(sess).size == 1,
+      s"sessionize must shuffle events exactly once:\n$sess")
+    val fun = plan(SparkEntry.queries("q94_funnel")(spark, sfDir))
+    assert(!fun.contains("Join"), s"the funnel must not self-join the log:\n$fun")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(fun).size == 1,
+      s"funnel stages must reuse one per-user partitioning:\n$fun")
+  }
+
+  test("quality terciles window by source, never a single global partition") {
+    val p = plan(SparkEntry.queries("q90_ppl_terciles")(spark, sfDir))
+    // the ntile window itself must be keyed by source (q74's broadcast
+    // build contains a benign 1-row SinglePartition total, so a blanket
+    // no-SinglePartition assertion would be wrong)
+    assert("ntile\\(3\\) windowspecdefinition\\(source".r.findFirstIn(p).isDefined,
+      s"the tercile window must partition by source:\n$p")
+  }
+
+  test("cdc chunk windows stay doc-local; digest rollup pre-combines") {
+    val p = plan(SparkEntry.queries("q92_cdc_chunks")(spark, sfDir))
+    assert(!p.contains("Exchange SinglePartition") || p.contains("partial_"),
+      s"chunk stats must pre-combine before any single-partition step:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size <= 1,
+      s"boundary stream may shuffle at most once on doc_id:\n$p")
+  }
 }
