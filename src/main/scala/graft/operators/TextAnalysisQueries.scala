@@ -465,8 +465,52 @@ object TextAnalysisQueries extends QueryModule {
        |  ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
        |FROM tf JOIN df USING (term), n""".stripMargin
 
+  /** N-GRAM NOVELTY — per-document originality: how many of a doc's
+    * distinct 3-shingles appear NOWHERE else in the corpus. The
+    * complement of boilerplate detection: low novelty marks templated
+    * or syndicated text that per-doc dedup misses, high novelty marks
+    * original (or gibberish — pair with q44) content. Counts stay
+    * integer-exact; any ratio is the caller's division.
+    *
+    * Scale shape: novelty only needs membership in the df==1 set, not
+    * exact df — and the df==1 set is skew-free BY CONSTRUCTION (each
+    * such gram exists in exactly one document), so the semi-join back
+    * matches at most one row per gram. The hot boilerplate grams that
+    * would skew an exact-df join are exactly the ones the df==1
+    * filter drops before the join. One gram-keyed shuffle for the
+    * count, one co-partitioned semi-join, one per-doc aggregate. */
+  private def q95Novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(col("text")), 3)).as("g"))
+    val unique = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1).select("g")
+    val novel = sh.join(unique, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
+  private val q95Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)])) AS g
+      |  FROM toks WHERE LEN(t) >= 3),
+      |df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+      |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |FROM sh s JOIN df USING (g) GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
+    Q("q95_novelty", q95Novelty, Some(q95Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
     Q("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     Q("q44_quality_score", q44QualityScore, Some(q44Sql)),

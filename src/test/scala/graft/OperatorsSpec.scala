@@ -617,6 +617,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"chunking must re-synchronize after the insertion, shared=$dup2 of ${base.length}")
   }
 
+  test("novelty counts corpus-unique shingles; all-shared docs hit zero") {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d}; first is shared
+      (2L, "a b c x"),   // shingles {a b c, b c x}
+      (3L, "q r s"),     // fully novel singleton
+      (4L, "a b c"))     // its only shingle is shared -> n_novel 0
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_novel_docs/documents.parquet")
+    val got = SparkEntry.queries("q95_novelty")(spark, "target/test_novel_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)),
+      3L -> ((1L, 1L)), 4L -> ((1L, 0L))),
+      s"hand-computed novelty mismatch: $got")
+  }
+
   test("dedup agreement buckets lexical and semantic pairs independently") {
     import spark.implicits._
     val copyA = (1 to 30).map(i => s"a$i").mkString(" ")
