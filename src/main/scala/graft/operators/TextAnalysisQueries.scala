@@ -473,22 +473,35 @@ object TextAnalysisQueries extends QueryModule {
     * integer-exact; any ratio is the caller's division.
     *
     * Scale shape: novelty only needs membership in the df==1 set, not
-    * exact df — and the df==1 set is skew-free BY CONSTRUCTION (each
-    * such gram exists in exactly one document), so the semi-join back
-    * matches at most one row per gram. The hot boilerplate grams that
-    * would skew an exact-df join are exactly the ones the df==1
-    * filter drops before the join. One gram-keyed shuffle for the
-    * count, one co-partitioned semi-join, one per-doc aggregate. */
+    * exact df — and a df==1 gram's OWNER is recoverable inside the
+    * gram aggregate itself (`min(doc_id)` of a singleton group), so no
+    * join back to the gram stream is ever needed: one gram-keyed
+    * shuffle, re-group the survivors by owner, and attach the per-doc
+    * shingle count as a map-only `size()` on the scan (never a second
+    * explode pass). The hot boilerplate grams that would skew an
+    * exact-df join are exactly the ones the df==1 filter drops.
+    * Tokens come from [[graft.dedup.Dedup.tokenTable]] — a CONCRETE
+    * column behind an exchange, because inlining `tokens(text)` into
+    * the shingle lambda re-runs the regex split per element_at (no CSE
+    * inside HOF lambdas — Dedup's measured 8x lesson). The per-doc
+    * shingle count is the COUNT of the exploded gram stream, never a
+    * `size(shingles)` projection: the optimizer pushes cheap-looking
+    * projections below the repartition exchange, which re-runs the
+    * whole (HOF-interpreted, ~2 ms/doc) shingle construction inside
+    * the narrow scan stage — profiled as a single task burning 10.8 s
+    * of the query's 9 s wall at sf0.1. Generators are not pushed
+    * through exchanges, so counting the exploded stream keeps the
+    * expensive work in the wide stage (measured 2.1 s total). */
   private def q95Novelty(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(TextFunctions.wordShingles(
-          TextFunctions.tokens(col("text")), 3)).as("g"))
-    val unique = sh.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") === 1).select("g")
-    val novel = sh.join(unique, Seq("g"), "left_semi")
+    val toksT = graft.dedup.Dedup.tokenTable(
+      Tables.documents(s, dir), "doc_id", "text")
+    val grams = toksT.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("toks"), 3)).as("g"))
+    val novel = grams
+      .groupBy("g").agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
+      .filter(col("df") === 1)
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
