@@ -202,9 +202,108 @@ object SimilarityQueries extends QueryModule {
       |  WHERE q.vec_id < 3)
       |WHERE rank <= 5""".stripMargin
 
+  /** HYBRID RETRIEVAL with reciprocal-rank fusion — the standard
+    * two-tower serving pattern reduced to its batch form: for each
+    * probe document, a LEXICAL top-10 (exact 3-shingle Jaccard, the
+    * inverted-index join of the dedup family) and a SEMANTIC top-10
+    * (exact cosine over embeddings, q29's machinery), fused by
+    * RRF(60): score = Σ 1/(60+rank), final top-5 per probe. Rank
+    * fusion needs no score calibration between the two systems — only
+    * the INTEGER ranks cross the boundary, which is also what makes
+    * the output hash-checkable (1/(60+int) is bit-identical in both
+    * engines; ties break on candidate id).
+    *
+    * Scale shape: the probe set's shingles broadcast onto the corpus
+    * gram stream (no corpus self-join — candidates only, like q83);
+    * per-doc shingle counts ride the same exploded stream (q95's
+    * narrow-stage lesson); the semantic side is q29's broadcast
+    * cross-score. Both lists are top-k-bounded before the fusion
+    * join, so fusion touches O(|probes| * k) rows. */
+  private def q96HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sh = graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val qsh = sh.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("sh"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("jac").desc, col("cand_id").asc)
+    val lex = sh.join(broadcast(qsh), "sh")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(count(lit(1)).as("i"))
+      .join(counts.withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("n", "nq"), "query_id")
+      .join(counts.withColumnRenamed("doc_id", "cand_id")
+        .withColumnRenamed("n", "nc"), "cand_id")
+      .withColumn("jac", col("i") / (col("nq") + col("nc") - col("i")))
+      .withColumn("lrank", row_number().over(wl))
+      .filter(col("lrank") <= 10)
+      .select(col("query_id"), col("cand_id"), col("lrank"))
+    val emb = Tables.embeddings(s, dir)
+    val sem = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 10)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("srank"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    lex.join(sem, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("srank")), lit(0.0)))
+      .withColumn("rrf_rank", row_number().over(wf))
+      .filter(col("rrf_rank") <= 5)
+      .select(col("query_id"), col("cand_id"), col("rrf_rank"),
+        round(col("score"), 6).as("rrf_score"))
+  }
+
+  private val q96Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, LIST_DISTINCT(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)]) AS s
+      |  FROM toks WHERE LEN(t) >= 3),
+      |lex0 AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+      |    LEN(LIST_INTERSECT(q.s, c.s)) AS i, LEN(q.s) AS nq, LEN(c.s) AS nc
+      |  FROM sh q JOIN sh c ON q.doc_id < 3 AND c.doc_id <> q.doc_id),
+      |lex AS (
+      |  SELECT query_id, cand_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(i AS DOUBLE) / (nq + nc - i) DESC, cand_id) AS lrank
+      |  FROM lex0 WHERE i > 0),
+      |sem AS (
+      |  SELECT query_id, cand_id, rank AS srank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+      |                 c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 3)
+      |  WHERE rank <= 10),
+      |fused AS (
+      |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+      |    COALESCE(l.cand_id, s.cand_id) AS cand_id,
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.lrank), 0) +
+      |      COALESCE(CAST(1 AS DOUBLE) / (60 + s.srank), 0) AS score
+      |  FROM (SELECT * FROM lex WHERE lrank <= 10) l
+      |  FULL OUTER JOIN sem s
+      |    ON l.query_id = s.query_id AND l.cand_id = s.cand_id)
+      |SELECT query_id, cand_id, CAST(rrf_rank AS INT) AS rrf_rank,
+      |  ROUND(score, 6) AS rrf_score
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, cand_id) AS rrf_rank
+      |  FROM fused)
+      |WHERE rrf_rank <= 5""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
     Q("q89_hard_negatives", q89HardNegatives, Some(q89Sql)),
+    Q("q96_hybrid_rrf", q96HybridRrf, Some(q96Sql)),
     Q("q51_embed_neardup_lsh", q51EmbedNearDupLsh, Some(q51Sql)),
     Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
     Q("q30_ann_lsh", q30AnnLsh, Some(recallSql(2))),

@@ -633,6 +633,29 @@ class OperatorsSpec extends AnyFunSuite {
       s"hand-computed novelty mismatch: $got")
   }
 
+  test("hybrid RRF ranks a both-lists candidate above either single-list winner") {
+    import spark.implicits._
+    Seq(
+      (0L, "a b c d e"),    // probe
+      (10L, "a b c d x"),   // lexical rank 1, semantic rank 2
+      (20L, "z1 z2 z3"),    // no lexical overlap, semantic rank 1
+      (30L, "a b c q r"))   // lexical rank 2, semantic rank 3
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_rrf/documents.parquet")
+    Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (10L, Array(1f, 0.3f, 0f), 0), // cosine ~0.96
+      (20L, Array(2f, 0f, 0f), 0),   // cosine 1.0
+      (30L, Array(0f, 0f, 1f), 0))   // cosine 0
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/test_rrf/embeddings.parquet")
+    val got = SparkEntry.queries("q96_hybrid_rrf")(spark, "target/test_rrf")
+      .collect().map(r => (r.getInt(2), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+    // RRF: doc10 = 1/61+1/62, doc30 = 1/62+1/63, doc20 = 1/61 alone
+    assert(got == Seq(10L, 30L, 20L),
+      s"expected both-list candidates to outrank single-list ones, got $got")
+  }
+
   test("dedup agreement buckets lexical and semantic pairs independently") {
     import spark.implicits._
     val copyA = (1 to 30).map(i => s"a$i").mkString(" ")
