@@ -427,10 +427,44 @@ object CoreQueries extends QueryModule {
        |  CAST(SUM(dur_s) AS BIGINT) AS sum_duration_s
        |FROM sess GROUP BY 1""".stripMargin
 
+  /** TIME-RANGE MOVING WINDOW — the trailing-hour rolling stats every
+    * monitoring/feature pipeline needs, as a RANGE frame (value-based,
+    * unlike q13's ROWS ranking): per event, the count and mean of its
+    * type's events in the preceding hour. Time is epoch-microsecond
+    * longs so the frame bound is integer arithmetic; the mean is
+    * 6dp-rounded (both engines aggregate the identical double set; the
+    * q74 precedent).
+    *
+    * Scale shape: one (event_type) window partitioning. Five types
+    * make fat partitions here; at scale the key would be
+    * (event_type, day-bucket) with boundary stitching — q68's bucketed
+    * formulation. The frame itself is streaming-evaluated per
+    * partition, never a per-row self-join over the hour. */
+  private def q97MovingStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        round(avg("value").over(w), 6).as("avg_trailing_1h"))
+  }
+
+  private val q97Sql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, EPOCH_US(ts) AS us, value FROM events)
+      |SELECT event_id,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+      |  ROUND(AVG(value) OVER w, 6) AS avg_trailing_1h
+      |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q91_sessionize", q91Sessionize, Some(q91Sql)),
     Q("q94_funnel", q94Funnel, Some(q94Sql)),
+    Q("q97_moving_stats", q97MovingStats, Some(q97Sql)),
     Q("q02_filter_eq", q02FilterEq, Some(q02Sql)),
     Q("q03_filter_and_or", q03FilterAndOr, Some(q03Sql)),
     Q("q04_group_count", q04GroupCount, Some(q04Sql)),

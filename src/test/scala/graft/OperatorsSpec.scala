@@ -705,6 +705,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected (3 viewers, 2 ordered clickers, 1 ordered purchaser), got $got")
   }
 
+  test("moving stats use an inclusive one-hour RANGE frame per type") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      (1L, at(0), 1L, "click", 10.0, ""),
+      (2L, at(30), 1L, "click", 20.0, ""),
+      (3L, at(90), 1L, "click", 40.0, ""),  // 60 min after ev2: still IN (inclusive bound)
+      (4L, at(10), 1L, "view", 99.0, ""))   // other type: separate partition
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_move_events/events.parquet")
+    val got = SparkEntry.queries("q97_moving_stats")(spark, "target/test_move_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 10.0)), 2L -> ((2L, 15.0)),
+      3L -> ((2L, 30.0)),   // ev1 fell out of the hour; ev2 at exactly -1h stays
+      4L -> ((1L, 99.0))),
+      s"hand-computed trailing-hour frames mismatch: $got")
+  }
+
   test("sessionize splits on >30min gaps and sums in-session time only") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
