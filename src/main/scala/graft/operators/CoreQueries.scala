@@ -460,11 +460,39 @@ object CoreQueries extends QueryModule {
       |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** SALTED TWO-PHASE AGGREGATION under the oracle gate — the
+    * [[Skew.saltedAgg]] decomposition (partial on (key, salt), final
+    * on key) must be indistinguishable from a plain GROUP BY: salts
+    * spread a hot key's shuffle rows `salts`-ways, and sum-of-sums /
+    * sum-of-counts recombine exactly. The value sum runs through
+    * decimal(18,2) (the q40-family convention) so recombination order
+    * can never move a double bit; counts are exact longs.
+    *
+    * Scale shape: this is the aggregation-key answer to skew AQE can't
+    * fix (AQE splits shuffle BLOCKS; a single hot KEY still lands in
+    * one reducer without the salt). */
+  private def q98SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val sums = Skew.saltedAgg(e, "event_type", "value", 8,
+        c => sum(c.cast("decimal(18,2)")), c => sum(c))
+      .select(col("event_type"), col("value_agg").cast("double").as("sum_value"))
+    val counts = Skew.saltedAgg(e, "event_type", "event_id", 8,
+        c => count(c), c => sum(c))
+      .select(col("event_type"), col("event_id_agg").as("n"))
+    counts.join(sums, "event_type")
+  }
+
+  private val q98Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q91_sessionize", q91Sessionize, Some(q91Sql)),
     Q("q94_funnel", q94Funnel, Some(q94Sql)),
     Q("q97_moving_stats", q97MovingStats, Some(q97Sql)),
+    Q("q98_salted_agg", q98SaltedAgg, Some(q98Sql)),
     Q("q02_filter_eq", q02FilterEq, Some(q02Sql)),
     Q("q03_filter_and_or", q03FilterAndOr, Some(q03Sql)),
     Q("q04_group_count", q04GroupCount, Some(q04Sql)),

@@ -194,7 +194,44 @@ object IndexedQueries extends QueryModule {
   private val q46Sql =
     "SELECT event_id, user_id, event_type FROM events WHERE event_id = 777"
 
+  /** CO-LOCATED BUCKETED JOIN (§1.3 layout parity) — both sides
+    * written through [[graft.build.Layout.writeBucketed]] on the join
+    * key, then joined Exchange-free: the write-side partitioner and
+    * the read-side join requirement agree, so neither fact table
+    * shuffles at query time. `BucketingSpec` pins the no-Exchange plan
+    * property; THIS query puts the layout path under the value-level
+    * oracle gate (the bucketed join must equal the plain SQL join).
+    * Quantities are integral doubles, so the sums are exact in both
+    * engines.
+    *
+    * Scale shape: this is the 100 TB join strategy — pay one
+    * partitioned write at ingest, never shuffle the fact tables again;
+    * re-used across every downstream join on the same key. */
+  private def q99BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfName = new java.io.File(dir).getName
+    val lT = s"q99_lineitem_${sfName.replace('.', '_')}"
+    val oT = s"q99_orders_${sfName.replace('.', '_')}"
+    graft.build.Layout.writeBucketed(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+      lT, "l_orderkey", 8)
+    graft.build.Layout.writeBucketed(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+      oT, "l_orderkey", 8)
+    graft.build.Layout.read(s, lT)
+      .join(graft.build.Layout.read(s, oT), "l_orderkey")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+  }
+
+  private val q99Sql =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  SUM(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q99_bucketed_join", q99BucketedJoin, Some(q99Sql)),
     Q("q16_idx_eq", q16IdxEq, Some(q16Sql)),
     Q("q17_idx_and", q17IdxAnd, Some(q17Sql)),
     Q("q18_idx_or", q18IdxOr, Some(q18Sql)),

@@ -276,6 +276,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"expected UDF-free canonicalization:\n$p")
   }
 
+  test("bucketed join reads both fact sides without an exchange on the key") {
+    val p = plan(SparkEntry.queries("q99_bucketed_join")(spark, sfDir))
+    assert(!"Exchange hashpartitioning\\(l_orderkey".r.findFirstIn(p).isDefined,
+      s"bucketed layout must make the join exchange-free on the key:\n$p")
+  }
+
   test("pack efficiency is map-only arithmetic into one partial aggregation") {
     val p = plan(SparkEntry.queries("q88_pack_efficiency")(spark, sfDir))
     assert(p.contains("partial_"), s"expected map-side partials:\n$p")
