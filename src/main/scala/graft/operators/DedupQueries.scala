@@ -372,10 +372,55 @@ object DedupQueries extends QueryModule {
       |SELECT agreement, CAST(COUNT(*) AS BIGINT) AS n_pairs
       |FROM j GROUP BY 1""".stripMargin
 
+  /** DEDUP FUNNEL — the capstone budget number: how many documents and
+    * tokens survive each dedup stage. `raw` is the whole corpus;
+    * `exact` keeps min(doc_id) per content digest (q24's rule);
+    * `neardup` keeps only q49 cluster representatives. Cluster reps
+    * are a SUBSET of exact canonicals by construction (exact copies
+    * have Jaccard 1.0, so a digest group sits inside one cluster and
+    * the cluster min is also its digest group's min), which makes the
+    * three rows a true funnel: n_raw >= n_exact >= n_neardup.
+    *
+    * Scale shape: token counts are map-only; `exact` is the digest
+    * hash-agg; `neardup` is the q49 pointer-jumping machinery plus an
+    * id-keyed join. The report itself is three 1-row aggregates. */
+  private def q100DedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    def stage(name: String, kept: DataFrame): DataFrame =
+      toks.join(kept, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val exact = docs.groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val reps = q49DedupClusters(s, dir)
+      .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
+    stage("raw", docs.select("doc_id"))
+      .unionByName(stage("exact", exact))
+      .unionByName(stage("neardup", reps))
+  }
+
+  private val q100Sql = closureCte + """,
+      |comp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      |tk AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens FROM toks),
+      |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text))
+      |SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM tk
+      |UNION ALL
+      |SELECT 'exact' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM tk JOIN ex USING (doc_id)
+      |UNION ALL
+      |SELECT 'neardup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+      |FROM tk t JOIN comp c ON c.doc_id = t.doc_id AND c.doc_id = c.rep""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q92_cdc_chunks", q92CdcChunks, Some(q92Sql)),
     Q("q93_dedup_agreement", q93DedupAgreement, Some(q93Sql)),
+    Q("q100_dedup_funnel", q100DedupFunnel, Some(q100Sql)),
     Q("q25_dedup_minhash", q25DedupMinHash, Some(jaccardSql)),
     Q("q26_dedup_ngram", q26DedupNgram, Some(jaccardSql)),
     Q("q53_dedup_ngram_cut", q53DedupNgramCut, Some(jaccardSql)),

@@ -656,6 +656,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected both-list candidates to outrank single-list ones, got $got")
   }
 
+  test("dedup funnel: raw >= exact-canonical >= cluster-reps, token-exact") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"x$i")
+    Seq(
+      (1L, base.mkString(" ")),                      // cluster {1,2,3} rep
+      (2L, base.mkString(" ")),                      // exact copy of 1
+      (3L, (base.init :+ "y").mkString(" ")),        // near-dup of 1 (29/31 shingle-ish)
+      (4L, (1 to 10).map(i => s"z$i").mkString(" "))) // unique
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_funnel_docs/documents.parquet")
+    val got = SparkEntry.queries("q100_dedup_funnel")(spark, "target/test_funnel_docs")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "raw" -> ((4L, 100L)),      // 30+30+30+10 tokens
+      "exact" -> ((3L, 70L)),     // doc 2 collapses into 1
+      "neardup" -> ((2L, 40L))),  // cluster {1,2,3} -> doc 1; {4} -> doc 4
+      s"hand-computed funnel mismatch: $got")
+  }
+
   test("dedup agreement buckets lexical and semantic pairs independently") {
     import spark.implicits._
     val copyA = (1 to 30).map(i => s"a$i").mkString(" ")
