@@ -731,8 +731,81 @@ object PipelineQueries extends QueryModule {
       |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
       |FROM ranked GROUP BY 1, 2""".stripMargin
 
+  /** SPAN-CORRUPTION MASK GENERATION (T5/UL2 denoising prep) — for
+    * every full 20-token block, one deterministic 3-token mask span
+    * whose offset is hash-derived from (doc_id, block): a 15% mask
+    * rate with reproducible placement (NEVER `rand()` — the q81 rule:
+    * a mask that changes between runs poisons caching, resumption,
+    * and any train/eval split downstream). The verified artifact is
+    * the mask POSITION SET, pinned as an order-independent integer
+    * sum of per-position hashes (`mask_fp`) — collect_list orderings
+    * never enter the comparison.
+    *
+    * Scale shape: block and offset enumeration are generator chains
+    * over the token-count table (map-only after one exchange); the
+    * per-doc rollup is a count+sum aggregate with map-side partials;
+    * docs too short for a block survive via the left join with zero
+    * spans. */
+  private def q101SpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val nT = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    val spans = nT.filter(col("n") >= SpanBlock)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr(s"n DIV $SpanBlock") - 1)).as("b"))
+      .withColumn("start",
+        TextFunctions.tokenHash32(
+          concat(col("doc_id").cast("string"), lit(":"), col("b").cast("string")))
+          % (SpanBlock - SpanLen + 1) + 1)
+    val masked = spans
+      .select(col("doc_id"), col("b"),
+        explode(sequence(col("start"), col("start") + (SpanLen - 1))).as("off"))
+      .select(col("doc_id"), (col("b") * SpanBlock + col("off")).as("pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"),
+        sum(TextFunctions.tokenHash32(
+          concat(col("doc_id").cast("string"), lit(":"), col("pos").cast("string"))))
+          .as("mask_fp"))
+    nT.join(masked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr(s"n DIV $SpanBlock").as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("mask_fp"), lit(0L)).as("mask_fp"))
+  }
+
+  private val SpanBlock = 20L
+  private val SpanLen = 3L
+
+  private val q101Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, LIST_FILTER(
+       |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS t
+       |  FROM documents),
+       |nt AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n FROM toks),
+       |b AS (
+       |  SELECT doc_id, UNNEST(GENERATE_SERIES(0, n // $SpanBlock - 1)) AS b
+       |  FROM nt WHERE n >= $SpanBlock),
+       |s AS (
+       |  SELECT doc_id, b,
+       |    CAST('0x' || SUBSTR(MD5(doc_id || ':' || b), 1, 8) AS BIGINT)
+       |      % (${SpanBlock - SpanLen + 1}) + 1 AS start
+       |  FROM b),
+       |o AS (
+       |  SELECT doc_id, b, UNNEST(GENERATE_SERIES(start, start + ${SpanLen - 1})) AS off
+       |  FROM s),
+       |f AS (
+       |  SELECT doc_id, COUNT(*) AS n_masked,
+       |    SUM(CAST('0x' || SUBSTR(MD5(doc_id || ':' || (b * $SpanBlock + off)), 1, 8)
+       |        AS BIGINT)) AS mask_fp
+       |  FROM o GROUP BY 1)
+       |SELECT nt.doc_id, nt.n AS n_tokens,
+       |  CAST(nt.n // $SpanBlock AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(f.n_masked, 0) AS BIGINT) AS n_masked,
+       |  CAST(COALESCE(f.mask_fp, 0) AS BIGINT) AS mask_fp
+       |FROM nt LEFT JOIN f USING (doc_id)""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),
+    Q("q101_span_corruption", q101SpanCorruption, Some(q101Sql)),
     Q("q88_pack_efficiency", q88PackEfficiency, Some(q88Sql)),
     Q("q90_ppl_terciles", q90PplTerciles, Some(q90Sql)),
     Q("q81_train_split", q81TrainSplit, Some(q81Sql)),

@@ -656,6 +656,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected both-list candidates to outrank single-list ones, got $got")
   }
 
+  test("span corruption masks 3 of every 20 tokens at hash-pinned positions") {
+    import spark.implicits._
+    def md5int8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")), // 2 full blocks
+      (2L, (1 to 7).map(i => s"v$i").mkString(" ")))  // too short: no span
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_span_docs/documents.parquet")
+    val got = SparkEntry.queries("q101_span_corruption")(spark, "target/test_span_docs")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent reimplementation of the mask rule for doc 1
+    val expFp = (0L to 1L).flatMap { b =>
+      val start = md5int8(s"1:$b") % 18 + 1
+      (start to start + 2).map(off => md5int8(s"1:${b * 20 + off}"))
+    }.sum
+    assert(got == Map(1L -> ((40L, 2L, 6L, expFp)), 2L -> ((7L, 0L, 0L, 0L))),
+      s"hash-pinned mask positions mismatch: $got (expected fp $expFp)")
+  }
+
   test("dedup funnel: raw >= exact-canonical >= cluster-reps, token-exact") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"x$i")
