@@ -300,10 +300,51 @@ object SimilarityQueries extends QueryModule {
       |  FROM fused)
       |WHERE rrf_rank <= 5""".stripMargin
 
+  /** EMBEDDING MASS PROFILE per label — which dimension carries each
+    * class's energy (the quick drift/collapse diagnostic for an
+    * embedding pipeline: a class whose top dimension shifts between
+    * snapshots changed its encoder). Exactness argument: every float
+    * is exact in double, and a sum of ~corpus-per-(label,dim) such
+    * values needs mantissa-range + log2(count) bits, far under
+    * double's 53 — so the per-dim sums are EXACT regardless of
+    * aggregation order and the argmax is engine-independent (ties
+    * break on dimension index; the rounded mass is deterministic
+    * because the input to ROUND is exact).
+    *
+    * Scale shape: posexplode then one (label, dim) aggregate with
+    * map-side partials — |labels|x|dims| groups; the argmax window
+    * runs over that tiny table. */
+  private def q102LabelDims(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        abs(col("x").cast("double")).as("v"))
+      .groupBy("label", "dim").agg(sum("v").as("mass"))
+    val w = Window.partitionBy("label").orderBy(col("mass").desc, col("dim"))
+    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("label"), col("dim").cast("int").as("top_dim"),
+        round(col("mass"), 6).as("mass"))
+  }
+
+  private val q102Sql =
+    """WITH z AS (
+      |  SELECT label, UNNEST(list_zip(embedding, range(1, LEN(embedding) + 1))) AS p
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT label, CAST(p[2] AS INT) AS dim, ABS(CAST(p[1] AS DOUBLE)) AS v
+      |  FROM z),
+      |g AS (SELECT label, dim, SUM(v) AS mass FROM d GROUP BY 1, 2)
+      |SELECT label, CAST(dim AS INT) AS top_dim, ROUND(mass, 6) AS mass FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+      |    ORDER BY mass DESC, dim) AS rn FROM g)
+      |WHERE rn = 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
     Q("q89_hard_negatives", q89HardNegatives, Some(q89Sql)),
     Q("q96_hybrid_rrf", q96HybridRrf, Some(q96Sql)),
+    Q("q102_label_dims", q102LabelDims, Some(q102Sql)),
     Q("q51_embed_neardup_lsh", q51EmbedNearDupLsh, Some(q51Sql)),
     Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
     Q("q30_ann_lsh", q30AnnLsh, Some(recallSql(2))),

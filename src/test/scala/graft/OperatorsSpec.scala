@@ -656,6 +656,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected both-list candidates to outrank single-list ones, got $got")
   }
 
+  test("label mass profile: abs-sum argmax per label, ties to the lower dim") {
+    import spark.implicits._
+    Seq(
+      (1L, Array(0f, 3f, 0f), 0),
+      (2L, Array(0f, -1f, 0.5f), 0),  // |.| sums: dim2 = 4, dim3 = 0.5
+      (3L, Array(2f, 0f, 2f), 1))     // dim1 == dim3: tie -> dim 1
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/test_dims/embeddings.parquet")
+    val got = SparkEntry.queries("q102_label_dims")(spark, "target/test_dims")
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got == Map(0 -> ((2, 4.0)), 1 -> ((1, 2.0))),
+      s"argmax/tie-break mismatch: $got")
+  }
+
   test("span corruption masks 3 of every 20 tokens at hash-pinned positions") {
     import spark.implicits._
     def md5int8(s: String): Long = {
