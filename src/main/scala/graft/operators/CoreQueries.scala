@@ -487,12 +487,71 @@ object CoreQueries extends QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** DAY-LEVEL RETENTION — per activity day: active users and how many
+    * of them were also active the PREVIOUS day (the DAU/returning
+    * split every engagement dashboard starts from). Distinct
+    * (user, day) first, then one per-user LAG — never a day-to-day
+    * self-join of the event log. Days leave as strings (the q36 date
+    * convention for the comparator).
+    *
+    * Scale shape: the distinct is a (user, day)-keyed aggregate; the
+    * LAG window partitions by user over at most |days| rows each; the
+    * final rollup has |days| groups. */
+  private def q103Retention(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("ret",
+        when(datediff(col("day"), lag("day", 1).over(byUser)) === 1, 1L)
+          .otherwise(0L))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"), sum("ret").as("n_returning"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_returning"))
+  }
+
+  private val q103Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (
+      |  SELECT user_id, day,
+      |    CASE WHEN day - LAG(day) OVER (PARTITION BY user_id ORDER BY day) = 1
+      |         THEN 1 ELSE 0 END AS ret
+      |  FROM ud)
+      |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(ret) AS BIGINT) AS n_returning
+      |FROM f GROUP BY 1""".stripMargin
+
+  /** SEMI-STRUCTURED EXTRACTION (F-family) — the JSON `props` column
+    * parsed in place: per event type, count plus sum/min/max of the
+    * integer payload `$.k`. Path extraction happens in the scan
+    * projection (one pass, codegen'd), never a UDF or a driver-side
+    * parse; rows with missing/null payloads survive as NULLs and are
+    * excluded by the aggregates in both engines. */
+  private def q104JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  private val q104Sql =
+    """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q91_sessionize", q91Sessionize, Some(q91Sql)),
     Q("q94_funnel", q94Funnel, Some(q94Sql)),
     Q("q97_moving_stats", q97MovingStats, Some(q97Sql)),
     Q("q98_salted_agg", q98SaltedAgg, Some(q98Sql)),
+    Q("q103_retention", q103Retention, Some(q103Sql)),
+    Q("q104_json_extract", q104JsonExtract, Some(q104Sql)),
     Q("q02_filter_eq", q02FilterEq, Some(q02Sql)),
     Q("q03_filter_and_or", q03FilterAndOr, Some(q03Sql)),
     Q("q04_group_count", q04GroupCount, Some(q04Sql)),

@@ -670,6 +670,40 @@ class OperatorsSpec extends AnyFunSuite {
       s"argmax/tie-break mismatch: $got")
   }
 
+  test("retention counts a user as returning only on consecutive days") {
+    import spark.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Seq(
+      (1L, at(1), 1L, "view", 1.0, "{}"),
+      (2L, at(2), 1L, "view", 1.0, "{}"),   // consecutive -> returning on day 2
+      (3L, at(2), 1L, "click", 1.0, "{}"),  // same day, dedupes
+      (4L, at(4), 1L, "view", 1.0, "{}"),   // gap -> NOT returning on day 4
+      (5L, at(2), 2L, "view", 1.0, "{}"))   // first-ever day -> not returning
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_ret_events/events.parquet")
+    val got = SparkEntry.queries("q103_retention")(spark, "target/test_ret_events")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("2024-01-01" -> ((1L, 0L)), "2024-01-02" -> ((2L, 1L)),
+      "2024-01-04" -> ((1L, 0L))),
+      s"hand-computed retention mismatch: $got")
+  }
+
+  test("json extraction skips missing and null payloads in the aggregates") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, t, 1L, "view", 1.0, """{"k": 5}"""),
+      (2L, t, 1L, "view", 1.0, """{"k": 7}"""),
+      (3L, t, 1L, "view", 1.0, "{}"),            // missing key -> NULL
+      (4L, t, 1L, "view", 1.0, """{"k": null}""")) // explicit null
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_json_events/events.parquet")
+    val got = SparkEntry.queries("q104_json_extract")(spark, "target/test_json_events")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("view", 2L, 12L, 5L, 7L)),
+      s"null payloads must not enter the aggregates, got ${got.toSeq}")
+  }
+
   test("span corruption masks 3 of every 20 tokens at hash-pinned positions") {
     import spark.implicits._
     def md5int8(s: String): Long = {
