@@ -416,11 +416,67 @@ object DedupQueries extends QueryModule {
       |  CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
       |FROM tk t JOIN comp c ON c.doc_id = t.doc_id AND c.doc_id = c.rep""".stripMargin
 
+  /** SOURCE CONTENT-OVERLAP MATRIX — per unordered source pair, how
+    * many distinct 3-shingles BOTH sources contain. Where q87 counts
+    * verified near-dup documents between sites, this measures shared
+    * content mass below the document threshold — the stylistic/
+    * templated overlap that informs domain grouping and mixture design
+    * even when no single document pair clears the dedup bar. Counts
+    * are integer-exact; Jaccard is the caller's division (sizes ride
+    * along).
+    *
+    * Scale shape: distinct (source, shingle) is one shingle-keyed
+    * aggregate; the pair counts come from the inverted-index self-join
+    * on the shingle, whose fan-out per shingle is bounded by
+    * |sources|² — not corpus size. At real scale the q53 hot-shingle
+    * cut applies first (a shingle in EVERY source contributes the
+    * complete matrix and no information). */
+  private def q105SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val meta = docs.select(col("doc_id"), col("source"))
+    val sv = Dedup.shingleTable(docs, "doc_id", "text", N)
+      .join(broadcast(meta), "doc_id")
+      .select(col("source"), col("sh")).distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
+    sv.select(col("source").as("source_a"), col("sh"))
+      .join(sv.select(col("source").as("source_b"), col("sh")), "sh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes
+        .select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes
+        .select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"))
+  }
+
+  private val q105Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)])) AS g
+      |  FROM toks WHERE LEN(t) >= 3),
+      |sv AS (
+      |  SELECT DISTINCT d.source, s.g
+      |  FROM sh s JOIN documents d USING (doc_id)),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY 1)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_common,
+      |  CAST(MIN(sa.n) AS BIGINT) AS n_a, CAST(MIN(sb.n) AS BIGINT) AS n_b
+      |FROM sv a JOIN sv b ON a.g = b.g AND a.source < b.source
+      |JOIN sizes sa ON sa.source = a.source
+      |JOIN sizes sb ON sb.source = b.source
+      |GROUP BY 1, 2""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q92_cdc_chunks", q92CdcChunks, Some(q92Sql)),
     Q("q93_dedup_agreement", q93DedupAgreement, Some(q93Sql)),
     Q("q100_dedup_funnel", q100DedupFunnel, Some(q100Sql)),
+    Q("q105_source_overlap", q105SourceOverlap, Some(q105Sql)),
     Q("q25_dedup_minhash", q25DedupMinHash, Some(jaccardSql)),
     Q("q26_dedup_ngram", q26DedupNgram, Some(jaccardSql)),
     Q("q53_dedup_ngram_cut", q53DedupNgramCut, Some(jaccardSql)),

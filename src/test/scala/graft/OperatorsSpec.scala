@@ -728,6 +728,21 @@ class OperatorsSpec extends AnyFunSuite {
       s"hash-pinned mask positions mismatch: $got (expected fp $expFp)")
   }
 
+  test("source overlap counts shared distinct shingles per source pair") {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d", "en", "srcA"),  // {a b c, b c d}
+      (2L, "a b c x", "en", "srcB"),  // {a b c, b c x} -> shares 1 with A
+      (3L, "q r s", "en", "srcC"))    // disjoint -> no row
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet("target/test_overlap/documents.parquet")
+    val got = SparkEntry.queries("q105_source_overlap")(spark, "target/test_overlap")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("srcA", "srcB", 1L, 2L, 2L)),
+      s"expected only the one overlapping pair, got ${got.toSeq}")
+  }
+
   test("dedup funnel: raw >= exact-canonical >= cluster-reps, token-exact") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"x$i")
