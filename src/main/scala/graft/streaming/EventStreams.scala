@@ -33,6 +33,16 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** STREAM-STATIC ENRICHMENT — the dimension-join every ingest
+    * pipeline performs: the unbounded event stream joined to a small
+    * static lookup (plans as a broadcast hash join per micro-batch; the
+    * static side is re-resolved each batch, so a replaced dimension
+    * file picks up without restarting the query). Left join keeps
+    * events with no dimension row — an inner join would silently drop
+    * them, the classic enrichment data-loss bug. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Per-user session accumulation with processing-time timeout —
     * mapGroupsWithState-style custom state (KeyValueGroupedDataset). */
   def sessionize(events: Dataset[EventRow], timeoutMs: Long = 60000): Dataset[UserSession] = {

@@ -51,6 +51,32 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"too few closed windows: ${streamed.size} of ${batch.size}")
   }
 
+  test("stream-static enrichment broadcasts the dimension and keeps unmatched events") {
+    import spark.implicits._
+    val src = s"$work/enrich_events"
+    Tables.events(spark, "/root/testdata/sf0.001").write.parquet(src)
+    val dim = Seq(("view", 1.0), ("click", 2.0), ("purchase", 10.0))
+      .toDF("event_type", "weight") // signup/error deliberately absent
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = EventStreams.enrich(stream, dim, "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", s"$work/enrich_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("enrich_out")
+    val total = spark.read.parquet(src).count()
+    assert(out.count() == total,
+      "left enrichment must keep every event, matched or not")
+    assert(out.filter(col("weight").isNull)
+      .select("event_type").distinct().as[String].collect().toSet ==
+      Set("signup", "error"),
+      "exactly the dimension-less types surface as NULL weight")
+  }
+
   test("sessionization accumulates per-user state and emits on timeout") {
     import spark.implicits._
     val events = Tables.events(spark, "/root/testdata/sf0.001")
