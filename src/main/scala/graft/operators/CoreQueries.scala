@@ -471,16 +471,12 @@ object CoreQueries extends QueryModule {
     * Scale shape: this is the aggregation-key answer to skew AQE can't
     * fix (AQE splits shuffle BLOCKS; a single hot KEY still lands in
     * one reducer without the salt). */
-  private def q98SaltedAgg(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val sums = Skew.saltedAgg(e, "event_type", "value", 8,
-        c => sum(c.cast("decimal(18,2)")), c => sum(c))
-      .select(col("event_type"), col("value_agg").cast("double").as("sum_value"))
-    val counts = Skew.saltedAgg(e, "event_type", "event_id", 8,
-        c => count(c), c => sum(c))
-      .select(col("event_type"), col("event_id_agg").as("n"))
-    counts.join(sums, "event_type")
-  }
+  private def q98SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAggs(Tables.events(s, dir), "event_type", 8,
+        ("event_id", c => count(c), c => sum(c), "n"),
+        ("value", c => sum(c.cast("decimal(18,2)")), c => sum(c), "sum_dec"))
+      .select(col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
 
   private val q98Sql =
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

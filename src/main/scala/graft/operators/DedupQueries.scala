@@ -277,9 +277,13 @@ object DedupQueries extends QueryModule {
     *
     * Scale shape: boundary detection is content-LOCAL — explode
     * positions, one codegen md5 per gram, a doc-local LEAD window (the
-    * q63 lesson: never an interpreted HOF over per-char arrays); the
-    * only corpus-wide shuffle is the digest-keyed count with map-side
-    * partials, and the final rollup is a single 3-long row. */
+    * q63 lesson: never an interpreted HOF over per-char arrays). The
+    * text column is DROPPED before the window shuffle — carrying it
+    * through would ship one full text copy per boundary row, an
+    * O(len²/16) shuffle blowup per document — and joins back in
+    * exactly once (id-keyed, co-partitioned with the window output)
+    * for the chunk digests; the digest-keyed count then shuffles only
+    * (digest, len) pairs. */
   private def q92CdcChunks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
@@ -290,10 +294,12 @@ object DedupQueries extends QueryModule {
         explode(sequence(lit(1), length(col("text")) - (CdcW - 1))).as("i"))
       .filter(col("i") === 1 ||
         substring(md5(col("text").substr(col("i"), lit(CdcW))), 1, 1) === "0")
+      .select("doc_id", "i")
     val w = Window.partitionBy("doc_id").orderBy("i")
     val perDigest = starts
-      .withColumn("nxt",
-        coalesce(lead("i", 1).over(w), length(col("text")) + 1))
+      .withColumn("nxt", lead("i", 1).over(w))
+      .join(docs, "doc_id")
+      .withColumn("nxt", coalesce(col("nxt"), length(col("text")) + 1))
       .select(md5(col("text").substr(col("i"), col("nxt") - col("i"))).as("dg"),
         (col("nxt") - col("i")).as("clen"))
       .groupBy("dg").agg(count(lit(1)).as("cnt"), min("clen").as("len"))
@@ -375,11 +381,14 @@ object DedupQueries extends QueryModule {
   /** DEDUP FUNNEL — the capstone budget number: how many documents and
     * tokens survive each dedup stage. `raw` is the whole corpus;
     * `exact` keeps min(doc_id) per content digest (q24's rule);
-    * `neardup` keeps only q49 cluster representatives. Cluster reps
-    * are a SUBSET of exact canonicals by construction (exact copies
-    * have Jaccard 1.0, so a digest group sits inside one cluster and
-    * the cluster min is also its digest group's min), which makes the
-    * three rows a true funnel: n_raw >= n_exact >= n_neardup.
+    * `neardup` keeps the exact survivors that are ALSO q49 cluster
+    * representatives — an explicit intersection, because "reps ⊆ exact
+    * canonicals" only holds for docs long enough to shingle: exact
+    * copies under 3 tokens have empty shingle sets, get no MinHash
+    * edge, and would each be their own singleton rep, letting a pure
+    * reps stage RESURRECT docs the exact stage removed. Composing the
+    * stages keeps n_raw >= n_exact >= n_neardup a true funnel for
+    * every input.
     *
     * Scale shape: token counts are map-only; `exact` is the digest
     * hash-agg; `neardup` is the q49 pointer-jumping machinery plus an
@@ -399,7 +408,7 @@ object DedupQueries extends QueryModule {
       .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
     stage("raw", docs.select("doc_id"))
       .unionByName(stage("exact", exact))
-      .unionByName(stage("neardup", reps))
+      .unionByName(stage("neardup", reps.join(exact, Seq("doc_id"), "left_semi")))
   }
 
   private val q100Sql = closureCte + """,
@@ -414,7 +423,8 @@ object DedupQueries extends QueryModule {
       |UNION ALL
       |SELECT 'neardup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
-      |FROM tk t JOIN comp c ON c.doc_id = t.doc_id AND c.doc_id = c.rep""".stripMargin
+      |FROM tk t JOIN comp c ON c.doc_id = t.doc_id AND c.doc_id = c.rep
+      |JOIN ex ON ex.doc_id = t.doc_id""".stripMargin
 
   /** SOURCE CONTENT-OVERLAP MATRIX — per unordered source pair, how
     * many distinct 3-shingles BOTH sources contain. Where q87 counts

@@ -43,12 +43,28 @@ object Skew {
     * the classic sum-of-sums / sum-of-counts decomposition. */
   def saltedAgg(
       df: DataFrame, key: String, valueCol: String, salts: Int,
-      partial: Column => Column, fin: Column => Column): DataFrame = {
-    require(salts > 0)
+      partial: Column => Column, fin: Column => Column): DataFrame =
+    saltedAggs(df, key, salts,
+      (valueCol, partial, fin, s"${valueCol}_agg"))
+
+  /** Multi-aggregate form of [[saltedAgg]]: every (valueCol, partial,
+    * final, outName) tuple rides ONE salted pass — one scan, one
+    * (key, salt) shuffle, one (key) shuffle — instead of a pass per
+    * aggregate joined after. */
+  def saltedAggs(
+      df: DataFrame, key: String, salts: Int,
+      aggs: (String, Column => Column, Column => Column, String)*): DataFrame = {
+    require(salts > 0 && aggs.nonEmpty)
+    val parts = aggs.zipWithIndex.map { case ((v, partial, _, _), i) =>
+      partial(col(v)).as(s"__part$i")
+    }
+    val fins = aggs.zipWithIndex.map { case ((_, _, fin, out), i) =>
+      fin(col(s"__part$i")).as(out)
+    }
     df.withColumn("__salt", (rand(42) * salts).cast("int"))
       .groupBy(col(key), col("__salt"))
-      .agg(partial(col(valueCol)).as("__part"))
+      .agg(parts.head, parts.tail: _*)
       .groupBy(col(key))
-      .agg(fin(col("__part")).as(s"${valueCol}_agg"))
+      .agg(fins.head, fins.tail: _*)
   }
 }

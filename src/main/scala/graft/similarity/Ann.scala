@@ -24,18 +24,32 @@ object Ann {
     * by neighbor id. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // norms are computed once per ROW here, not once per pair inside the
-    // cross product — same arithmetic (dot / (|q||c|)), 3x fewer array
-    // folds on the quadratic path
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      Vectors.norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      Vectors.norm(col(vecCol)).as("cn"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    scoredTopK(corpus, queries, k, idCol, vecCol, extraCols = Nil,
+      pairFilter = lit(true))
+
+  /** Shared exact top-k machinery: broadcast the (small) query set,
+    * score every corpus row, rank per query. `extraCols` are carried
+    * from BOTH sides (suffixed q/c) so `pairFilter` can constrain the
+    * pair stream BEFORE the ranking window. Norms are computed once
+    * per ROW, not once per pair inside the cross product — same
+    * arithmetic (dot / (|q||c|)), 3x fewer array folds on the
+    * quadratic path. */
+  private def scoredTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String,
+      extraCols: Seq[String], pairFilter: Column): DataFrame = {
+    def side(df: DataFrame, id: String, v: String, n: String, sfx: String) =
+      df.select(col(idCol).as(id) +: col(vecCol).as(v) +:
+        Vectors.norm(col(vecCol)).as(n) +:
+        extraCols.map(e => col(e).as(s"$e$sfx")): _*)
+    val q = side(queries, "query_id", "qv", "qn", "_q")
+    val c = side(corpus, "neighbor_id", "cv", "cn", "_c")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(pairFilter)
       .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -52,20 +66,10 @@ object Ann {
   def hardNegativesTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col(labelCol).as("qlabel"), Vectors.norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(labelCol).as("clabel"), Vectors.norm(col(vecCol)).as("cn"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
-      .filter(col("clabel") =!= col("qlabel"))
-      .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
-  }
+      labelCol: String = "label"): DataFrame =
+    scoredTopK(corpus, queries, k, idCol, vecCol,
+      extraCols = Seq(labelCol),
+      pairFilter = col(s"${labelCol}_c") =!= col(s"${labelCol}_q"))
 
   /** Deterministic pseudo-random unit-ish hyperplanes: values derived
     * from a seeded hash, fixed at plan time. `private[graft]` so specs

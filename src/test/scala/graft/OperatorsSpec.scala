@@ -750,15 +750,19 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, base.mkString(" ")),                      // cluster {1,2,3} rep
       (2L, base.mkString(" ")),                      // exact copy of 1
       (3L, (base.init :+ "y").mkString(" ")),        // near-dup of 1 (29/31 shingle-ish)
-      (4L, (1 to 10).map(i => s"z$i").mkString(" "))) // unique
+      (4L, (1 to 10).map(i => s"z$i").mkString(" ")), // unique
+      (5L, "s t"), (6L, "s t"))  // exact dups TOO SHORT to shingle: no
+                                 // MinHash edge, both are singleton reps —
+                                 // the intersection with the exact stage
+                                 // must still drop doc 6
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet("target/test_funnel_docs/documents.parquet")
     val got = SparkEntry.queries("q100_dedup_funnel")(spark, "target/test_funnel_docs")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map(
-      "raw" -> ((4L, 100L)),      // 30+30+30+10 tokens
-      "exact" -> ((3L, 70L)),     // doc 2 collapses into 1
-      "neardup" -> ((2L, 40L))),  // cluster {1,2,3} -> doc 1; {4} -> doc 4
+      "raw" -> ((6L, 104L)),      // 30+30+30+10+2+2 tokens
+      "exact" -> ((4L, 72L)),     // doc 2 collapses into 1; doc 6 into 5
+      "neardup" -> ((3L, 42L))),  // cluster {1,2,3} -> doc 1; {4}; {5}
       s"hand-computed funnel mismatch: $got")
   }
 
