@@ -481,8 +481,87 @@ object DedupQueries extends QueryModule {
       |JOIN sizes sb ON sb.source = b.source
       |GROUP BY 1, 2""".stripMargin
 
+  /** SUBSTRING-LEVEL DEDUP PROFILE (ExactSubstr, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): per document, how many of
+    * its [[DupW]]-token sliding windows also occur in ANOTHER document, and the
+    * longest run of consecutive duplicated windows — the span an ExactSubstr
+    * pass would cut. Complements q92 (chunk store granularity), q95 (novelty
+    * counts distinct shingles; this profiles positions/runs) and q67
+    * (intra-doc repetition; this is strictly cross-doc — a window repeated
+    * only within its own document is NOT flagged).
+    *
+    * Scale shape: one codegen md5 per window, immediately shrunk to a 60-bit
+    * prefix long (q63's lesson — the 32-char hex string never crosses a
+    * shuffle); the cross-doc window set is a digest-keyed aggregate; the
+    * run/island computation is one doc-keyed window over ONLY the flagged
+    * rows. A true suffix array is a sequential build; this sliding-window
+    * formulation is the join-friendly equivalent and every stage is a plain
+    * keyed shuffle.
+    */
+  private val DupW = 8
+
+  private def q106DupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+    val win = toks
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.wordNGrams(col("toks"), DupW))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    // windows seen in >= 2 DISTINCT docs (intra-doc repeats are q67's
+    // signal, not this one's)
+    val dup = win.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2).select("h")
+    // gaps-and-islands over the flagged positions only: run id =
+    // pos - row_number is constant within each consecutive stretch
+    val flagged = win.join(dup, Seq("h"), "left_semi")
+    val runs = flagged
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg(sum("len").as("n_dup"), max("len").as("longest_run"))
+    // per-doc window count straight off the token array — no second
+    // pass over the exploded stream
+    toks.select(col("doc_id"),
+        (size(col("toks")) - (DupW - 1)).cast("long").as("n_win"))
+      .filter(col("n_win") >= 1)
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+  }
+
+  private val q106Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, UNNEST(
+      |    [{'pos': i, 'g': ARRAY_TO_STRING(t[i:i+7], ' ')} FOR i IN RANGE(1, LEN(t) - 6)],
+      |    recursive := true)
+      |  FROM toks WHERE LEN(t) >= 8),
+      |dup AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |fl AS (SELECT doc_id, pos FROM w WHERE g IN (SELECT g FROM dup)),
+      |runs AS (
+      |  SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl),
+      |rl AS (SELECT doc_id, COUNT(*) AS len FROM runs GROUP BY doc_id, grp),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_dup,
+      |    CAST(MAX(len) AS BIGINT) AS longest_run
+      |  FROM rl GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(LEN(t.t) - 7 AS BIGINT) AS n_win,
+      |  COALESCE(a.n_dup, 0) AS n_dup,
+      |  COALESCE(a.longest_run, 0) AS longest_run
+      |FROM toks t LEFT JOIN agg a USING (doc_id) WHERE LEN(t.t) >= 8""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
+    Q("q106_dup_substring", q106DupSubstring, Some(q106Sql)),
     Q("q92_cdc_chunks", q92CdcChunks, Some(q92Sql)),
     Q("q93_dedup_agreement", q93DedupAgreement, Some(q93Sql)),
     Q("q100_dedup_funnel", q100DedupFunnel, Some(q100Sql)),

@@ -803,8 +803,111 @@ object PipelineQueries extends QueryModule {
        |  CAST(COALESCE(f.mask_fp, 0) AS BIGINT) AS mask_fp
        |FROM nt LEFT JOIN f USING (doc_id)""".stripMargin
 
+  /** MODEL-BASED QUALITY FILTER (fastText / DCLM-classifier shape): score
+    * each document with a hashed bag-of-words linear model — bucket each
+    * token into [0, [[ClsBuckets]]) by md5, look up the bucket's weight, keep
+    * documents whose mean weight is positive. The weights here are a closed
+    * form of the bucket (w(b) = b - (B-1)/2, zero-mean over buckets) so both
+    * engines state the SAME model without shipping a weights file; in
+    * production the bucket→weight lookup is a broadcast float array and the
+    * plan shape is IDENTICAL: a pure map over the token stream (hash →
+    * weight, no shuffle, no UDF) into one doc-keyed combine. The margin is
+    * summed as an exact INTEGER — `keep` can never flip on float
+    * associativity — and the only double op is one final division, rounded.
+    * Complements q44 (hand-written rules) and q74 (corpus-derived unigram
+    * LM): this is the learned-classifier stage of a C4/DCLM-style pipeline. */
+  private val ClsBuckets = 997L
+
+  private def q107HashClassifier(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val half = (ClsBuckets - 1) / 2 // 498: w(b) in [-498, 498]
+    tok.select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+          % ClsBuckets - half).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("w")).cast("double") / (count(lit(1)) * half.toDouble), 6)
+          .as("score"),
+        (sum(col("w")) > 0).as("keep"))
+  }
+
+  private val q107Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                       x -> LEN(x) > 0)) AS tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || SUBSTRING(MD5(tok), 1, 4) AS BIGINT) % $ClsBuckets - 498 AS w
+       |  FROM tok)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |  ROUND(CAST(SUM(w) AS DOUBLE) / (COUNT(*) * 498.0), 6) AS score,
+       |  SUM(w) > 0 AS keep
+       |FROM s GROUP BY 1""".stripMargin
+
+  /** RANGE-PARTITIONED EXPORT MANIFEST (the global-sort / shard-layout
+    * stage): split the corpus into 4 size-balanced shards by document
+    * length and report each shard's count / min / max / total — the
+    * manifest a range-partitioned writer ships alongside the shards.
+    *
+    * Scale shape: the quantile boundaries are computed on the COMPRESSED
+    * HISTOGRAM (one row per distinct length — a keyed aggregate with
+    * map-side partials), not by sorting the corpus; the single-partition
+    * running sum below runs over that histogram's ≤|distinct lengths| rows,
+    * which is the standard distributed-quantile reduction (at 100 TB the
+    * histogram of an int key is still tiny). Routing is then a map-side
+    * comparison against the broadcast 1-row boundary set — the corpus is
+    * never globally sorted and never shuffled except the final ≤4-group
+    * aggregate. Boundary rule matches SQL PERCENTILE_DISC: smallest value
+    * whose cumulative count reaches q·n (integer cross-multiplication, no
+    * division). */
+  private def q108RangeShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("n_chars"))
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+    val bounds = cum.agg(
+      min(when(col("cum") * 4 >= col("n"), col("n_chars"))).as("b1"),
+      min(when(col("cum") * 2 >= col("n"), col("n_chars"))).as("b2"),
+      min(when(col("cum") * 4 >= col("n") * 3, col("n_chars"))).as("b3"))
+    Tables.documents(s, dir).select(col("n_chars"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("n_chars") <= col("b1"), 0)
+          .when(col("n_chars") <= col("b2"), 1)
+          .when(col("n_chars") <= col("b3"), 2)
+          .otherwise(3).as("shard"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"))
+  }
+
+  private val q108Sql =
+    """WITH b AS (
+      |  SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY n_chars) AS b1,
+      |         PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY n_chars) AS b2,
+      |         PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY n_chars) AS b3
+      |  FROM documents)
+      |SELECT CASE WHEN n_chars <= b1 THEN 0 WHEN n_chars <= b2 THEN 1
+      |            WHEN n_chars <= b3 THEN 2 ELSE 3 END AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents, b GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),
+    Q("q107_hash_classifier", q107HashClassifier, Some(q107Sql)),
+    Q("q108_range_shards", q108RangeShards, Some(q108Sql)),
     Q("q101_span_corruption", q101SpanCorruption, Some(q101Sql)),
     Q("q88_pack_efficiency", q88PackEfficiency, Some(q88Sql)),
     Q("q90_ppl_terciles", q90PplTerciles, Some(q90Sql)),

@@ -851,4 +851,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 2L, 600L)), 2L -> ((1L, 1L, 0L))),
       s"expected 2 sessions for user 1 (best of 2 events, 600 s in-session), got $got")
   }
+
+  test("substring-dup profile flags cross-doc runs only; intra-doc repeats stay clean") {
+    import spark.implicits._
+    def t(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    // d1/d2 share exactly their first 8-token window; d3 is all-unique;
+    // d4 repeats an 8-token window WITHIN itself only (doc-df 1 -> not
+    // duplicated); d5/d6 share 10 consecutive tokens -> a run of 3
+    // consecutive duplicated windows
+    Seq(
+      (1L, t("s", 8) + " " + t("a", 8)),
+      (2L, t("s", 8) + " " + t("b", 8)),
+      (3L, t("c", 16)),
+      (4L, t("r", 8) + " " + t("r", 8)),
+      (5L, t("t", 10) + " " + t("e", 6)),
+      (6L, t("t", 10) + " " + t("f", 6)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_dupsub_docs/documents.parquet")
+    val got = SparkEntry.queries("q106_dup_substring")(spark, "target/test_dupsub_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((9L, 1L, 1L)), s"d1: only its first window is shared, got ${got(1L)}")
+    assert(got(2L) == ((9L, 1L, 1L)))
+    assert(got(3L) == ((9L, 0L, 0L)), "an all-unique doc has nothing flagged")
+    assert(got(4L) == ((9L, 0L, 0L)),
+      "a window repeated only within one doc is intra-doc repetition (q67), not a cross-doc dup")
+    assert(got(5L) == ((9L, 3L, 3L)),
+      s"10 shared tokens = 3 consecutive shared 8-windows, got ${got(5L)}")
+    assert(got(6L) == ((9L, 3L, 3L)))
+  }
+
+  test("hash classifier margin matches an independent md5 computation, keep = sign") {
+    import spark.implicits._
+    // independent reimplementation of the model: md5 first 4 hex chars
+    // -> bucket % 997 - 498
+    def w(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 997L - 498L
+    }
+    val toks = Seq("alpha", "bravo", "charlie", "delta")
+    Seq((1L, toks.mkString(" ")), (2L, toks.head))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_cls_docs/documents.parquet")
+    val got = SparkEntry.queries("q107_hash_classifier")(spark, "target/test_cls_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val m1 = toks.map(w).sum
+    val (n1, s1, k1) = got(1L)
+    assert(n1 == 4L)
+    assert(math.abs(s1 - BigDecimal(m1.toDouble / (4 * 498.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"score must equal the hand-computed margin/4*498, got $s1 vs margin $m1")
+    assert(k1 == (m1 > 0), "keep is exactly the sign of the integer margin")
+    val (n2, s2, k2) = got(2L)
+    assert(n2 == 1L && k2 == (w(toks.head) > 0) &&
+      math.abs(s2 - BigDecimal(w(toks.head).toDouble / 498.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("range shards split a uniform length distribution into exact quartiles") {
+    import spark.implicits._
+    (1L to 100L).map(i => (i, "x", i)).toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet("target/test_shard_docs/documents.parquet")
+    val got = SparkEntry.queries("q108_range_shards")(spark, "target/test_shard_docs")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      0 -> ((25L, 1L, 25L, (1L to 25L).sum)),
+      1 -> ((25L, 26L, 50L, (26L to 50L).sum)),
+      2 -> ((25L, 51L, 75L, (51L to 75L).sum)),
+      3 -> ((25L, 76L, 100L, (76L to 100L).sum))),
+      s"lengths 1..100 must split at PERCENTILE_DISC boundaries 25/50/75: $got")
+  }
 }

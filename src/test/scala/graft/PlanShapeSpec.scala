@@ -317,4 +317,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size <= 1,
       s"boundary stream may shuffle at most once on doc_id:\n$p")
   }
+
+  test("hash classifier is inference-as-map: no join, no window, one doc-keyed agg") {
+    val p = plan(SparkEntry.queries("q107_hash_classifier")(spark, sfDir))
+    assert(!p.contains("Join"), s"model scoring must not join:\n$p")
+    assert(!p.contains("Window"), s"model scoring must not window:\n$p")
+    assert(p.contains("partial_"),
+      s"the doc margin must pre-combine map-side:\n$p")
+  }
+
+  test("substring-dup profile: digest semi-join, never a nested loop; run window doc-keyed") {
+    val p = plan(SparkEntry.queries("q106_dup_substring")(spark, sfDir))
+    assert(p.contains("LeftSemi"),
+      s"flagged windows must come from a digest semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop anywhere in the dup profile:\n$p")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
+      s"the island window must partition by doc_id:\n$p")
+  }
+
+  test("range shards: boundaries from the compressed histogram, corpus never globally sorted") {
+    val p = plan(SparkEntry.queries("q108_range_shards")(spark, sfDir))
+    // the single-partition running sum is over the length HISTOGRAM
+    // (post-aggregate), so a partial aggregate must sit below it
+    assert(p.contains("partial_"),
+      s"histogram must pre-combine before the boundary reduction:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"boundary routing must be a broadcast, not a shuffle join:\n$p")
+  }
 }
