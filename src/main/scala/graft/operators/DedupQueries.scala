@@ -559,9 +559,69 @@ object DedupQueries extends QueryModule {
       |  COALESCE(a.longest_run, 0) AS longest_run
       |FROM toks t LEFT JOIN agg a USING (doc_id) WHERE LEN(t.t) >= 8""".stripMargin
 
+  /** INCREMENTAL INGEST DEDUP — dedup a delta batch against an existing
+    * base corpus WITHOUT reprocessing the base: each delta document is
+    * classified `dup_base` (its fingerprint already exists in the base),
+    * `dup_delta` (an earlier document in the same batch claims it), or
+    * `new`. The fingerprint is the md5 of the first [[HeadW]] normalized
+    * tokens (head fingerprint — the practical ingest key when exact
+    * bytes drift but openings don't); the base/delta split here is a
+    * deterministic id rule so both engines construct the same batches.
+    *
+    * Scale shape: the base (the 100 TB side) is probed with the DELTA's
+    * digest set BROADCAST — the base is never shuffled and at real scale
+    * the probe is a scan of the persisted digest index, not the corpus.
+    * The (small, ≤|delta|) hit set broadcasts back onto the delta; the
+    * intra-batch first-claim is one window over the delta's own digest
+    * shuffle. Everything big moves zero times; everything broadcast is
+    * bounded by the ingest batch. */
+  private val HeadW = 16
+
+  private def q109IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+      .filter(size(col("toks")) >= HeadW)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), 1, HeadW))).as("dg"),
+        (col("doc_id") % 5 === 4).as("is_delta"))
+    val base = keyed.filter(!col("is_delta")).select("dg")
+    val delta = keyed.filter(col("is_delta")).select("doc_id", "dg")
+    val hits = base
+      .join(broadcast(delta.select("dg").distinct()), "dg")
+      .select("dg").distinct()
+      .withColumn("in_base", lit(true))
+    delta
+      .withColumn("first_id", min("doc_id").over(Window.partitionBy("dg")))
+      .join(broadcast(hits), Seq("dg"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("in_base"), lit(false)), "dup_base")
+          .when(col("doc_id") > col("first_id"), "dup_delta")
+          .otherwise("new").as("status"))
+  }
+
+  private val q109Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, MD5(ARRAY_TO_STRING(t[1:16], ' ')) AS dg,
+      |    doc_id % 5 = 4 AS is_delta
+      |  FROM toks WHERE LEN(t) >= 16),
+      |base AS (SELECT DISTINCT dg FROM d WHERE NOT is_delta),
+      |delta AS (SELECT doc_id, dg FROM d WHERE is_delta),
+      |f AS (SELECT dg, MIN(doc_id) AS first_id FROM delta GROUP BY dg)
+      |SELECT delta.doc_id,
+      |  CASE WHEN base.dg IS NOT NULL THEN 'dup_base'
+      |       WHEN delta.doc_id > f.first_id THEN 'dup_delta'
+      |       ELSE 'new' END AS status
+      |FROM delta LEFT JOIN base ON delta.dg = base.dg
+      |JOIN f ON delta.dg = f.dg""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q106_dup_substring", q106DupSubstring, Some(q106Sql)),
+    Q("q109_incr_dedup", q109IncrementalDedup, Some(q109Sql)),
     Q("q92_cdc_chunks", q92CdcChunks, Some(q92Sql)),
     Q("q93_dedup_agreement", q93DedupAgreement, Some(q93Sql)),
     Q("q100_dedup_funnel", q100DedupFunnel, Some(q100Sql)),

@@ -909,6 +909,29 @@ class OperatorsSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("incremental dedup classifies delta docs: base hit > batch first-claim > new") {
+    import spark.implicits._
+    def head(p: String) = (0 until 16).map(i => s"$p$i").mkString(" ")
+    // ids ≡ 4 (mod 5) are the delta batch; everything else is base.
+    // h1: in base (id 0) and delta (id 4)        -> 4 = dup_base
+    // h2: twice in the delta only (ids 9, 14)    -> 9 = new, 14 = dup_delta
+    // h3: once in the delta (id 19)              -> 19 = new
+    // id 24: under 16 tokens                     -> excluded entirely
+    Seq(
+      (0L, head("h1") + " basetail"),
+      (4L, head("h1") + " deltatail"),
+      (9L, head("h2") + " first"),
+      (14L, head("h2") + " second"),
+      (19L, head("h3") + " only"),
+      (24L, "too short"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_incr_docs/documents.parquet")
+    val got = SparkEntry.queries("q109_incr_dedup")(spark, "target/test_incr_docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(4L -> "dup_base", 9L -> "new", 14L -> "dup_delta", 19L -> "new"),
+      s"planted delta classifications mismatch: $got")
+  }
+
   test("range shards split a uniform length distribution into exact quartiles") {
     import spark.implicits._
     (1L to 100L).map(i => (i, "x", i)).toDF("doc_id", "text", "n_chars")

@@ -336,6 +336,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the island window must partition by doc_id:\n$p")
   }
 
+  test("incremental dedup probes the base with broadcasts; the base never shuffle-joins") {
+    val p = plan(SparkEntry.queries("q109_incr_dedup")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"base probe and hit-set lookup must broadcast the delta-bounded side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the base side must never shuffle for a join:\n$p")
+    assert("windowspecdefinition\\(dg".r.findFirstIn(p).isDefined,
+      s"the intra-batch first-claim must be a window over the delta's digest shuffle:\n$p")
+  }
+
   test("range shards: boundaries from the compressed histogram, corpus never globally sorted") {
     val p = plan(SparkEntry.queries("q108_range_shards")(spark, sfDir))
     // the single-partition running sum is over the length HISTOGRAM
