@@ -540,8 +540,42 @@ object CoreQueries extends QueryModule {
       |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
       |GROUP BY 1""".stripMargin
 
+  /** TABLE AUDIT FINGERPRINT — an order-independent checksum of the whole
+    * table for replication/export verification: after copying 100 TB
+    * between clusters or formats, run this on both sides and compare four
+    * numbers instead of re-reading either copy row by row. Each row is
+    * reduced to a 60-bit md5 prefix of its canonical serialization
+    * (explicit casts + '|' separator, so both engines serialize
+    * identically), then combined with XOR — commutative and overflow-free,
+    * so the result is independent of partitioning, row order, and executor
+    * count (a SUM would overflow BIGINT and wrap differently across
+    * engines). XOR cancels on duplicate-row PAIRS, so n_rows and min/max
+    * ride along as independent invariants. Map-only into a 1-row
+    * aggregate: the cheapest possible full-table pass. */
+  private def q110TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val fp = conv(substring(md5(concat_ws("|",
+        col("doc_id").cast("string"), col("text"), col("lang"),
+        col("source"), col("n_chars").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir).select(fp.as("f"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(f)").as("fp_xor"),
+        min("f").as("fp_min"), max("f").as("fp_max"))
+  }
+
+  private val q110Sql =
+    """WITH fp AS (
+      |  SELECT CAST('0x' || SUBSTRING(MD5(
+      |      CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' ||
+      |      source || '|' || CAST(n_chars AS VARCHAR)), 1, 15) AS BIGINT) AS f
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(BIT_XOR(f) AS BIGINT) AS fp_xor,
+      |  CAST(MIN(f) AS BIGINT) AS fp_min, CAST(MAX(f) AS BIGINT) AS fp_max
+      |FROM fp""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
+    Q("q110_table_checksum", q110TableChecksum, Some(q110Sql)),
     Q("q91_sessionize", q91Sessionize, Some(q91Sql)),
     Q("q94_funnel", q94Funnel, Some(q94Sql)),
     Q("q97_moving_stats", q97MovingStats, Some(q97Sql)),

@@ -521,8 +521,65 @@ object TextAnalysisQueries extends QueryModule {
       |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
       |FROM sh s JOIN df USING (g) GROUP BY 1""".stripMargin
 
+  /** VOCABULARY GROWTH CURVE (Heaps' law over 3-shingles) — distinct-type
+    * accumulation as the corpus grows, the statistic behind "how much new
+    * content does the next crawl slice add" and tokenizer-vocab sizing.
+    * The corpus is cut into 10 id-deciles; each shingle type is charged to
+    * the decile of its FIRST occurrence (min doc_id — decile is monotone
+    * in doc_id, so min-decile ≡ decile-of-min), and the running total is
+    * the growth curve. Token-level vocab (q70) is degenerate on this
+    * corpus (31 types); 3-shingles grow like real text.
+    *
+    * Scale shape: one shingle-keyed min aggregate (map-side partials) over
+    * md5-prefix longs (the gram string dies before the shuffle, q63's
+    * lesson), a broadcast 1-row scalar for the decile rule, and a ≤10-row
+    * final reduction — the cumulative window runs on those 10 rows only. */
+  private def q111VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg((max("doc_id") + 1).as("n"))
+    val sh = graft.dedup.Dedup.tokenTable(docs, "doc_id", "text")
+      .select(col("doc_id"), explode(TextFunctions.wordShingles(col("toks"), 3)).as("gt"))
+      .select(col("doc_id"), conv(substring(md5(col("gt")), 1, 15), 16, 10)
+        .cast("long").as("g"))
+      .crossJoin(broadcast(n))
+      .select(col("g"), expr("doc_id * 10 div n").as("decile"))
+    val newt = sh.groupBy("g").agg(min("decile").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    val occ = sh.groupBy("decile").agg(count(lit(1)).as("n_grams"))
+    occ.join(newt, Seq("decile"), "left")
+      .select(col("decile"), col("n_grams"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum("new_types").over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private val q111Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)])) AS g
+      |  FROM toks WHERE LEN(t) >= 3),
+      |m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+      |firsts AS (
+      |  SELECT g, CAST(MIN(doc_id) * 10 // n AS BIGINT) AS decile
+      |  FROM sh, m GROUP BY g, n),
+      |newt AS (SELECT decile, COUNT(*) AS new_types FROM firsts GROUP BY decile),
+      |occ AS (
+      |  SELECT CAST(doc_id * 10 // n AS BIGINT) AS decile, COUNT(*) AS n_grams
+      |  FROM sh, m GROUP BY 1)
+      |SELECT o.decile, CAST(o.n_grams AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+      |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY o.decile) AS BIGINT) AS cum_types
+      |FROM occ o LEFT JOIN newt nt USING (decile)""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
+    Q("q111_vocab_growth", q111VocabGrowth, Some(q111Sql)),
     Q("q95_novelty", q95Novelty, Some(q95Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
     Q("q33_fingerprint", q33Fingerprint, Some(q33Sql)),

@@ -932,6 +932,52 @@ class OperatorsSpec extends AnyFunSuite {
       s"planted delta classifications mismatch: $got")
   }
 
+  test("table checksum equals an independent md5-xor and ignores row order") {
+    import spark.implicits._
+    def fp(row: (Long, String, String, String, Long)): Long = {
+      val s = s"${row._1}|${row._2}|${row._3}|${row._4}|${row._5}"
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = Seq(
+      (1L, "alpha text", "en", "web", 10L),
+      (2L, "beta text", "fr", "book", 9L))
+    // write in REVERSED order: the checksum must not care
+    rows.reverse.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3)
+      .write.mode("overwrite").parquet("target/test_cksum_docs/documents.parquet")
+    val got = SparkEntry.queries("q110_table_checksum")(spark, "target/test_cksum_docs")
+      .collect().head
+    val fps = rows.map(fp)
+    assert(got.getLong(0) == 2L)
+    assert(got.getLong(1) == fps.reduce(_ ^ _),
+      s"xor checksum must match the independent computation: ${got.getLong(1)} vs ${fps.reduce(_ ^ _)}")
+    assert(got.getLong(2) == fps.min && got.getLong(3) == fps.max)
+  }
+
+  test("vocab growth charges each shingle type to its first-occurrence decile") {
+    import spark.implicits._
+    // ids 0..9 make each doc its own decile; doc5 re-uses doc0's shingle
+    // "a b c" (not new) and introduces "b c d", which doc9 then repeats
+    val docs = (0L to 9L).map {
+      case 0L => (0L, "a b c")
+      case 5L => (5L, "a b c d")
+      case 9L => (9L, "b c d")
+      case i => (i, s"u$i v$i w$i")
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_growth_docs/documents.parquet")
+    val got = SparkEntry.queries("q111_vocab_growth")(spark, "target/test_growth_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((1L, 1L, 1L)))
+    assert(got(5L) == ((2L, 1L, 6L)),
+      s"doc5 has 2 shingles but only 'b c d' is NEW, got ${got(5L)}")
+    assert(got(9L) == ((1L, 0L, 9L)),
+      s"doc9's only shingle was first seen in decile 5, got ${got(9L)}")
+    assert(got(1L) == ((1L, 1L, 2L)) && got(8L) == ((1L, 1L, 9L)))
+  }
+
   test("range shards split a uniform length distribution into exact quartiles") {
     import spark.implicits._
     (1L to 100L).map(i => (i, "x", i)).toDF("doc_id", "text", "n_chars")

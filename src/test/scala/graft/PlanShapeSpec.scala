@@ -346,6 +346,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the intra-batch first-claim must be a window over the delta's digest shuffle:\n$p")
   }
 
+  test("table checksum is a join-free map into one pre-combined aggregate") {
+    val p = plan(SparkEntry.queries("q110_table_checksum")(spark, sfDir))
+    assert(!p.contains("Join"), s"a table checksum must not join:\n$p")
+    assert(p.contains("partial_"),
+      s"the xor/min/max must pre-combine map-side:\n$p")
+  }
+
+  test("vocab growth pre-combines the type-min aggregate; grams cross shuffles as longs") {
+    val p = plan(SparkEntry.queries("q111_vocab_growth")(spark, sfDir))
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"first-occurrence must reduce map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 10-row decile join must broadcast:\n$p")
+  }
+
   test("range shards: boundaries from the compressed histogram, corpus never globally sorted") {
     val p = plan(SparkEntry.queries("q108_range_shards")(spark, sfDir))
     // the single-partition running sum is over the length HISTOGRAM
