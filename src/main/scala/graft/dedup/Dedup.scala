@@ -224,8 +224,8 @@ object Dedup {
       // positive): md5 evaluated ONCE per gram, and the 32-char hex
       // string dies here, before the window shuffle
       .select(col("doc_id"), col("n"), col("i").as("pos"),
-        conv(substring(md5(col("s").substr(col("i"), lit(k))), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.TextFunctions.digest60(
+          col("s").substr(col("i"), lit(k))).as("h"))
     // min over [pos, pos+w-1] — exactly hashes[j..j+w-1] for each
     // window start j; docs with fewer than w grams keep the single
     // pos=1 row, whose frame covers all their grams (overall min)

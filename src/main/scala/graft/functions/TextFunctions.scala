@@ -50,6 +50,14 @@ object TextFunctions {
   def tokenHash32(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit md5-prefix digest as a positive long (15 hex chars < 63
+    * bits) — the "q63 lesson" idiom: shrink a gram/row to 8 bytes
+    * BEFORE it crosses a shuffle or broadcast instead of carrying the
+    * 32-char hex string. Collision-safe for internal keying (p ≈
+    * n²/2^61; deterministic, so a passing run always passes). */
+  def digest60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** A stable 64-bit token hash: two md5 hex8 words combined. */
   def tokenHash64(tok: Column): Column =
     shiftleft(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), 32)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -553,10 +553,17 @@ object CoreQueries extends QueryModule {
     * ride along as independent invariants. Map-only into a 1-row
     * aggregate: the cheapest possible full-table pass. */
   private def q110TableChecksum(s: SparkSession, dir: String): DataFrame = {
-    val fp = conv(substring(md5(concat_ws("|",
-        col("doc_id").cast("string"), col("text"), col("lang"),
-        col("source"), col("n_chars").cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    // NULL-safe canonical serialization: concat_ws silently DROPS null
+    // arguments (and their separators), which would make distinct rows
+    // collide — e.g. (1,NULL,'en') and (1,'en',NULL) both '1|en' —
+    // precisely the corruption an audit checksum must catch; and the
+    // oracle's '||' NULL-propagates, excluding such rows entirely. Each
+    // field coalesces to a \\u0001 sentinel (never in real text) so both
+    // engines serialize every row, identically.
+    def nn(c: Column): Column = coalesce(c.cast("string"), lit("\u0001"))
+    val fp = graft.functions.TextFunctions.digest60(concat_ws("|",
+      nn(col("doc_id")), nn(col("text")), nn(col("lang")),
+      nn(col("source")), nn(col("n_chars"))))
     Tables.documents(s, dir).select(fp.as("f"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(f)").as("fp_xor"),
         min("f").as("fp_min"), max("f").as("fp_max"))
@@ -565,8 +572,10 @@ object CoreQueries extends QueryModule {
   private val q110Sql =
     """WITH fp AS (
       |  SELECT CAST('0x' || SUBSTRING(MD5(
-      |      CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' ||
-      |      source || '|' || CAST(n_chars AS VARCHAR)), 1, 15) AS BIGINT) AS f
+      |      COALESCE(CAST(doc_id AS VARCHAR), CHR(1)) || '|' ||
+      |      COALESCE(text, CHR(1)) || '|' || COALESCE(lang, CHR(1)) || '|' ||
+      |      COALESCE(source, CHR(1)) || '|' ||
+      |      COALESCE(CAST(n_chars AS VARCHAR), CHR(1))), 1, 15) AS BIGINT) AS f
       |  FROM documents)
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(BIT_XOR(f) AS BIGINT) AS fp_xor,

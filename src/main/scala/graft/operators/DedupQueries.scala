@@ -508,7 +508,7 @@ object DedupQueries extends QueryModule {
         posexplode(graft.functions.TextFunctions.wordNGrams(col("toks"), DupW))
           .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.TextFunctions.digest60(col("g")).as("h"))
     // windows seen in >= 2 DISTINCT docs (intra-doc repeats are q67's
     // signal, not this one's)
     val dup = win.select("doc_id", "h").distinct()
@@ -582,7 +582,12 @@ object DedupQueries extends QueryModule {
     val keyed = Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
       .filter(size(col("toks")) >= HeadW)
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), 1, HeadW))).as("dg"),
+        // 60-bit long, not the 32-char hex: dg is a window partition
+        // key, a broadcast-set element, AND a join key below (q63's
+        // lesson; the oracle only compares doc_id/status, so the
+        // internal key representation is free)
+        graft.functions.TextFunctions.digest60(
+          concat_ws(" ", slice(col("toks"), 1, HeadW))).as("dg"),
         (col("doc_id") % 5 === 4).as("is_delta"))
     val base = keyed.filter(!col("is_delta")).select("dg")
     val delta = keyed.filter(col("is_delta")).select("doc_id", "dg")

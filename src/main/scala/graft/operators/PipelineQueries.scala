@@ -840,10 +840,11 @@ object PipelineQueries extends QueryModule {
        |  FROM documents),
        |s AS (
        |  SELECT doc_id,
-       |    CAST('0x' || SUBSTRING(MD5(tok), 1, 4) AS BIGINT) % $ClsBuckets - 498 AS w
+       |    CAST('0x' || SUBSTRING(MD5(tok), 1, 4) AS BIGINT) % $ClsBuckets
+       |      - ${(ClsBuckets - 1) / 2} AS w
        |  FROM tok)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
-       |  ROUND(CAST(SUM(w) AS DOUBLE) / (COUNT(*) * 498.0), 6) AS score,
+       |  ROUND(CAST(SUM(w) AS DOUBLE) / (COUNT(*) * ${(ClsBuckets - 1) / 2}.0), 6) AS score,
        |  SUM(w) > 0 AS keep
        |FROM s GROUP BY 1""".stripMargin
 
@@ -865,18 +866,24 @@ object PipelineQueries extends QueryModule {
     * division). */
   private def q108RangeShards(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL lengths are excluded on both sides: PERCENTILE_DISC ignores
+    // NULLs, and a NULL histogram group would otherwise sort first and
+    // inflate every cumulative count (and n) on this side only
     val docs = Tables.documents(s, dir).select(col("n_chars"))
+      .filter(col("n_chars").isNotNull)
     val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    // n comes off the HISTOGRAM (sum of group counts), not a third
+    // full-table scan
     val cum = hist
       .withColumn("cum", sum("c").over(
         Window.orderBy("n_chars")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
     val bounds = cum.agg(
       min(when(col("cum") * 4 >= col("n"), col("n_chars"))).as("b1"),
       min(when(col("cum") * 2 >= col("n"), col("n_chars"))).as("b2"),
       min(when(col("cum") * 4 >= col("n") * 3, col("n_chars"))).as("b3"))
-    Tables.documents(s, dir).select(col("n_chars"))
+    docs
       .crossJoin(broadcast(bounds))
       .select(
         when(col("n_chars") <= col("b1"), 0)
@@ -902,7 +909,7 @@ object PipelineQueries extends QueryModule {
       |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
       |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-      |FROM documents, b GROUP BY 1""".stripMargin
+      |FROM documents, b WHERE n_chars IS NOT NULL GROUP BY 1""".stripMargin
 
   override def queries: Seq[Q] = Seq(
     Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),

@@ -540,8 +540,7 @@ object TextAnalysisQueries extends QueryModule {
     val n = docs.agg((max("doc_id") + 1).as("n"))
     val sh = graft.dedup.Dedup.tokenTable(docs, "doc_id", "text")
       .select(col("doc_id"), explode(TextFunctions.wordShingles(col("toks"), 3)).as("gt"))
-      .select(col("doc_id"), conv(substring(md5(col("gt")), 1, 15), 16, 10)
-        .cast("long").as("g"))
+      .select(col("doc_id"), TextFunctions.digest60(col("gt")).as("g"))
       .crossJoin(broadcast(n))
       .select(col("g"), expr("doc_id * 10 div n").as("decile"))
     val newt = sh.groupBy("g").agg(min("decile").as("decile"))
