@@ -582,9 +582,48 @@ object CoreQueries extends QueryModule {
       |  CAST(MIN(f) AS BIGINT) AS fp_min, CAST(MAX(f) AS BIGINT) AS fp_max
       |FROM fp""".stripMargin
 
+  /** TABLE PROFILE — per-column data-quality stats (null count, exact
+    * distinct count, min/max), the monitoring pass a pipeline runs on
+    * every ingest drop before trusting it (Deequ/dbt-test shape).
+    * Computed in ONE scan: all 21 aggregates in a single HashAggregate
+    * (Catalyst plans the 5 countDistincts as an Expand ×5 — still one
+    * pass over the data), then unpivoted with stack() into a row per
+    * column. min/max serialize to strings so heterogeneous columns fit
+    * one schema; both engines compare strings bytewise. At 100 TB the
+    * exact text-column distinct is the expensive term — production
+    * would swap in approx_count_distinct (q40's machinery); exact is
+    * the test-scale choice so the oracle can hash-match. */
+  private def q112TableProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stacked = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    Tables.documents(s, dir).agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.length}, $stacked) AS (col_name, n_null, n_distinct, min_val, max_val)"))
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+  }
+
+  private val q112Sql = Seq("doc_id", "text", "lang", "source", "n_chars")
+    .map { c =>
+      s"""SELECT '$c' AS col_name, n_rows,
+         |  CAST(COUNT(*) FILTER ($c IS NULL) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM documents, (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents) n
+         |GROUP BY n_rows""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q110_table_checksum", q110TableChecksum, Some(q110Sql)),
+    Q("q112_table_profile", q112TableProfile, Some(q112Sql)),
     Q("q91_sessionize", q91Sessionize, Some(q91Sql)),
     Q("q94_funnel", q94Funnel, Some(q94Sql)),
     Q("q97_moving_stats", q97MovingStats, Some(q97Sql)),

@@ -978,6 +978,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 1L, 2L)) && got(8L) == ((1L, 1L, 9L)))
   }
 
+  test("table profile counts nulls per column and ignores them in distinct/min/max") {
+    import spark.implicits._
+    Seq(
+      (1L, Some("b"), None: Option[String], Some("web"), Some(5L)),
+      (2L, None: Option[String], Some("en"), Some("web"), None: Option[Long]),
+      (3L, Some("a"), Some("en"), None: Option[String], Some(7L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("target/test_profile_docs/documents.parquet")
+    val got = SparkEntry.queries("q112_table_profile")(spark, "target/test_profile_docs")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("doc_id") == ((3L, 0L, 3L, "1", "3")))
+    assert(got("text") == ((3L, 1L, 2L, "a", "b")),
+      s"null text must count as null and drop out of distinct/min/max: ${got("text")}")
+    assert(got("lang") == ((3L, 1L, 1L, "en", "en")))
+    assert(got("source") == ((3L, 1L, 1L, "web", "web")))
+    assert(got("n_chars") == ((3L, 1L, 2L, "5", "7")))
+  }
+
   test("range shards split a uniform length distribution into exact quartiles") {
     import spark.implicits._
     (1L to 100L).map(i => (i, "x", i)).toDF("doc_id", "text", "n_chars")

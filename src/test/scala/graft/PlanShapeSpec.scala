@@ -361,6 +361,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the 10-row decile join must broadcast:\n$p")
   }
 
+  test("table profile is one scan: expand-based multi-distinct, no per-column union") {
+    val p = plan(SparkEntry.queries("q112_table_profile")(spark, sfDir))
+    assert(!p.contains("Union"),
+      s"the profile must not re-scan the table per column:\n$p")
+    assert(p.contains("Expand"),
+      s"multiple exact countDistincts should plan as one Expand pass:\n$p")
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
+      s"exactly one table scan expected:\n$p")
+  }
+
   test("range shards: boundaries from the compressed histogram, corpus never globally sorted") {
     val p = plan(SparkEntry.queries("q108_range_shards")(spark, sfDir))
     // the single-partition running sum is over the length HISTOGRAM
