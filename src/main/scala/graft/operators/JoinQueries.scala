@@ -73,7 +73,58 @@ object JoinQueries extends QueryModule {
       |WHERE l.l_quantity >= 49
       |GROUP BY o.o_orderkey""".stripMargin
 
+  /** REFERENTIAL-INTEGRITY AUDIT — orphan counts for the star schema's
+    * FK chains (lineitem→orders, orders→customer, customer→nation): the
+    * cross-table data-quality check run after every ingest/replication,
+    * completing the audit family (q110 content checksum, q112 column
+    * profile). Orphans come from a LEFT ANTI join against the parent's
+    * DISTINCT keys — a duplicate parent key can never inflate counts the
+    * way a raw LEFT JOIN would, and a NULL child key counts as an
+    * orphan in both engines (anti-join null-never-matches ≡ NOT EXISTS).
+    *
+    * Scale shape: each check is one keyed anti-join; small parents
+    * (nation, customer here) broadcast, the fact-to-fact check
+    * (lineitem→orders) shuffles both sides on the key — exactly the
+    * join Spark would need anyway, with AQE free to pick the strategy
+    * at real scale. Totals are separate 1-row aggregates, so the output
+    * is 3 rows regardless of corpus size. */
+  private def q113RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, ckey: String,
+        parent: DataFrame, pkey: String, hint: Boolean): DataFrame = {
+      val keys = parent.select(col(pkey).as("k")).distinct()
+      val orphans = child.select(col(ckey).as("k"))
+        .join(if (hint) broadcast(keys) else keys, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans)
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    }
+    rel("lineitem.l_orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", hint = false)
+      .unionByName(rel("orders.o_custkey->customer", Tables.orders(s, dir),
+        "o_custkey", Tables.customer(s, dir), "c_custkey", hint = true))
+      .unionByName(rel("customer.c_nationkey->nation", Tables.customer(s, dir),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey", hint = true))
+  }
+
+  private val q113Sql =
+    """SELECT 'lineitem.l_orderkey->orders' AS fk,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      |UNION ALL
+      |SELECT 'customer.c_nationkey->nation',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+      |   WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q113_ref_integrity", q113RefIntegrity, Some(q113Sql)),
     Q("q43_asof_join", q43AsOfJoin, Some(q43Sql)),
     Q("q64_range_join", q64RangeJoin, Some(q64Sql)))
 }

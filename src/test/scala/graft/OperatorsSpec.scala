@@ -999,6 +999,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("n_chars") == ((3L, 1L, 2L, "5", "7")))
   }
 
+  test("ref integrity counts orphans incl. NULL child keys; dup parent keys never inflate") {
+    import spark.implicits._
+    val dir = "target/test_ri"
+    Seq((Some(1L), 1.0), (Some(2L), 1.0), (Some(3L), 1.0), (None: Option[Long], 1.0))
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // order key 1 appears TWICE: the distinct-keys anti-join must not
+    // double-count lineitem rows against it
+    Seq((1L, 10L), (1L, 10L), (2L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/nation_customer.parquet")
+    spark.read.parquet(s"$dir/nation_customer.parquet")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(Tuple1(0L)).toDF("n_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val got = SparkEntry.queries("q113_ref_integrity")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("lineitem.l_orderkey->orders") == ((4L, 2L)),
+      s"key 3 and the NULL key are orphans: ${got("lineitem.l_orderkey->orders")}")
+    assert(got("orders.o_custkey->customer") == ((3L, 1L)),
+      s"custkey 99 is the one orphan: ${got("orders.o_custkey->customer")}")
+    assert(got("customer.c_nationkey->nation") == ((1L, 0L)))
+  }
+
   test("range shards split a uniform length distribution into exact quartiles") {
     import spark.implicits._
     (1L to 100L).map(i => (i, "x", i)).toDF("doc_id", "text", "n_chars")

@@ -371,6 +371,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"exactly one table scan expected:\n$p")
   }
 
+  test("ref integrity audits via anti-joins; small parents broadcast") {
+    val p = plan(SparkEntry.queries("q113_ref_integrity")(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"orphans must come from anti-joins:\n$p")
+    // the 1-row x 1-row totals crossJoin legitimately plans as a BNLJ;
+    // the KEYED anti-joins must not
+    assert("BroadcastNestedLoopJoin.*LeftAnti".r.findFirstIn(p).isEmpty,
+      s"anti-joins must be hash joins, never nested loops:\n$p")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"the dimension-keyed checks must broadcast the parent keys:\n$p")
+  }
+
   test("range shards: boundaries from the compressed histogram, corpus never globally sorted") {
     val p = plan(SparkEntry.queries("q108_range_shards")(spark, sfDir))
     // the single-partition running sum is over the length HISTOGRAM
