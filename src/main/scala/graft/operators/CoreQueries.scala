@@ -620,10 +620,40 @@ object CoreQueries extends QueryModule {
          |GROUP BY n_rows""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** EVENT-PATH MINING — frequency of every 3-step event-type sequence
+    * users actually take (consecutive by time within user), the
+    * exploratory sibling of q94's FIXED-pattern funnel: q94 asks "how
+    * many users did view→click→purchase", this asks "which paths happen
+    * at all, how often". Two LEADs over ONE shared per-user window
+    * ordering (ts with the unique event_id tiebreak, so ordering is
+    * deterministic under timestamp collisions), then a path-keyed count
+    * with map-side partials. One user-keyed shuffle + one bounded
+    * (≤|event types|³ groups) aggregate — no self-joins, which is what
+    * makes sequence mining survive 100 TB of events. */
+  private def q114EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("b", lead("event_type", 1).over(w))
+      .withColumn("c", lead("event_type", 2).over(w))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("b"), col("c")).as("path"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val q114Sql =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type, 1) OVER w AS b, LEAD(event_type, 2) OVER w AS c
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || b || '>' || c AS path, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM s WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q110_table_checksum", q110TableChecksum, Some(q110Sql)),
     Q("q112_table_profile", q112TableProfile, Some(q112Sql)),
+    Q("q114_event_paths", q114EventPaths, Some(q114Sql)),
     Q("q91_sessionize", q91Sessionize, Some(q91Sql)),
     Q("q94_funnel", q94Funnel, Some(q94Sql)),
     Q("q97_moving_stats", q97MovingStats, Some(q97Sql)),

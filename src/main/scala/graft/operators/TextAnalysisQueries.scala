@@ -576,9 +576,70 @@ object TextAnalysisQueries extends QueryModule {
       |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY o.decile) AS BIGINT) AS cum_types
       |FROM occ o LEFT JOIN newt nt USING (decile)""".stripMargin
 
+  /** PER-SOURCE DISTRIBUTION DIVERGENCE — total-variation distance
+    * between each source's token distribution and the whole corpus:
+    * the domain-shift diagnostic behind mixture design and "this crawl
+    * slice looks wrong" alerts. TV = ½·Σ|p_s(t) − p_c(t)| is computed
+    * EXACTLY as integers by cross-multiplication — the per-term value
+    * is |cs·N_c − cc·N_s| summed in DECIMAL(38,0) (order-independent,
+    * overflow-safe by width), and vocabulary terms ABSENT from a source
+    * fold into the closed form (N_c − Σ_present cc)·N_s, so no
+    * source×vocabulary cross join ever materializes. The only doubles
+    * are one final division (operand order mirrored in the oracle) and
+    * a 6dp round.
+    *
+    * Scale shape: one (source, token)-keyed count shuffle; the corpus
+    * vocabulary table and the per-source totals broadcast onto it;
+    * final aggregate has ≤|sources| groups with map-side partials. */
+  private def q115SourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("t"))
+    val perSrc = tok.groupBy("source", "t").agg(count(lit(1)).as("cs"))
+    val corpus = tok.groupBy("t").agg(count(lit(1)).as("cc"))
+    val totals = perSrc.groupBy("source").agg(sum("cs").as("n_s"))
+    val grand = tok.agg(count(lit(1)).as("n_c"))
+    perSrc.join(broadcast(corpus), "t")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .groupBy("source")
+      .agg(
+        sum(abs(col("cs").cast(dec) * col("n_c").cast(dec) -
+                col("cc").cast(dec) * col("n_s").cast(dec))).as("num_present"),
+        sum(col("cc").cast(dec)).as("cc_present"),
+        max("n_s").as("n_s"), max("n_c").as("n_c"))
+      .select(col("source"), col("n_s").as("n_toks"),
+        round((col("num_present") +
+            (col("n_c").cast(dec) - col("cc_present")) * col("n_s").cast(dec))
+            .cast("double") /
+          (lit(2.0) * col("n_s").cast("double") * col("n_c").cast("double")), 6)
+          .as("tv"))
+  }
+
+  private val q115Sql =
+    """WITH tok AS (
+      |  SELECT source,
+      |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0)) AS t
+      |  FROM documents),
+      |sc AS (SELECT source, t, CAST(COUNT(*) AS HUGEINT) AS cs FROM tok GROUP BY 1, 2),
+      |cc AS (SELECT t, CAST(COUNT(*) AS HUGEINT) AS cc FROM tok GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(cs) AS HUGEINT) AS n_s FROM sc GROUP BY 1),
+      |nc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_c FROM tok),
+      |present AS (
+      |  SELECT s.source,
+      |    SUM(ABS(s.cs * n.n_c - c.cc * x.n_s)) AS num_present,
+      |    SUM(c.cc) AS cc_present
+      |  FROM sc s JOIN cc c USING (t) JOIN ns x USING (source) CROSS JOIN nc n
+      |  GROUP BY s.source)
+      |SELECT p.source, CAST(x.n_s AS BIGINT) AS n_toks,
+      |  ROUND(CAST(p.num_present + (n.n_c - p.cc_present) * x.n_s AS DOUBLE)
+      |        / (2.0 * CAST(x.n_s AS DOUBLE) * CAST(n.n_c AS DOUBLE)), 6) AS tv
+      |FROM present p JOIN ns x USING (source) CROSS JOIN nc n""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
     Q("q111_vocab_growth", q111VocabGrowth, Some(q111Sql)),
+    Q("q115_source_divergence", q115SourceDivergence, Some(q115Sql)),
     Q("q95_novelty", q95Novelty, Some(q95Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
     Q("q33_fingerprint", q33Fingerprint, Some(q33Sql)),

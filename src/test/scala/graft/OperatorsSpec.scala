@@ -1025,6 +1025,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("customer.c_nationkey->nation") == ((1L, 0L)))
   }
 
+  test("event paths count consecutive triples with deterministic tiebreak order") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      (1L, at(0), 1L, "view", 1.0, ""),
+      // same timestamp as event 3: event_id must break the tie -> click before purchase
+      (2L, at(1), 1L, "click", 1.0, ""),
+      (3L, at(1), 1L, "purchase", 1.0, ""),
+      (4L, at(2), 1L, "view", 1.0, ""),
+      (5L, at(0), 2L, "view", 1.0, ""))   // user 2: too short for a triple
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_paths_events/events.parquet")
+    val got = SparkEntry.queries("q114_event_paths")(spark, "target/test_paths_events")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view>click>purchase" -> 1L, "click>purchase>view" -> 1L),
+      s"expected the two tiebreak-ordered triples of user 1 only: $got")
+  }
+
+  test("source divergence equals the hand-computed total-variation distance") {
+    import spark.implicits._
+    // A: {x:2, y:1}, B: {y:1, z:1}; corpus {x:2, y:2, z:1}, N=5
+    // TV(A) = 1/2 (|2/3-2/5| + |1/3-2/5| + 1/5) = 4/15; TV(B) = 0.4
+    Seq((1L, "x x y", "A"), (2L, "y z", "B"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_tv_docs/documents.parquet")
+    val got = SparkEntry.queries("q115_source_divergence")(spark, "target/test_tv_docs")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("A")._1 == 3L && got("B")._1 == 2L)
+    assert(math.abs(got("A")._2 - 0.266667) < 1e-9, s"TV(A) must be 4/15 rounded: ${got("A")}")
+    assert(math.abs(got("B")._2 - 0.4) < 1e-9, s"TV(B) must be 0.4: ${got("B")}")
+  }
+
   test("range shards split a uniform length distribution into exact quartiles") {
     import spark.implicits._
     (1L to 100L).map(i => (i, "x", i)).toDF("doc_id", "text", "n_chars")

@@ -382,6 +382,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the dimension-keyed checks must broadcast the parent keys:\n$p")
   }
 
+  test("event paths: one user-keyed sort, no self-join, path counts pre-combine") {
+    val p = plan(SparkEntry.queries("q114_event_paths")(spark, sfDir))
+    assert(!p.contains("Join"), s"sequence mining must not self-join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"exactly one user-keyed shuffle expected:\n$p")
+    assert(p.contains("partial_count"),
+      s"path counts must pre-combine map-side:\n$p")
+  }
+
+  test("source divergence broadcasts vocab and totals onto the (source, token) counts") {
+    val p = plan(SparkEntry.queries("q115_source_divergence")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"corpus vocabulary and per-source totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the (source, token) counts must not shuffle again for the joins:\n$p")
+  }
+
   test("range shards: boundaries from the compressed histogram, corpus never globally sorted") {
     val p = plan(SparkEntry.queries("q108_range_shards")(spark, sfDir))
     // the single-partition running sum is over the length HISTOGRAM
