@@ -623,10 +623,61 @@ object DedupQueries extends QueryModule {
       |FROM delta LEFT JOIN base ON delta.dg = base.dg
       |JOIN f ON delta.dg = f.dg""".stripMargin
 
+  /** SNAPSHOT DIFF (SCD/CDC between two table versions) — classify every
+    * doc_id across two corpus snapshots as added / removed / changed /
+    * unchanged by comparing content digests, the audit a versioned data
+    * lake runs between drops. The two versions here are DERIVED by a
+    * deterministic rule both engines state identically (v1 drops ids
+    * ≡9 mod 10, v2 drops ids ≡0 mod 10 and appends a marker to ids ≡3
+    * mod 7) — in production they are two partitions of a versioned
+    * table; the operator under test is the digest compare, not the
+    * version rule.
+    *
+    * Scale shape: each side is a map-only digest projection; the FULL
+    * OUTER join is id-keyed with both sides co-partitioned by the same
+    * key (one shuffle each, no broadcast needed at any size); the
+    * output is a 4-group count with map-side partials. */
+  private def q116SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def version(drop: Int, marked: Boolean): DataFrame =
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 =!= drop)
+        .select(col("doc_id"), md5(
+          if (marked)
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))
+          else col("text")).as("dg"))
+    val v1 = version(9, marked = false)
+    val v2 = version(0, marked = true)
+    v1.select(col("doc_id"), col("dg").as("dg1"))
+      .join(v2.select(col("doc_id"), col("dg").as("dg2")), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("dg1").isNull, "added")
+          .when(col("dg2").isNull, "removed")
+          .when(col("dg1") =!= col("dg2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
+
+  private val q116Sql =
+    """WITH v1 AS (
+      |  SELECT doc_id, MD5(text) AS dg FROM documents WHERE doc_id % 10 <> 9),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    MD5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) AS dg
+      |  FROM documents WHERE doc_id % 10 <> 0)
+      |SELECT CASE WHEN v1.dg IS NULL THEN 'added'
+      |            WHEN v2.dg IS NULL THEN 'removed'
+      |            WHEN v1.dg <> v2.dg THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      |GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q106_dup_substring", q106DupSubstring, Some(q106Sql)),
     Q("q109_incr_dedup", q109IncrementalDedup, Some(q109Sql)),
+    Q("q116_snapshot_diff", q116SnapshotDiff, Some(q116Sql)),
     Q("q92_cdc_chunks", q92CdcChunks, Some(q92Sql)),
     Q("q93_dedup_agreement", q93DedupAgreement, Some(q93Sql)),
     Q("q100_dedup_funnel", q100DedupFunnel, Some(q100Sql)),

@@ -1058,6 +1058,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got("B")._2 - 0.4) < 1e-9, s"TV(B) must be 0.4: ${got("B")}")
   }
 
+  test("snapshot diff classifies ids across versions by digest compare") {
+    import spark.implicits._
+    // id 9 is dropped from v1 (appears: added); id 10 is dropped from v2
+    // (disappears: removed); id 3 is in both with v2-marked text
+    // (changed); id 1 is in both, identical (unchanged)
+    Seq((1L, "same"), (3L, "marked"), (9L, "gone"), (10L, "fresh"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_snap_docs/documents.parquet")
+    val got = SparkEntry.queries("q116_snapshot_diff")(spark, "target/test_snap_docs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L),
+      s"one id per class expected: $got")
+  }
+
   test("range shards split a uniform length distribution into exact quartiles") {
     import spark.implicits._
     (1L to 100L).map(i => (i, "x", i)).toDF("doc_id", "text", "n_chars")

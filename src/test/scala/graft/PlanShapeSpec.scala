@@ -399,6 +399,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the (source, token) counts must not shuffle again for the joins:\n$p")
   }
 
+  test("snapshot diff: id-keyed full outer join, counts pre-combined") {
+    val p = plan(SparkEntry.queries("q116_snapshot_diff")(spark, sfDir))
+    assert(p.contains("FullOuter"), s"version compare must be a full outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the id-keyed join must never be a nested loop:\n$p")
+    assert(p.contains("partial_count"),
+      s"status counts must pre-combine map-side:\n$p")
+  }
+
   test("range shards: boundaries from the compressed histogram, corpus never globally sorted") {
     val p = plan(SparkEntry.queries("q108_range_shards")(spark, sfDir))
     // the single-partition running sum is over the length HISTOGRAM
