@@ -609,15 +609,18 @@ object CoreQueries extends QueryModule {
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
   }
 
+  // scalar subqueries, not a GROUP BY over a cross join: on an EMPTY
+  // table (an ingest drop that delivered nothing — exactly what a
+  // monitor must flag) the cross-join form returns 0 rows while
+  // Spark's global aggregate still emits its 5 profile rows
   private val q112Sql = Seq("doc_id", "text", "lang", "source", "n_chars")
     .map { c =>
-      s"""SELECT '$c' AS col_name, n_rows,
-         |  CAST(COUNT(*) FILTER ($c IS NULL) AS BIGINT) AS n_null,
-         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
-         |  CAST(MIN($c) AS VARCHAR) AS min_val,
-         |  CAST(MAX($c) AS VARCHAR) AS max_val
-         |FROM documents, (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents) n
-         |GROUP BY n_rows""".stripMargin
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows,
+         |  (SELECT CAST(COUNT(*) FILTER ($c IS NULL) AS BIGINT) FROM documents) AS n_null,
+         |  (SELECT CAST(COUNT(DISTINCT $c) AS BIGINT) FROM documents) AS n_distinct,
+         |  (SELECT CAST(MIN($c) AS VARCHAR) FROM documents) AS min_val,
+         |  (SELECT CAST(MAX($c) AS VARCHAR) FROM documents) AS max_val""".stripMargin
     }.mkString("\nUNION ALL\n")
 
   /** EVENT-PATH MINING — frequency of every 3-step event-type sequence
@@ -631,12 +634,20 @@ object CoreQueries extends QueryModule {
     * (≤|event types|³ groups) aggregate — no self-joins, which is what
     * makes sequence mining survive 100 TB of events. */
   private def q114EventPaths(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // epoch-MICROS ordering, not raw ts: on nanos-generation parquet
+    // Spark truncates to micros while DuckDB keeps nanos, so a raw-ts
+    // order would reach the event_id tiebreak in one engine only (the
+    // module's header rule; q91/q94 do the same)
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("b", lead("event_type", 1).over(w))
       .withColumn("c", lead("event_type", 2).over(w))
-      .filter(col("b").isNotNull && col("c").isNotNull)
+      // event_type itself is also filtered: concat_ws DROPS a null arg
+      // while the oracle's || propagates it (the q110 footgun)
+      .filter(col("event_type").isNotNull &&
+        col("b").isNotNull && col("c").isNotNull)
       .groupBy(concat_ws(">", col("event_type"), col("b"), col("c")).as("path"))
       .agg(count(lit(1)).as("n"))
   }
@@ -645,9 +656,10 @@ object CoreQueries extends QueryModule {
     """WITH s AS (
       |  SELECT user_id, event_type,
       |    LEAD(event_type, 1) OVER w AS b, LEAD(event_type, 2) OVER w AS c
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id))
       |SELECT event_type || '>' || b || '>' || c AS path, CAST(COUNT(*) AS BIGINT) AS n
-      |FROM s WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1""".stripMargin
+      |FROM s WHERE event_type IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+      |GROUP BY 1""".stripMargin
 
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),

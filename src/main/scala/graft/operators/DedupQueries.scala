@@ -648,26 +648,33 @@ object DedupQueries extends QueryModule {
           else col("text")).as("dg"))
     val v1 = version(9, marked = false)
     val v2 = version(0, marked = true)
-    v1.select(col("doc_id"), col("dg").as("dg1"))
-      .join(v2.select(col("doc_id"), col("dg").as("dg2")), Seq("doc_id"), "full_outer")
+    // presence comes from explicit flags, NOT digest nullity: md5(NULL
+    // text) is NULL, which would make a NULL-text doc present in both
+    // versions look 'added'; changed uses the null-safe compare so two
+    // NULL digests count as unchanged in both engines
+    v1.select(col("doc_id"), col("dg").as("dg1"), lit(true).as("p1"))
+      .join(v2.select(col("doc_id"), col("dg").as("dg2"), lit(true).as("p2")),
+        Seq("doc_id"), "full_outer")
       .select(
-        when(col("dg1").isNull, "added")
-          .when(col("dg2").isNull, "removed")
-          .when(col("dg1") =!= col("dg2"), "changed")
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(!(col("dg1") <=> col("dg2")), "changed")
           .otherwise("unchanged").as("status"))
       .groupBy("status").agg(count(lit(1)).as("n"))
   }
 
   private val q116Sql =
     """WITH v1 AS (
-      |  SELECT doc_id, MD5(text) AS dg FROM documents WHERE doc_id % 10 <> 9),
+      |  SELECT doc_id, MD5(text) AS dg, TRUE AS p1
+      |  FROM documents WHERE doc_id % 10 <> 9),
       |v2 AS (
       |  SELECT doc_id,
-      |    MD5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) AS dg
+      |    MD5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) AS dg,
+      |    TRUE AS p2
       |  FROM documents WHERE doc_id % 10 <> 0)
-      |SELECT CASE WHEN v1.dg IS NULL THEN 'added'
-      |            WHEN v2.dg IS NULL THEN 'removed'
-      |            WHEN v1.dg <> v2.dg THEN 'changed'
+      |SELECT CASE WHEN p1 IS NULL THEN 'added'
+      |            WHEN p2 IS NULL THEN 'removed'
+      |            WHEN v1.dg IS DISTINCT FROM v2.dg THEN 'changed'
       |            ELSE 'unchanged' END AS status,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM v1 FULL OUTER JOIN v2 USING (doc_id)

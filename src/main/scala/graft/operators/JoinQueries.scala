@@ -89,14 +89,20 @@ object JoinQueries extends QueryModule {
     * at real scale. Totals are separate 1-row aggregates, so the output
     * is 3 rows regardless of corpus size. */
   private def q113RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    // ONE pass over each child: a LEFT join against the distinct parent
+    // keys (flag column marks a match) yields n_rows and n_orphans from
+    // the same scan — a separate totals aggregate would read the fact
+    // table twice. NULL child keys never match, so they classify as
+    // orphans, ≡ NOT EXISTS; distinct parent keys mean a duplicate
+    // parent key can never inflate the row count.
     def rel(name: String, child: DataFrame, ckey: String,
         parent: DataFrame, pkey: String, hint: Boolean): DataFrame = {
       val keys = parent.select(col(pkey).as("k")).distinct()
-      val orphans = child.select(col(ckey).as("k"))
-        .join(if (hint) broadcast(keys) else keys, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      child.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(orphans)
+        .withColumn("hit", lit(true))
+      child.select(col(ckey).as("k"))
+        .join(if (hint) broadcast(keys) else keys, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("hit").isNull, 1)).as("n_orphans"))
         .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
     }
     rel("lineitem.l_orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",

@@ -598,7 +598,9 @@ object TextAnalysisQueries extends QueryModule {
     val perSrc = tok.groupBy("source", "t").agg(count(lit(1)).as("cs"))
     val corpus = tok.groupBy("t").agg(count(lit(1)).as("cc"))
     val totals = perSrc.groupBy("source").agg(sum("cs").as("n_s"))
-    val grand = tok.agg(count(lit(1)).as("n_c"))
+    // grand total off the |sources|-row totals, NOT a fourth
+    // scan-and-tokenize pass over the corpus
+    val grand = totals.agg(sum("n_s").as("n_c"))
     perSrc.join(broadcast(corpus), "t")
       .join(broadcast(totals), "source")
       .crossJoin(broadcast(grand))

@@ -1011,8 +1011,6 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("o_orderkey", "o_custkey")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     Seq((10L, 0L)).toDF("c_custkey", "c_nationkey")
-      .write.mode("overwrite").parquet(s"$dir/nation_customer.parquet")
-    spark.read.parquet(s"$dir/nation_customer.parquet")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     Seq(Tuple1(0L)).toDF("n_nationkey")
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")

@@ -371,15 +371,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"exactly one table scan expected:\n$p")
   }
 
-  test("ref integrity audits via anti-joins; small parents broadcast") {
+  test("ref integrity audits in one pass per child; small parents broadcast") {
     val p = plan(SparkEntry.queries("q113_ref_integrity")(spark, sfDir))
-    assert(p.contains("LeftAnti"), s"orphans must come from anti-joins:\n$p")
-    // the 1-row x 1-row totals crossJoin legitimately plans as a BNLJ;
-    // the KEYED anti-joins must not
-    assert("BroadcastNestedLoopJoin.*LeftAnti".r.findFirstIn(p).isEmpty,
-      s"anti-joins must be hash joins, never nested loops:\n$p")
-    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+    assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(p).isDefined,
       s"the dimension-keyed checks must broadcast the parent keys:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every check is keyed — no nested loops:\n$p")
+    // one scan per child: n_rows and n_orphans come from the SAME left
+    // join, so each child table appears exactly once in the plan
+    // one scan per ROLE: lineitem is child only; orders and customer
+    // are each a child in one check and a parent in another
+    Seq("lineitem.parquet" -> 1, "orders.parquet" -> 2, "customer.parquet" -> 2)
+      .foreach { case (t, roles) =>
+        val hits = java.util.regex.Pattern.quote(t).r.findAllIn(p).size
+        assert(hits <= roles,
+          s"$t must be scanned once per role (<= $roles), found $hits scans:\n$p")
+      }
   }
 
   test("event paths: one user-keyed sort, no self-join, path counts pre-combine") {
