@@ -623,6 +623,40 @@ object DedupQueries extends QueryModule {
       |FROM delta LEFT JOIN base ON delta.dg = base.dg
       |JOIN f ON delta.dg = f.dg""".stripMargin
 
+  /** QUALITY-AWARE CANONICAL SELECTION — for every near-dup cluster keep
+    * the BEST document, not the lowest id: the RefinedWeb/FineWeb rule
+    * (when duplicates differ by truncation or boilerplate, keeping the
+    * arbitrary first copy throws away the better text). Quality proxy
+    * here is n_chars (integer-exact; in production the q74/q107 score
+    * plugs into the same argmax) with the doc_id tiebreak making the
+    * pick deterministic.
+    *
+    * Scale shape: q49's pointer-jumping components plus ONE id-keyed
+    * metadata join; the per-cluster pick is a `max_by` partial
+    * aggregate on a (quality, -id) struct key — |clusters| shuffle
+    * rows, never a per-cluster window sort (q72's argument). */
+  private def q117QualityCanonical(s: SparkSession, dir: String): DataFrame =
+    q49DedupClusters(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("max_by(named_struct('doc_id', doc_id, 'n_chars', n_chars)," +
+          " named_struct('q', n_chars, 'tb', -doc_id))").as("best"))
+      .select(col("cluster_rep"), col("n_docs"),
+        col("best.doc_id").as("keep_id"), col("best.n_chars").as("keep_chars"))
+
+  private val q117Sql = closureCte + """,
+      |comp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      |j AS (SELECT c.rep, c.doc_id, d.n_chars
+      |      FROM comp c JOIN documents d USING (doc_id)),
+      |r AS (SELECT rep, doc_id, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY rep) AS n_docs
+      |      FROM j)
+      |SELECT rep AS cluster_rep, CAST(n_docs AS BIGINT) AS n_docs,
+      |  doc_id AS keep_id, n_chars AS keep_chars
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** SNAPSHOT DIFF (SCD/CDC between two table versions) — classify every
     * doc_id across two corpus snapshots as added / removed / changed /
     * unchanged by comparing content digests, the audit a versioned data
@@ -685,6 +719,7 @@ object DedupQueries extends QueryModule {
     Q("q106_dup_substring", q106DupSubstring, Some(q106Sql)),
     Q("q109_incr_dedup", q109IncrementalDedup, Some(q109Sql)),
     Q("q116_snapshot_diff", q116SnapshotDiff, Some(q116Sql)),
+    Q("q117_quality_canonical", q117QualityCanonical, Some(q117Sql)),
     Q("q92_cdc_chunks", q92CdcChunks, Some(q92Sql)),
     Q("q93_dedup_agreement", q93DedupAgreement, Some(q93Sql)),
     Q("q100_dedup_funnel", q100DedupFunnel, Some(q100Sql)),

@@ -1056,6 +1056,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got("B")._2 - 0.4) < 1e-9, s"TV(B) must be 0.4: ${got("B")}")
   }
 
+  test("quality canonical keeps the LONGEST cluster member, not the lowest id") {
+    import spark.implicits._
+    val base = (0 until 12).map(i => s"w$i").mkString(" ")
+    // doc 2 = doc 1 plus a tail token: 3-shingle Jaccard 10/11 >= 0.8,
+    // so they cluster; doc 2 is longer and must be kept despite the
+    // higher id. doc 3 is a singleton and keeps itself.
+    val docs = Seq((1L, base), (2L, base + " extratoken"), (3L, "totally different words here"))
+    docs.map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet("target/test_qcanon_docs/documents.parquet")
+    val got = SparkEntry.queries("q117_quality_canonical")(spark, "target/test_qcanon_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, docs(1)._2.length.toLong)),
+      s"cluster {1,2} must keep doc 2 (longer), got ${got(1L)}")
+    assert(got(3L) == ((1L, 3L, docs(2)._2.length.toLong)))
+  }
+
   test("snapshot diff classifies ids across versions by digest compare") {
     import spark.implicits._
     // id 9 is dropped from v1 (appears: added); id 10 is dropped from v2
