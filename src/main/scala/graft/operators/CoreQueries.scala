@@ -661,8 +661,63 @@ object CoreQueries extends QueryModule {
       |FROM s WHERE event_type IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
       |GROUP BY 1""".stripMargin
 
+  /** PER-SOURCE EXACT OCTILES FROM THE COMPRESSED HISTOGRAM — the
+    * sort-free distributed-quantile reduction, per group: q47's
+    * `percentile` aggregate SORTS each group's values (memory-bound at
+    * scale) and q108 computes three global cut points; this one yields
+    * exact PERCENTILE_DISC octiles (d/8, all dyadic — exactly
+    * representable in the oracle's double, unlike deciles whose d/10
+    * rounds) for EVERY source from a (source, n_chars) count histogram.
+    *
+    * Scale shape: the histogram is a keyed aggregate with map-side
+    * partials (for an int-ish key it stays tiny at any corpus size);
+    * the cumulative window then runs over histogram rows only — bounded
+    * by |sources|·|distinct lengths|, NOT corpus rows — and the octile
+    * selection is an integer cross-multiplication filter
+    * (cum·8 ≥ d·n picks the first value whose cumulative count reaches
+    * d/8·n, i.e. PERCENTILE_DISC). The corpus itself is touched once,
+    * by the histogram scan. */
+  private def q121SourceOctiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+      .filter(col("n_chars").isNotNull)
+    val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.groupBy("source").agg(sum("c").as("n"))
+    hist.withColumn("cum", sum("c").over(cumW))
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("n_chars"), col("c"), col("cum"), col("n"),
+        explode(sequence(lit(1), lit(7))).as("octile"))
+      // this histogram row holds octile d iff the cumulative count
+      // first reaches d/8·n here: cum·8 >= d·n but (cum-c)·8 < d·n
+      .filter(col("cum") * 8 >= col("octile") * col("n") &&
+        (col("cum") - col("c")) * 8 < col("octile") * col("n"))
+      .select(col("source"), col("octile"), col("n_chars").as("q_chars"))
+  }
+
+  // DuckDB's PERCENTILE_DISC only takes constant fractions, so the
+  // oracle computes the 7 octiles as columns and unpivots via the
+  // constant-octile cross join
+  private val q121Sql =
+    """WITH p AS (
+      |  SELECT source,
+      |    PERCENTILE_DISC(0.125) WITHIN GROUP (ORDER BY n_chars) AS o1,
+      |    PERCENTILE_DISC(0.25)  WITHIN GROUP (ORDER BY n_chars) AS o2,
+      |    PERCENTILE_DISC(0.375) WITHIN GROUP (ORDER BY n_chars) AS o3,
+      |    PERCENTILE_DISC(0.5)   WITHIN GROUP (ORDER BY n_chars) AS o4,
+      |    PERCENTILE_DISC(0.625) WITHIN GROUP (ORDER BY n_chars) AS o5,
+      |    PERCENTILE_DISC(0.75)  WITHIN GROUP (ORDER BY n_chars) AS o6,
+      |    PERCENTILE_DISC(0.875) WITHIN GROUP (ORDER BY n_chars) AS o7
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source)
+      |SELECT source, CAST(d.octile AS INT) AS octile,
+      |  CAST(CASE d.octile WHEN 1 THEN o1 WHEN 2 THEN o2 WHEN 3 THEN o3
+      |       WHEN 4 THEN o4 WHEN 5 THEN o5 WHEN 6 THEN o6 ELSE o7 END
+      |    AS BIGINT) AS q_chars
+      |FROM p CROSS JOIN (SELECT UNNEST(RANGE(1, 8)) AS octile) d""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
+    Q("q121_source_octiles", q121SourceOctiles, Some(q121Sql)),
     Q("q110_table_checksum", q110TableChecksum, Some(q110Sql)),
     Q("q112_table_profile", q112TableProfile, Some(q112Sql)),
     Q("q114_event_paths", q114EventPaths, Some(q114Sql)),

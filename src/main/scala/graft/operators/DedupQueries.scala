@@ -714,8 +714,53 @@ object DedupQueries extends QueryModule {
       |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
       |GROUP BY 1""".stripMargin
 
+  /** NEAR-DUP GRAPH DEGREE HISTOGRAM — the duplicate graph's degree
+    * distribution (degree 0 = unique doc), the QC readout a dedup run
+    * publishes before anyone trusts its clusters: a heavy tail means
+    * template families whose components (q49) will be large and whose
+    * canonical selection (q117) matters; mass at degree 0 means the
+    * corpus is mostly unique and near-dup spend is wasted.
+    *
+    * Scale shape: pair generation is the q53 hot-shingle-cut inverted
+    * index (held to the same UNCUT oracle — the cut is recall-only on
+    * this corpus, DedupCutSpec pins the margin); the graph reduction is
+    * two keyed aggregates with map-side partials. The pair table is
+    * localCheckpoint'd because both endpoints' degrees read it — without
+    * that, Catalyst re-runs the candidate join per union branch. */
+  private def q122DupDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", N, Threshold,
+        maxShingleFreq = MaxShingleFreq)
+      .localCheckpoint(false)
+    val deg = pairs.select(col("doc_i").as("doc_id"))
+      .unionAll(pairs.select(col("doc_j").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(false)
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+    val zero = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_in")))
+      .select(lit(0L).as("degree"), (col("n_total") - col("n_in")).as("n_docs"))
+    hist.unionAll(zero).filter(col("n_docs") > 0)
+  }
+
+  private val q122Sql =
+    s"""WITH p AS (SELECT * FROM ($jaccardSql)),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree FROM (
+       |    SELECT doc_i AS doc_id FROM p
+       |    UNION ALL SELECT doc_j AS doc_id FROM p) GROUP BY 1),
+       |hist AS (SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1),
+       |zero AS (SELECT 0 AS degree,
+       |  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg) AS n_docs)
+       |SELECT CAST(degree AS BIGINT) AS degree, CAST(n_docs AS BIGINT) AS n_docs
+       |FROM hist
+       |UNION ALL
+       |SELECT CAST(degree AS BIGINT), CAST(n_docs AS BIGINT) FROM zero
+       |WHERE n_docs > 0""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
+    Q("q122_dup_degree_hist", q122DupDegreeHist, Some(q122Sql)),
     Q("q106_dup_substring", q106DupSubstring, Some(q106Sql)),
     Q("q109_incr_dedup", q109IncrementalDedup, Some(q109Sql)),
     Q("q116_snapshot_diff", q116SnapshotDiff, Some(q116Sql)),

@@ -203,6 +203,59 @@ object PipelineQueries extends QueryModule {
       .select("doc_id", "lang")
   }
 
+  /** Exact per-source sample quota for q118 — small enough that the
+    * cut binds even at sf0.01's ~25 docs/source, so the gate verifies
+    * the selection, not a pass-through. */
+  private val GroupQuota = 10
+
+  /** Salt fan-out for q118's first-pass window. 8 buckets × 32 cores is
+    * already far beyond |sources|; at 1000 executors raise it with the
+    * cluster, the algebra is salt-count-independent. */
+  private val QuotaSalts = 8
+
+  /** EXACT-QUOTA PER-GROUP SAMPLE — take exactly [[GroupQuota]] documents
+    * per source (fewer only when the stratum is smaller), chosen
+    * DETERMINISTICALLY by md5 rank so the draw is uniform-ish,
+    * engine-reproducible, and stable under retries — the fixed-size
+    * cousin of q71's rate-based stratified sampler (an eval-set /
+    * human-review draw wants an exact count per stratum, not a rate).
+    *
+    * Scale shape: a plain `row_number over (partition by source)` drags
+    * EVERY row of a huge source through one window partition — the
+    * classic few-giant-groups skew. Instead the top-N is taken twice:
+    * first within (source, salt) — [[QuotaSalts]]× the parallelism,
+    * each salt bucket keeping its own local top-[[GroupQuota]] — then
+    * the global top-[[GroupQuota]] over the ≤ quota·salts survivors per
+    * source. The union of per-salt top-N is a superset of the global
+    * top-N for ANY assignment of rows to salts, so the result is
+    * EXACTLY the single-window answer (the oracle runs that single
+    * window) while the heavy window never sees more than
+    * quota·salts rows per source. */
+  private def q118GroupQuotaSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("rk"))
+    val localW = Window.partitionBy("source", "salt").orderBy(col("rk"), col("doc_id"))
+    val local = docs
+      .withColumn("salt", pmod(col("doc_id"), lit(QuotaSalts.toLong)))
+      .withColumn("lr", row_number().over(localW))
+      .filter(col("lr") <= GroupQuota)
+    val globalW = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
+    local
+      .withColumn("rank", row_number().over(globalW))
+      .filter(col("rank") <= GroupQuota)
+      .select(col("source"), col("doc_id"), col("rank"))
+  }
+
+  private val q118Sql =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+       |  FROM documents)
+       |SELECT source, doc_id, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $GroupQuota""".stripMargin
+
   /** DATA-MIXING BUDGET — the sampling-proportion table a pretraining
     * run is configured from: each source's contribution to a
     * [[TokenBudget]]-token draw, with dominant sources CAPPED at
@@ -925,6 +978,7 @@ object PipelineQueries extends QueryModule {
     Q("q69_contamination", q69Contamination, Some(q69Sql)),
     Q("q83_decontam_minhash", q83DecontamMinhash, Some(q83Sql)),
     Q("q71_stratified_sample", q71StratifiedSample, Some(q71Sql)),
+    Q("q118_group_quota_sample", q118GroupQuotaSample, Some(q118Sql)),
     Q("q72_keep_best", q72KeepBest, Some(q72Sql)),
     Q("q73_doc_chunks", q73DocChunks, Some(q73Sql)),
     Q("q74_unigram_lm", q74UnigramLm, Some(q74Sql)),

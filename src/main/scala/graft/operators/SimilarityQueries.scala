@@ -340,8 +340,76 @@ object SimilarityQueries extends QueryModule {
       |    ORDER BY mass DESC, dim) AS rn FROM g)
       |WHERE rn = 1""".stripMargin
 
+  private val PqSub = 8 // subspaces over the 64-dim embedding
+  private val PqDim = 8 // dims per subspace
+  private val PqK = 16  // centroids per subspace
+
+  /** PRODUCT-QUANTIZATION CODE ASSIGNMENT (Jégou et al. 2011) — compress
+    * each embedding to [[PqSub]] one-byte codes by snapping every
+    * [[PqDim]]-dim subvector to its nearest subspace centroid: the
+    * memory layout every large-scale ANN index (IVF-PQ, DiskANN) stores
+    * instead of raw floats (here 64 floats → 8 codes, 32×). The
+    * codebook is DETERMINISTIC — the first [[PqK]] vectors' subvectors —
+    * because codebook TRAINING (k-means, q45's bounded-sample pattern)
+    * is a pluggable input; the operator under oracle test is the
+    * assignment, and the plan is identical under a trained codebook.
+    * Distances are exact doubles accumulated in index order on both
+    * engines, ties to the lower centroid id, so the argmin is
+    * engine-independent.
+    *
+    * Scale shape: the codebook is [[PqK]]·[[PqSub]] = 128 tiny rows,
+    * broadcast; distance evaluation is map-side behind that broadcast
+    * join, and the per-(vector, subspace) argmin pre-combines in the
+    * partial `min` aggregate, so the only shuffle carries
+    * [[PqSub]] rows per vector — never the embeddings. */
+  private def q123PqCodes(s: SparkSession, dir: String): DataFrame = {
+    def subVecs(df: DataFrame, idAs: String, vecAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs),
+        explode(sequence(lit(0), lit(PqSub - 1))).as("sub"),
+        col("embedding").as("__v"))
+      .select(col(idAs), col("sub"),
+        slice(col("__v"), col("sub") * PqDim + 1, lit(PqDim)).as(vecAs))
+    val emb = Tables.embeddings(s, dir)
+    val xs = subVecs(emb, "vec_id", "x")
+    val cs = subVecs(emb.filter(col("vec_id") < PqK), "cid", "c")
+    xs.join(broadcast(cs), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        aggregate(
+          zip_with(col("x"), col("c"), (a, b) =>
+            (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub").cast("int").as("subspace"),
+        col("m.cid").cast("int").as("code"))
+  }
+
+  private val q123Sql = {
+    val terms = (1 to PqDim).map(i =>
+      s"(CAST(xv[$i] AS DOUBLE)-CAST(cv[$i] AS DOUBLE))*" +
+        s"(CAST(xv[$i] AS DOUBLE)-CAST(cv[$i] AS DOUBLE))").mkString("\n    + ")
+    s"""WITH sub AS (SELECT UNNEST(RANGE(0, $PqSub)) AS sub),
+       |c AS (
+       |  SELECT vec_id AS cid, sub,
+       |    LIST_SLICE(embedding, sub*$PqDim+1, sub*$PqDim+$PqDim) AS cv
+       |  FROM embeddings CROSS JOIN sub WHERE vec_id < $PqK),
+       |x AS (
+       |  SELECT vec_id, sub,
+       |    LIST_SLICE(embedding, sub*$PqDim+1, sub*$PqDim+$PqDim) AS xv
+       |  FROM embeddings CROSS JOIN sub),
+       |d AS (
+       |  SELECT x.vec_id, x.sub, c.cid,
+       |    $terms AS d2
+       |  FROM x JOIN c USING (sub))
+       |SELECT vec_id, CAST(sub AS INT) AS subspace, CAST(cid AS INT) AS code
+       |FROM d
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) = 1""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
+    Q("q123_pq_codes", q123PqCodes, Some(q123Sql)),
     Q("q89_hard_negatives", q89HardNegatives, Some(q89Sql)),
     Q("q96_hybrid_rrf", q96HybridRrf, Some(q96Sql)),
     Q("q102_label_dims", q102LabelDims, Some(q102Sql)),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents`: token counting, quality
@@ -638,8 +638,120 @@ object TextAnalysisQueries extends QueryModule {
       |        / (2.0 * CAST(x.n_s AS DOUBLE) * CAST(n.n_c AS DOUBLE)), 6) AS tv
       |FROM present p JOIN ns x USING (source) CROSS JOIN nc n""".stripMargin
 
+  /** CHARSET / ENCODING AUDIT — per-source counts of the mojibake
+    * signals a crawl-ingest gate rejects on: U+FFFD replacement chars
+    * (the decoder already gave up), C0/DEL control characters (binary
+    * bleed-through; TAB/LF/CR are legitimate and excluded), and the
+    * non-ASCII volume that calibrates expected-vs-observed per
+    * language. All counts are integers, so the cross-engine compare is
+    * exact; counts are by code point in both engines (Spark
+    * `length`/Java regex and DuckDB LEN/RE2 both match a supplementary
+    * character as one).
+    *
+    * Scale shape: a pure map over the scan followed by a |sources|-group
+    * aggregate with map-side partials — the corpus never shuffles. */
+  private def q119CharsetAudit(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    Tables.documents(s, dir).select(col("source"),
+        (instr(t, "�") > 0).cast("long").as("has_repl"),
+        (length(t) - length(regexp_replace(t, ctrl, ""))).cast("long").as("n_ctrl"),
+        (length(t) - length(regexp_replace(t, "[^\\x00-\\x7F]", ""))).cast("long")
+          .as("n_nonascii"),
+        length(t).cast("long").as("n_cp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("has_repl").as("n_repl_docs"),
+        sum("n_ctrl").as("ctrl_chars"),
+        sum("n_nonascii").as("nonascii_chars"),
+        sum("n_cp").as("total_chars"))
+  }
+
+  private val q119Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN STRPOS(text, CHR(65533)) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repl_docs,
+      |  CAST(SUM(LEN(text) -
+      |    LEN(REGEXP_REPLACE(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) AS BIGINT)
+      |    AS ctrl_chars,
+      |  CAST(SUM(LEN(text) -
+      |    LEN(REGEXP_REPLACE(text, '[^\x00-\x7F]', '', 'g'))) AS BIGINT) AS nonascii_chars,
+      |  CAST(SUM(LEN(text)) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** LINE-LEVEL BOILERPLATE FILTER (the C4 cleaning rule, Raffel et al.
+    * 2020 §2.2): a line survives only as prose — ≥ 3 words, terminal
+    * punctuation, none of the menu/legal markers ("cookie",
+    * "javascript") — and the document is re-assembled in original line
+    * order. The output is a per-rule AUDIT (how many lines each rule
+    * rejected — the numbers a cleaning run reports before anyone
+    * commits to the rule-set) plus the md5 of the cleaned text, so the
+    * oracle pins the EXACT reassembled string, not just counts. The
+    * rules partition the lines: short + nopunct + marker + kept =
+    * n_lines, an invariant the unit spec asserts.
+    *
+    * Scale shape: entirely map-side — one split, array filters, one
+    * join back to a string; no explode and no shuffle at all (the row
+    * count never changes). Each filter output is consumed from its own
+    * projection step and CollapseProject never inlines a non-cheap
+    * expression into multiple consumers (the q67/q95 lesson, encoded). */
+  private def q120LineFilter(s: SparkSession, dir: String): DataFrame = {
+    def nw(l: Column) = size(split(trim(l), "\\s+"))
+    def punctOk(l: Column) = substring(trim(l), -1, 1).isin(".", "!", "?", "\"", "'")
+    def marker(l: Column) = lower(l).contains("cookie") || lower(l).contains("javascript")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"), size(col("ls")).as("n_lines"),
+        size(filter(col("ls"), l => nw(l) < 3)).as("n_short"),
+        size(filter(col("ls"), l => nw(l) >= 3 && !punctOk(l))).as("n_nopunct"),
+        size(filter(col("ls"), l => nw(l) >= 3 && punctOk(l) && marker(l))).as("n_marker"),
+        filter(col("ls"), l => nw(l) >= 3 && punctOk(l) && !marker(l)).as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_short"), col("n_nopunct"),
+        col("n_marker"), size(col("kept")).as("n_kept"),
+        array_join(col("kept"), "\n").as("clean"))
+      .select(col("doc_id"), col("n_lines"), col("n_short"), col("n_nopunct"),
+        col("n_marker"), col("n_kept"),
+        length(col("clean")).as("clean_chars"), md5(col("clean")).as("clean_digest"))
+  }
+
+  // DuckDB's ARRAY_TO_STRING(<empty list>) is NULL where Spark's
+  // array_join is '' — the COALESCE aligns the all-lines-rejected case;
+  // the CASE keeps a NULL input document NULL on both sides
+  private val q120Sql =
+    """WITH k AS (
+      |  SELECT doc_id, STR_SPLIT(text, CHR(10)) AS ls FROM documents),
+      |a AS (
+      |  SELECT doc_id, LEN(ls) AS n_lines,
+      |    LEN(LIST_FILTER(ls, x ->
+      |      LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(x), '\s+')) < 3)) AS n_short,
+      |    LEN(LIST_FILTER(ls, x ->
+      |      LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(x), '\s+')) >= 3
+      |      AND RIGHT(TRIM(x), 1) NOT IN ('.', '!', '?', '"', ''''))) AS n_nopunct,
+      |    LEN(LIST_FILTER(ls, x ->
+      |      LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(x), '\s+')) >= 3
+      |      AND RIGHT(TRIM(x), 1) IN ('.', '!', '?', '"', '''')
+      |      AND (CONTAINS(LOWER(x), 'cookie') OR CONTAINS(LOWER(x), 'javascript'))))
+      |      AS n_marker,
+      |    LIST_FILTER(ls, x ->
+      |      LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(x), '\s+')) >= 3
+      |      AND RIGHT(TRIM(x), 1) IN ('.', '!', '?', '"', '''')
+      |      AND NOT CONTAINS(LOWER(x), 'cookie')
+      |      AND NOT CONTAINS(LOWER(x), 'javascript')) AS kept
+      |  FROM k),
+      |j AS (SELECT doc_id, n_lines, n_short, n_nopunct, n_marker, LEN(kept) AS n_kept,
+      |        CASE WHEN kept IS NULL THEN NULL
+      |             ELSE COALESCE(ARRAY_TO_STRING(kept, CHR(10)), '') END AS clean
+      |      FROM a)
+      |SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(n_short AS INT) AS n_short,
+      |  CAST(n_nopunct AS INT) AS n_nopunct, CAST(n_marker AS INT) AS n_marker,
+      |  CAST(n_kept AS INT) AS n_kept,
+      |  CAST(LEN(clean) AS INT) AS clean_chars, MD5(clean) AS clean_digest
+      |FROM j""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
+    Q("q119_charset_audit", q119CharsetAudit, Some(q119Sql)),
+    Q("q120_line_filter", q120LineFilter, Some(q120Sql)),
     Q("q111_vocab_growth", q111VocabGrowth, Some(q111Sql)),
     Q("q115_source_divergence", q115SourceDivergence, Some(q115Sql)),
     Q("q95_novelty", q95Novelty, Some(q95Sql)),

@@ -1101,4 +1101,117 @@ class OperatorsSpec extends AnyFunSuite {
       3 -> ((25L, 76L, 100L, (76L to 100L).sum))),
       s"lengths 1..100 must split at PERCENTILE_DISC boundaries 25/50/75: $got")
   }
+
+  test("group-quota sample equals the single-window answer and binds the quota") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    // two sources: 'big' with 40 docs (quota 10 binds), 'tiny' with 3
+    // (undersized stratum comes back whole)
+    val rows = (1L to 40L).map(i => (i, "x", "big")) ++
+      (100L to 102L).map(i => (i, "x", "tiny"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_quota_docs/documents.parquet")
+    val got = SparkEntry.queries("q118_group_quota_sample")(spark, "target/test_quota_docs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // independent reimplementation of the selection rule: md5-rank the
+    // ids per source, take the first 10
+    def md5hex(v: String) = MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = rows.groupBy(_._3).flatMap { case (src, rs) =>
+      rs.map(_._1).sortBy(i => (md5hex(i.toString), i)).take(10)
+        .zipWithIndex.map { case (id, i) => (src, id, i + 1) }
+    }.toSet
+    assert(got.length == 13, s"10 of 40 + all 3 expected, got ${got.length}")
+    assert(got.toSet == want, "salted two-pass top-N must equal the single-window rank")
+  }
+
+  test("charset audit counts replacement, control, and non-ascii chars exactly") {
+    import spark.implicits._
+    Seq((1L, "plain ascii text", "a"),
+      (2L, "bad � byte and bell  here", "a"),
+      (3L, "café naïve 世界", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_charset_docs/documents.parquet")
+    val got = SparkEntry.queries("q119_charset_audit")(spark, "target/test_charset_docs")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // source a: 2 docs, 1 with U+FFFD; the bell is the one control char;
+    // U+FFFD itself is non-ascii (1 char)
+    assert(got("a") == ((2L, 1L, 1L, 1L, 16L + 26L)), s"source a: ${got("a")}")
+    // source b: é, ï, 世, 界 = 4 non-ascii code points, no controls
+    assert(got("b") == ((1L, 0L, 0L, 4L, 13L)), s"source b: ${got("b")}")
+  }
+
+  test("line filter audit partitions lines and pins the reassembled text") {
+    import spark.implicits._
+    val text = Seq(
+      "This line is kept verbatim.",   // kept
+      "too short",                      // short (2 words)
+      "three words no punctuation",     // nopunct
+      "accept our cookie policy now.",  // marker
+      "A second keeper stays here!"     // kept
+    ).mkString("\n")
+    Seq((7L, text, "s")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_c4_docs/documents.parquet")
+    val r = SparkEntry.queries("q120_line_filter")(spark, "target/test_c4_docs")
+      .collect().head
+    val (nLines, nShort, nNopunct, nMarker, nKept) =
+      (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+    assert((nLines, nShort, nNopunct, nMarker, nKept) == ((5, 1, 1, 1, 2)), r.toString)
+    assert(nShort + nNopunct + nMarker + nKept == nLines, "rules must partition the lines")
+    val clean = "This line is kept verbatim.\nA second keeper stays here!"
+    assert(r.getInt(6) == clean.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(7) == md, "digest must pin the order-preserving reassembly")
+  }
+
+  test("dup degree histogram: triangle gives three degree-2 docs, singleton degree 0") {
+    import spark.implicits._
+    val t = (0 until 12).map(i => s"w$i").mkString(" ")
+    Seq((1L, t), (2L, t), (3L, t), (4L, "entirely different words over here yes"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_degree_docs/documents.parquet")
+    val got = SparkEntry.queries("q122_dup_degree_hist")(spark, "target/test_degree_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 3L, 0L -> 1L),
+      s"identical triple = triangle (three degree-2), unique doc degree 0: $got")
+  }
+
+  test("pq codes snap constant vectors to their centroid, ties to the lower id") {
+    import spark.implicits._
+    // centroids: vec j = constant j across all 64 dims (j = 0..15);
+    // vec 16 sits nearest centroid 3 in every subspace; vec 17 is
+    // exactly between centroids 4 and 5 -> tie resolves to 4
+    val rows = (0 until 16).map(j => (j.toLong, Array.fill(64)(j.toFloat), 0)) ++
+      Seq((16L, Array.fill(64)(3.2f), 0), (17L, Array.fill(64)(4.5f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/test_pq_embeddings/embeddings.parquet")
+    val got = SparkEntry.queries("q123_pq_codes")(spark, "target/test_pq_embeddings")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got.size == 18 * 8, s"8 codes per vector expected, got ${got.size}")
+    (0 until 8).foreach { sub =>
+      (0 until 16).foreach(j => assert(got((j.toLong, sub)) == j, s"centroid $j self-codes"))
+      assert(got((16L, sub)) == 3, s"3.2 snaps to centroid 3 in subspace $sub")
+      assert(got((17L, sub)) == 4, s"the 4/5 tie must resolve to the lower id, sub $sub")
+    }
+  }
+
+  test("source octiles from the histogram match PERCENTILE_DISC on 1..80") {
+    import spark.implicits._
+    // uniform 1..80 in one source: octile d = first value with
+    // cum >= d/8*80 = 10d; a 3-row source hits ties/undersized paths
+    val rows = (1L to 80L).map(i => (i, "x", "u", i)) ++
+      Seq((200L, "x", "tiny", 5L), (201L, "x", "tiny", 5L), (202L, "x", "tiny", 9L))
+    rows.toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet("target/test_octile_docs/documents.parquet")
+    val got = SparkEntry.queries("q121_source_octiles")(spark, "target/test_octile_docs")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (1 to 7).foreach { d =>
+      assert(got(("u", d)) == 10L * d, s"uniform octile $d: ${got(("u", d))}")
+    }
+    // tiny: n=3, cum(5)=2, cum(9)=3; d/8*3 crosses 2 at d<=5, 3 at d>=6
+    (1 to 5).foreach(d => assert(got(("tiny", d)) == 5L, s"tiny octile $d"))
+    (6 to 7).foreach(d => assert(got(("tiny", d)) == 9L, s"tiny octile $d"))
+  }
 }

@@ -424,4 +424,65 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"boundary routing must be a broadcast, not a shuffle join:\n$p")
   }
+
+  test("dup degree histogram reduces the pair table once: no re-run per union branch") {
+    val p = plan(SparkEntry.queries("q122_dup_degree_hist")(spark, sfDir))
+    // the pair table is localCheckpoint'd: both degree branches and the
+    // zero-degree count must read materialized RDDs, not re-plan the
+    // candidate join (the only remaining join is the 1-row x 1-row
+    // scalar cross for the degree-0 bucket)
+    assert(p.contains("Scan ExistingRDD"),
+      s"the graph reduction must reuse the materialized pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join may appear above the materialized pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"degree and histogram counts must pre-combine map-side:\n$p")
+  }
+
+  test("pq codes broadcast the codebook and pre-combine the argmin") {
+    val p = plan(SparkEntry.queries("q123_pq_codes")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 128-row codebook must broadcast onto the subvectors:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the embeddings must never shuffle for the codebook join:\n$p")
+    assert(p.contains("partial_min"),
+      s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
+  }
+
+  test("group-quota sample: salted pre-window bounds the per-source window input") {
+    val p = plan(SparkEntry.queries("q118_group_quota_sample")(spark, sfDir))
+    // two window passes: (source, salt) local top-N, then source global
+    assert("Window \\[row_number".r.findAllIn(p).size == 2,
+      s"expected the salted two-pass top-N, got:\n$p")
+    assert("windowspecdefinition\\(source[#\\d]*, salt".r.findFirstIn(p).isDefined,
+      s"first window must partition by (source, salt):\n$p")
+    assert(!p.contains("Join"), s"sampling must not join:\n$p")
+  }
+
+  test("charset audit: map-only scan into one pre-combined source aggregate") {
+    val p = plan(SparkEntry.queries("q119_charset_audit")(spark, sfDir))
+    assert(p.contains("partial_"), s"audit sums must pre-combine map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the audit is a pure map + aggregate:\n$p")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size <= 1,
+      s"only the |sources|-group aggregate may shuffle:\n$p")
+  }
+
+  test("line filter is entirely map-side: no shuffle, no join, no explode") {
+    val p = plan(SparkEntry.queries("q120_line_filter")(spark, sfDir))
+    assert(!p.contains("Exchange"), s"line filtering must not shuffle:\n$p")
+    assert(!p.contains("Generate"),
+      s"lines are filtered in-array, never exploded to rows:\n$p")
+  }
+
+  test("source octiles: window runs over the histogram, totals broadcast") {
+    val p = plan(SparkEntry.queries("q121_source_octiles")(spark, sfDir))
+    // the cumulative window must sit ABOVE the histogram aggregate —
+    // i.e. a partial_count exists below the windowed branch
+    assert(p.contains("partial_count"),
+      s"histogram must pre-combine before the cumulative window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast onto the histogram:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join at histogram size:\n$p")
+  }
 }
