@@ -129,8 +129,49 @@ object JoinQueries extends QueryModule {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
       |   WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))""".stripMargin
 
+  /** SALTED SKEW JOIN under the oracle gate (q98 put the salted
+    * AGGREGATION under it; this closes the skew toolkit): enrich every
+    * event with its user's lifetime spend and aggregate heavy-user
+    * activity by event type. [[Skew.saltedJoin]] routes the big
+    * (event) side by (user_id, salt) — a hot user's rows spread over
+    * `salts` reducers instead of pinning one — while the small per-user
+    * dim is exploded `salts` ways so every salted key still meets its
+    * match exactly once; the oracle is the PLAIN join, proving salting
+    * is pure routing. Money sums ride decimal(18,2) (q98's convention)
+    * so recombination order can never move a double bit.
+    *
+    * Scale shape: at 100 TB this is the "join a skewed fact to a
+    * user dim" template where AQE's block-granular skew split is too
+    * coarse for a single hot key; the dim explode costs |dim|·salts
+    * tiny rows against the fact's relief of its hottest reducer. */
+  private def q125SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      col("value").cast("decimal(18,2)").as("v"))
+    // shuffle_hash hint: the scenario is a dim too big to broadcast (a
+    // broadcast join has no shuffle to salt); at test SF Spark would
+    // otherwise broadcast the tiny dim and hide the salted exchange
+    // this query exists to demonstrate (PlanShapeSpec pins it)
+    val dim = ev.groupBy("user_id").agg(sum("v").as("user_total"))
+      .hint("shuffle_hash")
+    Skew.saltedJoin(ev, dim, "user_id", salts = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("user_total") >= 500, 1L).otherwise(0L)).as("n_heavy"),
+        sum(when(col("user_total") >= 500, col("v"))).cast("double").as("heavy_value"))
+  }
+
+  private val q125Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |dim AS (SELECT user_id, SUM(v) AS user_total FROM e GROUP BY 1)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN d.user_total >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+      |  CAST(SUM(CASE WHEN d.user_total >= 500 THEN v END) AS DOUBLE) AS heavy_value
+      |FROM e JOIN dim d USING (user_id) GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q113_ref_integrity", q113RefIntegrity, Some(q113Sql)),
     Q("q43_asof_join", q43AsOfJoin, Some(q43Sql)),
-    Q("q64_range_join", q64RangeJoin, Some(q64Sql)))
+    Q("q64_range_join", q64RangeJoin, Some(q64Sql)),
+    Q("q125_salted_join", q125SaltedJoin, Some(q125Sql)))
 }

@@ -106,12 +106,14 @@ object SimilarityQueries extends QueryModule {
     * hash compare catches, where a raw neighbor list (legitimately
     * engine-specific) could only ever be rows-only-checked. */
   private def recallCheck(approx: DataFrame, exact: DataFrame, minHits: Int): DataFrame = {
+    // both sides are k·|queries| rows; broadcast so the diagnostic can
+    // never plan a shuffle join whatever the stats say
     val hits = approx
-      .join(exact.select("query_id", "neighbor_id"),
+      .join(broadcast(exact.select("query_id", "neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
     approx.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
-      .join(hits, Seq("query_id"), "left")
+      .join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"), col("n_ret"),
         (coalesce(col("hits"), lit(0L)) >= minHits).as("recall_ok"))
   }
@@ -362,28 +364,23 @@ object SimilarityQueries extends QueryModule {
     * join, and the per-(vector, subspace) argmin pre-combines in the
     * partial `min` aggregate, so the only shuffle carries
     * [[PqSub]] rows per vector — never the embeddings. */
-  private def q123PqCodes(s: SparkSession, dir: String): DataFrame = {
-    def subVecs(df: DataFrame, idAs: String, vecAs: String): DataFrame = df
-      .select(col("vec_id").as(idAs),
-        explode(sequence(lit(0), lit(PqSub - 1))).as("sub"),
-        col("embedding").as("__v"))
-      .select(col(idAs), col("sub"),
-        slice(col("__v"), col("sub") * PqDim + 1, lit(PqDim)).as(vecAs))
-    val emb = Tables.embeddings(s, dir)
-    val xs = subVecs(emb, "vec_id", "x")
-    val cs = subVecs(emb.filter(col("vec_id") < PqK), "cid", "c")
-    xs.join(broadcast(cs), "sub")
-      .select(col("vec_id"), col("sub"), col("cid"),
-        aggregate(
-          zip_with(col("x"), col("c"), (a, b) =>
-            (a.cast("double") - b.cast("double")) *
-              (a.cast("double") - b.cast("double"))),
-          lit(0.0), (acc, v) => acc + v).as("d2"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+  private def q123PqCodes(s: SparkSession, dir: String): DataFrame =
+    Ann.pqCodes(Tables.embeddings(s, dir), PqSub, PqDim, PqK)
       .select(col("vec_id"), col("sub").cast("int").as("subspace"),
-        col("m.cid").cast("int").as("code"))
+        col("code").cast("int").as("code"))
+
+  /** PQ-ADC SEARCH (the read side of q123's codes): asymmetric-distance
+    * shortlist over the 32x-compressed codes, exact cosine rerank of the
+    * shortlist only — the IVF-PQ + refine query path. Registered output
+    * is the recall bound vs brute force, q30/q45's convention. */
+  private def q124PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(Ann.pqAdcTopK(emb, q, 5, shortlist = 50, PqSub, PqDim, PqK),
+      Ann.bruteForceTopK(emb, q, 5), minHits = PqAdcFloor)
   }
+
+  private val PqAdcFloor = 2
 
   private val q123Sql = {
     val terms = (1 to PqDim).map(i =>
@@ -410,6 +407,7 @@ object SimilarityQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
     Q("q123_pq_codes", q123PqCodes, Some(q123Sql)),
+    Q("q124_pq_adc", q124PqAdc, Some(recallSql(PqAdcFloor))),
     Q("q89_hard_negatives", q89HardNegatives, Some(q89Sql)),
     Q("q96_hybrid_rrf", q96HybridRrf, Some(q96Sql)),
     Q("q102_label_dims", q102LabelDims, Some(q102Sql)),

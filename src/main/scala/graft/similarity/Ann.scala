@@ -369,4 +369,96 @@ object Ann {
       .filter(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_i", "id_j")
   }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** (id, sub, subvector) expansion shared by the PQ paths. */
+  private def subVectors(
+      df: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, subDim: Int, idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"),
+        col(vecCol).as("__v"))
+      .select(col(idAs), col("sub"),
+        slice(col("__v"), col("sub") * subDim + 1, lit(subDim)).as(vecAs))
+
+  /** Squared L2 between two float subvectors, accumulated in index order
+    * in doubles — the fold both engines reproduce bit-for-bit. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic PQ codebook — the first `nCent` ids' subvectors, as
+    * (cid, sub, cv). Codebook TRAINING is a pluggable input (k-means on
+    * a bounded sample, [[ivfTopK]]'s `trainCentroids` pattern); every
+    * consumer's plan is identical under trained centroids. */
+  def pqCodebook(
+      corpus: DataFrame, nSub: Int, subDim: Int, nCent: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    subVectors(corpus.filter(col(idCol) < nCent), idCol, vecCol,
+      nSub, subDim, "cid", "cv")
+
+  /** PQ code assignment (Jégou et al. 2011): snap every subvector to its
+    * nearest codebook centroid — (id, sub, code), `nSub` codes per
+    * vector. Scale shape: the `nCent·nSub`-row codebook broadcasts, the
+    * distance evaluation is map-side behind that join, and the argmin
+    * pre-combines in the partial `min(struct(d2, cid))` (ties to the
+    * lower centroid id), so the only shuffle carries `nSub` rows per
+    * vector — never the embeddings. */
+  def pqCodes(
+      corpus: DataFrame, nSub: Int, subDim: Int, nCent: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    subVectors(corpus, idCol, vecCol, nSub, subDim, idCol, "x")
+      .join(broadcast(pqCodebook(corpus, nSub, subDim, nCent, idCol, vecCol)), "sub")
+      .select(col(idCol), col("sub"), col("cid"), l2sq(col("x"), col("cv")).as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col(idCol), col("sub"), col("m.cid").as("code"))
+
+  /** PQ-ADC ANN (asymmetric distance computation + exact rerank): the
+    * query builds a `nSub·nCent` lookup table of subspace distances to
+    * every centroid; each corpus vector's approximate distance is the
+    * sum of `nSub` table entries selected by its CODES — the corpus
+    * floats are never touched for scoring. The ADC shortlist is then
+    * reranked with exact cosine against the raw vectors (the standard
+    * IVF-PQ + refine step), so approximation affects recall only and
+    * every returned score is exact.
+    *
+    * Scale shape: the distance table (|queries|·nSub·nCent rows) and the
+    * shortlist (|queries|·`shortlist` ids) broadcast; the corpus-side
+    * work is one map-side join over the CODES (nSub ints per vector —
+    * the 32x-compressed representation is all that streams) plus a
+    * partial-sum aggregate to `|queries|` rows per vector. Only the
+    * shortlist's raw vectors are fetched for rerank. */
+  def pqAdcTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 50, nSub: Int = 8, subDim: Int = 8, nCent: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = pqCodes(corpus, nSub, subDim, nCent, idCol, vecCol)
+    val table = subVectors(queries, idCol, vecCol, nSub, subDim, "query_id", "qv")
+      .join(broadcast(pqCodebook(corpus, nSub, subDim, nCent, idCol, vecCol)), "sub")
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        l2sq(col("qv"), col("cv")).as("d2"))
+    val aw = Window.partitionBy("query_id").orderBy(col("adist").asc, col(idCol).asc)
+    val cand = codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("d2").as("adist"))
+      .withColumn("r", row_number().over(aw))
+      .filter(col("r") <= shortlist)
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm(col(vecCol)).as("qn"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("cn"))
+    val rw = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cv.join(broadcast(cand), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }

@@ -1197,6 +1197,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals the plain join: heavy users flagged by lifetime spend") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // user 10 totals 600 (heavy); user 11 totals 100 (light)
+    Seq((1L, t, 10L, "click", 300.0, ""), (2L, t, 10L, "click", 300.0, ""),
+        (3L, t, 11L, "view", 100.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_salted_events/events.parquet")
+    val rows = SparkEntry.queries("q125_salted_join")(spark, "target/test_salted_events")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("click").getLong(1) == 2L && rows("click").getLong(2) == 2L &&
+      rows("click").getDouble(3) == 600.0, s"click: ${rows("click")}")
+    assert(rows("view").getLong(1) == 1L && rows("view").getLong(2) == 0L &&
+      rows("view").isNullAt(3), s"view: ${rows("view")}")
+  }
+
+  test("pq-adc shortlist + exact rerank clears the registered recall floor with margin") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(emb, q, 5)
+    val approx = Ann.pqAdcTopK(emb, q, 5, shortlist = 50)
+    val hits = approx.join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    info(s"pq-adc hits of 5 at $sfDir: $hits")
+    assert(hits.size == 3 && hits.values.forall(_ >= 2),
+      s"every query must clear the q124 floor of 2: $hits")
+  }
+
   test("source octiles from the histogram match PERCENTILE_DISC on 1..80") {
     import spark.implicits._
     // uniform 1..80 in one source: octile d = first value with

@@ -449,6 +449,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("salted join shuffles on (key, salt) and replicates the dim by explode") {
+    val p = plan(SparkEntry.queries("q125_salted_join")(spark, sfDir))
+    assert("hashpartitioning\\(user_id[#\\dL]*, __salt".r.findFirstIn(p).isDefined,
+      s"the fact side must shuffle on the SALTED key:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the dim must be replicated once per salt:\n$p")
+    assert(!p.contains("BroadcastHashJoin ["),
+      s"a broadcast join would have no shuffle to salt — the hint failed:\n$p")
+  }
+
+  test("pq-adc scores via broadcast table over the codes; raw vectors only reranked") {
+    val p = plan(SparkEntry.queries("q124_pq_adc")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ADC distance table and shortlist must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"neither codes nor corpus may shuffle-join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the per-(query, vector) ADC sum must pre-combine map-side:\n$p")
+  }
+
   test("group-quota sample: salted pre-window bounds the per-source window input") {
     val p = plan(SparkEntry.queries("q118_group_quota_sample")(spark, sfDir))
     // two window passes: (source, salt) local top-N, then source global
