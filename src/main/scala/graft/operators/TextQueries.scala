@@ -254,8 +254,71 @@ object TextQueries extends QueryModule {
       |  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0),
       |  'dup')""".stripMargin
 
+  /** Query terms for q126 — two planted typos (a substitution of "scan",
+    * a deletion from "table") and one exact vocabulary word. */
+  private val FuzzyQueries = Seq("scon", "tble", "hash")
+
+  /** All one-character deletions of `t`, plus `t` itself — the SymSpell
+    * deletion neighborhood (Garbe's symmetric-delete algorithm): two
+    * terms within Levenshtein distance 1 ALWAYS share a member (equal →
+    * the original; substitution → delete the differing position from
+    * both; insertion/deletion → the shorter string is itself a variant
+    * of the longer), so the variant equi-join is a complete candidate
+    * generator and only transposition-style false positives reach the
+    * exact verify. */
+  private def delVariants(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_union(array(t),
+      transform(sequence(lit(1), length(t)),
+        i => concat(substr(t, lit(1), i - 1), substr(t, i + 1, length(t)))))
+
+  /** FUZZY TERM MATCH (typo-tolerant lookup): every vocabulary term
+    * within edit distance 1 of each query term, with its document
+    * frequency — the "did you mean" / dirty-OCR recovery primitive of a
+    * text pipeline. SymSpell candidate generation + exact
+    * `levenshtein` verify, the engine's standard approximate-then-exact
+    * shape (q25/q53's pattern on strings).
+    *
+    * Scale shape: a length-L term emits L+1 deletion variants, so the
+    * index is (L+1)·|vocab| short rows — built once per corpus and, at
+    * scale, persisted next to the postings index; the query side's
+    * variants BROADCAST, so lookup is a map-side hash join over the
+    * variant index however large the vocabulary, never a per-query
+    * vocabulary scan (which is exactly what the DuckDB oracle does —
+    * index path ≡ scan path, the text-index differential again). */
+  private def q126FuzzyTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // df = docs containing the term: dedup INSIDE the token array (free,
+    // map-side) so the shuffle carries distinct (doc, term) pairs and
+    // the aggregate is a plain pre-combined count, not a COUNT DISTINCT
+    // over the raw token stream
+    val vocab = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val vIndex = vocab.select(col("term"), col("df"),
+      explode(delVariants(col("term"))).as("variant"))
+    val qIndex = FuzzyQueries.toDF("query")
+      .select(col("query"), explode(delVariants(col("query"))).as("variant"))
+    vIndex.join(broadcast(qIndex), "variant")
+      .select(col("query"), col("term"), col("df"))
+      .distinct()
+      .filter(levenshtein(col("query"), col("term")) <= 1)
+  }
+
+  private val q126Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                       x -> LEN(x) > 0)) AS term
+       |  FROM documents),
+       |vocab AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |q AS (SELECT UNNEST(['scon', 'tble', 'hash']) AS query)
+       |SELECT q.query, v.term, CAST(v.df AS BIGINT) AS df
+       |FROM q CROSS JOIN vocab v
+       |WHERE LEVENSHTEIN(q.query, v.term) <= 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q21_text_topk", q21TextTopK, Some(q21Sql)),
+    Q("q126_fuzzy_terms", q126FuzzyTerms, Some(q126Sql)),
     Q("q22_text_count", q22TextCount, Some(q22Sql)),
     Q("q23_text_sample", q23TextSample, Some(q23Sql)),
     Q("q38_text_block_scan", q38TextBlockScan, Some(q38Sql)),

@@ -1197,6 +1197,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy terms: deletion-neighborhood candidates, transposition rejected by verify") {
+    import spark.implicits._
+    // hast = substitution (lev 1), ash = deletion (lev 1), hsah =
+    // transposition (lev 2) — it SHARES deletion variants with hash
+    // ("hsh"/"hah") so it reaches candidates and must die in the verify
+    Seq((1L, "hash hast"), (2L, "ash hsah"), (3L, "hash"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_fuzzy_docs/documents.parquet")
+    val got = SparkEntry.queries("q126_fuzzy_terms")(spark, "target/test_fuzzy_docs")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("hash", "hash") -> 2L, ("hash", "hast") -> 1L,
+      ("hash", "ash") -> 1L),
+      s"expected exactly the lev<=1 neighbors of 'hash' with doc freqs: $got")
+  }
+
   test("salted join equals the plain join: heavy users flagged by lifetime spend") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")

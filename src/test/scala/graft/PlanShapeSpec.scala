@@ -449,6 +449,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("fuzzy terms: query variants broadcast onto the deletion index, verify codegen") {
+    val p = plan(SparkEntry.queries("q126_fuzzy_terms")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-side deletion variants must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the vocabulary index must never shuffle for the lookup:\n$p")
+    assert(p.contains("levenshtein"),
+      s"the exact verify must be the built-in (codegen) levenshtein:\n$p")
+  }
+
   test("salted join shuffles on (key, salt) and replicates the dim by explode") {
     val p = plan(SparkEntry.queries("q125_salted_join")(spark, sfDir))
     assert("hashpartitioning\\(user_id[#\\dL]*, __salt".r.findFirstIn(p).isDefined,
