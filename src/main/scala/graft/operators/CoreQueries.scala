@@ -715,9 +715,53 @@ object CoreQueries extends QueryModule {
       |    AS BIGINT) AS q_chars
       |FROM p CROSS JOIN (SELECT UNNEST(RANGE(1, 8)) AS octile) d""".stripMargin
 
+  /** TPC-H Q3 (shipping priority) — the classic selective
+    * join-aggregate-topk composition, registered as one query so the
+    * bench exercises join ordering, broadcast selection, and top-k in a
+    * single plan: filtered customers (≈1/5) broadcast onto the
+    * order-lineitem join, revenue summed in exact decimal (q01's
+    * convention) and the top 10 picked by TakeOrderedAndProject — never
+    * a global sort. Cutoff sits mid-range of the generated 1995–2001
+    * dates so both filters bite. */
+  private def q127ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)").as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q127Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q121_source_octiles", q121SourceOctiles, Some(q121Sql)),
+    Q("q127_shipping_priority", q127ShippingPriority, Some(q127Sql)),
     Q("q110_table_checksum", q110TableChecksum, Some(q110Sql)),
     Q("q112_table_profile", q112TableProfile, Some(q112Sql)),
     Q("q114_event_paths", q114EventPaths, Some(q114Sql)),

@@ -256,6 +256,61 @@ object PipelineQueries extends QueryModule {
        |SELECT source, doc_id, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $GroupQuota""".stripMargin
 
+  /** Per-stratum token budget for q128. */
+  private val DrawBudget = 1000L
+
+  /** TOKEN-BUDGETED STRATUM DRAW — fill each source's token budget
+    * greedily in deterministic md5-rank order: a doc is admitted iff
+    * the tokens consumed BEFORE it are still under [[DrawBudget]] (the
+    * standard "take documents until the eval budget is full" rule; the
+    * last admitted doc may overshoot). q71 samples by rate, q118 by
+    * doc quota — this one by TOKEN mass, which is what an eval-set or
+    * annotation budget is actually denominated in.
+    *
+    * Scale shape: a doc needs ≥ 1 token to be admitted, so at most
+    * [[DrawBudget]] docs per source can ever be admitted — the q118
+    * salted top-N prefilter with quota = budget therefore bounds the
+    * exact cumulative window to ≤ budget·salts rows per source however
+    * large the stratum; the prefix-sum itself cannot be salted (it is
+    * order-dependent), bounding its input is the scale lever. */
+  private def q128BudgetSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tok"),
+        md5(col("doc_id").cast("string")).as("rk"))
+      .filter(col("n_tok") > 0)
+    val localW = Window.partitionBy("source", "salt").orderBy(col("rk"), col("doc_id"))
+    val pre = base
+      .withColumn("salt", pmod(col("doc_id"), lit(QuotaSalts.toLong)))
+      .withColumn("lr", row_number().over(localW))
+      .filter(col("lr") <= DrawBudget)
+      .drop("salt", "lr")
+    val cumW = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre.withColumn("cum", sum("n_tok").over(cumW))
+      .filter(col("cum") - col("n_tok") < DrawBudget)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        col("cum").cast("long").as("cum_tokens"))
+  }
+
+  // CAST(... AS BIGINT): DuckDB's windowed SUM(BIGINT) promotes to
+  // HUGEINT (the q68 lesson)
+  private val q128Sql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                    x -> LEN(x) > 0)) AS n_tok,
+       |    MD5(CAST(doc_id AS VARCHAR)) AS rk
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY rk, doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t WHERE n_tok > 0)
+       |SELECT source, doc_id, CAST(n_tok AS INT) AS n_tok,
+       |  CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum - n_tok < $DrawBudget""".stripMargin
+
   /** DATA-MIXING BUDGET — the sampling-proportion table a pretraining
     * run is configured from: each source's contribution to a
     * [[TokenBudget]]-token draw, with dominant sources CAPPED at
@@ -979,6 +1034,7 @@ object PipelineQueries extends QueryModule {
     Q("q83_decontam_minhash", q83DecontamMinhash, Some(q83Sql)),
     Q("q71_stratified_sample", q71StratifiedSample, Some(q71Sql)),
     Q("q118_group_quota_sample", q118GroupQuotaSample, Some(q118Sql)),
+    Q("q128_budget_sample", q128BudgetSample, Some(q128Sql)),
     Q("q72_keep_best", q72KeepBest, Some(q72Sql)),
     Q("q73_doc_chunks", q73DocChunks, Some(q73Sql)),
     Q("q74_unigram_lm", q74UnigramLm, Some(q74Sql)),

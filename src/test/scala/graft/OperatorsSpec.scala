@@ -1197,6 +1197,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("budget sample admits greedy md5-order prefix until the token budget fills") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    // ten 300-token docs in one source, budget 1000: tokens consumed
+    // before the Nth admitted doc are 300(N-1), so docs 1-4 are admitted
+    // (900 < 1000) and the 5th (1200) is not
+    val text = (0 until 300).map(i => s"w$i").mkString(" ")
+    val rows = (1L to 10L).map(i => (i, text, "s"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_budget_docs/documents.parquet")
+    val got = SparkEntry.queries("q128_budget_sample")(spark, "target/test_budget_docs")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    def md5hex(v: String) = MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val wantIds = (1L to 10L).sortBy(i => (md5hex(i.toString), i)).take(4).toSet
+    assert(got.length == 4 && got.map(_._1).toSet == wantIds,
+      s"the first four docs in md5 order must be admitted: ${got.toSeq} vs $wantIds")
+    assert(got.forall(_._2 == 300) && got.map(_._3).max == 1200L,
+      s"cumulative token counts must reflect the greedy prefix: ${got.toSeq}")
+  }
+
   test("fuzzy terms: deletion-neighborhood candidates, transposition rejected by verify") {
     import spark.implicits._
     // hast = substitution (lev 1), ash = deletion (lev 1), hsah =

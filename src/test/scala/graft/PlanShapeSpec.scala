@@ -449,6 +449,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("shipping priority: broadcast dims, decimal revenue, top-k without global sort") {
+    val p = plan(SparkEntry.queries("q127_shipping_priority")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-10 must never plan a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered customer dim must broadcast:\n$p")
+    assert(p.contains("PushedFilters"),
+      s"date and segment filters must reach the parquet scans:\n$p")
+  }
+
+  test("budget sample: salted prefilter bounds the cumulative window input") {
+    val p = plan(SparkEntry.queries("q128_budget_sample")(spark, sfDir))
+    assert("windowspecdefinition\\(source[#\\d]*, salt".r.findFirstIn(p).isDefined,
+      s"the quota prefilter must window on (source, salt):\n$p")
+    assert(p.contains("Join") == false, s"the draw must not join:\n$p")
+  }
+
   test("fuzzy terms: query variants broadcast onto the deletion index, verify codegen") {
     val p = plan(SparkEntry.queries("q126_fuzzy_terms")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
