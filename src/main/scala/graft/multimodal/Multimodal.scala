@@ -264,6 +264,71 @@ object Multimodal {
       catch { case _: java.io.IOException => None }
   }
 
+  /** 8x8 AVERAGE PERCEPTUAL HASH (aHash) of a decodable image: scale to
+    * 8x8, integer luma per pixel (299r+587g+114b, /1000), bit j set iff
+    * 64·luma_j STRICTLY exceeds the total — the classic
+    * resize/re-encode-robust image fingerprint (near-dup images land
+    * within a few bits of hamming distance). Strict >: a constant image
+    * hashes to 0. */
+  private[graft] def aHashImage(payload: Array[Byte]): Option[Long] = {
+    import java.awt.image.BufferedImage
+    (if (Codecs.looksLikeImage(payload))
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    else None).map { src =>
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try g.drawImage(src.getScaledInstance(8, 8, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      finally g.dispose()
+      val luma = new Array[Long](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        val rgb = img.getRGB(i % 8, i / 8)
+        luma(i) = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+          (rgb & 0xff) * 114L) / 1000L
+        sum += luma(i)
+        i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) { if (luma(i) * 64L > sum) h |= 1L << i; i += 1 }
+      h
+    }
+  }
+
+  /** Byte-domain aHash for non-image payloads: sample 64 bytes at
+    * stride n/64 and apply the same above-the-mean rule in exact
+    * integer arithmetic (bit j iff 64·b_j > Σb) — any SQL engine can
+    * recompute it from the payload's hex rendering, which is what the
+    * q129 oracle does. */
+  private[graft] def aHashStub(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val b = new Array[Long](64)
+    var sum = 0L
+    var j = 0
+    while (j < 64) { b(j) = (payload(j * n / 64) & 0xff).toLong; sum += b(j); j += 1 }
+    var h = 0L
+    j = 0
+    while (j < 64) { if (b(j) * 64L > sum) h |= 1L << j; j += 1 }
+    h
+  }
+
+  /** Per-record perceptual hashes: real pixel aHash for decodable
+    * images, the byte-domain stub otherwise — (media_id, phash). Same
+    * batched dispatch shape as [[extractFeatures]]. */
+  def perceptualHashes(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val h = (if (r.kind == "image") aHashImage(r.payload) else None)
+          .getOrElse(aHashStub(r.payload))
+        (r.media_id, h)
+      })
+    }.toDF("media_id", "phash")
+  }
+
   /** STUB decoder boundary for payloads no JDK codec serves (audio,
     * video, non-image binaries). Signature and batch usage are identical
     * to the real path — a real demuxer swaps in here. */

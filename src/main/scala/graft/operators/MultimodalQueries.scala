@@ -203,8 +203,53 @@ object MultimodalQueries extends QueryModule {
       |CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS i) ii
       |WHERE doc_id < 100 AND i < doc_id % 6 + 2 AND i % 2 = 0""".stripMargin
 
+  /** PERCEPTUAL-HASH IMAGE DEDUP (aHash bucket profile): group the
+    * corpus's media by 8x8 average-hash and report the bucket-size
+    * histogram — the multimodal twin of q24's exact text dedup (same
+    * perceptual hash = same image up to resize/re-encode; the REAL
+    * pixel path is spec-proven resize-robust on PNGs, the registered
+    * corpus exercises the byte-domain stub the oracle mirrors from the
+    * hex rendering, q48's convention).
+    *
+    * Scale shape: hashing is a map over the payloads; the dedup is one
+    * 64-bit-keyed aggregate with map-side partials plus a tiny
+    * histogram aggregate — the corpus binaries never shuffle. */
+  private def q129PHashBuckets(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromTable(
+      Tables.documents(s, dir).filter(length(col("text")) > 0),
+      "doc_id", "text", "image")
+    Multimodal.perceptualHashes(media)
+      .groupBy("phash").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
+      .select(col("sz").as("bucket_size"), col("n_buckets"))
+  }
+
+  // the fingerprint is recomputed from the hex rendering in exact
+  // integer arithmetic; lo/hi 32-bit halves per the q27 rule (DuckDB's
+  // 64-bit left shift overflows)
+  private val q129Sql =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, OCTET_LENGTH(encode(text)) AS n
+      |  FROM documents WHERE OCTET_LENGTH(encode(text)) > 0),
+      |b AS (
+      |  SELECT doc_id, j,
+      |    CAST('0x' || SUBSTRING(hx, CAST((j*n)//64 AS INT)*2 + 1, 2) AS BIGINT) AS bv
+      |  FROM p CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS j) jj),
+      |m AS (SELECT doc_id, SUM(bv) AS sm FROM b GROUP BY 1),
+      |fp AS (
+      |  SELECT b.doc_id,
+      |    SUM(CASE WHEN bv*64 > sm AND j < 32
+      |        THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END) AS lo,
+      |    SUM(CASE WHEN bv*64 > sm AND j >= 32
+      |        THEN 1::BIGINT << CAST(j - 32 AS INT) ELSE 0 END) AS hi
+      |  FROM b JOIN m USING (doc_id) GROUP BY 1),
+      |g AS (SELECT lo, hi, COUNT(*) AS sz FROM fp GROUP BY 1, 2)
+      |SELECT CAST(sz AS BIGINT) AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+      |FROM g GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
+    Q("q129_phash_buckets", q129PHashBuckets, Some(q129Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),

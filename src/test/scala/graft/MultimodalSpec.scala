@@ -101,4 +101,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == stubPng)
     assert(got(3L) == Multimodal.DecodeStub.decode("garbage".getBytes))
   }
+
+  test("aHash: identical images collide; a resized copy stays within a few bits") {
+    val png = Multimodal.Codecs.syntheticPng(64, 48, seed = 11L)
+    val h1 = Multimodal.aHashImage(png).get
+    assert(Multimodal.aHashImage(png).get == h1, "hashing is deterministic")
+    // resize-robustness: the half-size re-encode must land nearby (the
+    // property aHash exists for); an unrelated image must not
+    val resized = Multimodal.Codecs.resizeImage(png, maxDim = 32).get._3
+    val hr = Multimodal.aHashImage(resized).get
+    val dNear = java.lang.Long.bitCount(h1 ^ hr)
+    assert(dNear <= 12, s"resized copy drifted $dNear bits")
+    val other = Multimodal.Codecs.syntheticPng(64, 48, seed = 12L)
+    val dFar = java.lang.Long.bitCount(h1 ^ Multimodal.aHashImage(other).get)
+    assert(dFar > dNear, s"unrelated image ($dFar bits) must be farther than a resize ($dNear)")
+  }
+
+  test("aHash stub: exact integer above-the-mean rule on a planted payload") {
+    // 64 bytes: first half 0, second half 200 -> mean 100, strict > sets
+    // exactly bits 32..63
+    val payload = Array.fill(32)(0.toByte) ++ Array.fill(32)(200.toByte)
+    assert(Multimodal.aHashStub(payload) == 0xFFFFFFFF00000000L)
+    // constant payload: no byte strictly exceeds the mean -> 0
+    assert(Multimodal.aHashStub(Array.fill(40)(7.toByte)) == 0L)
+    assert(Multimodal.aHashStub(Array.empty[Byte]) == 0L)
+  }
+
+  test("phash bucket profile groups identical payloads") {
+    import spark.implicits._
+    Seq((1L, "same words here", "s"), (2L, "same words here", "s"),
+        (3L, "a different doc", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_phash_docs/documents.parquet")
+    val got = SparkEntry.queries("q129_phash_buckets")(spark, "target/test_phash_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L, 1L -> 1L),
+      s"one bucket of two identical payloads, one singleton: $got")
+  }
 }

@@ -449,6 +449,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("phash buckets: map-side hashing into two pre-combined aggregates, join-free") {
+    val p = plan(SparkEntry.queries("q129_phash_buckets")(spark, sfDir))
+    assert(p.contains("MapPartitions"),
+      s"hashing must run in the batched typed map:\n$p")
+    assert(p.contains("partial_count"),
+      s"the hash-keyed dedup must pre-combine map-side:\n$p")
+    assert(!p.contains("Join"), s"the bucket profile must not join:\n$p")
+  }
+
   test("shipping priority: broadcast dims, decimal revenue, top-k without global sort") {
     val p = plan(SparkEntry.queries("q127_shipping_priority")(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
