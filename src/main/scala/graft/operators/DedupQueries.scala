@@ -729,19 +729,22 @@ object DedupQueries extends QueryModule {
     * that, Catalyst re-runs the candidate join per union branch. */
   private def q122DupDegreeHist(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // EAGER checkpoints: three plan branches read each table, and a lazy
-    // checkpoint lets concurrent stages race the first materialization —
-    // measured 7-18 s vs q53's 2.8 s for the same pair generation
+    // ONE pass through pair generation: both endpoints come out of a
+    // single explode (no per-branch re-run of the candidate join), and
+    // the degree-0 bucket is derived from the HISTOGRAM (n_in = Σ
+    // n_docs) rather than a second read of the degree table. Only the
+    // few-row histogram is consumed twice, so only it checkpoints —
+    // eager, because a lazy checkpoint lets concurrent stages race the
+    // materialization (measured 7-18 s vs 3.5 s for the pair join).
     val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", N, Threshold,
-        maxShingleFreq = MaxShingleFreq)
-      .localCheckpoint(eager = true)
-    val deg = pairs.select(col("doc_i").as("doc_id"))
-      .unionAll(pairs.select(col("doc_j").as("doc_id")))
+      maxShingleFreq = MaxShingleFreq)
+    val deg = pairs
+      .select(explode(array(col("doc_i"), col("doc_j"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
-      .localCheckpoint(eager = true)
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = true)
     val zero = docs.agg(count(lit(1)).as("n_total"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_in")))
+      .crossJoin(broadcast(hist.agg(sum("n_docs").as("n_in"))))
       .select(lit(0L).as("degree"), (col("n_total") - col("n_in")).as("n_docs"))
     hist.unionAll(zero).filter(col("n_docs") > 0)
   }

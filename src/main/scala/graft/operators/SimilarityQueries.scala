@@ -404,8 +404,61 @@ object SimilarityQueries extends QueryModule {
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) = 1""".stripMargin
   }
 
+  /** INT8 SCALAR QUANTIZATION (symmetric absmax, the standard 4×
+    * embedding-storage compression next to q123's PQ): code_d =
+    * floor(x_d / amax · 127 + 0.5), amax the vector's largest |x| —
+    * per-vector scale, saturation only at ±amax. Every step is the
+    * same IEEE double op in the same order on both engines (floats
+    * cast to double first; an all-zero vector codes to all zeros), so
+    * the registered audit row — saturation count, code sum/min/max,
+    * and the md5 of the full code list — is bit-exact.
+    *
+    * Scale shape: pure map over the embeddings, no shuffle at all; each
+    * derived array gets its own projection step so the HOFs evaluate
+    * once per row (CollapseProject never inlines non-cheap expressions
+    * into multiple consumers). */
+  private def q130Int8Quant(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .select(col("vec_id"), col("xd"),
+        array_max(transform(col("xd"), v => abs(v))).as("amax"))
+      .select(col("vec_id"),
+        when(col("amax") === 0.0, transform(col("xd"), _ => lit(0)))
+          .otherwise(transform(col("xd"),
+            v => floor(v / col("amax") * 127.0 + 0.5).cast("int"))).as("codes"))
+      .select(col("vec_id"),
+        size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
+          .as("code_digest"))
+  }
+
+  private val q130Sql =
+    """WITH e AS (
+      |  SELECT vec_id, LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE)) AS xd
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, xd, LIST_MAX(LIST_TRANSFORM(xd, v -> ABS(v))) AS amax FROM e),
+      |c AS (
+      |  SELECT vec_id,
+      |    CASE WHEN amax = 0 THEN LIST_TRANSFORM(xd, v -> 0)
+      |         ELSE LIST_TRANSFORM(xd, v -> CAST(FLOOR(v / amax * 127.0 + 0.5) AS INT))
+      |    END AS codes
+      |  FROM a)
+      |SELECT vec_id,
+      |  CAST(LEN(LIST_FILTER(codes, c -> ABS(c) = 127)) AS INT) AS n_sat,
+      |  CAST(LIST_SUM(codes) AS BIGINT) AS code_sum,
+      |  CAST(LIST_MIN(codes) AS INT) AS code_min,
+      |  CAST(LIST_MAX(codes) AS INT) AS code_max,
+      |  MD5(ARRAY_TO_STRING(LIST_TRANSFORM(codes, c -> CAST(c AS VARCHAR)), ','))
+      |    AS code_digest
+      |FROM c""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
+    Q("q130_int8_quant", q130Int8Quant, Some(q130Sql)),
     Q("q123_pq_codes", q123PqCodes, Some(q123Sql)),
     Q("q124_pq_adc", q124PqAdc, Some(recallSql(PqAdcFloor))),
     Q("q89_hard_negatives", q89HardNegatives, Some(q89Sql)),

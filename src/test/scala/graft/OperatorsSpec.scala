@@ -1197,6 +1197,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: hand-computed codes, saturation only at the absmax") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0), (2L, Array(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("target/test_quant_embeddings/embeddings.parquet")
+    val got = SparkEntry.queries("q130_int8_quant")(spark, "target/test_quant_embeddings")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    def md5(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // amax 1.0: 1.0->127 (saturated), -0.5->floor(-63.0)=-63,
+    // 0.25->floor(32.25)=32, 0->0
+    assert(got(1L) == ((1, 96L, -63, 127, md5("127,-63,32,0"))), s"v1: ${got(1L)}")
+    // all-zero vector codes to zeros, not NaN
+    assert(got(2L) == ((0, 0L, 0, 0, md5("0,0"))), s"v2: ${got(2L)}")
+  }
+
   test("budget sample admits greedy md5-order prefix until the token budget fills") {
     import spark.implicits._
     import java.security.MessageDigest

@@ -449,6 +449,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("int8 quantization is a pure map: no exchange, no join") {
+    val p = plan(SparkEntry.queries("q130_int8_quant")(spark, sfDir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"quantization must not move the embeddings:\n$p")
+  }
+
   test("phash buckets: map-side hashing into two pre-combined aggregates, join-free") {
     val p = plan(SparkEntry.queries("q129_phash_buckets")(spark, sfDir))
     assert(p.contains("MapPartitions"),
