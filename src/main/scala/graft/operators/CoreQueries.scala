@@ -758,10 +758,93 @@ object CoreQueries extends QueryModule {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** Debounce horizon for q131, in microseconds (1 hour). */
+  private val HorizonUs = 3600L * 1000000L
+
+  /** TIME-HORIZON EVENT DEDUP (debounce): an event is KEPT iff the
+    * previous event of the same (user, type) is more than [[HorizonUs]]
+    * older (or absent) — the ingest-side duplicate/burst suppression
+    * rule (at-least-once delivery, double-clicks, retry storms), the
+    * batch twin of `EventStreams.dedupStream`'s watermarest state. One
+    * LAG against the PREVIOUS OCCURRENCE (not the previous kept event —
+    * that chain rule is inherently sequential; the debounce form is the
+    * one every SQL engine and the streaming state machine agree on).
+    * Reported as per-type kept/total so the result is a compact audit.
+    *
+    * Scale shape: one (user, type)-keyed window — the q103/q114 shuffle
+    * — then a |types|-group pre-combined aggregate. Epoch-microsecond
+    * ordering with event_id tiebreak keeps ts collisions deterministic
+    * (module convention). */
+  private def q131HorizonDedup(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy("user_id", "event_type").orderBy(us, col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("prev_us").isNull || us - col("prev_us") > HorizonUs)
+          .cast("long")).as("n_kept"))
+  }
+
+  private val q131Sql =
+    s"""WITH s AS (
+       |  SELECT event_type, EPOCH_US(ts) AS us,
+       |    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id, event_type
+       |                            ORDER BY EPOCH_US(ts), event_id) AS prev_us
+       |  FROM events)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > $HorizonUs
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM s GROUP BY 1""".stripMargin
+
+  /** SHUFFLE-KEY SKEW TELEMETRY — the measurement behind every salting
+    * decision (q98's salted agg, q125's salted join): the hottest keys
+    * with their share of the table, plus the corpus-level skew factor
+    * (hottest key vs the perfectly-uniform share, ×1000). All ratios
+    * are integer cross-multiplied with `div` — a double division
+    * could round across the truncation boundary differently per
+    * engine. NULL keys are excluded: they hash to one reducer like any
+    * hot key but the two engines order them differently in a tie.
+    *
+    * Scale shape: one key-keyed pre-combined count (the same shuffle
+    * the monitored join would pay), a 1-row stat reduction broadcast
+    * back, and a TakeOrdered top-5 — never a global sort. The count
+    * table is checkpointed once for its two readers. */
+  private def q132SkewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(eager = true)
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum("n_rows").as("total_rows"), max("n_rows").as("max_rows"))
+    counts.orderBy(col("n_rows").desc, col("user_id").asc).limit(5)
+      .crossJoin(broadcast(stats))
+      .select(col("user_id"), col("n_rows"),
+        expr("n_rows * 1000000 div total_rows").as("ppm"),
+        col("n_keys"),
+        expr("max_rows * n_keys * 1000 div total_rows").as("skew_x1000"))
+  }
+
+  private val q132Sql =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS n_rows FROM events
+      |  WHERE user_id IS NOT NULL GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total_rows,
+      |       MAX(n_rows) AS max_rows FROM c),
+      |top AS (SELECT user_id, n_rows FROM c ORDER BY n_rows DESC, user_id LIMIT 5)
+      |SELECT t.user_id, CAST(t.n_rows AS BIGINT) AS n_rows,
+      |  CAST(t.n_rows * 1000000 // st.total_rows AS BIGINT) AS ppm,
+      |  CAST(st.n_keys AS BIGINT) AS n_keys,
+      |  CAST(st.max_rows * st.n_keys * 1000 // st.total_rows AS BIGINT) AS skew_x1000
+      |FROM top t CROSS JOIN st""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q121_source_octiles", q121SourceOctiles, Some(q121Sql)),
     Q("q127_shipping_priority", q127ShippingPriority, Some(q127Sql)),
+    Q("q131_horizon_dedup", q131HorizonDedup, Some(q131Sql)),
+    Q("q132_skew_report", q132SkewReport, Some(q132Sql)),
     Q("q110_table_checksum", q110TableChecksum, Some(q110Sql)),
     Q("q112_table_profile", q112TableProfile, Some(q112Sql)),
     Q("q114_event_paths", q114EventPaths, Some(q114Sql)),

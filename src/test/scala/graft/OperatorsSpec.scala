@@ -1197,6 +1197,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("skew report ranks hot keys and cross-multiplies the ratios exactly") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // user 7 owns 6 of 10 rows; users 1..4 one row each -> n_keys 5,
+    // skew = 6*5*1000 div 10 = 3000; ppm(7) = 600000
+    val rows = (1L to 6L).map(i => (i, t, 7L, "click", 1.0, "")) ++
+      (1L to 4L).map(i => (10 + i, t, i, "view", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_skew_events/events.parquet")
+    val got = SparkEntry.queries("q132_skew_report")(spark, "target/test_skew_events")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(7L) == ((6L, 600000L, 5L, 3000L)), s"hot key: ${got(7L)}")
+    assert(got.size == 5 && got(1L) == ((1L, 100000L, 5L, 3000L)), s"$got")
+  }
+
+  test("horizon dedup keeps the first of a burst and anything past the hour") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val t2h = java.sql.Timestamp.valueOf("2026-01-01 02:00:00")
+    // user 1 clicks at 0, +10min (suppressed), +2h (kept: > 1h after the
+    // 10min one); user 2's single view kept; different type not confused
+    Seq((1L, ts(0), 1L, "click", 1.0, ""), (2L, ts(10), 1L, "click", 1.0, ""),
+        (3L, t2h, 1L, "click", 1.0, ""), (4L, ts(5), 2L, "view", 1.0, ""),
+        (5L, ts(6), 1L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("target/test_horizon_events/events.parquet")
+    val got = SparkEntry.queries("q131_horizon_dedup")(spark, "target/test_horizon_events")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("click" -> ((3L, 2L)), "view" -> ((2L, 2L))), s"$got")
+  }
+
   test("int8 quantization: hand-computed codes, saturation only at the absmax") {
     import spark.implicits._
     import java.security.MessageDigest

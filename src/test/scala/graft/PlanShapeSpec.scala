@@ -449,6 +449,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("skew report: checkpointed counts feed both readers; top-5 is TakeOrdered") {
+    val p = plan(SparkEntry.queries("q132_skew_report")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the hottest-key pick must never globally sort:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the key counts must be materialized once for both readers:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats must broadcast:\n$p")
+  }
+
+  test("horizon dedup: one (user, type)-keyed sort, join-free, pre-combined") {
+    val p = plan(SparkEntry.queries("q131_horizon_dedup")(spark, sfDir))
+    assert(!p.contains("Join"), s"debounce must not self-join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"exactly one (user, type)-keyed shuffle expected:\n$p")
+    assert(p.contains("partial_count"),
+      s"the per-type audit must pre-combine map-side:\n$p")
+  }
+
   test("int8 quantization is a pure map: no exchange, no join") {
     val p = plan(SparkEntry.queries("q130_int8_quant")(spark, sfDir))
     assert(!p.contains("Exchange") && !p.contains("Join"),
