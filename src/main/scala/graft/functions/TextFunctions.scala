@@ -14,6 +14,14 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** Unicode NFC canonicalization (native codegen expression — see
+    * [[graft.functions.expressions.NfcNormalize]]). */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.NfcNormalize(
+      ColumnBridge.expression(text)))
+  }
+
   /** Distinct n-word shingles of a token array (n-gram units for
     * Jaccard/MinHash dedup). Empty when fewer than n tokens. */
   def wordShingles(toks: Column, n: Int): Column =

@@ -748,8 +748,41 @@ object TextAnalysisQueries extends QueryModule {
       |  CAST(LEN(clean) AS INT) AS clean_chars, MD5(clean) AS clean_digest
       |FROM j""".stripMargin
 
+  /** UNICODE CANONICALIZATION AUDIT (NFC) — how much of each source
+    * arrives in non-canonical form (decomposed accents, compatibility
+    * leftovers): the byte-different-but-equal strings that silently
+    * split exact dedup (q24), vocabulary counts (q70), and term lookups
+    * (q126) unless ingest canonicalizes. Normalization runs through the
+    * native codegen [[graft.functions.expressions.NfcNormalize]]
+    * expression (a UDF here would box every row out of whole-stage
+    * codegen); the oracle recomputes with DuckDB's `NFC_NORMALIZE` —
+    * both are UAX #15 NFC.
+    *
+    * Scale shape: a pure map (with an allocation-free fast path for
+    * already-normalized text) into one |sources|-group pre-combined
+    * aggregate; the corpus never shuffles. */
+  private def q133NfcAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("text"), TextFunctions.nfc(col("text")).as("norm"))
+      .select(col("source"),
+        (col("text") =!= col("norm")).cast("long").as("changed"),
+        length(col("text")).cast("long").as("pre_cp"),
+        length(col("norm")).cast("long").as("post_cp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("changed").as("n_changed"),
+        sum("pre_cp").as("pre_chars"), sum("post_cp").as("post_chars"))
+
+  private val q133Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN text <> NFC_NORMALIZE(text) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(SUM(LEN(text)) AS BIGINT) AS pre_chars,
+      |  CAST(SUM(LEN(NFC_NORMALIZE(text))) AS BIGINT) AS post_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
+    Q("q133_nfc_audit", q133NfcAudit, Some(q133Sql)),
     Q("q119_charset_audit", q119CharsetAudit, Some(q119Sql)),
     Q("q120_line_filter", q120LineFilter, Some(q120Sql)),
     Q("q111_vocab_growth", q111VocabGrowth, Some(q111Sql)),

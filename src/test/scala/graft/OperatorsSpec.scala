@@ -1197,6 +1197,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc audit: decomposed accents are flagged and recomposed, ascii untouched") {
+    import spark.implicits._
+    // "cafe" + COMBINING ACUTE: 5 code points that NFC composes to 4
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    val direct = Seq((decomposed, composed)).toDF("d", "c")
+      .select(TextFunctions.nfc(col("d")).as("n"), col("c"))
+      .collect().head
+    assert(direct.getString(0) == direct.getString(1),
+      "the codegen expression must compose e+U+0301 into U+00E9")
+    Seq((1L, decomposed, "a"), (2L, "plain ascii", "a"), (3L, composed, "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("target/test_nfc_docs/documents.parquet")
+    val got = SparkEntry.queries("q133_nfc_audit")(spark, "target/test_nfc_docs")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // source a: decomposed doc flagged, 5 cp -> 4; ascii 11 cp unchanged
+    assert(got("a") == ((2L, 1L, 5L + 11L, 4L + 11L)), s"a: ${got("a")}")
+    // source b: already composed -> no change
+    assert(got("b") == ((1L, 0L, 4L, 4L)), s"b: ${got("b")}")
+  }
+
   test("skew report ranks hot keys and cross-multiplies the ratios exactly") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")

@@ -449,6 +449,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("nfc audit: native expression in the map, no UDF, one pre-combined aggregate") {
+    val p = plan(SparkEntry.queries("q133_nfc_audit")(spark, sfDir))
+    assert(!p.contains("ScalaUDF"),
+      s"normalization must be the native expression, never a boxed UDF:\n$p")
+    assert(p.contains("partial_"), s"audit sums must pre-combine map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the audit is a pure map + aggregate:\n$p")
+  }
+
   test("skew report: checkpointed counts feed both readers; top-5 is TakeOrdered") {
     val p = plan(SparkEntry.queries("q132_skew_report")(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
