@@ -839,8 +839,124 @@ object CoreQueries extends QueryModule {
       |  CAST(st.max_rows * st.n_keys * 1000 // st.total_rows AS BIGINT) AS skew_x1000
       |FROM top t CROSS JOIN st""".stripMargin
 
+  /** TPC-H Q5 (local supplier volume) — the DEEP join composition: six
+    * tables, with the region→nation→(customer, supplier) dimension
+    * chain broadcast and the customer-nation ≡ supplier-nation equality
+    * applied as a join-level predicate; only the orders⨝lineitem edge
+    * shuffles. q127 exercises the 3-way selective shape; this one
+    * exercises join ORDERING depth — the plan Catalyst must get right
+    * for the bench number to survive a 100× scale-up. */
+  private def q134LocalVolume(s: SparkSession, dir: String): DataFrame = {
+    val y0 = lit("1997-01-01").cast("timestamp")
+    val y1 = lit("1998-01-01").cast("timestamp")
+    val nr = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)").as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev").cast("double").as("revenue"))
+  }
+
+  private val q134Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin
+
+  /** ROLLUP region→nation order volume — the HIERARCHICAL-totals
+    * companion of q39's CUBE: subtotal rows per region and a grand
+    * total, null grouping keys sentinel-coalesced (q39's convention so
+    * the oracle's NULLs and Spark's compare equal). */
+  private def q135Rollup(s: SparkSession, dir: String): DataFrame = {
+    // the joins stay declarative Dataset API; the ROLLUP + COALESCE
+    // goes through spark.sql — the Dataset rollup's output grouping
+    // attributes share expr-ids with their child and any later column
+    // reference trips the ambiguous-self-join analyzer check
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("o_totalprice"))
+      .createOrReplaceTempView("q135_base")
+    s.sql(
+      """SELECT COALESCE(r_name, '(all)') AS region,
+        |  COALESCE(n_name, '(all)') AS nation,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM q135_base GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+  }
+
+  private val q135Sql =
+    """SELECT COALESCE(r_name, '(all)') AS region,
+      |  COALESCE(n_name, '(all)') AS nation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** APPROXIMATE-QUANTILE SANITY BOUND (q40's HLL pattern for the
+    * quantile sketch): per event type, `approx_percentile`'s median
+    * must land inside the exact interquartile range — the registered
+    * output is the bound check both engines can state (TRUE), because
+    * the sketch's exact return value is implementation-defined. At
+    * 100 TB the sketch is the only viable quantile path (q47's exact
+    * sort-based aggregate is the small-group tool; q121's histogram
+    * needs an integer-ish key); this query keeps it honest against the
+    * exact answer. */
+  private def q136ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value, 0.5, 10000)").as("approx"),
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"))
+      .select(col("event_type"), col("n"),
+        (col("approx") >= col("p25") && col("approx") <= col("p75")).as("median_in_iqr"))
+
+  private val q136Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS median_in_iqr
+      |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
+    Q("q134_local_volume", q134LocalVolume, Some(q134Sql)),
+    Q("q135_rollup", q135Rollup, Some(q135Sql)),
+    Q("q136_approx_quantile", q136ApproxQuantile, Some(q136Sql)),
     Q("q121_source_octiles", q121SourceOctiles, Some(q121Sql)),
     Q("q127_shipping_priority", q127ShippingPriority, Some(q127Sql)),
     Q("q131_horizon_dedup", q131HorizonDedup, Some(q131Sql)),

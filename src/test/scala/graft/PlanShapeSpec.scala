@@ -449,6 +449,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("local volume (tpch q5): dimension chain broadcasts, no nested loop") {
+    val p = plan(SparkEntry.queries("q134_local_volume")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"region/nation/customer/supplier must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every join edge is an equi-join:\n$p")
+  }
+
+  test("rollup: one Expand pass over the broadcast-joined base, no shuffle join") {
+    val p = plan(SparkEntry.queries("q135_rollup")(spark, sfDir))
+    assert(p.contains("Expand"), s"ROLLUP must plan a single Expand:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"all dims must broadcast:\n$p")
+  }
+
+  test("approx quantile check: sketch and exact percentiles in one aggregate pass") {
+    val p = plan(SparkEntry.queries("q136_approx_quantile")(spark, sfDir))
+    assert(p.contains("ObjectHashAggregate"),
+      s"percentile aggregates plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_"), s"sketches must pre-combine map-side:\n$p")
+    assert(!p.contains("Join"), s"one pass, no join:\n$p")
+  }
+
   test("nfc audit: native expression in the map, no UDF, one pre-combined aggregate") {
     val p = plan(SparkEntry.queries("q133_nfc_audit")(spark, sfDir))
     assert(!p.contains("ScalaUDF"),
