@@ -952,11 +952,43 @@ object CoreQueries extends QueryModule {
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS median_in_iqr
       |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin
 
+  /** Pivot value list for q137 — EXPLICIT, so the output schema is
+    * static (an unlisted pivot makes Spark run a distinct-values job
+    * just to name the columns, and schema then depends on the data). */
+  private val PivotTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** PIVOT (long→wide reshape): daily event counts, one column per
+    * event type — the reporting reshape q112's stack() does in the
+    * other direction. Missing (day, type) combinations are zero-filled:
+    * Spark's pivot yields NULL there while a conditional-sum oracle
+    * yields 0, the one semantic seam between the two formulations.
+    *
+    * Scale shape: with the value list pinned this is ONE pre-combined
+    * aggregate over |days|·|types| groups reshaped at projection time —
+    * no distinct-values pre-job, no join, one shuffle. */
+  private def q137Pivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day").pivot("event_type", PivotTypes).agg(count(lit(1)))
+    wide.select(col("day") +:
+      PivotTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  private val q137Sql = {
+    val cols = PivotTypes.map(t =>
+      s"  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n")
+    s"""SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+       |$cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q134_local_volume", q134LocalVolume, Some(q134Sql)),
     Q("q135_rollup", q135Rollup, Some(q135Sql)),
     Q("q136_approx_quantile", q136ApproxQuantile, Some(q136Sql)),
+    Q("q137_pivot", q137Pivot, Some(q137Sql)),
     Q("q121_source_octiles", q121SourceOctiles, Some(q121Sql)),
     Q("q127_shipping_priority", q127ShippingPriority, Some(q127Sql)),
     Q("q131_horizon_dedup", q131HorizonDedup, Some(q131Sql)),

@@ -449,6 +449,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("pivot with a pinned value list: one aggregate pass, no distinct-values job") {
+    val p = plan(SparkEntry.queries("q137_pivot")(spark, sfDir))
+    assert(p.contains("partial_"), s"pivot counts must pre-combine map-side:\n$p")
+    assert(!p.contains("Join"), s"reshape must not join:\n$p")
+    // Spark's pivot is two-phase: a (day, type) count, then the day-keyed
+    // reshape over those ALREADY-COMPACTED |days|x|types| rows — the
+    // second shuffle never carries event rows
+    assert("Exchange hashpartitioning\\(day".r.findAllIn(p).size == 2,
+      s"the (day, type) pre-aggregate and the compact day reshape:\n$p")
+  }
+
   test("local volume (tpch q5): dimension chain broadcasts, no nested loop") {
     val p = plan(SparkEntry.queries("q134_local_volume")(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
