@@ -983,12 +983,36 @@ object CoreQueries extends QueryModule {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** EVENT-TIME TUMBLING WINDOW — hourly counts per type through
+    * Spark's `window()` function, the same operator a Structured
+    * Streaming job runs with a watermark (`EventStreams.windowedCounts`
+    * is the streaming twin; its stream ≡ batch spec leans on exactly
+    * this equivalence). Registered batch-side so the window BOUNDARY
+    * semantics (epoch-aligned, start-inclusive/end-exclusive) are
+    * oracle-pinned against DuckDB's `TIME_BUCKET` — q11 buckets by
+    * calendar month; this is the fixed-duration event-time grid.
+    *
+    * Scale shape: one pre-combined aggregate over
+    * |hours|·|types| groups; the window struct is a map-side
+    * projection, never a join against a time dimension. */
+  private def q138TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  private val q138Sql =
+    """SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS win_start,
+      |  event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     Q("q134_local_volume", q134LocalVolume, Some(q134Sql)),
     Q("q135_rollup", q135Rollup, Some(q135Sql)),
     Q("q136_approx_quantile", q136ApproxQuantile, Some(q136Sql)),
     Q("q137_pivot", q137Pivot, Some(q137Sql)),
+    Q("q138_tumbling_window", q138TumblingWindow, Some(q138Sql)),
     Q("q121_source_octiles", q121SourceOctiles, Some(q121Sql)),
     Q("q127_shipping_priority", q127ShippingPriority, Some(q127Sql)),
     Q("q131_horizon_dedup", q131HorizonDedup, Some(q131Sql)),

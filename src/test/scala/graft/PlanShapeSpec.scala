@@ -449,6 +449,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("tumbling window: map-side window struct, one pre-combined aggregate") {
+    val p = plan(SparkEntry.queries("q138_tumbling_window")(spark, sfDir))
+    assert(p.contains("partial_count"),
+      s"hourly counts must pre-combine map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"the event-time grid is a projection, never a time-dim join:\n$p")
+  }
+
   test("pivot with a pinned value list: one aggregate pass, no distinct-values job") {
     val p = plan(SparkEntry.queries("q137_pivot")(spark, sfDir))
     assert(p.contains("partial_"), s"pivot counts must pre-combine map-side:\n$p")
