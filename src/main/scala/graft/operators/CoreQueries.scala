@@ -983,6 +983,39 @@ object CoreQueries extends QueryModule {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** GROUP-WISE MODE — each source's dominant language with its count
+    * and the source total: the categorical summary statistic (mean/
+    * median don't exist for labels) behind "what is this domain mostly
+    * written in". Deterministic tie-break: higher count, then
+    * lexicographically LAST language, encoded as one `max_by` over a
+    * (count, lang) struct.
+    *
+    * Scale shape: q72's argument — a (source, lang) counted aggregate
+    * then a |sources|-group `max_by` PARTIAL aggregate; a window
+    * row_number (the oracle's formulation) would re-shuffle and sort
+    * every counted row per source, max_by combines map-side. */
+  private def q139GroupMode(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(expr("max_by(named_struct('lang', lang, 'c', c)," +
+        " named_struct('c', c, 'tb', lang))").as("m"),
+        sum("c").as("n_docs"))
+      .select(col("source"), col("m.lang").as("mode_lang"),
+        col("m.c").as("mode_docs"), col("n_docs"))
+
+  private val q139Sql =
+    """WITH c AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, lang, c,
+      |    SUM(c) OVER (PARTITION BY source) AS n_docs,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+      |  FROM c)
+      |SELECT source, lang AS mode_lang, CAST(c AS BIGINT) AS mode_docs,
+      |  CAST(n_docs AS BIGINT) AS n_docs
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** EVENT-TIME TUMBLING WINDOW — hourly counts per type through
     * Spark's `window()` function, the same operator a Structured
     * Streaming job runs with a watermark (`EventStreams.windowedCounts`
@@ -1013,6 +1046,7 @@ object CoreQueries extends QueryModule {
     Q("q136_approx_quantile", q136ApproxQuantile, Some(q136Sql)),
     Q("q137_pivot", q137Pivot, Some(q137Sql)),
     Q("q138_tumbling_window", q138TumblingWindow, Some(q138Sql)),
+    Q("q139_group_mode", q139GroupMode, Some(q139Sql)),
     Q("q121_source_octiles", q121SourceOctiles, Some(q121Sql)),
     Q("q127_shipping_priority", q127ShippingPriority, Some(q127Sql)),
     Q("q131_horizon_dedup", q131HorizonDedup, Some(q131Sql)),

@@ -1197,6 +1197,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("group mode picks the dominant label, count ties to the last language") {
+    import spark.implicits._
+    // source a: de x2 beats en x1; source b: en/fr tie at 2 -> 'fr'
+    // (lexicographically last) by the deterministic rule
+    val rows = Seq((1L, "x", "de", "a"), (2L, "x", "de", "a"), (3L, "x", "en", "a"),
+      (4L, "x", "en", "b"), (5L, "x", "en", "b"), (6L, "x", "fr", "b"), (7L, "x", "fr", "b"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet("target/test_mode_docs/documents.parquet")
+    val got = SparkEntry.queries("q139_group_mode")(spark, "target/test_mode_docs")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == (("de", 2L, 3L)), s"a: ${got("a")}")
+    assert(got("b") == (("fr", 2L, 4L)), s"b must tie-break to the later lang: ${got("b")}")
+  }
+
   test("nfc audit: decomposed accents are flagged and recomposed, ascii untouched") {
     import spark.implicits._
     // "cafe" + COMBINING ACUTE: 5 code points that NFC composes to 4

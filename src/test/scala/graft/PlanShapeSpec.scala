@@ -449,6 +449,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-(vector, subspace) argmin must pre-combine map-side:\n$p")
   }
 
+  test("group mode: max_by partial aggregate, never a per-source window sort") {
+    val p = plan(SparkEntry.queries("q139_group_mode")(spark, sfDir))
+    assert(!p.contains("Window"), s"mode must not window-sort per source:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"the argmax must combine map-side:\n$p")
+  }
+
   test("tumbling window: map-side window struct, one pre-combined aggregate") {
     val p = plan(SparkEntry.queries("q138_tumbling_window")(spark, sfDir))
     assert(p.contains("partial_count"),
