@@ -105,16 +105,21 @@ object Bench {
     // (measured: a 0.25 s query recorded at 19 s, a 0.75 s query pushed
     // past the 60 s watchdog). Defense in depth: (a) don't START a
     // timer while the probe says the box is contended (bounded wait);
-    // (b) a number 4x+3s above the query's best-known time (or >20 s
+    // (b) a number 2x+1s above the query's best-known time (or >20 s
     // with no history), OR a watchdog -1 — which during a wave is
     // usually a false timeout — is re-measured up to twice after
     // re-gating, and the MIN of the real runs is reported. History
     // keeps per-query MINs, so one poisoned run can never raise the
-    // baselines that drive this detection.
+    // baselines that drive this detection. (The original 4x+3s bound
+    // let 2.9-3.5x inflation into round 8's official number — with 139
+    // queries of MIN history the tighter bound is safe: a genuine
+    // regression re-measures twice and reports the honest repeated
+    // time, while a contention spike gets two fresh chances to land on
+    // a calm window.)
     val prevTimes = readHistory(sfDir)
     val results = ordered.map { case (name, fn) =>
       def looksContended(t: Double): Boolean = t < 0 || (prevTimes.get(name) match {
-        case Some(p) if p >= 0 => t > math.max(p * 4, p + 3)
+        case Some(p) if p >= 0 => t > math.max(p * 2, p + 1)
         case _ => t > 20
       })
       Contention.waitCalm()

@@ -308,7 +308,10 @@ object Multimodal {
     val b = new Array[Long](64)
     var sum = 0L
     var j = 0
-    while (j < 64) { b(j) = (payload(j * n / 64) & 0xff).toLong; sum += b(j); j += 1 }
+    // index computed in Long: j*n overflows Int for payloads past
+    // ~34 MB (Int.MaxValue/63) and would throw on a negative index —
+    // the q129 oracle computes the same index in BIGINT and succeeds
+    while (j < 64) { b(j) = (payload((j.toLong * n / 64).toInt) & 0xff).toLong; sum += b(j); j += 1 }
     var h = 0L
     j = 0
     while (j < 64) { if (b(j) * 64L > sum) h |= 1L << j; j += 1 }

@@ -820,10 +820,17 @@ object CoreQueries extends QueryModule {
       sum("n_rows").as("total_rows"), max("n_rows").as("max_rows"))
     counts.orderBy(col("n_rows").desc, col("user_id").asc).limit(5)
       .crossJoin(broadcast(stats))
+      // cross-multiplications in decimal(38,0) (the q115 convention):
+      // max_rows * n_keys * 1000 wraps a BIGINT at extreme cardinalities
+      // (1e7-row hot key x 1e9 keys) exactly where this telemetry
+      // matters, and Spark wraps silently while DuckDB promotes — the
+      // decimal widening keeps both engines exact; div still returns
+      // BIGINT on both sides
       .select(col("user_id"), col("n_rows"),
-        expr("n_rows * 1000000 div total_rows").as("ppm"),
+        expr("cast(n_rows as decimal(38,0)) * 1000000 div total_rows").as("ppm"),
         col("n_keys"),
-        expr("max_rows * n_keys * 1000 div total_rows").as("skew_x1000"))
+        expr("cast(max_rows as decimal(38,0)) * n_keys * 1000 div total_rows")
+          .as("skew_x1000"))
   }
 
   private val q132Sql =
@@ -901,21 +908,34 @@ object CoreQueries extends QueryModule {
     // the joins stay declarative Dataset API; the ROLLUP + COALESCE
     // goes through spark.sql — the Dataset rollup's output grouping
     // attributes share expr-ids with their child and any later column
-    // reference trips the ambiguous-self-join analyzer check
+    // reference trips the ambiguous-self-join analyzer check.
+    // The temp view is PER-INVOCATION (unique suffix) and dropped as
+    // soon as the sql() plan has resolved: a fixed name mutates shared
+    // session state at plan-build time, and a concurrent build (parallel
+    // bench mode, a timeout path overlapping the next query) could swap
+    // the view under a running plan.
+    val view = s"q135_base_${Q135ViewSeq.incrementAndGet()}"
     Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_name"), col("o_totalprice"))
-      .createOrReplaceTempView("q135_base")
-    s.sql(
-      """SELECT COALESCE(r_name, '(all)') AS region,
+      .createOrReplaceTempView(view)
+    val df = s.sql(
+      s"""SELECT COALESCE(r_name, '(all)') AS region,
         |  COALESCE(n_name, '(all)') AS nation,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM q135_base GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+        |FROM $view GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    // force analysis (resolves the view reference into the plan), then
+    // the catalog entry is no longer needed by this or any later action
+    df.queryExecution.analyzed
+    s.catalog.dropTempView(view)
+    df
   }
+
+  private val Q135ViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val q135Sql =
     """SELECT COALESCE(r_name, '(all)') AS region,
@@ -936,7 +956,14 @@ object CoreQueries extends QueryModule {
     * 100 TB the sketch is the only viable quantile path (q47's exact
     * sort-based aggregate is the small-group tool; q121's histogram
     * needs an integer-ish key); this query keeps it honest against the
-    * exact answer. */
+    * exact answer.
+    *
+    * Small-group guard: the containment is only a theorem for groups
+    * with enough mass — a 2-row group's interpolated p25/p75 (e.g.
+    * 1.25/1.75 for values {1,2}) need not contain approx_percentile's
+    * actual-element median (1 or 2). Groups under 4 rows pass by
+    * definition (the sketch IS exact there, and the IQR is degenerate),
+    * so the registered bound stays TRUE for every input. */
   private def q136ApproxQuantile(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("value").isNotNull)
@@ -946,7 +973,9 @@ object CoreQueries extends QueryModule {
         expr("percentile(value, 0.25)").as("p25"),
         expr("percentile(value, 0.75)").as("p75"))
       .select(col("event_type"), col("n"),
-        (col("approx") >= col("p25") && col("approx") <= col("p75")).as("median_in_iqr"))
+        (col("n") < 4 ||
+          (col("approx") >= col("p25") && col("approx") <= col("p75")))
+          .as("median_in_iqr"))
 
   private val q136Sql =
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS median_in_iqr
