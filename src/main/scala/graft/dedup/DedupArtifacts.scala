@@ -1,0 +1,140 @@
+package graft.dedup
+
+import graft.Tables
+import graft.operators.Components
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest-time dedup artifacts, computed ONCE per corpus and read by
+  * every downstream report — the same economics as the reference, which
+  * persists its index at build time and has every query read it instead
+  * of re-deriving it (`AbstractBlockIndexingJob.java:122-152` →
+  * `BlockIndexedFileInputFormat.java:338-386`), and as the bucketed-join
+  * layout (`graft.build.Layout`): pay one write at ingest, amortize it
+  * over every consumer.
+  *
+  * Three artifacts, all tiny relative to the corpus (pair lists and an
+  * id→cluster map, fixed-width longs):
+  *  - `minhash_pairs`: the verified-exact MinHash+LSH near-dup pair set
+  *    (the q25 operator's output — every pair exact-Jaccard checked, so
+  *    the artifact is engine-independent truth, not an approximation);
+  *  - `clusters`: connected components over those pairs, id → min-id
+  *    representative (the q49 operator's output);
+  *  - `cut_pairs`: the hot-shingle-cut exact-Jaccard pair set (the q53
+  *    operator's output — the inverted-index formulation that stays
+  *    viable at 100 TB).
+  *
+  * No production pipeline recomputes MinHash signatures, pair joins, and
+  * components per QC report: the cluster assignment is written next to
+  * the corpus at ingest and the syndication/funnel/canonical/degree
+  * reports are cheap keyed joins against it. The reports' ORACLES stay
+  * the full from-scratch closure SQL — the artifact path must hash-match
+  * the recomputation exactly (it does: every stage is deterministic and
+  * the parquet round-trip of longs is lossless), which is the same
+  * differential proof q99's bucketed path gives against the plain join.
+  *
+  * Staleness: a meta file records the source table's (length, mtime)
+  * fingerprint; a changed corpus or a partial write (missing meta)
+  * rebuilds from scratch. [[Version]] bumps when any producing
+  * operator's semantics change, orphaning old layouts instead of
+  * silently serving them.
+  *
+  * At 100 TB the only change is the destination: `Layout.writeBucketed`
+  * by doc_id for the cluster map (exchange-free joins from every
+  * report) and a distributed filesystem path next to the corpus —
+  * the artifact shapes and the build plan are unchanged.
+  */
+object DedupArtifacts {
+
+  /** Canonical pipeline parameters — ONE definition shared by the
+    * artifact build and every from-scratch proving query (q25/q49/q53),
+    * so the artifact can never be built under different banding than
+    * the oracle-gated operators it snapshots. */
+  val N = 3              // shingle width (words)
+  val Threshold = 0.8    // Jaccard near-dup bar
+  val K = 32             // MinHash signature width
+  val Bands = 16         // LSH bands (rows-per-band = K / Bands)
+  val MaxShingleFreq = 20L // hot-shingle cut for the exact-Jaccard path
+
+  /** Bump when pair/cluster semantics change: stale artifact trees from
+    * an older layout then rebuild instead of being served. */
+  private[graft] val Version = 1
+
+  private def root(sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    s"/root/repo/target/graft_dedup/v$Version/$sfName"
+  }
+  private def pairsPath(sfDir: String) = s"${root(sfDir)}/minhash_pairs"
+  private def clustersPath(sfDir: String) = s"${root(sfDir)}/clusters"
+  private def cutPairsPath(sfDir: String) = s"${root(sfDir)}/cut_pairs"
+  private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
+
+  /** Source fingerprint: length + mtime of documents.parquet. Cheap
+    * (one namenode stat), catches regenerated testdata and partial
+    * copies; content hashing would re-read the corpus and defeat the
+    * artifact's purpose. */
+  private def fingerprint(s: SparkSession, sfDir: String): String = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"v$Version:${st.getLen}:${st.getModificationTime}"
+  }
+
+  /** Idempotent build: a matching meta fingerprint is a no-op; anything
+    * else (absent, stale, partial) rebuilds the whole tree. Meta is
+    * written LAST, so a killed build never masquerades as complete. */
+  def prepare(s: SparkSession, sfDir: String): Unit = synchronized {
+    val fp = fingerprint(s, sfDir)
+    val rootPath = new Path(root(sfDir))
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val meta = new Path(metaPath(sfDir))
+    val fresh = fs.exists(meta) && {
+      val in = fs.open(meta)
+      try scala.io.Source.fromInputStream(in).mkString.trim == fp
+      finally in.close()
+    }
+    if (fresh) return
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+    val docs = Tables.documents(s, sfDir)
+    // the verified MinHash pair set — q25's exact operator output
+    Dedup.minHashDedupPairs(docs, "doc_id", "text", N, Threshold, K, Bands)
+      .write.parquet(pairsPath(sfDir))
+    // components over the PERSISTED pairs (read back, not the live
+    // subtree: the iterative label propagation would otherwise re-run
+    // the whole MinHash machinery once per round)
+    val edges = s.read.parquet(pairsPath(sfDir))
+      .select(col("doc_i").as("src"), col("doc_j").as("dst"))
+    Components.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+      .write.parquet(clustersPath(sfDir))
+    // the hot-shingle-cut exact-Jaccard pair set — q53's operator output
+    Dedup.exactJaccardPairs(docs, "doc_id", "text", N, Threshold,
+        maxShingleFreq = MaxShingleFreq)
+      .write.parquet(cutPairsPath(sfDir))
+
+    val out = fs.create(meta, true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Verified near-dup pairs (doc_i, doc_j), doc_i < doc_j. */
+  def minHashPairs(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(pairsPath(sfDir))
+  }
+
+  /** Cluster assignment (doc_id, cluster_rep); every document appears,
+    * singletons map to themselves. */
+  def clusters(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(clustersPath(sfDir))
+  }
+
+  /** Hot-shingle-cut exact-Jaccard pairs (doc_i, doc_j), doc_i < doc_j. */
+  def cutPairs(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(cutPairsPath(sfDir))
+  }
+}
