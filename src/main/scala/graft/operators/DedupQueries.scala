@@ -446,16 +446,27 @@ object DedupQueries extends QueryModule {
     * are integer-exact; Jaccard is the caller's division (sizes ride
     * along).
     *
+    * The q53 hot-shingle cut IS APPLIED, as part of the operator's
+    * semantics (mirrored in the oracle, like q63's MOSS `-m` cut):
+    * shingles in more than [[MaxShingleFreq]] documents are boilerplate
+    * — a shingle in EVERY source contributes the complete |sources|²
+    * matrix and no discriminating information, and each hot shingle
+    * costs its own |sources having it|² join rows. Cutting before the
+    * self-join bounds the quadratic step by the df cut; the overlap
+    * counts are then over the INFORMATIVE shared content, which is the
+    * number domain grouping actually wants.
+    *
     * Scale shape: distinct (source, shingle) is one shingle-keyed
     * aggregate; the pair counts come from the inverted-index self-join
-    * on the shingle, whose fan-out per shingle is bounded by
-    * |sources|² — not corpus size. At real scale the q53 hot-shingle
-    * cut applies first (a shingle in EVERY source contributes the
-    * complete matrix and no information). */
+    * on the below-cut shingles, whose fan-out per shingle is bounded by
+    * |sources|² — not corpus size. */
   private def q105SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val meta = docs.select(col("doc_id"), col("source"))
-    val sv = Dedup.shingleTable(docs, "doc_id", "text", N)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", N)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleFreq).select("sh")
+    val sv = sh.join(hot, Seq("sh"), "left_anti")
       .join(broadcast(meta), "doc_id")
       .select(col("source"), col("sh")).distinct()
     val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
@@ -471,18 +482,22 @@ object DedupQueries extends QueryModule {
         col("n_a"), col("n_b"))
   }
 
+  // MaxShingleFreq interpolated — one source of truth for the cut on
+  // both engines (the MaxFpFreq lesson)
   private val q105Sql =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id,
-      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS t
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, UNNEST(LIST_DISTINCT(
       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)])) AS g
       |  FROM toks WHERE LEN(t) >= 3),
+      |hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > $MaxShingleFreq),
+      |shc AS (SELECT doc_id, g FROM sh ANTI JOIN hot USING (g)),
       |sv AS (
       |  SELECT DISTINCT d.source, s.g
-      |  FROM sh s JOIN documents d USING (doc_id)),
+      |  FROM shc s JOIN documents d USING (doc_id)),
       |sizes AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY 1)
       |SELECT a.source AS source_a, b.source AS source_b,
       |  CAST(COUNT(*) AS BIGINT) AS n_common,

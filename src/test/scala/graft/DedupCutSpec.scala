@@ -41,6 +41,41 @@ class DedupCutSpec extends AnyFunSuite {
     }
   }
 
+  test("q105's cut preserves the source-pair set and bounds the join input (sf0.1)") {
+    // the cut drops boilerplate shingles from every source's set, so
+    // n_common shrinks — but WHICH site pairs share content (the
+    // grouping signal) must survive: every source pair sharing any
+    // shingle still shares a below-cut one on this corpus. sf0.1 is the
+    // scale with actual hot shingles (59 with df > 20; sf0.01 has none,
+    // so the cut is vacuous there and the oracle gate covers it).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val meta = docs.select(col("doc_id"), col("source"))
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", N)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DedupQueries.MaxShingleFreq).select("sh")
+    def sourcePairs(shingles: DataFrame): Set[(String, String)] = {
+      val sv = shingles.join(meta, "doc_id")
+        .select(col("source"), col("sh")).distinct()
+      sv.select(col("source").as("a"), col("sh"))
+        .join(sv.select(col("source").as("b"), col("sh")), "sh")
+        .filter(col("a") < col("b")).select("a", "b").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    val cutSh = sh.join(hot, Seq("sh"), "left_anti")
+    val uncutPairs = sourcePairs(sh)
+    val cutPairs = sourcePairs(cutSh)
+    assert(cutPairs == uncutPairs,
+      s"cut lost source pairs: ${uncutPairs -- cutPairs}")
+    // and the scale point: the cut strictly shrinks the distinct
+    // (source, shingle) join input the quadratic step runs on
+    val uncutRows = sh.join(meta, "doc_id")
+      .select("source", "sh").distinct().count()
+    val cutRows = cutSh.join(meta, "doc_id")
+      .select("source", "sh").distinct().count()
+    assert(cutRows < uncutRows,
+      s"cut removed nothing: $cutRows vs $uncutRows join-input rows")
+  }
+
   test("every true pair shares a below-cut shingle, with margin (sf0.01)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val sh = Dedup.shingleTable(docs, "doc_id", "text", N)
