@@ -156,6 +156,12 @@ object Bench {
         }
       }
     } else results
+    // ET-parity pruning observability (SURVEY §4 R10): the aggregate of
+    // every index-pruned scan's bytes-before/after and prune time across
+    // the run — the reference's getSplits log line, rolled up. Goes to
+    // stderr so stdout stays the one parsed JSON line.
+    graft.query.PruneStats.summaryLine().foreach(l =>
+      System.err.println(s"[bench-prune] $l"))
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // 3-decimal times: ms resolution is below this box's noise floor and
     // the full line must approach the consumer's 2,000-char tail window

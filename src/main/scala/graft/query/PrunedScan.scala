@@ -21,6 +21,43 @@ final case class PruneReport(
     else totalBytes.toDouble / selectedBytes
 }
 
+/** Process-wide pruning telemetry: every pruning decision records its
+  * [[PruneReport]] here, and a harness (Bench) can emit one aggregate
+  * line per run — the reference's headline observability
+  * (`BlockIndexedFileInputFormat.java:179-185` logs splits/bytes
+  * before/after and elapsed pruning time per job; this is the per-run
+  * rollup of the same counters). Bounded state: four longs and a
+  * counter, never the report list itself. */
+object PruneStats {
+  private val lock = new Object
+  private var nScans = 0L
+  private var bytesTotal = 0L
+  private var bytesRead = 0L
+  private var pruneMs = 0L
+
+  private[query] def record(r: PruneReport): Unit = lock.synchronized {
+    nScans += 1
+    bytesTotal += r.totalBytes
+    bytesRead += r.selectedBytes
+    pruneMs += r.pruneTimeMs
+  }
+
+  def reset(): Unit = lock.synchronized {
+    nScans = 0; bytesTotal = 0; bytesRead = 0; pruneMs = 0
+  }
+
+  /** One compact JSON-ish summary, or None when no pruned scan ran. */
+  def summaryLine(): Option[String] = lock.synchronized {
+    if (nScans == 0) None
+    else {
+      val ratio =
+        if (bytesRead == 0) Double.PositiveInfinity
+        else bytesTotal.toDouble / bytesRead
+      Some(f"""{"pruned_scans":$nScans,"bytes_before":$bytesTotal,"bytes_after":$bytesRead,"skip_ratio":$ratio%.2f,"prune_ms":$pruneMs}""")
+    }
+  }
+}
+
 /** Index-consulting scan pruning — the Spark rebuild of the reference's
   * `getSplits` (`retrieval/BlockIndexedFileInputFormat.java:110-187`):
   * evaluate an EQ/AND/OR tree bottom-up over the sparse index
@@ -230,6 +267,7 @@ object PrunedScanner extends Logging {
         s"files ${report.selectedFiles}+${report.fallbackFiles}fallback/${report.totalFiles}, " +
         s"bytes ${report.selectedBytes}/${report.totalBytes} " +
         s"(ratio ${report.bytesRatio}), ${report.pruneTimeMs} ms")
+      PruneStats.record(report)
       (selected.map(_.path), fallback.map(_.path), report)
     }
   }

@@ -23,6 +23,23 @@ class ScanMetricsSpec extends AnyFunSuite {
 
   private val work = s"/root/repo/target/test_metrics_${System.nanoTime()}"
 
+  test("PruneStats aggregates pruning reports into one summary line") {
+    graft.query.PruneStats.reset()
+    assert(graft.query.PruneStats.summaryLine().isEmpty,
+      "no line before any pruned scan")
+    // q16 goes through PrunedScanner.selectFilesDetailed, which records
+    // its PruneReport into the process-wide stats
+    SparkEntry.queries("q16_idx_eq")(spark, "/root/testdata/sf0.001").count()
+    val line = graft.query.PruneStats.summaryLine()
+    assert(line.isDefined, "pruned scan recorded nothing")
+    assert(line.get.contains("\"pruned_scans\":") &&
+      line.get.contains("\"bytes_before\":") &&
+      line.get.contains("\"bytes_after\":") &&
+      line.get.contains("\"prune_ms\":"), line.get)
+    graft.query.PruneStats.reset()
+    assert(graft.query.PruneStats.summaryLine().isEmpty)
+  }
+
   test("observed scan reports scanned and qualified row counts") {
     ScanMetrics.register(spark)
     val events = Tables.events(spark, "/root/testdata/sf0.001")
