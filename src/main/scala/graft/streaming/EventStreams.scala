@@ -10,6 +10,9 @@ final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
 final case class UserSession(user_id: Long, n_events: Long,
     total_value: Double, first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
 
+final case class KeptEvent(event_id: Long, user_id: Long,
+    event_type: String, ts: java.sql.Timestamp)
+
 /** Structured Streaming surface over the `events` table shape: windowed
   * aggregation with watermarked late-data handling, and custom
   * sessionization state via `flatMapGroupsWithState` — the streaming
@@ -72,6 +75,56 @@ object EventStreams {
             }
             Iterator.empty
           }
+      }
+  }
+
+  /** 1-hour tumbling windows per event type — the STREAMING side of
+    * q138's batch grid (same window width, same output shape), with a
+    * watermark bounding state: closed windows emit once and their state
+    * drops; late rows beyond the watermark are discarded. Append-mode
+    * output is therefore exactly the batch aggregate restricted to
+    * windows the watermark has closed — the stream ≡ batch equivalence
+    * StreamingOpsSpec pins. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** TIME-HORIZON DEBOUNCE — the STREAMING side of q131's batch rule:
+    * an event is kept iff the previous occurrence of the same
+    * (user, type) is more than `horizonUs` older (or absent). State per
+    * key is ONE long (the last occurrence's epoch-micros), matching the
+    * batch LAG-against-previous-occurrence semantics — not
+    * previous-KEPT, which would be a different (sequential) rule.
+    *
+    * Within each micro-batch the group's rows sort by (event time,
+    * event_id) — the batch window's ORDER BY — so ties are broken
+    * identically; across batches the single-long state carries the
+    * chain. Contract: batches arrive event-time ordered per key (true
+    * for replay/backfill sources; a production deployment adds a
+    * watermark-delay buffer ahead of this stage for out-of-order
+    * arrivals). */
+  def debounce(events: Dataset[EventRow], horizonUs: Long): Dataset[KeptEvent] = {
+    import events.sparkSession.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+    events.groupByKey(r => (r.user_id, r.event_type))
+      .flatMapGroupsWithState[Long, KeptEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((_, _), rows, state) =>
+          val sorted = rows.toArray.sortBy(r => (micros(r.ts), r.event_id))
+          var prev = state.getOption
+          val kept = Vector.newBuilder[KeptEvent]
+          sorted.foreach { r =>
+            val us = micros(r.ts)
+            if (prev.forall(p => us - p > horizonUs))
+              kept += KeptEvent(r.event_id, r.user_id, r.event_type, r.ts)
+            prev = Some(us)
+          }
+          prev.foreach(state.update)
+          kept.result().iterator
       }
   }
 

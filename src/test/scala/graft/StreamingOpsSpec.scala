@@ -134,6 +134,75 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(saltedAgg == plainAgg)
   }
 
+  test("streaming tumbling counts equal q138's batch grid for closed windows") {
+    import spark.implicits._
+    val src = s"$work/tumbling"
+    Tables.events(spark, "/root/testdata/sf0.001").write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out")
+      .option("checkpointLocation", s"$work/tumbling_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("tumbling_out")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // the batch twin is the REGISTERED q138 — stream vs the exact
+    // oracle-gated operator, not a re-statement of it
+    val batch = SparkEntry.queries("q138_tumbling_window")(
+        spark, "/root/testdata/sf0.001")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch),
+      s"streamed windows disagree with batch: ${(streamed -- batch).take(3)}")
+    // only windows still open at end-of-stream may be missing
+    assert(streamed.size >= batch.size - 15,
+      s"too few closed windows: ${streamed.size} of ${batch.size}")
+  }
+
+  test("streaming debounce keeps exactly the events q131's batch rule keeps") {
+    import spark.implicits._
+    val src = s"$work/debounce"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    events.write.parquet(src)
+    val horizonUs = 3600L * 1000000L // q131's 1-hour horizon
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+      .as[EventRow]
+    val q = EventStreams.debounce(stream, horizonUs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("debounce_out")
+      .option("checkpointLocation", s"$work/debounce_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // per-type kept counts from the stream vs the REGISTERED q131
+    val streamed = spark.table("debounce_out")
+      .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+      .as[(String, Long)].collect().toMap
+    val batch = SparkEntry.queries("q131_horizon_dedup")(
+        spark, "/root/testdata/sf0.001")
+      .select("event_type", "n_kept")
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch,
+      s"stream/batch debounce disagree: stream=$streamed batch=$batch")
+    // and the row-level identity, not just counts: streamed kept ids ==
+    // the batch LAG rule applied to the same data
+    val keptIds = spark.table("debounce_out")
+      .select("event_id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val batchIds = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > horizonUs)
+      .select("event_id").as[Long].collect().toSet
+    assert(keptIds == batchIds)
+  }
+
   test("streaming dedup keeps one row per digest within the watermark") {
     import spark.implicits._
     val src = s"$work/dedup_docs"
