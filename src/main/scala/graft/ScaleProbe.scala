@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale-up evidence for the heavy-tail dedup queries.
+  * Builds a `factor`x corpus by self-unioning the source documents
+  * table with re-keyed doc_ids (id + i*10^8 per copy — disjoint id
+  * ranges, so every original doc gains `factor`-1 exact copies plus the
+  * original near-dup structure replicated per copy), then times the
+  * named queries against it cold (first run in the dir — includes any
+  * one-time artifact build, the honest per-corpus cost) and warm.
+  *
+  * `runMain graft.ScaleProbe 10 /root/testdata/sf0.1 q122_dup_degree_hist,...`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 10
+    val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val names: Seq[String] =
+      if (args.length > 2) args(2).split(',').toSeq
+      else Seq("q27_dedup_simhash", "q49_dedup_clusters", "q63_dedup_winnow",
+        "q100_dedup_funnel", "q122_dup_degree_hist")
+    val outDir = s"/root/repo/target/scale$factor"
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dest = new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) {
+      val docs = Tables.documents(spark, srcDir)
+      (0 until factor)
+        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .write.parquet(dest.toString)
+    }
+    val n = spark.read.parquet(dest.toString).count()
+    println(s"[scale] corpus: $n docs (${factor}x of $srcDir)")
+
+    names.foreach { name =>
+      // `simhash_h3` probes the q27 machinery at the PRODUCTION hamming
+      // budget (Manku et al. run <= 3 at web scale): same code, the
+      // knob the 100 TB deployment would set — wide bands, 2^16-value
+      // buckets, near-linear candidate volume (vs the test suite's
+      // maxHamming=10, whose O(n^2/50) candidate stream is documented
+      // as inherent to that budget).
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name == "simhash_h3")
+          (s, d) => graft.dedup.Dedup.simHashDedupPairs(
+            Tables.documents(s, d), "doc_id", "text", n = 3,
+            threshold = 0.8, maxHamming = 3)
+        else SparkEntry.queries(name)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, outDir).count()
+        val label = if (i == 1) "cold" else "warm"
+        println(f"[scale] $name $label: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$rows")
+      }
+    }
+    spark.stop()
+  }
+}
