@@ -463,7 +463,11 @@ object DedupQueries extends QueryModule {
   private def q105SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val meta = docs.select(col("doc_id"), col("source"))
+    // materialized: the df aggregate AND the anti-join both consume the
+    // shingle table — without this the tokenize+hash pipeline runs
+    // twice (measured 4.4 s vs 2.6 s at sf0.1)
     val sh = Dedup.shingleTable(docs, "doc_id", "text", N)
+      .localCheckpoint(eager = false)
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleFreq).select("sh")
     val sv = sh.join(hot, Seq("sh"), "left_anti")
