@@ -793,8 +793,53 @@ object DedupQueries extends QueryModule {
        |SELECT CAST(degree AS BIGINT), CAST(n_docs AS BIGINT) FROM zero
        |WHERE n_docs > 0""".stripMargin
 
+  /** PER-SOURCE DEDUP RATE — the funnel (q100) broken out by source:
+    * how many of each source's documents survive the exact stage and
+    * the near-dup stage (q100's composed rule: cluster representatives
+    * ∩ exact canonicals, so the per-source numbers sum to the global
+    * funnel's totals). The report that decides which crawls/feeds are
+    * mostly re-crawl noise (low exact survival), which are syndication
+    * sinks (low near-dup survival), and which deliver unique text —
+    * the per-provider quality sheet every corpus ingest publishes.
+    *
+    * Scale shape: the exact stage is the digest hash-agg; the near-dup
+    * stage reads the persisted cluster artifact; attribution is two
+    * id-keyed left joins of indicator columns onto the (doc_id, source)
+    * projection, rolled up into |sources| groups with map-side
+    * partials. */
+  private def q140DedupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = docs.groupBy(md5(col("text")).as("dg"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+      .localCheckpoint(eager = true)   // read by the nd stage AND the join below
+    val nd = DedupArtifacts.clusters(s, dir)
+      .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
+      .join(exact, Seq("doc_id"), "left_semi")
+    docs.select("doc_id", "source")
+      .join(exact.withColumn("is_ex", lit(1L)), Seq("doc_id"), "left")
+      .join(nd.withColumn("is_nd", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_ex"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("is_nd"), lit(0L))).as("n_neardup"))
+  }
+
+  private val q140Sql = closureCte + """,
+      |comp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
+      |nd AS (SELECT c.doc_id FROM comp c JOIN ex USING (doc_id)
+      |       WHERE c.doc_id = c.rep)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(ex.doc_id) AS BIGINT) AS n_exact,
+      |  CAST(COUNT(nd.doc_id) AS BIGINT) AS n_neardup
+      |FROM documents d
+      |LEFT JOIN ex ON ex.doc_id = d.doc_id
+      |LEFT JOIN nd ON nd.doc_id = d.doc_id
+      |GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
+    Q("q140_dedup_rate_by_source", q140DedupRateBySource, Some(q140Sql)),
     Q("q122_dup_degree_hist", q122DupDegreeHist, Some(q122Sql)),
     Q("q106_dup_substring", q106DupSubstring, Some(q106Sql)),
     Q("q109_incr_dedup", q109IncrementalDedup, Some(q109Sql)),

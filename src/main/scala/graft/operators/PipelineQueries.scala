@@ -1019,7 +1019,41 @@ object PipelineQueries extends QueryModule {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents, b WHERE n_chars IS NOT NULL GROUP BY 1""".stripMargin
 
+  /** SEQUENCE-LENGTH HISTOGRAM, power-of-2 buckets — the packing-design
+    * input q68/q88 consume: how document token lengths distribute
+    * across log2 buckets (bucket k holds lengths in [2^k, 2^(k+1))),
+    * with doc counts and token mass per bucket. The mass column is what
+    * sets the context-length/packing trade-off: a corpus whose token
+    * mass sits in bucket 10 (1-2k tokens) packs 4k contexts very
+    * differently from one massed in bucket 6.
+    *
+    * The bucket is INTEGER-exact on both engines: len(bin(n)) - 1 is
+    * floor(log2(n)) computed on the binary string, immune to the
+    * floating log2 rounding that misbuckets exact powers of two.
+    *
+    * Scale shape: map-only tokenize + projection into a ≤64-group
+    * pre-combined aggregate — one shuffle of ≤64 rows per partition. */
+  private def q141LenHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+
+  private val q141Sql =
+    """WITH toks AS (
+      |  SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+      |                     x -> LEN(x) > 0) AS t
+      |  FROM documents),
+      |n AS (SELECT CAST(LEN(t) AS BIGINT) AS n FROM toks WHERE LEN(t) >= 1)
+      |SELECT CAST(LEN(BIN(n)) - 1 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens
+      |FROM n GROUP BY 1""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q141_len_histogram", q141LenHistogram, Some(q141Sql)),
     Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),
     Q("q107_hash_classifier", q107HashClassifier, Some(q107Sql)),
     Q("q108_range_shards", q108RangeShards, Some(q108Sql)),
