@@ -45,4 +45,62 @@ object Layout {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Bump when the persisted-layout contract changes. */
+  private val LayoutVersion = 1
+
+  /** Idempotent ACROSS SESSIONS: write the bucketed table once per
+    * (source fingerprint, bucket spec); later sessions RE-DECLARE the
+    * catalog entry over the existing files instead of rewriting them —
+    * `CREATE TABLE ... USING PARQUET CLUSTERED BY ... LOCATION` trusts
+    * the bucket ids Spark encoded in the file names, which is exactly
+    * how a metastore-backed warehouse resumes (the in-memory catalog
+    * here dies with the JVM; the directory is the durable artifact).
+    * This is the ingest-pays-once economics the bucketed-join strategy
+    * claims: without it every new session re-paid the partitioned
+    * write.
+    *
+    * `sourceFp` fingerprints the INPUT data (caller-provided, e.g.
+    * length+mtime of the source parquet); a mismatch — or a partial
+    * write (missing meta) — drops and rewrites. The meta file lives
+    * inside the table directory under an underscore name, which parquet
+    * readers ignore. */
+  def ensureBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int,
+      sourceFp: String): Unit = synchronized {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) return // same-session reuse
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(loc, "_GRAFT_LAYOUT")
+    val fp = s"v$LayoutVersion:$bucketCol:$buckets:$sourceFp"
+    val fresh = fs.exists(meta) && {
+      val in = fs.open(meta)
+      try scala.io.Source.fromInputStream(in).mkString.trim == fp
+      finally in.close()
+    }
+    if (fresh) {
+      spark.sql(
+        s"""CREATE TABLE `$table` (${df.schema.toDDL})
+           |USING PARQUET
+           |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
+           |INTO $buckets BUCKETS
+           |LOCATION '${loc.toString}'""".stripMargin)
+    } else {
+      writeBucketed(df, table, bucketCol, buckets)
+      val out = fs.create(meta, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** length:mtime fingerprint of source paths, for [[ensureBucketed]]. */
+  def sourceFingerprint(spark: SparkSession, paths: String*): String =
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val st = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp)
+      s"${st.getLen}:${st.getModificationTime}"
+    }.mkString(",")
 }

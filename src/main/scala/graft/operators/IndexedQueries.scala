@@ -211,13 +211,19 @@ object IndexedQueries extends QueryModule {
     val sfName = new java.io.File(dir).getName
     val lT = s"q99_lineitem_${sfName.replace('.', '_')}"
     val oT = s"q99_orders_${sfName.replace('.', '_')}"
-    graft.build.Layout.writeBucketed(
+    // write once per (source, bucket spec) — later sessions re-declare
+    // the catalog entry over the files instead of re-paying the
+    // partitioned write (the claimed ingest-pays-once economics; the
+    // earlier writeBucketed call rewrote the layout per invocation)
+    val fpL = graft.build.Layout.sourceFingerprint(s, s"$dir/lineitem.parquet")
+    val fpO = graft.build.Layout.sourceFingerprint(s, s"$dir/orders.parquet")
+    graft.build.Layout.ensureBucketed(
       Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
-      lT, "l_orderkey", 8)
-    graft.build.Layout.writeBucketed(
+      lT, "l_orderkey", 8, fpL)
+    graft.build.Layout.ensureBucketed(
       Tables.orders(s, dir)
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
-      oT, "l_orderkey", 8)
+      oT, "l_orderkey", 8, fpO)
     graft.build.Layout.read(s, lT)
       .join(graft.build.Layout.read(s, oT), "l_orderkey")
       .groupBy("o_custkey")

@@ -64,4 +64,45 @@ class BucketingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!aggPlan.contains("Exchange"), aggPlan)
   }
+
+  test("re-declaring a bucketed table over existing files keeps content and bucketing") {
+    // the ensureBucketed cross-session path: a new JVM's catalog has
+    // forgotten the table but the directory survives — CREATE TABLE ...
+    // CLUSTERED BY ... LOCATION re-attaches it, trusting the bucket ids
+    // Spark encoded in the file names. Simulated here by declaring a
+    // second catalog entry over the first table's location.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val src = s"b_src_${System.nanoTime()}"
+      val redecl = s"b_redecl_${System.nanoTime()}"
+      val events = Tables.events(spark, "/root/testdata/sf0.001")
+        .select("event_id", "user_id", "event_type", "value")
+      Layout.writeBucketed(events, src, "user_id", 4)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), src.toLowerCase)
+      spark.sql(
+        s"""CREATE TABLE `$redecl` (${events.schema.toDDL})
+           |USING PARQUET
+           |CLUSTERED BY (`user_id`) SORTED BY (`user_id`)
+           |INTO 4 BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      import spark.implicits._
+      val a = Layout.read(spark, src)
+        .as[(Long, Long, String, Double)].collect().toSet
+      val b = Layout.read(spark, redecl)
+        .as[(Long, Long, String, Double)].collect().toSet
+      assert(a == b, "re-declared table content diverged")
+      // and the re-declared entry still joins exchange-free
+      val users = Layout.read(spark, redecl).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      Layout.writeBucketed(users, s"${redecl}_u", "user_id", 4)
+      val j = Layout.read(spark, redecl)
+        .join(Layout.read(spark, s"${redecl}_u"), "user_id")
+      j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-declared bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
