@@ -470,9 +470,13 @@ object DedupQueries extends QueryModule {
       .localCheckpoint(eager = false)
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleFreq).select("sh")
+    // sv is consumed THREE times (both self-join sides + sizes) and
+    // each recompute would re-run the hot aggregate and the anti-join —
+    // materialize it once too
     val sv = sh.join(hot, Seq("sh"), "left_anti")
       .join(broadcast(meta), "doc_id")
       .select(col("source"), col("sh")).distinct()
+      .localCheckpoint(eager = false)
     val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
     sv.select(col("source").as("source_a"), col("sh"))
       .join(sv.select(col("source").as("source_b"), col("sh")), "sh")
