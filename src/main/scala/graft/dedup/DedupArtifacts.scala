@@ -56,6 +56,7 @@ object DedupArtifacts {
   val K = 32             // MinHash signature width
   val Bands = 16         // LSH bands (rows-per-band = K / Bands)
   val MaxShingleFreq = 20L // hot-shingle cut for the exact-Jaccard path
+  val SemThreshold = 0.45  // embedding-cosine near-dup bar (q28's)
 
   /** Bump when pair/cluster semantics change: stale artifact trees from
     * an older layout then rebuild instead of being served. */
@@ -69,16 +70,33 @@ object DedupArtifacts {
   private def clustersPath(sfDir: String) = s"${root(sfDir)}/clusters"
   private def cutPairsPath(sfDir: String) = s"${root(sfDir)}/cut_pairs"
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
+  private def semPairsPath(sfDir: String) = s"${root(sfDir)}/sem_pairs"
+  private def semMetaPath(sfDir: String) = s"${root(sfDir)}/_META_SEM"
 
-  /** Source fingerprint: length + mtime of documents.parquet. Cheap
+  /** Source fingerprint: length + mtime of the source table. Cheap
     * (one namenode stat), catches regenerated testdata and partial
     * copies; content hashing would re-read the corpus and defeat the
     * artifact's purpose. */
-  private def fingerprint(s: SparkSession, sfDir: String): String = {
-    val p = new Path(s"$sfDir/documents.parquet")
+  private def fingerprint(s: SparkSession, sfDir: String,
+      table: String = "documents"): String = {
+    val p = new Path(s"$sfDir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     s"v$Version:${st.getLen}:${st.getModificationTime}"
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem, meta: Path): Option[String] =
+    if (!fs.exists(meta)) None
+    else {
+      val in = fs.open(meta)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+      finally in.close()
+    }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, meta: Path, fp: String): Unit = {
+    val out = fs.create(meta, true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Idempotent build: a matching meta fingerprint is a no-op; anything
@@ -89,12 +107,10 @@ object DedupArtifacts {
     val rootPath = new Path(root(sfDir))
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val meta = new Path(metaPath(sfDir))
-    val fresh = fs.exists(meta) && {
-      val in = fs.open(meta)
-      try scala.io.Source.fromInputStream(in).mkString.trim == fp
-      finally in.close()
-    }
-    if (fresh) return
+    if (readMeta(fs, meta).contains(fp)) return
+    // stale/partial: rebuild the document-derived artifacts (the sem
+    // artifact has its own meta and source; clear it too only if the
+    // whole root goes)
     if (fs.exists(rootPath)) fs.delete(rootPath, true)
 
     val docs = Tables.documents(s, sfDir)
@@ -114,9 +130,25 @@ object DedupArtifacts {
         maxShingleFreq = MaxShingleFreq)
       .write.parquet(cutPairsPath(sfDir))
 
-    val out = fs.create(meta, true)
-    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeMeta(fs, meta, fp)
+  }
+
+  /** Build the embedding-cosine near-dup pair artifact (the q28 exact
+    * operator's output at [[SemThreshold]]) — its own meta keyed on the
+    * EMBEDDINGS table, so a re-embedded corpus rebuilds it without
+    * touching the text-derived artifacts and vice versa. */
+  private def prepareSem(s: SparkSession, sfDir: String): Unit = synchronized {
+    val fp = fingerprint(s, sfDir, table = "embeddings")
+    val fs = new Path(root(sfDir))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val meta = new Path(semMetaPath(sfDir))
+    if (readMeta(fs, meta).contains(fp)) return
+    val dir = new Path(semPairsPath(sfDir))
+    if (fs.exists(dir)) fs.delete(dir, true)
+    graft.similarity.Ann
+      .cosineNearDupPairs(graft.Tables.embeddings(s, sfDir), SemThreshold)
+      .write.parquet(dir.toString)
+    writeMeta(fs, meta, fp)
   }
 
   /** Verified near-dup pairs (doc_i, doc_j), doc_i < doc_j. */
@@ -136,5 +168,11 @@ object DedupArtifacts {
   def cutPairs(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(cutPairsPath(sfDir))
+  }
+
+  /** Embedding-cosine near-dup pairs (id_i, id_j), id_i < id_j. */
+  def semPairs(s: SparkSession, sfDir: String): DataFrame = {
+    prepareSem(s, sfDir)
+    s.read.parquet(semPairsPath(sfDir))
   }
 }

@@ -347,16 +347,17 @@ object DedupQueries extends QueryModule {
     * paraphrase-like mass that no n-gram dedup will ever catch — the
     * number that justifies running the semantic pass at all.
     *
-    * Scale shape: both inputs are bounded dedup OUTPUTS (pair lists,
-    * not corpora); the full-outer join keys on the pair and the rollup
-    * is three groups. The heavy lifting happens inside the two
-    * already-verified operators with their own 100 TB shapes. */
+    * Scale shape: both inputs are PERSISTED dedup artifacts (pair
+    * lists, not corpora — [[DedupArtifacts.minHashPairs]] and
+    * [[DedupArtifacts.semPairs]]); the full-outer join keys on the pair
+    * and the rollup is three groups. The heavy lifting happened once at
+    * ingest inside the two already-verified operators with their own
+    * 100 TB shapes. */
   private def q93DedupAgreement(s: SparkSession, dir: String): DataFrame = {
     val lex = DedupArtifacts.minHashPairs(s, dir)   // persisted q25 pairs
       .select(col("doc_i").as("id_i"), col("doc_j").as("id_j"),
         lit(1).as("lex"))
-    val sem = graft.similarity.Ann
-      .cosineNearDupPairs(Tables.embeddings(s, dir), SemThreshold)
+    val sem = DedupArtifacts.semPairs(s, dir)       // persisted q28 pairs
       .withColumn("sem", lit(1))
     lex.join(sem, Seq("id_i", "id_j"), "full_outer")
       .select(when(col("lex").isNotNull && col("sem").isNotNull, "both")
@@ -365,7 +366,7 @@ object DedupQueries extends QueryModule {
       .groupBy("agreement").agg(count(lit(1)).as("n_pairs"))
   }
 
-  private val SemThreshold = 0.45 // q28's embedding near-dup threshold
+  private val SemThreshold = DedupArtifacts.SemThreshold // q28's threshold
 
   private val q93Sql = pairsCte + s""",
       |sem AS (

@@ -65,6 +65,18 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(art == fresh)
   }
 
+  test("persisted sem pairs equal the from-scratch q28 operator output") {
+    import spark.implicits._
+    val art = DedupArtifacts.semPairs(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val fresh = graft.similarity.Ann
+      .cosineNearDupPairs(Tables.embeddings(spark, sfDir),
+        DedupArtifacts.SemThreshold)
+      .as[(Long, Long)].collect().toSet
+    assert(art == fresh)
+    assert(art.nonEmpty)
+  }
+
   test("prepare is an idempotent no-op while the source is unchanged") {
     DedupArtifacts.prepare(spark, sfDir)
     val t0 = System.nanoTime()
