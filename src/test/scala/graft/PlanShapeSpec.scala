@@ -622,4 +622,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-source totals must broadcast onto the histogram:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no shuffle join at histogram size:\n$p")
   }
+
+  test("dedup-QC reports read the persisted artifacts, never rebuild the machinery") {
+    // the ingest-pays-once contract at plan level: a report's plan scans
+    // the artifact parquet — no shingle hashing (xxhash64), no MinHash
+    // aggregate, no pointer-jumping joins anywhere in it
+    for (q <- Seq("q122_dup_degree_hist", "q85_syndication",
+        "q117_quality_canonical", "q93_dedup_agreement")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      // q122 materializes the artifact-derived histogram at build time
+      // (eager checkpoint), so its final plan shows the checkpointed
+      // ExistingRDD rather than the artifact FileScan itself
+      assert(p.contains("graft_dedup") || p.contains("ExistingRDD"),
+        s"$q must consume the persisted artifact:\n$p")
+      assert(!p.contains("xxhash64"),
+        s"$q must not re-hash shingles per report:\n$p")
+    }
+  }
 }
