@@ -378,6 +378,26 @@ object Dedup {
     verifyPairs(crossCandidates(sh, probeMax, k, bands), sh, threshold)
   }
 
+  /** [[minHashCrossPairs]] with an arbitrary probe predicate over the
+    * id column (the mod-based batch rules q109/q142 use) instead of an
+    * id threshold. Same asymmetric scale shape: the probe side's banded
+    * buckets broadcast, the corpus side never shuffles for candidate
+    * generation. Output normalized to doc_i < doc_j. */
+  def minHashCrossPairsWhere(
+      docs: DataFrame, idCol: String, textCol: String,
+      isProbe: org.apache.spark.sql.Column,
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sh = mat(shingleTable(docs, idCol, textCol, n))
+    val banded = mat(bandedBuckets(minHashSignatures(sh, k), bands, k / bands))
+    val cand = broadcast(banded.filter(isProbe)).as("a")
+      .join(banded.filter(!isProbe).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_j"))
+    verifyPairs(cand, sh, threshold)
+  }
+
   /** The candidate stage of [[minHashCrossPairs]], package-visible so
     * its plan shape (hint-forced broadcast of the probe side) can be
     * asserted directly — in the full query it sits behind the banded

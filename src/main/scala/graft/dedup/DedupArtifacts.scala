@@ -58,9 +58,19 @@ object DedupArtifacts {
   val MaxShingleFreq = 20L // hot-shingle cut for the exact-Jaccard path
   val SemThreshold = 0.45  // embedding-cosine near-dup bar (q28's)
 
+  /** The deterministic base/delta batch split for the incremental-
+    * maintenance demos (q142): docs with id ≡ DeltaRem (mod DeltaMod)
+    * are "today's batch", the rest are the already-ingested base whose
+    * cluster assignment is persisted — in production the split is the
+    * ingest date; a stated id rule lets both engines construct the
+    * same batches. */
+  val DeltaMod = 7L
+  val DeltaRem = 6L
+
   /** Bump when pair/cluster semantics change: stale artifact trees from
-    * an older layout then rebuild instead of being served. */
-  private[graft] val Version = 1
+    * an older layout then rebuild instead of being served.
+    * v2: + base_clusters (the q142 incremental-maintenance base). */
+  private[graft] val Version = 2
 
   private def root(sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
@@ -72,6 +82,7 @@ object DedupArtifacts {
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
   private def semPairsPath(sfDir: String) = s"${root(sfDir)}/sem_pairs"
   private def semMetaPath(sfDir: String) = s"${root(sfDir)}/_META_SEM"
+  private def baseClustersPath(sfDir: String) = s"${root(sfDir)}/base_clusters"
 
   /** Source fingerprint: length + mtime of the source table. Cheap
     * (one namenode stat), catches regenerated testdata and partial
@@ -129,6 +140,18 @@ object DedupArtifacts {
     Dedup.exactJaccardPairs(docs, "doc_id", "text", N, Threshold,
         maxShingleFreq = MaxShingleFreq)
       .write.parquet(cutPairsPath(sfDir))
+    // "yesterday's run" for the incremental-maintenance demo (q142):
+    // the cluster assignment over the BASE subset only, from the
+    // base-internal pair set — what a dated production run would have
+    // persisted before today's delta arrived
+    val base = docs.filter(col("doc_id") % DeltaMod =!= DeltaRem)
+    val basePairs = Dedup.minHashDedupPairs(base, "doc_id", "text",
+      N, Threshold, K, Bands)
+    Components.connectedComponents(
+        base.select(col("doc_id").as("id")),
+        basePairs.select(col("doc_i").as("src"), col("doc_j").as("dst")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+      .write.parquet(baseClustersPath(sfDir))
 
     writeMeta(fs, meta, fp)
   }
@@ -174,5 +197,12 @@ object DedupArtifacts {
   def semPairs(s: SparkSession, sfDir: String): DataFrame = {
     prepareSem(s, sfDir)
     s.read.parquet(semPairsPath(sfDir))
+  }
+
+  /** The base subset's cluster assignment (doc_id, cluster_rep) — the
+    * persisted state q142's incremental merge starts from. */
+  def baseClusters(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(baseClustersPath(sfDir))
   }
 }

@@ -842,8 +842,49 @@ object DedupQueries extends QueryModule {
       |LEFT JOIN nd ON nd.doc_id = d.doc_id
       |GROUP BY 1""".stripMargin
 
+  /** INCREMENTAL CLUSTER MAINTENANCE — merge today's delta batch into
+    * yesterday's PERSISTED cluster assignment without reprocessing the
+    * base corpus: the 100 TB dedup operation as it actually runs in
+    * production (a full-history components recompute per ingest is the
+    * thing no pipeline can afford). The delta rule is the stated
+    * [[DedupArtifacts.DeltaMod]] split; "yesterday's run" is the
+    * persisted base_clusters artifact.
+    *
+    * Today's work touches ONLY the delta's neighborhoods: cross pairs
+    * delta×base via the broadcast-probe LSH path (the base corpus
+    * never shuffles for candidate generation), delta-internal pairs
+    * over the small batch, then components over {base assignment as
+    * star edges} ∪ {new pairs} — the star edges carry the base's
+    * entire historical connectivity, so convergence is 2-3 pointer-
+    * jumping rounds regardless of history depth.
+    *
+    * The oracle is q49's FULL-RECOMPUTE transitive closure: the
+    * incremental result must hash-match recomputing everything from
+    * scratch — the exactness guarantee that makes incremental
+    * maintenance trustworthy (connectivity is preserved because pairs
+    * are pairwise properties: base-internal pairs are carried by the
+    * star edges, and every pair touching the delta is regenerated). */
+  private def q142IncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isDelta =
+      col("doc_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    val baseAssign = DedupArtifacts.baseClusters(s, dir)
+    val cross = Dedup.minHashCrossPairsWhere(docs, "doc_id", "text",
+      isDelta, N, Threshold, DedupArtifacts.K, DedupArtifacts.Bands)
+    val intra = Dedup.minHashDedupPairs(docs.filter(isDelta), "doc_id", "text",
+      N, Threshold, DedupArtifacts.K, DedupArtifacts.Bands)
+    val edges = baseAssign
+      .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
+      .unionByName(cross.select(col("doc_i").as("src"), col("doc_j").as("dst")))
+      .unionByName(intra.select(col("doc_i").as("src"), col("doc_j").as("dst")))
+    Components.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
+    Q("q142_incremental_clusters", q142IncrementalClusters, Some(q49Sql)),
     Q("q140_dedup_rate_by_source", q140DedupRateBySource, Some(q140Sql)),
     Q("q122_dup_degree_hist", q122DupDegreeHist, Some(q122Sql)),
     Q("q106_dup_substring", q106DupSubstring, Some(q106Sql)),

@@ -77,6 +77,17 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(art.nonEmpty)
   }
 
+  test("incremental cluster maintenance equals the full recompute") {
+    import spark.implicits._
+    val incr = SparkEntry.queries("q142_incremental_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val full = SparkEntry.queries("q49_dedup_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(incr == full,
+      s"incremental diverged: only_incr=${(incr -- full).take(3)} " +
+        s"only_full=${(full -- incr).take(3)}")
+  }
+
   test("prepare is an idempotent no-op while the source is unchanged") {
     DedupArtifacts.prepare(spark, sfDir)
     val t0 = System.nanoTime()
