@@ -44,6 +44,12 @@ import org.apache.spark.sql.functions._
   * by doc_id for the cluster map (exchange-free joins from every
   * report) and a distributed filesystem path next to the corpus —
   * the artifact shapes and the build plan are unchanged.
+  *
+  * Single-writer assumption: `prepare` is synchronized within one JVM;
+  * two separate JVMs building the same sf dir concurrently would race
+  * the root delete. The driver's verify/bench flows are sequential; a
+  * production deployment writes to a job-scoped staging dir and
+  * publishes with an atomic rename, same meta-last protocol.
   */
 object DedupArtifacts {
 
