@@ -158,10 +158,19 @@ object Bench {
     } else results
     // ET-parity pruning observability (SURVEY §4 R10): the aggregate of
     // every index-pruned scan's bytes-before/after and prune time across
-    // the run — the reference's getSplits log line, rolled up. Goes to
-    // stderr so stdout stays the one parsed JSON line.
+    // the run (the reference's getSplits log line, rolled up), plus one
+    // observed probe scan carrying the rows-scanned/qualified task
+    // counters (FilterRecordReader parity). Goes to stderr so stdout
+    // stays the one parsed JSON line.
+    val rowsPart = try {
+      graft.operators.IndexedQueries.observedScanDemo(spark, sfDir)
+        .map { case (sc, q) => s""","rows_scanned":$sc,"rows_qualified":$q""" }
+        .getOrElse("")
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench-warn] observed probe skipped: ${e.getMessage}"); ""
+    }
     graft.query.PruneStats.summaryLine().foreach(l =>
-      System.err.println(s"[bench-prune] $l"))
+      System.err.println(s"[bench-prune] ${l.dropRight(1)}$rowsPart}"))
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // 3-decimal times: ms resolution is below this box's noise floor and
     // the full line must approach the consumer's 2,000-char tail window

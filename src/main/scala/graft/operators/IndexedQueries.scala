@@ -135,6 +135,37 @@ object IndexedQueries extends QueryModule {
       |WHERE event_type IN ('error', 'signup', 'purchase')
       |  AND user_id BETWEEN 0 AND 25""".stripMargin
 
+  /** One OBSERVED pruned scan (q16's predicate) with the reference's
+    * rows-scanned/qualified task counters attached
+    * (`FilterRecordReader.java:42-44, 66-70`) — run by Bench once per
+    * round so the R10 observability line carries all three counters
+    * (bytes ratio + prune time from PruneStats, rows from here). The
+    * observe node is NOT in the registered queries' hot path: placed
+    * between scan and residual it would block parquet pushdown of the
+    * residual, so the counters run in this dedicated probe instead. */
+  def observedScanDemo(s: SparkSession, sfDir: String): Option[(Long, Long)] = {
+    prepare(s, sfDir)
+    graft.query.ScanMetrics.register(s)
+    val pred = Eq("event_type", "error")
+    val (files, _) = PrunedScanner.selectFiles(
+      s, dataDir(sfDir), pred, indexRoot(sfDir), capBytes = CapBytes)
+    if (files.isEmpty) return Some((0L, 0L))
+    val schema = s.read.parquet(dataDir(sfDir)).schema
+    graft.query.ScanMetrics.observed(
+        s.read.schema(schema).parquet(files: _*),
+        pred.toColumnFor(schema), name = "graft_bench_probe")
+      .count()
+    // the listener fires asynchronously after the action; bounded poll
+    val deadline = System.currentTimeMillis() + 10000
+    var m = graft.query.ScanMetrics.last("graft_bench_probe")
+    while (m.forall(t => t._1 < 0 || t._2 < 0) &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      m = graft.query.ScanMetrics.last("graft_bench_probe")
+    }
+    m
+  }
+
   private def partDataDir(sfDir: String): String = s"${root(sfDir)}/events_part"
   private def partIndexRoot(sfDir: String): String = s"${root(sfDir)}/events_part_index"
 
