@@ -74,7 +74,10 @@ object Layout {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = new org.apache.hadoop.fs.Path(loc, "_GRAFT_LAYOUT")
-    val fp = s"v$LayoutVersion:$bucketCol:$buckets:$sourceFp"
+    // the schema is part of the fingerprint: a changed projection with
+    // an unchanged source must rewrite, not re-declare a mismatched DDL
+    // over the old files
+    val fp = s"v$LayoutVersion:$bucketCol:$buckets:${df.schema.toDDL}:$sourceFp"
     val fresh = fs.exists(meta) && {
       val in = fs.open(meta)
       try scala.io.Source.fromInputStream(in).mkString.trim == fp
