@@ -247,9 +247,66 @@ object MultimodalQueries extends QueryModule {
       |SELECT CAST(sz AS BIGINT) AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
       |FROM g GROUP BY 1""".stripMargin
 
+  /** Banded-hamming budget for q143. 10 matches q27's text-side budget
+    * (short-payload perceptual hashes are noisy for the same reason);
+    * pigeonhole fixes 11 bands of 5-6 bits, so banding recall is
+    * deterministically 1.0 and the banded path must equal the O(n²)
+    * hamming join the oracle runs. */
+  private val PHashMaxHamming = 10
+
+  /** PERCEPTUAL-HASH NEAR-DUP PAIRS — q129 finds exact aHash buckets
+    * (hamming 0); this is the near-dup tier: media pairs within
+    * [[PHashMaxHamming]] bits, the resize/re-encode/watermark-robust
+    * image dedup every multimodal corpus runs. Reuses the SimHash
+    * banding machinery (`Dedup.bandedCandidates`) on the 64-bit aHash —
+    * same pigeonhole guarantee, same streamed-candidate shape; no
+    * second-stage verify because hamming IS the definition here.
+    *
+    * Scale shape: hashing is a map over payloads (binaries never
+    * shuffle — the 64-bit hash is the only thing banded); candidates
+    * stream through one codegen join+bit_count loop; output dedupes on
+    * the pair key. */
+  private def q143PHashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromTable(
+      Tables.documents(s, dir).filter(length(col("text")) > 0),
+      "doc_id", "text", "image")
+    val fp = Multimodal.perceptualHashes(media)
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      .localCheckpoint(eager = false) // both sides of the banded self-join
+    graft.dedup.Dedup.bandedCandidates(fp, PHashMaxHamming)
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= PHashMaxHamming)
+      .select(col("a_id").as("media_i"), col("b_id").as("media_j"))
+      .distinct()
+  }
+
+  // the q129 fingerprint CTE + the exact O(n^2) hamming join (lo/hi
+  // halves per the q27 rule); the banded Spark path must reproduce it
+  // exactly by the pigeonhole guarantee
+  private val q143Sql =
+    s"""WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, OCTET_LENGTH(encode(text)) AS n
+      |  FROM documents WHERE OCTET_LENGTH(encode(text)) > 0),
+      |b AS (
+      |  SELECT doc_id, j,
+      |    CAST('0x' || SUBSTRING(hx, CAST((j*n)//64 AS INT)*2 + 1, 2) AS BIGINT) AS bv
+      |  FROM p CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS j) jj),
+      |m AS (SELECT doc_id, SUM(bv) AS sm FROM b GROUP BY 1),
+      |fp AS (
+      |  SELECT b.doc_id,
+      |    SUM(CASE WHEN bv*64 > sm AND j < 32
+      |        THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END) AS lo,
+      |    SUM(CASE WHEN bv*64 > sm AND j >= 32
+      |        THEN 1::BIGINT << CAST(j - 32 AS INT) ELSE 0 END) AS hi
+      |  FROM b JOIN m USING (doc_id) GROUP BY 1)
+      |SELECT a.doc_id AS media_i, b.doc_id AS media_j
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE BIT_COUNT(XOR(a.lo, b.lo)) + BIT_COUNT(XOR(a.hi, b.hi))
+      |      <= $PHashMaxHamming""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q129_phash_buckets", q129PHashBuckets, Some(q129Sql)),
+    Q("q143_phash_neardup", q143PHashNearDup, Some(q143Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),
