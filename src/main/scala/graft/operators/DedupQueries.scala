@@ -394,33 +394,44 @@ object DedupQueries extends QueryModule {
     * stages keeps n_raw >= n_exact >= n_neardup a true funnel for
     * every input.
     *
-    * Scale shape: token counts are map-only; `exact` is the digest
-    * hash-agg; `neardup` reads the PERSISTED cluster assignment
-    * ([[DedupArtifacts.clusters]] via q49) plus an id-keyed join — the
-    * component build runs once per corpus at ingest, not per report.
-    * The report itself is three 1-row aggregates. */
+    * Scale shape: ONE pass — tokenize map, two id-keyed indicator
+    * joins (the exact-canonical set from the digest hash-agg, the
+    * cluster representatives from the PERSISTED assignment,
+    * [[DedupArtifacts.clusters]] via q49), then a single 1-row
+    * aggregate whose stage sums compose the indicators (`neardup` =
+    * ex·rep, the funnel intersection, with no second semi-join).
+    * Every input is consumed exactly once, so nothing checkpoints and
+    * no union branch re-runs the tokenize or digest work (the shape
+    * the earlier three-branch form needed two eager checkpoints to
+    * approximate). */
   private def q100DedupFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // (doc_id, n_tokens) and the exact-canonical id set are each read by
-    // multiple stages; EAGER checkpoints (the q122 rule) stop the three
-    // union branches re-running the tokenize map and the digest
-    // aggregate per branch
     val toks = docs.select(col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
-          .as("n_tokens"))
-      .localCheckpoint(eager = true)
-    def stage(name: String, kept: DataFrame): DataFrame =
-      toks.join(kept, Seq("doc_id"), "left_semi")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
     val exact = docs.groupBy(md5(col("text")).as("digest"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-      .localCheckpoint(eager = true)
     val reps = q49DedupClusters(s, dir)
       .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
-    stage("raw", docs.select("doc_id"))
-      .unionByName(stage("exact", exact))
-      .unionByName(stage("neardup", reps.join(exact, Seq("doc_id"), "left_semi")))
+    val row = toks
+      .join(exact.withColumn("ex", lit(1L)), Seq("doc_id"), "left")
+      .join(reps.withColumn("rp", lit(1L)), Seq("doc_id"), "left")
+      .select(col("n_tokens"),
+        coalesce(col("ex"), lit(0L)).as("ex"),
+        coalesce(col("rp"), lit(0L)).as("rp"))
+      .agg(count(lit(1)).as("n_raw"), sum("n_tokens").as("t_raw"),
+        sum(col("ex")).as("n_ex"),
+        sum(col("n_tokens") * col("ex")).as("t_ex"),
+        sum(col("ex") * col("rp")).as("n_nd"),
+        sum(col("n_tokens") * col("ex") * col("rp")).as("t_nd"))
+    row.select(explode(array(
+        struct(lit("raw").as("stage"), col("n_raw").as("n_docs"),
+          col("t_raw").as("n_tokens")),
+        struct(lit("exact").as("stage"), col("n_ex").as("n_docs"),
+          col("t_ex").as("n_tokens")),
+        struct(lit("neardup").as("stage"), col("n_nd").as("n_docs"),
+          col("t_nd").as("n_tokens")))).as("s"))
+      .select(col("s.stage"), col("s.n_docs"), col("s.n_tokens"))
   }
 
   private val q100Sql = closureCte + """,
