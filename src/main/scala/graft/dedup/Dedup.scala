@@ -395,6 +395,14 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_j"))
+    // Measured and REJECTED (round 9): scoping the verification shingle
+    // sets to the candidate endpoints (mat the candidates, distinct the
+    // ids, semi-join sh before verifyPairs). At sf0.1 it ran 2.6 -> 3.3 s:
+    // the candidate checkpoint + id distinct + semi-join cost more than
+    // the docSets aggregate saves when candidates touch ~30% of the
+    // corpus. The cut only pays when candidates are a tiny corpus
+    // fraction — revisit with a width probe if a deployment hits that
+    // regime.
     verifyPairs(cand, sh, threshold)
   }
 
