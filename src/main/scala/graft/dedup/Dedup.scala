@@ -102,12 +102,19 @@ object Dedup {
     * (doc_i, doc_j) with doc_i < doc_j. */
   def exactJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
+      n: Int, threshold: Double, maxShingleFreq: Long = 0L): DataFrame =
     // NOT materialized: the self-join's two sides are canonically
     // identical, so their shuffle exchange is planned once and reused;
     // persisting the wide shingle table costs more than the one extra
     // tokenize pass for the size/verification stage
-    val sh = shingleTable(docs, idCol, textCol, n)
+    exactJaccardPairsFromShingles(
+      shingleTable(docs, idCol, textCol, n), threshold, maxShingleFreq)
+
+  /** [[exactJaccardPairs]] over a pre-built shingle table (see
+    * [[minHashDedupPairsFromShingles]] for the seam's purpose). */
+  def exactJaccardPairsFromShingles(
+      shingles: DataFrame, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
+    val sh = shingles
     if (maxShingleFreq <= 0) {
       // UNCUT exact path: no shingle is dropped, so the inverted-index
       // self-join emits exactly one row per (pair, shared shingle) —
@@ -353,9 +360,20 @@ object Dedup {
     * verification of candidates (approximation affects recall only). */
   def minHashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame =
+    minHashDedupPairsFromShingles(
+      mat(shingleTable(docs, idCol, textCol, n)), threshold, k, bands)
+
+  /** [[minHashDedupPairs]] over a pre-built (doc_id, sh) shingle table —
+    * the seam that lets a PERSISTED shingle index (the reference's
+    * index-once-read-many design applied to shingles;
+    * `DedupArtifacts.shingles`) feed the pair machinery without
+    * re-tokenizing the corpus per run. `sh` should already be
+    * materialized or artifact-backed; it is consumed by the signature
+    * aggregate and the verification sets. */
+  def minHashDedupPairsFromShingles(
+      sh: DataFrame, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val sh = mat(shingleTable(docs, idCol, textCol, n))
     val cand = lshCandidates(minHashSignatures(sh, k), bands, k / bands)
     verifyPairs(cand, sh, threshold)
   }
@@ -386,9 +404,16 @@ object Dedup {
   def minHashCrossPairsWhere(
       docs: DataFrame, idCol: String, textCol: String,
       isProbe: org.apache.spark.sql.Column,
-      n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame =
+    minHashCrossPairsFromShingles(
+      mat(shingleTable(docs, idCol, textCol, n)), isProbe, threshold, k, bands)
+
+  /** [[minHashCrossPairsWhere]] over a pre-built shingle table (see
+    * [[minHashDedupPairsFromShingles]] for the seam's purpose). */
+  def minHashCrossPairsFromShingles(
+      sh: DataFrame, isProbe: org.apache.spark.sql.Column,
+      threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val sh = mat(shingleTable(docs, idCol, textCol, n))
     val banded = mat(bandedBuckets(minHashSignatures(sh, k), bands, k / bands))
     val cand = broadcast(banded.filter(isProbe)).as("a")
       .join(banded.filter(!isProbe).as("b"),

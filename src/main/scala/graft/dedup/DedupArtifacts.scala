@@ -75,8 +75,9 @@ object DedupArtifacts {
 
   /** Bump when pair/cluster semantics change: stale artifact trees from
     * an older layout then rebuild instead of being served.
-    * v2: + base_clusters (the q142 incremental-maintenance base). */
-  private[graft] val Version = 2
+    * v2: + base_clusters (the q142 incremental-maintenance base).
+    * v3: + shingles (the persisted shingle index itself). */
+  private[graft] val Version = 3
 
   private def root(sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
@@ -89,6 +90,8 @@ object DedupArtifacts {
   private def semPairsPath(sfDir: String) = s"${root(sfDir)}/sem_pairs"
   private def semMetaPath(sfDir: String) = s"${root(sfDir)}/_META_SEM"
   private def baseClustersPath(sfDir: String) = s"${root(sfDir)}/base_clusters"
+  private def shinglesTable(sfDir: String) =
+    s"graft_shingles_${new java.io.File(sfDir).getName.replace('.', '_')}"
 
   /** Source fingerprint: length + mtime of the source table. Cheap
     * (one namenode stat), catches regenerated testdata and partial
@@ -131,8 +134,22 @@ object DedupArtifacts {
     if (fs.exists(rootPath)) fs.delete(rootPath, true)
 
     val docs = Tables.documents(s, sfDir)
-    // the verified MinHash pair set — q25's exact operator output
-    Dedup.minHashDedupPairs(docs, "doc_id", "text", N, Threshold, K, Bands)
+    // the shingle index itself — the reference's core design (persist
+    // the per-column index at build time, `AbstractBlockIndexingJob`)
+    // applied to shingles: every downstream pair build and report reads
+    // it instead of re-tokenizing the corpus. BUCKETED by doc_id: the
+    // signature and verification-set aggregates are doc_id-keyed, and a
+    // plain parquet artifact (measured) re-shuffles the index per
+    // consumer — the bucketed layout keeps them Exchange-free, exactly
+    // the reference pinning its index partitioning on both write and
+    // read sides (`io/TextLongPairWritable.java:134-142`).
+    ensureShingles(s, sfDir)
+    val shArt = graft.build.Layout.read(s, shinglesTable(sfDir))
+    // the verified MinHash pair set — q25's exact operator output,
+    // built FROM the just-persisted shingle index (identical plan below
+    // the shingle boundary; DedupArtifactsSpec pins equality with the
+    // from-docs operator)
+    Dedup.minHashDedupPairsFromShingles(shArt, Threshold, K, Bands)
       .write.parquet(pairsPath(sfDir))
     // components over the PERSISTED pairs (read back, not the live
     // subtree: the iterative label propagation would otherwise re-run
@@ -142,19 +159,23 @@ object DedupArtifacts {
     Components.connectedComponents(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
       .write.parquet(clustersPath(sfDir))
-    // the hot-shingle-cut exact-Jaccard pair set — q53's operator output
-    Dedup.exactJaccardPairs(docs, "doc_id", "text", N, Threshold,
+    // the hot-shingle-cut exact-Jaccard pair set — q53's operator
+    // output, from the persisted shingle index
+    Dedup.exactJaccardPairsFromShingles(shArt, Threshold,
         maxShingleFreq = MaxShingleFreq)
       .write.parquet(cutPairsPath(sfDir))
     // "yesterday's run" for the incremental-maintenance demo (q142):
     // the cluster assignment over the BASE subset only, from the
     // base-internal pair set — what a dated production run would have
-    // persisted before today's delta arrived
-    val base = docs.filter(col("doc_id") % DeltaMod =!= DeltaRem)
-    val basePairs = Dedup.minHashDedupPairs(base, "doc_id", "text",
-      N, Threshold, K, Bands)
+    // persisted before today's delta arrived. Shingle sets are per-doc
+    // properties, so filtering the persisted index IS the base corpus'
+    // shingle table.
+    val baseSh = shArt.filter(col("doc_id") % DeltaMod =!= DeltaRem)
+    val basePairs = Dedup.minHashDedupPairsFromShingles(
+      baseSh, Threshold, K, Bands)
     Components.connectedComponents(
-        base.select(col("doc_id").as("id")),
+        docs.filter(col("doc_id") % DeltaMod =!= DeltaRem)
+          .select(col("doc_id").as("id")),
         basePairs.select(col("doc_i").as("src"), col("doc_j").as("dst")))
       .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
       .write.parquet(baseClustersPath(sfDir))
@@ -210,5 +231,24 @@ object DedupArtifacts {
   def baseClusters(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(baseClustersPath(sfDir))
+  }
+
+  /** Write-or-redeclare the bucketed shingle table (cross-session
+    * idempotent via Layout.ensureBucketed's own fingerprint; called on
+    * every access because the catalog entry dies with the session while
+    * the files persist). */
+  private def ensureShingles(s: SparkSession, sfDir: String): Unit =
+    graft.build.Layout.ensureBucketed(
+      Dedup.shingleTable(Tables.documents(s, sfDir), "doc_id", "text", N),
+      shinglesTable(sfDir), "doc_id", buckets = 32,
+      sourceFp = fingerprint(s, sfDir))
+
+  /** The persisted shingle index (doc_id, sh) — distinct n-shingles per
+    * document as 64-bit hashes, bucketed by doc_id, the input every
+    * pair build and overlap report starts from. */
+  def shingles(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    ensureShingles(s, sfDir)
+    graft.build.Layout.read(s, shinglesTable(sfDir))
   }
 }

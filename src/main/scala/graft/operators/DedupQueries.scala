@@ -475,11 +475,11 @@ object DedupQueries extends QueryModule {
   private def q105SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val meta = docs.select(col("doc_id"), col("source"))
-    // materialized: the df aggregate AND the anti-join both consume the
-    // shingle table — without this the tokenize+hash pipeline runs
-    // twice (measured 4.4 s vs 2.6 s at sf0.1)
-    val sh = Dedup.shingleTable(docs, "doc_id", "text", N)
-      .localCheckpoint(eager = false)
+    // the PERSISTED shingle index — the df aggregate and the anti-join
+    // both consume it, and parquet-backed consumption replaces the
+    // earlier localCheckpoint (which replaced running the tokenize+hash
+    // pipeline twice: 4.4 s -> 2.6 s -> artifact read at sf0.1)
+    val sh = DedupArtifacts.shingles(s, dir)
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleFreq).select("sh")
     // sv is consumed THREE times (both self-join sides + sizes) and
@@ -880,10 +880,14 @@ object DedupQueries extends QueryModule {
     val isDelta =
       col("doc_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
     val baseAssign = DedupArtifacts.baseClusters(s, dir)
-    val cross = Dedup.minHashCrossPairsWhere(docs, "doc_id", "text",
-      isDelta, N, Threshold, DedupArtifacts.K, DedupArtifacts.Bands)
-    val intra = Dedup.minHashDedupPairs(docs.filter(isDelta), "doc_id", "text",
-      N, Threshold, DedupArtifacts.K, DedupArtifacts.Bands)
+    // the persisted shingle index feeds both pair builds — no
+    // re-tokenize of anything at merge time; shingle sets are per-doc
+    // properties, so filtering the index IS the subset's shingle table
+    val shArt = DedupArtifacts.shingles(s, dir)
+    val cross = Dedup.minHashCrossPairsFromShingles(shArt, isDelta,
+      Threshold, DedupArtifacts.K, DedupArtifacts.Bands)
+    val intra = Dedup.minHashDedupPairsFromShingles(shArt.filter(isDelta),
+      Threshold, DedupArtifacts.K, DedupArtifacts.Bands)
     val edges = baseAssign
       .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
       .unionByName(cross.select(col("doc_i").as("src"), col("doc_j").as("dst")))

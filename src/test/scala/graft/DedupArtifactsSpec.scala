@@ -65,6 +65,17 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(art == fresh)
   }
 
+  test("persisted shingle index equals the from-scratch shingle table") {
+    import spark.implicits._
+    val art = DedupArtifacts.shingles(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val fresh = Dedup.shingleTable(
+        Tables.documents(spark, sfDir), "doc_id", "text", DedupArtifacts.N)
+      .as[(Long, Long)].collect().toSet
+    assert(art == fresh)
+    assert(art.nonEmpty)
+  }
+
   test("persisted sem pairs equal the from-scratch q28 operator output") {
     import spark.implicits._
     val art = DedupArtifacts.semPairs(spark, sfDir)
