@@ -897,8 +897,44 @@ object DedupQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
   }
 
+  /** CLUSTER LABEL-PURITY AUDIT — the cross-modal QC joining the two
+    * spaces the engine deduplicates in: for every multi-document
+    * LEXICAL near-dup cluster (q49's artifact), how many distinct
+    * EMBEDDING labels its members carry, reported as a
+    * (cluster size, label count) histogram. Pure clusters
+    * (n_labels = 1) mean the text dedup agrees with the semantic space;
+    * mixed clusters are either label noise or template families whose
+    * members genuinely diverge semantically — the SemDeDup-era sanity
+    * check that lexical dedup is not merging semantically distinct
+    * content. Documents without an embedding row drop out (inner join;
+    * the audit is over the embedded subset by definition).
+    *
+    * Scale shape: persisted cluster assignment + one id-keyed join to
+    * the (id, label) projection; per-cluster rollup with map-side
+    * partials (count_distinct carries at most |labels| values), then a
+    * tiny histogram aggregate. */
+  private def q144ClusterLabelPurity(s: SparkSession, dir: String): DataFrame =
+    DedupArtifacts.clusters(s, dir)
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("label").as("n_labels"))
+      .filter(col("n_docs") >= 2)
+      .groupBy("n_docs", "n_labels").agg(count(lit(1)).as("n_clusters"))
+
+  private val q144Sql = closureCte + """,
+      |comp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      |cl AS (
+      |  SELECT c.rep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels
+      |  FROM comp c JOIN embeddings e ON e.vec_id = c.doc_id
+      |  GROUP BY c.rep HAVING COUNT(*) >= 2)
+      |SELECT n_docs, n_labels, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      |FROM cl GROUP BY 1, 2""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
+    Q("q144_cluster_label_purity", q144ClusterLabelPurity, Some(q144Sql)),
     Q("q142_incremental_clusters", q142IncrementalClusters, Some(q49Sql)),
     Q("q140_dedup_rate_by_source", q140DedupRateBySource, Some(q140Sql)),
     Q("q122_dup_degree_hist", q122DupDegreeHist, Some(q122Sql)),
