@@ -864,17 +864,23 @@ object DedupQueries extends QueryModule {
     * Today's work touches ONLY the delta's neighborhoods: cross pairs
     * delta×base via the broadcast-probe LSH path (the base corpus
     * never shuffles for candidate generation), delta-internal pairs
-    * over the small batch, then components over {base assignment as
-    * star edges} ∪ {new pairs} — the star edges carry the base's
-    * entire historical connectivity, so convergence is 2-3 pointer-
-    * jumping rounds regardless of history depth.
+    * over the small batch, then LABEL CONTRACTION — each new pair is
+    * mapped to its endpoints' current labels (the persisted base rep,
+    * or the delta doc itself), components run over the AFFECTED LABEL
+    * GRAPH only (nodes bounded by the new pair count, never corpus
+    * size), and the merged mapping broadcasts back onto the corpus in
+    * one map join. The iterative step never touches the corpus — the
+    * incremental-CC shape that stays constant-cost per batch at any
+    * history depth.
     *
-    * The oracle is q49's FULL-RECOMPUTE transitive closure: the
-    * incremental result must hash-match recomputing everything from
-    * scratch — the exactness guarantee that makes incremental
-    * maintenance trustworthy (connectivity is preserved because pairs
-    * are pairwise properties: base-internal pairs are carried by the
-    * star edges, and every pair touching the delta is regenerated). */
+    * Correctness of the contraction: every base label IS the min doc
+    * id of its cluster, so components of the contracted graph have the
+    * same min (= representative) as components of the full graph, and
+    * connectivity is preserved because pairs are pairwise properties
+    * (base-internal pairs ride inside their labels; every pair
+    * touching the delta is regenerated). The oracle is q49's
+    * FULL-RECOMPUTE transitive closure: the incremental result must
+    * hash-match recomputing everything from scratch. */
   private def q142IncrementalClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isDelta =
@@ -888,13 +894,26 @@ object DedupQueries extends QueryModule {
       Threshold, DedupArtifacts.K, DedupArtifacts.Bands)
     val intra = Dedup.minHashDedupPairsFromShingles(shArt.filter(isDelta),
       Threshold, DedupArtifacts.K, DedupArtifacts.Bands)
-    val edges = baseAssign
-      .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
-      .unionByName(cross.select(col("doc_i").as("src"), col("doc_j").as("dst")))
-      .unionByName(intra.select(col("doc_i").as("src"), col("doc_j").as("dst")))
-    Components.connectedComponents(
-        docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+    val newPairs = cross.unionByName(intra)
+    // current label per doc: persisted base rep, or self for delta docs;
+    // consumed by the two endpoint joins AND the final map join
+    val lbl = docs.select(col("doc_id"))
+      .join(baseAssign, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("lbl"))
+      .localCheckpoint(eager = false)
+    val lblEdges = newPairs
+      .join(lbl.select(col("doc_id").as("doc_i"), col("lbl").as("src")), "doc_i")
+      .join(lbl.select(col("doc_id").as("doc_j"), col("lbl").as("dst")), "doc_j")
+      .select("src", "dst").filter(col("src") =!= col("dst"))
+    val lblNodes = lblEdges.select(col("src").as("id"))
+      .union(lblEdges.select(col("dst").as("id"))).distinct()
+    // tiny iterative step: |nodes| <= 2x new pairs, NEVER corpus-sized
+    val merged = Components.connectedComponents(lblNodes, lblEdges)
+    lbl.join(broadcast(merged.select(col("id").as("lbl"), col("comp"))),
+        Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("lbl")).as("cluster_rep"))
   }
 
   /** CLUSTER LABEL-PURITY AUDIT — the cross-modal QC joining the two
