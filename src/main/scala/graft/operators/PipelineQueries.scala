@@ -1052,7 +1052,53 @@ object PipelineQueries extends QueryModule {
       |  CAST(SUM(n) AS BIGINT) AS n_tokens
       |FROM n GROUP BY 1""".stripMargin
 
+  /** Shard count for q145. At 100 TB this is large (100k+ shards of
+    * ~1 GB), which keeps each shard's position window small; 16 here
+    * exercises the same plan at test scale. */
+  private val NShards = 16
+
+  /** DETERMINISTIC GLOBAL SHUFFLE + SHARD MANIFEST — the export step
+    * that turns a curated corpus into training shards: every document
+    * gets a pseudo-random but REPRODUCIBLE position (md5 of a salted
+    * id — any engine and any rerun produce the identical permutation,
+    * the property a training run's data order must have for exact
+    * resumption), a shard from the same digest's leading byte, and a
+    * 0-based position within its shard in permutation order. The
+    * webdataset/TFRecord-style manifest a 100 TB pipeline writes last.
+    *
+    * Scale shape: one codegen md5 projection, one hash shuffle on the
+    * shard key, and a per-shard window whose size is |corpus|/NShards —
+    * bounded by choosing NShards, never a global sort. */
+  private def q145ShuffleManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id"))).as("r"))
+      .withColumn("shard",
+        (conv(substring(col("r"), 1, 2), 16, 10).cast("int") % NShards)
+          .cast("int"))
+    ranked
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy(col("r"), col("doc_id")))
+        .cast("long") - 1)
+      .select("doc_id", "shard", "pos")
+  }
+
+  private val q145Sql =
+    s"""WITH r AS (
+       |  SELECT doc_id, MD5('shuf:' || CAST(doc_id AS VARCHAR)) AS r
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, r,
+       |    CAST(CAST('0x' || SUBSTRING(r, 1, 2) AS INT) % $NShards AS INT) AS shard
+       |  FROM r)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY r, doc_id) - 1
+       |       AS BIGINT) AS pos
+       |FROM s""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q145_shuffle_manifest", q145ShuffleManifest, Some(q145Sql)),
     Q("q141_len_histogram", q141LenHistogram, Some(q141Sql)),
     Q("q79_corpus_report", q79CorpusReport, Some(q79Sql)),
     Q("q107_hash_classifier", q107HashClassifier, Some(q107Sql)),
