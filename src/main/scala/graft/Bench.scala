@@ -160,8 +160,9 @@ object Bench {
     // every index-pruned scan's bytes-before/after and prune time across
     // the run (the reference's getSplits log line, rolled up), plus one
     // observed probe scan carrying the rows-scanned/qualified task
-    // counters (FilterRecordReader parity). Goes to stderr so stdout
-    // stays the one parsed JSON line.
+    // counters (FilterRecordReader parity). Embedded in BOTH final JSON
+    // lines — the driver records only a short stdout tail, so a
+    // stderr-only line is invisible to it (the round-9 lesson).
     val rowsPart = try {
       graft.operators.IndexedQueries.observedScanDemo(spark, sfDir)
         .map { case (sc, q) => s""","rows_scanned":$sc,"rows_qualified":$q""" }
@@ -169,6 +170,11 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench-warn] observed probe skipped: ${e.getMessage}"); ""
     }
+    val prunePart = graft.query.PruneStats.snapshot()
+      .map { case (n, before, after, ms) =>
+        s""","pruned_scans":$n,"prune_bytes_before":$before""" +
+          s""","prune_bytes_after":$after,"prune_ms":$ms$rowsPart"""
+      }.getOrElse("")
     graft.query.PruneStats.summaryLine().foreach(l =>
       System.err.println(s"[bench-prune] ${l.dropRight(1)}$rowsPart}"))
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -187,11 +193,12 @@ object Bench {
     // regressed round raises best_total itself.
     val bestTotal = best.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$prunePart,"queries":$qs,"sf":"$sfDir"}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"best_total":${fmt(bestTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"best_total":${fmt(bestTotal)}$prunePart,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json)
+      java.nio.file.Paths.get(
+        s"${graft.dedup.DedupArtifacts.artifactBase}/bench_last.json"), json)
     catch { case NonFatal(e) => System.err.println(s"[bench-warn] file write skipped: $e") }
     drain(spark, 30.seconds)
     spark.stop()
@@ -211,7 +218,7 @@ object Bench {
     * this box are not signal. The q26 +32% regression of round 2 would
     * have been flagged in-round by exactly this check. */
   private def histPath(sfDir: String) = java.nio.file.Paths.get(
-    s"/root/repo/target/bench_prev_${new java.io.File(sfDir).getName}.txt")
+    s"${graft.dedup.DedupArtifacts.artifactBase}/bench_prev_${new java.io.File(sfDir).getName}.txt")
 
   /** Previous run's per-query times, empty when absent/unreadable. */
   private def readHistory(sfDir: String): Map[String, Double] =

@@ -21,7 +21,7 @@ object ScaleProbe {
       if (args.length > 2) args(2).split(',').toSeq
       else Seq("q27_dedup_simhash", "q49_dedup_clusters", "q63_dedup_winnow",
         "q100_dedup_funnel", "q122_dup_degree_hist")
-    val outDir = s"/root/repo/target/scale$factor"
+    val outDir = s"${graft.dedup.DedupArtifacts.artifactBase}/scale$factor"
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -38,8 +38,13 @@ object ScaleProbe {
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dest)) {
       val docs = Tables.documents(spark, srcDir)
+      // re-key stride derived from the actual max id: a fixed 1e8 would
+      // silently collide copies (and corrupt the scaled dedup structure)
+      // on any source whose ids reach it
+      val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+      val stride = math.max(100000000L, maxId + 1)
       (0 until factor)
-        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * stride)))
         .reduce(_ unionByName _)
         .repartition(32)
         .write.parquet(dest.toString)

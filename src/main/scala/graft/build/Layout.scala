@@ -69,7 +69,6 @@ object Layout {
       df: DataFrame, table: String, bucketCol: String, buckets: Int,
       sourceFp: String): Unit = synchronized {
     val spark = df.sparkSession
-    if (spark.catalog.tableExists(table)) return // same-session reuse
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,6 +81,15 @@ object Layout {
       val in = fs.open(meta)
       try scala.io.Source.fromInputStream(in).mkString.trim == fp
       finally in.close()
+    }
+    if (spark.catalog.tableExists(table)) {
+      // same-session reuse — but only while the layout meta still
+      // matches the CURRENT source fingerprint: a source that changed
+      // mid-session must drop and rewrite, or a downstream artifact
+      // build would snapshot the stale table under the new fingerprint
+      // and permanently mask the staleness
+      if (fresh) return
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
     }
     if (fresh) {
       spark.sql(
@@ -98,12 +106,24 @@ object Layout {
     }
   }
 
-  /** length:mtime fingerprint of source paths, for [[ensureBucketed]]. */
+  /** length:mtime fingerprint of source paths, for [[ensureBucketed]].
+    * Directories fingerprint their DIRECT CHILDREN (name:len:mtime,
+    * hashed to one token): a directory's own stat is filesystem-
+    * dependent (length often 0/4096, mtime moves only on child
+    * add/remove), so an in-place rewrite of same-named part files would
+    * otherwise pass as fresh. Metadata-only — one listing per path. */
   def sourceFingerprint(spark: SparkSession, paths: String*): String =
     paths.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      val st = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(hp)
-      s"${st.getLen}:${st.getModificationTime}"
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(hp)
+      val detail =
+        if (st.isDirectory)
+          fs.listStatus(hp).map(c =>
+            s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+            .sorted.mkString(",")
+        else ""
+      s"${st.getLen}:${st.getModificationTime}:" +
+        Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(detail))
     }.mkString(",")
 }

@@ -328,6 +328,19 @@ object Dedup {
     shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The (doc_id, band, bucket) banded LSH table for a shingle table —
+    * the direct input of every MinHash candidate join, exposed as a
+    * PERSISTABLE seam: signatures and buckets are per-doc properties
+    * (each row depends only on its own doc's shingles), so a persisted
+    * banded table filtered to any doc subset IS that subset's banded
+    * table — the property that lets an ingest-time artifact
+    * (`DedupArtifacts.banded`) serve full-corpus, base-side, and
+    * delta-side candidate generation without re-hashing anything. */
+  def bandedTable(shingles: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    bandedBuckets(minHashSignatures(shingles, k), bands, k / bands)
+  }
+
   /** (doc_id, band, bucket) rows from banded signatures — one row per
     * doc per band, bucket = hash of that band's signature slice. */
   private def bandedBuckets(
@@ -343,18 +356,32 @@ object Dedup {
 
   /** LSH candidate pairs from banded signatures: docs sharing any band
     * bucket. bands*rowsPerBand must equal the signature width. */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     // materialized: the self-join consumes it twice, and behind it sits
     // the full signature aggregation
-    val banded = mat(bandedBuckets(signatures, bands, rowsPerBand))
-    // NOT distinct here: verifyPairs dedupes candidates while building
-    // `plausible` — doing it there folds the dedupe into a shuffle that
-    // must happen anyway instead of adding one
+    lshCandidatesFromBanded(mat(bandedBuckets(signatures, bands, rowsPerBand)))
+
+  /** LSH candidate self-join over a pre-built (materialized or
+    * artifact-backed) banded table. NOT distinct here: verifyPairs
+    * dedupes candidates while building `plausible` — doing it there
+    * folds the dedupe into a shuffle that must happen anyway instead of
+    * adding one. */
+  def lshCandidatesFromBanded(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-  }
+
+  /** Cross-set LSH candidates over a pre-built banded table: the probe
+    * side (a delta batch, an eval set) BROADCASTS, so the corpus side
+    * is consumed by a map-side hash join and never shuffles for
+    * candidate generation. Output normalized to doc_i < doc_j. */
+  def crossCandidatesFromBanded(banded: DataFrame, isProbe: Column): DataFrame =
+    broadcast(banded.filter(isProbe)).as("a")
+      .join(banded.filter(!isProbe).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_j"))
 
   /** MinHash+LSH near-dup pairs with mandatory exact-Jaccard
     * verification of candidates (approximation affects recall only). */
@@ -415,11 +442,7 @@ object Dedup {
       threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val banded = mat(bandedBuckets(minHashSignatures(sh, k), bands, k / bands))
-    val cand = broadcast(banded.filter(isProbe)).as("a")
-      .join(banded.filter(!isProbe).as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_j"))
+    val cand = crossCandidatesFromBanded(banded, isProbe)
     // Measured and REJECTED (round 9): scoping the verification shingle
     // sets to the candidate endpoints (mat the candidates, distinct the
     // ids, semi-join sh before verifyPairs). At sf0.1 it ran 2.6 -> 3.3 s:
@@ -450,7 +473,7 @@ object Dedup {
     * t*|B| <= |A| <= |B|/t (inter <= min, union >= max) — which is a
     * cheap join against the per-doc size table and typically removes
     * most false candidates before the expensive shingle-level join. */
-  def verifyPairs(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+  def verifyPairs(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame =
     // Per-doc shingle SETS as one sorted array row — the pair check is
     // then a codegen'd array_intersect per candidate pair instead of an
     // exploded pair x shingle join (which shuffles |pairs| x |shingles/
@@ -458,8 +481,20 @@ object Dedup {
     // cost on the simhash path). The doc-array table is corpus-sized
     // but compact (fixed-width longs); AQE broadcasts it when small and
     // falls back to a shuffled join when not.
-    val docSets = mat(shingles.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("sz")))
+    verifyPairsWithSets(candidates, mat(docSetTable(shingles)), threshold)
+
+  /** The per-doc shingle-SET table (doc_id, shs sorted array, sz) —
+    * [[verifyPairs]]' verification side, exposed so an ingest-time
+    * artifact (`DedupArtifacts.docSets`) can persist it once per corpus
+    * instead of re-aggregating the shingle index per verification. */
+  def docSetTable(shingles: DataFrame): DataFrame =
+    shingles.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("sz"))
+
+  /** [[verifyPairs]] over a pre-built (materialized or artifact-backed)
+    * doc-set table — the caller owns its reuse/materialization. */
+  def verifyPairsWithSets(
+      candidates: DataFrame, docSets: DataFrame, threshold: Double): DataFrame = {
     // `candidates` may contain duplicates (multi-band hits) — the
     // distinct here is the single dedupe point; the size-ratio cut
     // (jac >= t implies t*|B| <= |A| <= |B|/t) prunes most false

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * layout (`graft.build.Layout`): pay one write at ingest, amortize it
   * over every consumer.
   *
-  * Three artifacts, all tiny relative to the corpus (pair lists and an
-  * id→cluster map, fixed-width longs):
+  * The persisted state, small relative to the corpus (pair lists, an
+  * id→cluster map, and per-doc index rows of fixed-width longs):
   *  - `minhash_pairs`: the verified-exact MinHash+LSH near-dup pair set
   *    (the q25 operator's output — every pair exact-Jaccard checked, so
   *    the artifact is engine-independent truth, not an approximation);
@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   *    representative (the q49 operator's output);
   *  - `cut_pairs`: the hot-shingle-cut exact-Jaccard pair set (the q53
   *    operator's output — the inverted-index formulation that stays
-  *    viable at 100 TB).
+  *    viable at 100 TB);
+  *  - `banded` + `doc_sets` + `hot_shingles`: the LSH bucket table, the
+  *    verification shingle-set table, and the df cut — the incremental
+  *    pipeline's FULL persisted state, so a delta merge (q142) and the
+  *    overlap reports (q105) re-hash nothing at run time. All three are
+  *    per-doc/per-shingle rows: filtering them to a doc subset equals
+  *    rebuilding them over that subset.
   *
   * No production pipeline recomputes MinHash signatures, pair joins, and
   * components per QC report: the cluster assignment is written next to
@@ -76,13 +82,31 @@ object DedupArtifacts {
   /** Bump when pair/cluster semantics change: stale artifact trees from
     * an older layout then rebuild instead of being served.
     * v2: + base_clusters (the q142 incremental-maintenance base).
-    * v3: + shingles (the persisted shingle index itself). */
-  private[graft] val Version = 3
+    * v3: + shingles (the persisted shingle index itself).
+    * v4: + banded (the LSH bucket table), doc_sets (the verification
+    *     sets), hot_shingles (the df cut) — the incremental pipeline's
+    *     full persisted state, so a delta merge re-hashes NOTHING. */
+  private[graft] val Version = 4
 
-  private def root(sfDir: String): String = {
-    val sfName = new java.io.File(sfDir).getName
-    s"/root/repo/target/graft_dedup/v$Version/$sfName"
+  /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
+    * persisted state (a production deployment points it next to the
+    * corpus on the distributed filesystem); the default is the
+    * harness-local target dir. */
+  private[graft] def artifactBase: String =
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR", "/root/repo/target")
+
+  /** Corpus key: readable basename + a hash of the FULL canonical path,
+    * so two corpora that share a directory name (e.g. staging copies)
+    * get distinct artifact trees instead of fingerprint-thrashing one. */
+  private[graft] def corpusKey(sfDir: String): String = {
+    val f = new java.io.File(sfDir)
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(f.getCanonicalPath))
+    s"${f.getName}_$h"
   }
+
+  private def root(sfDir: String): String =
+    s"$artifactBase/graft_dedup/v$Version/${corpusKey(sfDir)}"
   private def pairsPath(sfDir: String) = s"${root(sfDir)}/minhash_pairs"
   private def clustersPath(sfDir: String) = s"${root(sfDir)}/clusters"
   private def cutPairsPath(sfDir: String) = s"${root(sfDir)}/cut_pairs"
@@ -90,19 +114,33 @@ object DedupArtifacts {
   private def semPairsPath(sfDir: String) = s"${root(sfDir)}/sem_pairs"
   private def semMetaPath(sfDir: String) = s"${root(sfDir)}/_META_SEM"
   private def baseClustersPath(sfDir: String) = s"${root(sfDir)}/base_clusters"
+  private def bandedPath(sfDir: String) = s"${root(sfDir)}/banded"
+  private def docSetsPath(sfDir: String) = s"${root(sfDir)}/doc_sets"
+  private def hotShinglesPath(sfDir: String) = s"${root(sfDir)}/hot_shingles"
   private def shinglesTable(sfDir: String) =
-    s"graft_shingles_${new java.io.File(sfDir).getName.replace('.', '_')}"
+    s"graft_shingles_${corpusKey(sfDir).replace('.', '_').replace('-', '_')}"
 
-  /** Source fingerprint: length + mtime of the source table. Cheap
-    * (one namenode stat), catches regenerated testdata and partial
-    * copies; content hashing would re-read the corpus and defeat the
-    * artifact's purpose. */
+  /** Source fingerprint: per-child (name, length, mtime) over the
+    * parquet directory's direct children — the directory's OWN stat is
+    * filesystem-dependent (length often 0/4096; mtime only moves when
+    * children are added/removed), so an in-place rewrite of same-named
+    * part files would serve stale artifacts under a dir-level stat.
+    * Still metadata-only (one listing), never a content read. */
   private def fingerprint(s: SparkSession, sfDir: String,
       table: String = "documents"): String = {
     val p = new Path(s"$sfDir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    s"v$Version:${st.getLen}:${st.getModificationTime}"
+    val detail =
+      if (st.isDirectory)
+        fs.listStatus(p).map(c =>
+          s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+          .sorted.mkString(",")
+      else s"${st.getLen}:${st.getModificationTime}"
+    // hash the listing so the meta file stays one short line at any
+    // file count
+    s"v$Version:${st.getLen}:${st.getModificationTime}:" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(detail))
   }
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem, meta: Path): Option[String] =
@@ -145,11 +183,29 @@ object DedupArtifacts {
     // read sides (`io/TextLongPairWritable.java:134-142`).
     ensureShingles(s, sfDir)
     val shArt = graft.build.Layout.read(s, shinglesTable(sfDir))
+    // the banded LSH bucket table and the verification doc-set table —
+    // the rest of the incremental pipeline's persisted state. Both are
+    // PER-DOC properties (each row depends only on its own doc's
+    // shingles), so any doc-subset filter of the persisted table equals
+    // rebuilding the table over that subset — which is what lets the
+    // base-side build below and the q142 delta merge share them with
+    // zero re-hashing.
+    Dedup.bandedTable(shArt, K, Bands).write.parquet(bandedPath(sfDir))
+    Dedup.docSetTable(shArt).write.parquet(docSetsPath(sfDir))
+    // the df cut (shingles in > MaxShingleFreq docs) — corpus-stable,
+    // consumed by every overlap/cut report (q105) instead of
+    // re-aggregating the full index per run
+    shArt.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleFreq).select("sh")
+      .write.parquet(hotShinglesPath(sfDir))
+    val banded = s.read.parquet(bandedPath(sfDir))
+    val sets = s.read.parquet(docSetsPath(sfDir))
     // the verified MinHash pair set — q25's exact operator output,
-    // built FROM the just-persisted shingle index (identical plan below
-    // the shingle boundary; DedupArtifactsSpec pins equality with the
-    // from-docs operator)
-    Dedup.minHashDedupPairsFromShingles(shArt, Threshold, K, Bands)
+    // built FROM the just-persisted banded/doc-set state (identical
+    // plan below the shingle boundary; DedupArtifactsSpec pins equality
+    // with the from-docs operator)
+    Dedup.verifyPairsWithSets(
+        Dedup.lshCandidatesFromBanded(banded), sets, Threshold)
       .write.parquet(pairsPath(sfDir))
     // components over the PERSISTED pairs (read back, not the live
     // subtree: the iterative label propagation would otherwise re-run
@@ -167,15 +223,14 @@ object DedupArtifacts {
     // "yesterday's run" for the incremental-maintenance demo (q142):
     // the cluster assignment over the BASE subset only, from the
     // base-internal pair set — what a dated production run would have
-    // persisted before today's delta arrived. Shingle sets are per-doc
-    // properties, so filtering the persisted index IS the base corpus'
-    // shingle table.
-    val baseSh = shArt.filter(col("doc_id") % DeltaMod =!= DeltaRem)
-    val basePairs = Dedup.minHashDedupPairsFromShingles(
-      baseSh, Threshold, K, Bands)
+    // persisted before today's delta arrived. Banded rows are per-doc
+    // properties, so filtering the persisted table IS the base corpus'
+    // banded table.
+    val isDelta = col("doc_id") % DeltaMod === DeltaRem
+    val basePairs = Dedup.verifyPairsWithSets(
+      Dedup.lshCandidatesFromBanded(banded.filter(!isDelta)), sets, Threshold)
     Components.connectedComponents(
-        docs.filter(col("doc_id") % DeltaMod =!= DeltaRem)
-          .select(col("doc_id").as("id")),
+        docs.filter(!isDelta).select(col("doc_id").as("id")),
         basePairs.select(col("doc_i").as("src"), col("doc_j").as("dst")))
       .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
       .write.parquet(baseClustersPath(sfDir))
@@ -231,6 +286,29 @@ object DedupArtifacts {
   def baseClusters(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(baseClustersPath(sfDir))
+  }
+
+  /** The banded LSH bucket table (doc_id, band, bucket) — the persisted
+    * candidate-generation state. Per-doc rows: filtering to any doc
+    * subset equals rebuilding over that subset, so one table serves
+    * full-corpus, base-side, and delta-side candidate joins. */
+  def banded(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(bandedPath(sfDir))
+  }
+
+  /** The verification doc-set table (doc_id, shs sorted array, sz) —
+    * [[Dedup.verifyPairsWithSets]]' right side, persisted. */
+  def docSets(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(docSetsPath(sfDir))
+  }
+
+  /** Shingles in more than [[MaxShingleFreq]] documents (sh) — the
+    * corpus-stable df cut every overlap report anti-joins against. */
+  def hotShingles(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(hotShinglesPath(sfDir))
   }
 
   /** Write-or-redeclare the bucketed shingle table (cross-session

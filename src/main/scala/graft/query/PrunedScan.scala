@@ -46,6 +46,13 @@ object PruneStats {
     nScans = 0; bytesTotal = 0; bytesRead = 0; pruneMs = 0
   }
 
+  /** Raw counters (nScans, bytesBefore, bytesAfter, pruneMs), or None
+    * when no pruned scan ran — for embedding in a consumer's own JSON
+    * (Bench's driver-parsed compact line). */
+  def snapshot(): Option[(Long, Long, Long, Long)] = lock.synchronized {
+    if (nScans == 0) None else Some((nScans, bytesTotal, bytesRead, pruneMs))
+  }
+
   /** One compact JSON-ish summary, or None when no pruned scan ran. */
   def summaryLine(): Option[String] = lock.synchronized {
     if (nScans == 0) None

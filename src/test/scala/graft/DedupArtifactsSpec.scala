@@ -101,11 +101,90 @@ class DedupArtifactsSpec extends AnyFunSuite {
 
   test("prepare is an idempotent no-op while the source is unchanged") {
     DedupArtifacts.prepare(spark, sfDir)
-    val t0 = System.nanoTime()
-    DedupArtifacts.prepare(spark, sfDir)
-    val secs = (System.nanoTime() - t0) / 1e9
     // a fresh-check no-op is one meta-file stat+read, far under a
-    // rebuild (which runs MinHash + components + the cut join)
-    assert(secs < 2.0, f"second prepare took $secs%.1f s — rebuilt?")
+    // rebuild (which runs MinHash + components + the cut join). MIN of
+    // three runs: this host sees multi-second CPU-steal waves, and a
+    // single-sample wall-clock bound was measured flaky under them.
+    val secs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      DedupArtifacts.prepare(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    assert(secs < 2.0, f"second prepare took $secs%.1f s (min of 3) — rebuilt?")
+  }
+
+  test("persisted banded/doc-set/hot-shingle state equals the from-scratch tables") {
+    import spark.implicits._
+    val sh = Dedup.shingleTable(
+      Tables.documents(spark, sfDir), "doc_id", "text", DedupArtifacts.N)
+      .localCheckpoint(eager = true)
+    val bandedFresh = Dedup.bandedTable(sh, DedupArtifacts.K, DedupArtifacts.Bands)
+      .as[(Long, Int, Long)].collect().toSet
+    val bandedArt = DedupArtifacts.banded(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(bandedArt == bandedFresh)
+    val setsFresh = Dedup.docSetTable(sh)
+      .as[(Long, Seq[Long], Long)].collect().map(t => (t._1, t._2.toList, t._3)).toSet
+    val setsArt = DedupArtifacts.docSets(spark, sfDir)
+      .as[(Long, Seq[Long], Long)].collect().map(t => (t._1, t._2.toList, t._3)).toSet
+    assert(setsArt == setsFresh)
+    val hotFresh = sh.groupBy("sh").count()
+      .filter(col("count") > DedupArtifacts.MaxShingleFreq)
+      .select("sh").as[Long].collect().toSet
+    val hotArt = DedupArtifacts.hotShingles(spark, sfDir)
+      .as[Long].collect().toSet
+    assert(hotArt == hotFresh)
+  }
+
+  test("incremental merge composes across two successive delta batches") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", DedupArtifacts.N)
+      .localCheckpoint(eager = true)
+    val banded = Dedup.bandedTable(sh, DedupArtifacts.K, DedupArtifacts.Bands)
+      .localCheckpoint(eager = true)
+    val sets = Dedup.docSetTable(sh).localCheckpoint(eager = true)
+    val t = DedupArtifacts.Threshold
+    def res(r: Long) = col("doc_id") % DedupArtifacts.DeltaMod === r
+
+    def fullClusters(universe: org.apache.spark.sql.DataFrame,
+        cond: org.apache.spark.sql.Column) = {
+      val pairs = Dedup.verifyPairsWithSets(
+        Dedup.lshCandidatesFromBanded(banded.filter(cond)), sets, t)
+      Components.connectedComponents(
+          universe.select(col("doc_id").as("id")),
+          pairs.select(col("doc_i").as("src"), col("doc_j").as("dst")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+    }
+    def pairsFor(cond: org.apache.spark.sql.Column,
+        isDelta: org.apache.spark.sql.Column) =
+      Dedup.verifyPairsWithSets(
+        Dedup.crossCandidatesFromBanded(banded.filter(cond), isDelta)
+          .unionByName(Dedup.lshCandidatesFromBanded(
+            banded.filter(cond && isDelta))),
+        sets, t)
+
+    // yesterday's state: clusters over residues ∉ {5, 6}
+    val base0Cond = !res(5) && !res(6)
+    val assign0 = fullClusters(docs.filter(base0Cond), base0Cond)
+    // batch 1: residue 5 arrives
+    val u1Cond = !res(6)
+    val a1 = graft.operators.DedupQueries.mergeAssignments(
+        docs.filter(u1Cond).select(col("doc_id")),
+        assign0, pairsFor(u1Cond, res(5)))
+      .localCheckpoint(eager = true)
+    val full1 = fullClusters(docs.filter(u1Cond), u1Cond)
+      .as[(Long, Long)].collect().toSet
+    assert(a1.as[(Long, Long)].collect().toSet == full1,
+      "first delta batch diverged from the full recompute")
+    // batch 2: residue 6 arrives, merged into batch 1's OUTPUT — the
+    // contraction must compose with its own result, not just with an
+    // ingest-built base
+    val a2 = graft.operators.DedupQueries.mergeAssignments(
+      docs.select(col("doc_id")), a1, pairsFor(lit(true), res(6)))
+    val full2 = fullClusters(docs, lit(true))
+      .as[(Long, Long)].collect().toSet
+    assert(a2.as[(Long, Long)].collect().toSet == full2,
+      "second delta batch diverged from the full recompute")
   }
 }
