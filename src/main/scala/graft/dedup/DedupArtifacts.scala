@@ -85,8 +85,10 @@ object DedupArtifacts {
     * v3: + shingles (the persisted shingle index itself).
     * v4: + banded (the LSH bucket table), doc_sets (the verification
     *     sets), hot_shingles (the df cut) — the incremental pipeline's
-    *     full persisted state, so a delta merge re-hashes NOTHING. */
-  private[graft] val Version = 4
+    *     full persisted state, so a delta merge re-hashes NOTHING.
+    * v5: + source_shingles (the per-source below-cut shingle incidence,
+    *     the overlap reports' input). */
+  private[graft] val Version = 5
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -117,6 +119,7 @@ object DedupArtifacts {
   private def bandedPath(sfDir: String) = s"${root(sfDir)}/banded"
   private def docSetsPath(sfDir: String) = s"${root(sfDir)}/doc_sets"
   private def hotShinglesPath(sfDir: String) = s"${root(sfDir)}/hot_shingles"
+  private def sourceShinglesPath(sfDir: String) = s"${root(sfDir)}/source_shingles"
   private def shinglesTable(sfDir: String) =
     s"graft_shingles_${corpusKey(sfDir).replace('.', '_').replace('-', '_')}"
 
@@ -198,6 +201,13 @@ object DedupArtifacts {
     shArt.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleFreq).select("sh")
       .write.parquet(hotShinglesPath(sfDir))
+    // the per-source DISTINCT below-cut shingle incidence — the overlap
+    // reports' (q105) whole input, corpus-stable: one anti-join against
+    // the just-written cut + one broadcast metadata join at ingest
+    shArt.join(s.read.parquet(hotShinglesPath(sfDir)), Seq("sh"), "left_anti")
+      .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+      .select(col("source"), col("sh")).distinct()
+      .write.parquet(sourceShinglesPath(sfDir))
     val banded = s.read.parquet(bandedPath(sfDir))
     val sets = s.read.parquet(docSetsPath(sfDir))
     // the verified MinHash pair set — q25's exact operator output,
@@ -309,6 +319,13 @@ object DedupArtifacts {
   def hotShingles(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(hotShinglesPath(sfDir))
+  }
+
+  /** Distinct (source, sh) over below-cut shingles — the per-source
+    * content-incidence index the overlap matrix (q105) runs on. */
+  def sourceShingles(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(sourceShinglesPath(sfDir))
   }
 
   /** Write-or-redeclare the bucketed shingle table (cross-session

@@ -136,6 +136,23 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(hotArt == hotFresh)
   }
 
+  test("persisted source-shingle incidence equals the from-scratch table") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", DedupArtifacts.N)
+      .localCheckpoint(eager = true)
+    val hot = sh.groupBy("sh").count()
+      .filter(col("count") > DedupArtifacts.MaxShingleFreq).select("sh")
+    val fresh = sh.join(hot, Seq("sh"), "left_anti")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("sh")).distinct()
+      .as[(String, Long)].collect().toSet
+    val art = DedupArtifacts.sourceShingles(spark, sfDir)
+      .as[(String, Long)].collect().toSet
+    assert(art == fresh)
+    assert(art.nonEmpty)
+  }
+
   test("incremental merge composes across two successive delta batches") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
