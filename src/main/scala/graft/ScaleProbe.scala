@@ -5,13 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: scale-up evidence for the heavy-tail dedup queries.
   * Builds a `factor`x corpus by self-unioning the source documents
-  * table with re-keyed doc_ids (id + i*10^8 per copy — disjoint id
-  * ranges, so every original doc gains `factor`-1 exact copies plus the
-  * original near-dup structure replicated per copy), then times the
-  * named queries against it cold (first run in the dir — includes any
-  * one-time artifact build, the honest per-corpus cost) and warm.
+  * table with re-keyed doc_ids (disjoint id ranges, stride derived from
+  * the max source id), then times the named queries against it cold
+  * (first run in the dir — includes any one-time artifact build, the
+  * honest per-corpus cost) and warm.
   *
-  * `runMain graft.ScaleProbe 10 /root/testdata/sf0.1 q122_dup_degree_hist,...`
+  * Two replication regimes:
+  *  - `copies` (default): exact copies — every original doc gains
+  *    `factor`-1 exact duplicates, so cross-copy shingle document
+  *    frequency grows by `factor` (the PATHOLOGICAL regime for df-cut
+  *    paths: at factor > MaxShingleFreq every shingle is boilerplate by
+  *    construction — real corpora never enter it because exact dedup
+  *    runs first);
+  *  - `organic`: every token of copy i > 0 gets a per-copy suffix, so
+  *    copies share NO shingles/fingerprints with each other while each
+  *    copy preserves the original intra-corpus near-dup structure —
+  *    the corpus grows like `factor`x NEW SOURCES at the original
+  *    duplication rate, which is what 100 TB actually looks like.
+  *    (q143's synthetic media derives from the text, so its phash
+  *    structure salts along.)
+  *
+  * `runMain graft.ScaleProbe 30 /root/testdata/sf0.1 q63_dedup_winnow,... organic`
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -21,7 +35,9 @@ object ScaleProbe {
       if (args.length > 2) args(2).split(',').toSeq
       else Seq("q27_dedup_simhash", "q49_dedup_clusters", "q63_dedup_winnow",
         "q100_dedup_funnel", "q122_dup_degree_hist")
-    val outDir = s"${graft.dedup.DedupArtifacts.artifactBase}/scale$factor"
+    val organic = args.length > 3 && args(3) == "organic"
+    val outDir = s"${graft.dedup.DedupArtifacts.artifactBase}/scale$factor" +
+      (if (organic) "organic" else "")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -44,7 +60,16 @@ object ScaleProbe {
       val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
       val stride = math.max(100000000L, maxId + 1)
       (0 until factor)
-        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * stride)))
+        .map { i =>
+          val keyed = docs.withColumn("doc_id", col("doc_id") + lit(i * stride))
+          // organic: suffix every token with the copy index ("z$i",
+          // unambiguous after the $1 group ref) — copies share no
+          // shingles, each preserves the original near-dup structure
+          if (organic && i > 0)
+            keyed.withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+          else keyed
+        }
         .reduce(_ unionByName _)
         .repartition(32)
         .write.parquet(dest.toString)

@@ -60,10 +60,17 @@ object DedupQueries extends QueryModule {
     * candidate rows), and candidates are re-verified against the full
     * shingle sets. Matching the uncut oracle proves the cut is
     * recall-only on this corpus: every true pair still shares at least
-    * one below-cut shingle (DedupCutSpec pins the margin). */
+    * one below-cut shingle (DedupCutSpec pins the margin).
+    *
+    * Runs the cut machinery over the PERSISTED shingle index — exactly
+    * the plan the cut_pairs artifact build executes at ingest, making
+    * this query literally that build recomputed under the full
+    * from-raw-text SQL oracle (the index is itself spec-pinned equal to
+    * the from-scratch shingle table; q26 keeps the full tokenize→pairs
+    * path exercised from raw docs). */
   private def q53DedupNgramCut(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      N, Threshold, maxShingleFreq = MaxShingleFreq)
+    Dedup.exactJaccardPairsFromShingles(DedupArtifacts.shingles(s, dir),
+      Threshold, maxShingleFreq = MaxShingleFreq)
 
   private[graft] val MaxShingleFreq = DedupArtifacts.MaxShingleFreq
 
