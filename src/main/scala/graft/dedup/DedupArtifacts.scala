@@ -87,8 +87,10 @@ object DedupArtifacts {
     *     sets), hot_shingles (the df cut) — the incremental pipeline's
     *     full persisted state, so a delta merge re-hashes NOTHING.
     * v5: + source_shingles (the per-source below-cut shingle incidence,
-    *     the overlap reports' input). */
-  private[graft] val Version = 5
+    *     the overlap reports' input).
+    * v6: + phashes (per-media perceptual hashes — feature extraction at
+    *     ingest, the multimodal twin of the shingle index). */
+  private[graft] val Version = 6
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -120,6 +122,7 @@ object DedupArtifacts {
   private def docSetsPath(sfDir: String) = s"${root(sfDir)}/doc_sets"
   private def hotShinglesPath(sfDir: String) = s"${root(sfDir)}/hot_shingles"
   private def sourceShinglesPath(sfDir: String) = s"${root(sfDir)}/source_shingles"
+  private def phashesPath(sfDir: String) = s"${root(sfDir)}/phashes"
   private def shinglesTable(sfDir: String) =
     s"graft_shingles_${corpusKey(sfDir).replace('.', '_').replace('-', '_')}"
 
@@ -208,6 +211,16 @@ object DedupArtifacts {
       .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
       .select(col("source"), col("sh")).distinct()
       .write.parquet(sourceShinglesPath(sfDir))
+    // per-media perceptual hashes — FEATURE EXTRACTION AT INGEST, the
+    // multimodal twin of the shingle index: decode/hash each payload
+    // once when it lands, and every near-dup/bucket report (q129, q143)
+    // joins 8-byte fingerprints instead of re-decoding binaries. Derived
+    // from the documents table (its synthetic media), so the main meta
+    // covers its staleness.
+    graft.multimodal.Multimodal.perceptualHashes(
+        graft.multimodal.Multimodal.fromTable(
+          docs.filter(length(col("text")) > 0), "doc_id", "text", "image"))
+      .write.parquet(phashesPath(sfDir))
     val banded = s.read.parquet(bandedPath(sfDir))
     val sets = s.read.parquet(docSetsPath(sfDir))
     // the verified MinHash pair set — q25's exact operator output,
@@ -326,6 +339,14 @@ object DedupArtifacts {
   def sourceShingles(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(sourceShinglesPath(sfDir))
+  }
+
+  /** Per-media perceptual hashes (media_id, phash) — extracted once at
+    * ingest; the near-dup/bucket reports join fingerprints, never
+    * binaries. */
+  def phashes(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(phashesPath(sfDir))
   }
 
   /** Write-or-redeclare the bucketed shingle table (cross-session

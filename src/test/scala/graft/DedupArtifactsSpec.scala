@@ -153,6 +153,19 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(art.nonEmpty)
   }
 
+  test("persisted perceptual hashes equal the from-scratch extraction") {
+    import spark.implicits._
+    val fresh = graft.multimodal.Multimodal.perceptualHashes(
+        graft.multimodal.Multimodal.fromTable(
+          Tables.documents(spark, sfDir).filter(length(col("text")) > 0),
+          "doc_id", "text", "image"))
+      .as[(Long, Long)].collect().toSet
+    val art = DedupArtifacts.phashes(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(art == fresh)
+    assert(art.nonEmpty)
+  }
+
   test("incremental merge composes across two successive delta batches") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

@@ -628,7 +628,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // the artifact parquet — no shingle hashing (xxhash64), no MinHash
     // aggregate, no pointer-jumping joins anywhere in it
     for (q <- Seq("q122_dup_degree_hist", "q85_syndication",
-        "q117_quality_canonical", "q93_dedup_agreement")) {
+        "q117_quality_canonical", "q93_dedup_agreement",
+        "q105_source_overlap")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       // q122 materializes the artifact-derived histogram at build time
       // (eager checkpoint), so its final plan shows the checkpointed
