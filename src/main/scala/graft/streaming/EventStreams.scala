@@ -142,4 +142,71 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Streaming MinHash NEAR-dup detection against a persisted base
+    * index — the ingest-side counterpart of the q142 delta merge: new
+    * documents stream in, and each emits the (new_id, base_id) pairs it
+    * near-duplicates (Jaccard >= threshold) in the already-ingested
+    * corpus, whose banded LSH table and verification doc-set table are
+    * the STATIC sides (`DedupArtifacts.banded` / `.docSets` filtered to
+    * the base).
+    *
+    * Everything stream-side is MAP-ONLY — per-doc shingle-hash ARRAY
+    * via higher-order functions (no explode-aggregate, which a stream
+    * would need a watermark for), k signature mins via `array_min` over
+    * the array, banded buckets from signature slices — followed by two
+    * STREAM-STATIC joins (candidates on (band, bucket), verification
+    * sets on base_id), a codegen size-ratio cut, and the exact
+    * `array_intersect` Jaccard check. Identical semantics to the batch
+    * path by construction: `wordShingles` dedupes at string level, so
+    * the per-doc hash array equals the shingle table's row set, and a
+    * min over an array equals the batch groupBy min
+    * (StreamingOpsSpec pins stream ≡ batch cross pairs row-level).
+    *
+    * Multi-band hits dedupe on the pair key; `dropDuplicates` keeps the
+    * pair state indefinitely — a production deployment bounds it with
+    * `dropDuplicatesWithinWatermark` on the ingest timestamp, same
+    * contract as [[dedupStream]]. */
+  def nearDupAgainstBase(
+      docs: DataFrame, baseBanded: DataFrame, baseSets: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val shsCol = sort_array(transform(
+      graft.functions.TextFunctions.wordShingles(
+        graft.functions.TextFunctions.tokens(col(textCol)), n),
+      x => xxhash64(x)))
+    val withSets = docs
+      .select(col(idCol).as("new_id"), shsCol.as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("sz", size(col("shs")).cast("long"))
+    val sig = (0 until k).map(i =>
+      array_min(transform(col("shs"), x => xxhash64(lit(i), x))).as(s"h$i"))
+    val signed = withSets.select(
+      Seq(col("new_id"), col("shs"), col("sz")) ++ sig: _*)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until r).map(j => col(s"h${b * r + j}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val exploded = signed
+      .select(col("new_id"), col("shs"), col("sz"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("new_id"), col("shs"), col("sz"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    exploded
+      .join(baseBanded.select(col("doc_id").as("base_id"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("base_id") =!= col("new_id"))
+      .join(baseSets.select(col("doc_id").as("base_id"),
+        col("shs").as("shs_b"), col("sz").as("sz_b")), "base_id")
+      .filter(col("sz") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz") * threshold)
+      .withColumn("inter",
+        size(array_intersect(col("shs"), col("shs_b"))).cast("long"))
+      .filter(col("inter").cast("double") /
+        (col("sz") + col("sz_b") - col("inter")) >= threshold)
+      .select(col("new_id"), col("base_id"))
+      .dropDuplicates("new_id", "base_id")
+  }
 }

@@ -230,6 +230,48 @@ class StreamingOpsSpec extends AnyFunSuite {
       "exactly one surviving row per distinct content digest")
     assert(out.select("text").distinct().count() == distinctTexts)
   }
+
+  test("streaming near-dup vs persisted base equals the batch cross-pair set") {
+    import graft.dedup.{Dedup, DedupArtifacts}
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val isDelta =
+      col("doc_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    // static sides: the persisted base index (banded + verification sets)
+    val banded = DedupArtifacts.banded(spark, sfDir)
+    val baseBanded = banded.filter(!isDelta)
+    val baseSets = DedupArtifacts.docSets(spark, sfDir)
+      .filter(!isDelta)
+    // today's batch streams in
+    val src = s"$work/neardup_docs"
+    Tables.documents(spark, sfDir).filter(isDelta)
+      .select("doc_id", "text").write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = EventStreams.nearDupAgainstBase(
+        stream, baseBanded, baseSets, "doc_id", "text",
+        DedupArtifacts.N, DedupArtifacts.Threshold,
+        DedupArtifacts.K, DedupArtifacts.Bands)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .option("checkpointLocation", s"$work/neardup_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("neardup_out")
+      .select(least(col("new_id"), col("base_id")),
+        greatest(col("new_id"), col("base_id")))
+      .as[(Long, Long)].collect().toSet
+    // batch truth: the q142 cross-pair machinery over the same artifacts
+    val batch = Dedup.verifyPairsWithSets(
+        Dedup.crossCandidatesFromBanded(banded, isDelta),
+        DedupArtifacts.docSets(spark, sfDir), DedupArtifacts.Threshold)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch diverged: only_stream=${(streamed -- batch).take(3)} " +
+        s"only_batch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "the sf0.001 delta has planted near-dups in the base")
+  }
 }
 
 final case class UserSessionRow(user_id: Long, n_events: Long,
