@@ -501,6 +501,86 @@ object PipelineQueries extends QueryModule {
       |FROM tok t JOIN freq f USING (tok), tot
       |GROUP BY t.doc_id""".stripMargin
 
+  /** STUPID-BACKOFF BIGRAM LM SCORING — the step up from q74's unigram
+    * proxy to the LM actually used for corpus filtering at scale
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation": score S(w2|w1) = c(w1 w2)/c(w1) when the bigram
+    * count clears a prune threshold, else back off to alpha *
+    * c(w2)/total with NO normalization — the scheme designed
+    * specifically so a distributed LM needs only pruned count tables,
+    * never a normalization pass). Per doc: mean of -log S over all
+    * positions (the first token has no context and scores as unigram).
+    * Scores are ratios of exact counts combined with one multiply/log,
+    * rounded to 6dp on both sides (q74's convention).
+    *
+    * Scale shape: this is WHY stupid backoff exists. The pruned bigram
+    * table (count >= [[BoMinCount]]) and the unigram table are both
+    * tiny relative to the corpus — Zipf pruning discards the long tail
+    * of singleton bigrams that dominates type counts — so all three
+    * lookup joins (token unigram, context unigram, pruned bigram)
+    * BROADCAST and scoring is map-side; the only corpus-keyed shuffle
+    * is the final per-doc mean, pre-combined. The (tok, prev) pairs are
+    * built from each doc's token array with one indexed `transform` —
+    * no self-join, no second explode. */
+  private def q147BackoffLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val grams = docs.select(col("doc_id"), explode(
+        transform(col("tk"), (x, i) => struct(
+          x.as("tok"),
+          when(i === 0, lit(null).cast("string"))
+            .otherwise(get(col("tk"), i - 1)).as("prev")))).as("g"))
+      .select(col("doc_id"), col("g.tok").as("tok"), col("g.prev").as("prev"))
+    val uni = grams.groupBy("tok").agg(count(lit(1)).as("c_uni"))
+      .crossJoin(grams.agg(count(lit(1)).as("total")))
+    val big = grams.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c_big"))
+      .filter(col("c_big") >= BoMinCount)
+    grams
+      .join(broadcast(uni), "tok")
+      .join(broadcast(uni.select(col("tok").as("prev"),
+        col("c_uni").as("c_prev"))), Seq("prev"), "left")
+      .join(broadcast(big), Seq("prev", "tok"), "left")
+      .groupBy("doc_id")
+      .agg(round(avg(
+        when(col("prev").isNull, -log(col("c_uni") / col("total")))
+          .when(col("c_big").isNotNull, -log(col("c_big") / col("c_prev")))
+          .otherwise(-log(lit(BoAlpha) * col("c_uni") / col("total")))), 6)
+        .as("bo_score"))
+  }
+
+  private val BoMinCount = 3L
+  private val BoAlpha = 0.4
+
+  private val q147Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+       |                             x -> LEN(x) > 0) AS tk
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, tk, UNNEST(RANGE(1, LEN(tk) + 1)) AS i
+       |  FROM t WHERE LEN(tk) > 0),
+       |grams AS (
+       |  SELECT doc_id, tk[i] AS tok,
+       |         CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS prev
+       |  FROM g),
+       |uni AS (SELECT tok, COUNT(*) AS c_uni FROM grams GROUP BY tok),
+       |tot AS (SELECT COUNT(*) AS total FROM grams),
+       |big AS (
+       |  SELECT prev, tok, COUNT(*) AS c_big FROM grams
+       |  WHERE prev IS NOT NULL GROUP BY prev, tok
+       |  HAVING COUNT(*) >= $BoMinCount)
+       |SELECT gr.doc_id, ROUND(AVG(CASE
+       |    WHEN gr.prev IS NULL THEN -LN(u.c_uni / tot.total)
+       |    WHEN b.c_big IS NOT NULL THEN -LN(b.c_big / pu.c_uni)
+       |    ELSE -LN($BoAlpha * u.c_uni / tot.total) END), 6) AS bo_score
+       |FROM grams gr
+       |JOIN uni u USING (tok)
+       |LEFT JOIN uni pu ON pu.tok = gr.prev
+       |LEFT JOIN big b ON b.prev = gr.prev AND b.tok = gr.tok, tot
+       |GROUP BY gr.doc_id""".stripMargin
+
   /** PARAGRAPH-LEVEL EXACT DEDUP — the Gopher/RefinedWeb boilerplate
     * removal step: segment every document into paragraphs, drop every
     * paragraph whose exact content recurs in MORE THAN ONE document
@@ -1118,6 +1198,7 @@ object PipelineQueries extends QueryModule {
     Q("q72_keep_best", q72KeepBest, Some(q72Sql)),
     Q("q73_doc_chunks", q73DocChunks, Some(q73Sql)),
     Q("q74_unigram_lm", q74UnigramLm, Some(q74Sql)),
+    Q("q147_backoff_lm", q147BackoffLm, Some(q147Sql)),
     Q("q75_para_dedup", q75ParaDedup, Some(q75Sql)),
     Q("q76_dsir_weights", q76DsirWeights, Some(q76Sql)))
 }
