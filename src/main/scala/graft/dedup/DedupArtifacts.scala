@@ -69,6 +69,7 @@ object DedupArtifacts {
   val Bands = 16         // LSH bands (rows-per-band = K / Bands)
   val MaxShingleFreq = 20L // hot-shingle cut for the exact-Jaccard path
   val SemThreshold = 0.45  // embedding-cosine near-dup bar (q28's)
+  val PHashMaxHamming = 10 // perceptual-hash near-dup bar in bits (q143's)
 
   /** The deterministic base/delta batch split for the incremental-
     * maintenance demos (q142): docs with id ≡ DeltaRem (mod DeltaMod)
@@ -89,8 +90,11 @@ object DedupArtifacts {
     * v5: + source_shingles (the per-source below-cut shingle incidence,
     *     the overlap reports' input).
     * v6: + phashes (per-media perceptual hashes — feature extraction at
-    *     ingest, the multimodal twin of the shingle index). */
-  private[graft] val Version = 6
+    *     ingest, the multimodal twin of the shingle index).
+    * v7: + phash_pairs (the banded-hamming near-dup pair set over those
+    *     hashes — the media twin of minhash_pairs, so syndication/QC
+    *     reports join a persisted pair list). */
+  private[graft] val Version = 7
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -123,6 +127,7 @@ object DedupArtifacts {
   private def hotShinglesPath(sfDir: String) = s"${root(sfDir)}/hot_shingles"
   private def sourceShinglesPath(sfDir: String) = s"${root(sfDir)}/source_shingles"
   private def phashesPath(sfDir: String) = s"${root(sfDir)}/phashes"
+  private def phashPairsPath(sfDir: String) = s"${root(sfDir)}/phash_pairs"
   private def shinglesTable(sfDir: String) =
     s"graft_shingles_${corpusKey(sfDir).replace('.', '_').replace('-', '_')}"
 
@@ -221,6 +226,18 @@ object DedupArtifacts {
         graft.multimodal.Multimodal.fromTable(
           docs.filter(length(col("text")) > 0), "doc_id", "text", "image"))
       .write.parquet(phashesPath(sfDir))
+    // the perceptual-hash near-dup pair set over the just-persisted
+    // hashes — the media twin of minhash_pairs (q143's operator output;
+    // hamming IS the verification here, no second stage). Syndication
+    // and QC reports join this pair list instead of re-running the
+    // banded hamming join per report.
+    val phs = s.read.parquet(phashesPath(sfDir))
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    Dedup.bandedCandidates(phs, PHashMaxHamming)
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= PHashMaxHamming)
+      .select(col("a_id").as("media_i"), col("b_id").as("media_j"))
+      .distinct()
+      .write.parquet(phashPairsPath(sfDir))
     val banded = s.read.parquet(bandedPath(sfDir))
     val sets = s.read.parquet(docSetsPath(sfDir))
     // the verified MinHash pair set — q25's exact operator output,
@@ -347,6 +364,13 @@ object DedupArtifacts {
   def phashes(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(phashesPath(sfDir))
+  }
+
+  /** Perceptual-hash near-dup media pairs (media_i, media_j), i < j,
+    * within [[PHashMaxHamming]] bits — the persisted media pair set. */
+  def phashPairs(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(phashPairsPath(sfDir))
   }
 
   /** Write-or-redeclare the bucketed shingle table (cross-session

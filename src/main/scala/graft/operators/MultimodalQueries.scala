@@ -250,7 +250,9 @@ object MultimodalQueries extends QueryModule {
     * pigeonhole fixes 11 bands of 5-6 bits, so banding recall is
     * deterministically 1.0 and the banded path must equal the O(n²)
     * hamming join the oracle runs. */
-  private val PHashMaxHamming = 10
+  // canonical bar shared with the ingest-time pair artifact
+  // (DedupArtifacts.phashPairs must snapshot exactly q143's semantics)
+  private val PHashMaxHamming = graft.dedup.DedupArtifacts.PHashMaxHamming
 
   /** PERCEPTUAL-HASH NEAR-DUP PAIRS — q129 finds exact aHash buckets
     * (hamming 0); this is the near-dup tier: media pairs within
@@ -276,9 +278,11 @@ object MultimodalQueries extends QueryModule {
   }
 
   // the q129 fingerprint CTE + the exact O(n^2) hamming join (lo/hi
-  // halves per the q27 rule); the banded Spark path must reproduce it
-  // exactly by the pigeonhole guarantee
-  private val q143Sql =
+  // halves per the q27 rule) as a shared CTE chain; the banded Spark
+  // path must reproduce the `phpairs` set exactly by the pigeonhole
+  // guarantee. Shared by q143 (the pair set itself) and q148 (the
+  // syndication matrix over it).
+  private val PhashPairsCtes =
     s"""WITH p AS (
       |  SELECT doc_id, hex(encode(text)) AS hx, OCTET_LENGTH(encode(text)) AS n
       |  FROM documents WHERE OCTET_LENGTH(encode(text)) > 0),
@@ -293,16 +297,56 @@ object MultimodalQueries extends QueryModule {
       |        THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END) AS lo,
       |    SUM(CASE WHEN bv*64 > sm AND j >= 32
       |        THEN 1::BIGINT << CAST(j - 32 AS INT) ELSE 0 END) AS hi
-      |  FROM b JOIN m USING (doc_id) GROUP BY 1)
-      |SELECT a.doc_id AS media_i, b.doc_id AS media_j
-      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-      |WHERE BIT_COUNT(XOR(a.lo, b.lo)) + BIT_COUNT(XOR(a.hi, b.hi))
-      |      <= $PHashMaxHamming""".stripMargin
+      |  FROM b JOIN m USING (doc_id) GROUP BY 1),
+      |phpairs AS (
+      |  SELECT a.doc_id AS media_i, b.doc_id AS media_j
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE BIT_COUNT(XOR(a.lo, b.lo)) + BIT_COUNT(XOR(a.hi, b.hi))
+      |        <= $PHashMaxHamming)""".stripMargin
+
+  private val q143Sql =
+    s"""$PhashPairsCtes
+      |SELECT media_i, media_j FROM phpairs""".stripMargin
+
+  /** CROSS-SOURCE IMAGE SYNDICATION MATRIX — the media twin of q105's
+    * text overlap report: count near-dup media pairs per (unordered)
+    * source pair, intra-source duplication on the diagonal. The consumer
+    * side of the persisted `DedupArtifacts.phashPairs` media pair set —
+    * the report joins a persisted pair list; nothing is re-hashed, no
+    * binary is touched. The oracle recomputes the pair set from the
+    * payloads from scratch.
+    *
+    * Scale shape: the pair list is tiny relative to the corpus, so it
+    * BROADCASTS through both id→source lookups — two map-side joins
+    * against the documents scan, then a ≤|sources|² aggregate. */
+  private def q148PhashSyndication(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val pairs = graft.dedup.DedupArtifacts.phashPairs(s, dir)
+    val withA = src
+      .join(broadcast(pairs), col("doc_id") === col("media_i"))
+      .select(col("media_j"), col("source").as("src_a"))
+    src.join(broadcast(withA), col("doc_id") === col("media_j"))
+      .select(least(col("src_a"), col("source")).as("source_a"),
+        greatest(col("src_a"), col("source")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val q148Sql =
+    s"""$PhashPairsCtes
+      |SELECT LEAST(da.source, db.source) AS source_a,
+      |       GREATEST(da.source, db.source) AS source_b,
+      |       COUNT(*) AS n_pairs
+      |FROM phpairs
+      |JOIN documents da ON da.doc_id = phpairs.media_i
+      |JOIN documents db ON db.doc_id = phpairs.media_j
+      |GROUP BY 1, 2""".stripMargin
 
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q129_phash_buckets", q129PHashBuckets, Some(q129Sql)),
     Q("q143_phash_neardup", q143PHashNearDup, Some(q143Sql)),
+    Q("q148_phash_syndication", q148PhashSyndication, Some(q148Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),

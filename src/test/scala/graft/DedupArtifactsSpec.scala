@@ -53,6 +53,24 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(art.size == docs.count())
   }
 
+  test("persisted phash pairs equal the from-scratch banded hamming join") {
+    import spark.implicits._
+    val art = DedupArtifacts.phashPairs(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val fp = graft.multimodal.Multimodal.perceptualHashes(
+        graft.multimodal.Multimodal.fromTable(
+          Tables.documents(spark, sfDir).filter(length(col("text")) > 0),
+          "doc_id", "text", "image"))
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    val fresh = Dedup.bandedCandidates(fp, DedupArtifacts.PHashMaxHamming)
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim")))
+        <= DedupArtifacts.PHashMaxHamming)
+      .select(col("a_id"), col("b_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(art == fresh)
+    assert(art.nonEmpty, "the sf0.001 corpus has planted media near-dups")
+  }
+
   test("persisted cut pairs equal the from-scratch cut operator output") {
     import spark.implicits._
     val art = DedupArtifacts.cutPairs(spark, sfDir)
