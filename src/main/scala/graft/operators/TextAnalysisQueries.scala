@@ -576,6 +576,46 @@ object TextAnalysisQueries extends QueryModule {
       |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY o.decile) AS BIGINT) AS cum_types
       |FROM occ o LEFT JOIN newt nt USING (decile)""".stripMargin
 
+  /** ZIPF FREQUENCY-SPECTRUM FIT — the corpus-health power-law check
+    * (a crawl slice whose token distribution stops being Zipfian is
+    * usually boilerplate- or spam-dominated). Fitted WITHOUT the
+    * textbook rank-frequency regression, whose rank column needs a
+    * GLOBAL sort of the vocabulary: instead regress over the frequency
+    * SPECTRUM — for Zipf(s), the number of types occurring exactly f
+    * times falls as f^-(1+1/s), so log(n_types) on log(f) has slope
+    * -(1+1/s) and the fit needs only (freq → type count) pairs.
+    * Singleton-heavy tails bias nothing out of the ordinary here: the
+    * fit is the diagnostic, not an estimator of record.
+    *
+    * Scale shape: one token-keyed shuffle (pre-combined) for the
+    * frequency table, one TINY shuffle keyed on the frequency value
+    * (≤ max df distinct keys), then a 1-row `regr_slope` aggregate over
+    * ≤ thousands of spectrum points — no window, no global sort, no
+    * vocabulary ever ordered. Doubles appear only inside regr_* and the
+    * final 6dp round (the spectrum coordinates are exact-count logs,
+    * identical on both engines). */
+  private def q149ZipfSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    freq.groupBy("f").agg(count(lit(1)).as("n_types"))
+      .agg(count(lit(1)).as("spectrum_points"),
+        round(expr("regr_slope(ln(n_types), ln(f))"), 6).as("slope"),
+        round(expr("regr_intercept(ln(n_types), ln(f))"), 6).as("intercept"))
+  }
+
+  private val q149Sql =
+    """WITH tok AS (
+      |  SELECT UNNEST(LIST_FILTER(
+      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+      |spec AS (SELECT f, COUNT(*) AS n_types FROM freq GROUP BY f)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS spectrum_points,
+      |  ROUND(REGR_SLOPE(LN(n_types), LN(f)), 6) AS slope,
+      |  ROUND(REGR_INTERCEPT(LN(n_types), LN(f)), 6) AS intercept
+      |FROM spec""".stripMargin
+
   /** PER-SOURCE DISTRIBUTION DIVERGENCE — total-variation distance
     * between each source's token distribution and the whole corpus:
     * the domain-shift diagnostic behind mixture design and "this crawl
@@ -786,6 +826,7 @@ object TextAnalysisQueries extends QueryModule {
     Q("q119_charset_audit", q119CharsetAudit, Some(q119Sql)),
     Q("q120_line_filter", q120LineFilter, Some(q120Sql)),
     Q("q111_vocab_growth", q111VocabGrowth, Some(q111Sql)),
+    Q("q149_zipf_spectrum", q149ZipfSpectrum, Some(q149Sql)),
     Q("q115_source_divergence", q115SourceDivergence, Some(q115Sql)),
     Q("q95_novelty", q95Novelty, Some(q95Sql)),
     Q("q32_lang_id", q32LangId, Some(q32Sql)),
