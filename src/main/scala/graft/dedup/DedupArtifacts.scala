@@ -211,11 +211,24 @@ object DedupArtifacts {
       .write.parquet(hotShinglesPath(sfDir))
     // the per-source DISTINCT below-cut shingle incidence — the overlap
     // reports' (q105) whole input, corpus-stable: one anti-join against
-    // the just-written cut + one broadcast metadata join at ingest
-    shArt.join(s.read.parquet(hotShinglesPath(sfDir)), Seq("sh"), "left_anti")
-      .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
-      .select(col("source"), col("sh")).distinct()
-      .write.parquet(sourceShinglesPath(sfDir))
+    // the just-written cut + one broadcast metadata join at ingest.
+    // Corpora without provenance metadata (unit-test fixtures, raw
+    // dumps) get an empty incidence table: the overlap reports are
+    // meaningless there, but prepare() must not fail the unrelated
+    // pair/cluster artifacts over a missing optional column.
+    val srcIncidence =
+      if (docs.columns.contains("source"))
+        shArt.join(s.read.parquet(hotShinglesPath(sfDir)), Seq("sh"), "left_anti")
+          .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+          .select(col("source"), col("sh")).distinct()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("sh",
+              org.apache.spark.sql.types.LongType))))
+    srcIncidence.write.parquet(sourceShinglesPath(sfDir))
     // per-media perceptual hashes — FEATURE EXTRACTION AT INGEST, the
     // multimodal twin of the shingle index: decode/hash each payload
     // once when it lands, and every near-dup/bucket report (q129, q143)

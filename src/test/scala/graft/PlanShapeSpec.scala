@@ -530,10 +530,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"quantization must not move the embeddings:\n$p")
   }
 
-  test("phash buckets: map-side hashing into two pre-combined aggregates, join-free") {
+  test("phash buckets: reads the persisted hash artifact, pre-combined, join-free") {
     val p = plan(SparkEntry.queries("q129_phash_buckets")(spark, sfDir))
-    assert(p.contains("MapPartitions"),
-      s"hashing must run in the batched typed map:\n$p")
+    // feature extraction moved to ingest (DedupArtifacts.phashes): the
+    // report plan must scan the 8-byte fingerprint artifact, never the
+    // payloads — no typed map, no decode, in the per-report plan
+    assert(p.contains("graft_dedup") && p.contains("phashes"),
+      s"the profile must scan the persisted phash artifact:\n$p")
+    assert(!p.contains("MapPartitions"),
+      s"no per-report re-hashing of payloads:\n$p")
     assert(p.contains("partial_count"),
       s"the hash-keyed dedup must pre-combine map-side:\n$p")
     assert(!p.contains("Join"), s"the bucket profile must not join:\n$p")
