@@ -588,6 +588,18 @@ object Dedup {
     * least one whole band — made as WIDE as recall allows: more bucket
     * values, smaller buckets, quadratically fewer pairs per bucket. */
   private[graft] def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = simHashBands(fp, maxHamming)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.simhash").as("a_sim"),
+        col("b.doc_id").as("b_id"), col("b.simhash").as("b_sim"))
+  }
+
+  /** The per-fingerprint band/bucket table behind [[bandedCandidates]]:
+    * the 64 bits slice into `maxHamming + 1` bands, each as wide as the
+    * budget allows. */
+  private def simHashBands(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val wide = 64 % nBands // first `wide` bands get an extra bit
@@ -604,13 +616,29 @@ object Dedup {
         shiftright(col("simhash"), offsets(c))
           .bitwiseAND(lit(mask)).as("bucket"))
     }
-    val banded = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
+    fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("a").join(banded.as("b"),
+  }
+
+  /** Banded candidates where AT LEAST ONE endpoint satisfies `isDelta`
+    * (a predicate over `doc_id`) — the incremental-maintenance probe:
+    * the delta's band table (small) joins the full band table, so
+    * base×base bucket pairs are never generated and today's candidate
+    * volume scales with the delta's bucket neighborhoods, not the
+    * corpus. Ids are normalized a_id < b_id; the sims ride along
+    * un-normalized (hamming is symmetric). Delta-delta pairs emerge in
+    * both orders and collapse in the caller's distinct. */
+  private[graft] def bandedCrossCandidates(
+      fp: DataFrame, maxHamming: Int,
+      isDelta: org.apache.spark.sql.Column): DataFrame = {
+    val banded = simHashBands(fp, maxHamming)
+    banded.filter(isDelta).as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("a.simhash").as("a_sim"),
-        col("b.doc_id").as("b_id"), col("b.simhash").as("b_sim"))
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        col("a.simhash").as("a_sim"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
+        col("b.simhash").as("b_sim"))
   }
 }

@@ -342,11 +342,50 @@ object MultimodalQueries extends QueryModule {
       |JOIN documents db ON db.doc_id = phpairs.media_j
       |GROUP BY 1, 2""".stripMargin
 
+  /** INCREMENTAL MEDIA PAIR MAINTENANCE — the media twin of q142/q109:
+    * merge today's media batch (the [[graft.dedup.DedupArtifacts]]
+    * DeltaMod/DeltaRem id split) into yesterday's persisted pair set.
+    * Base-internal pairs are a pure FILTER of the persisted pair
+    * artifact (pair membership is a per-pair property of its two
+    * endpoints); today's work is [[graft.dedup.Dedup.bandedCrossCandidates]]
+    * — the delta's band table probing the full band table, so base×base
+    * bucket pairs are never generated and the base corpus is never
+    * re-hashed (its hashes AND its pairs both come from the v7 artifact
+    * tree). The union must equal the full from-scratch recompute
+    * exactly — the oracle IS q143's O(n^2) hamming closure, unchanged.
+    *
+    * Scale shape: today's candidate volume scales with the delta's
+    * bucket neighborhoods; the persisted base pairs stream through a
+    * filter+union with no join. The 100 TB daily-ingest economics:
+    * yesterday's 100 TB contributes one artifact read, today's TB pays
+    * one banded join against the persisted band-table-equivalent. */
+  private def q150IncrPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val DA = graft.dedup.DedupArtifacts
+    val isDeltaId = col("doc_id") % DA.DeltaMod === DA.DeltaRem
+    val fp = DA.phashes(s, dir)
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    val cross = graft.dedup.Dedup
+      .bandedCrossCandidates(fp, PHashMaxHamming, isDeltaId)
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= PHashMaxHamming)
+      .select(col("a_id").as("media_i"), col("b_id").as("media_j"))
+    val basePairs = graft.dedup.DedupArtifacts.phashPairs(s, dir)
+      .filter(col("media_i") % DA.DeltaMod =!= DA.DeltaRem &&
+        col("media_j") % DA.DeltaMod =!= DA.DeltaRem)
+    basePairs.unionByName(cross).distinct()
+  }
+
+  // incremental-vs-full is the whole claim: the oracle recomputes the
+  // complete pair set from the payloads, same as q143's
+  private val q150Sql =
+    s"""$PhashPairsCtes
+      |SELECT media_i, media_j FROM phpairs""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q129_phash_buckets", q129PHashBuckets, Some(q129Sql)),
     Q("q143_phash_neardup", q143PHashNearDup, Some(q143Sql)),
     Q("q148_phash_syndication", q148PhashSyndication, Some(q148Sql)),
+    Q("q150_incr_phash_pairs", q150IncrPhashPairs, Some(q150Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),
