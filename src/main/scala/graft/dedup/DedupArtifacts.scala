@@ -93,8 +93,10 @@ object DedupArtifacts {
     *     ingest, the multimodal twin of the shingle index).
     * v7: + phash_pairs (the banded-hamming near-dup pair set over those
     *     hashes — the media twin of minhash_pairs, so syndication/QC
-    *     reports join a persisted pair list). */
-  private[graft] val Version = 7
+    *     reports join a persisted pair list).
+    * v8: + media_clusters (components over phash_pairs — the media twin
+    *     of the cluster map, completing the media funnel at ingest). */
+  private[graft] val Version = 8
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -128,6 +130,7 @@ object DedupArtifacts {
   private def sourceShinglesPath(sfDir: String) = s"${root(sfDir)}/source_shingles"
   private def phashesPath(sfDir: String) = s"${root(sfDir)}/phashes"
   private def phashPairsPath(sfDir: String) = s"${root(sfDir)}/phash_pairs"
+  private def mediaClustersPath(sfDir: String) = s"${root(sfDir)}/media_clusters"
   private def shinglesTable(sfDir: String) =
     s"graft_shingles_${corpusKey(sfDir).replace('.', '_').replace('-', '_')}"
 
@@ -251,6 +254,15 @@ object DedupArtifacts {
       .select(col("a_id").as("media_i"), col("b_id").as("media_j"))
       .distinct()
       .write.parquet(phashPairsPath(sfDir))
+    // media clusters: components over the PERSISTED media pairs (read
+    // back, like the text clusters below), universe = every hashed
+    // media item, singletons map to themselves
+    Components.connectedComponents(
+        phs.select(col("doc_id").as("id")),
+        s.read.parquet(phashPairsPath(sfDir))
+          .select(col("media_i").as("src"), col("media_j").as("dst")))
+      .select(col("id").as("media_id"), col("comp").as("cluster_rep"))
+      .write.parquet(mediaClustersPath(sfDir))
     val banded = s.read.parquet(bandedPath(sfDir))
     val sets = s.read.parquet(docSetsPath(sfDir))
     // the verified MinHash pair set — q25's exact operator output,
@@ -384,6 +396,14 @@ object DedupArtifacts {
   def phashPairs(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(phashPairsPath(sfDir))
+  }
+
+  /** Media cluster assignment (media_id, cluster_rep) — components over
+    * [[phashPairs]]; every hashed media item appears, singletons map to
+    * themselves. */
+  def mediaClusters(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(mediaClustersPath(sfDir))
   }
 
   /** Write-or-redeclare the bucketed shingle table (cross-session

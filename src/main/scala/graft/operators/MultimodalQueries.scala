@@ -380,12 +380,40 @@ object MultimodalQueries extends QueryModule {
     s"""$PhashPairsCtes
       |SELECT media_i, media_j FROM phpairs""".stripMargin
 
+  /** MEDIA CLUSTER ASSIGNMENT — connected components over the
+    * perceptual-hash near-dup pairs: the media twin of the q49 cluster
+    * map, and the last stage of the media funnel (q129 exact buckets →
+    * q143 near-dup pairs → clusters). Read from the ingest-persisted
+    * `DedupArtifacts.mediaClusters` (v8) — components run ONCE per
+    * corpus over the persisted pair list; canonical-selection and
+    * purity reports join the assignment. The oracle recomputes the
+    * transitive closure from the payloads from scratch (q49's
+    * recursive-CTE pattern over q143's exact pair set).
+    *
+    * Scale shape: the iteration input is the pair list (tiny vs the
+    * corpus), pointer-jumping label propagation (`Components`), and it
+    * runs at ingest — report plans are one artifact scan. */
+  private def q151MediaClusters(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupArtifacts.mediaClusters(s, dir)
+
+  private val q151Sql =
+    s"""${PhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |edges AS (
+      |  SELECT media_i AS ea, media_j AS eb FROM phpairs
+      |  UNION ALL SELECT media_j, media_i FROM phpairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM p
+      |  UNION
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
+      |SELECT id AS media_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q129_phash_buckets", q129PHashBuckets, Some(q129Sql)),
     Q("q143_phash_neardup", q143PHashNearDup, Some(q143Sql)),
     Q("q148_phash_syndication", q148PhashSyndication, Some(q148Sql)),
     Q("q150_incr_phash_pairs", q150IncrPhashPairs, Some(q150Sql)),
+    Q("q151_media_clusters", q151MediaClusters, Some(q151Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),

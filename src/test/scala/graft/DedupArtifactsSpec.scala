@@ -71,6 +71,26 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(art.nonEmpty, "the sf0.001 corpus has planted media near-dups")
   }
 
+  test("persisted media clusters equal components over the from-scratch pairs") {
+    import spark.implicits._
+    val art = DedupArtifacts.mediaClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val fp = graft.multimodal.Multimodal.perceptualHashes(
+        graft.multimodal.Multimodal.fromTable(
+          Tables.documents(spark, sfDir).filter(length(col("text")) > 0),
+          "doc_id", "text", "image"))
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    val edges = Dedup.bandedCandidates(fp, DedupArtifacts.PHashMaxHamming)
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim")))
+        <= DedupArtifacts.PHashMaxHamming)
+      .select(col("a_id").as("src"), col("b_id").as("dst")).distinct()
+    val fresh = Components.connectedComponents(
+        fp.select(col("doc_id").as("id")), edges)
+      .as[(Long, Long)].collect().toSet
+    assert(art == fresh)
+    assert(art.map(_._1).size == fp.count(), "every hashed media item appears")
+  }
+
   test("persisted cut pairs equal the from-scratch cut operator output") {
     import spark.implicits._
     val art = DedupArtifacts.cutPairs(spark, sfDir)
