@@ -396,6 +396,50 @@ object MultimodalQueries extends QueryModule {
   private def q151MediaClusters(s: SparkSession, dir: String): DataFrame =
     graft.dedup.DedupArtifacts.mediaClusters(s, dir)
 
+  /** CANONICAL MEDIA SELECTION — keep the LARGEST payload per media
+    * cluster (the resolution/quality proxy when the original and its
+    * re-encodes collapse into one near-dup cluster; ties break to the
+    * smallest id) — q117's RefinedWeb keep-best rule applied to the
+    * media tier, reading the persisted cluster map. One `max_by` with a
+    * composite ordering struct per cluster: a partial aggregate, no
+    * window, no per-cluster sort.
+    *
+    * Scale shape: cluster assignment is the persisted artifact; payload
+    * sizes join id-keyed; the aggregate carries one (id, size) struct
+    * of state per cluster. */
+  private def q152MediaCanonical(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupArtifacts.mediaClusters(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")),
+        "media_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_media"),
+        expr("max_by(named_struct('media_id', media_id, 'n_bytes', n_bytes)," +
+          " named_struct('q', n_bytes, 'tb', -media_id))").as("best"))
+      .select(col("cluster_rep"), col("n_media"),
+        col("best.media_id").as("keep_id"), col("best.n_bytes").as("keep_bytes"))
+
+  private val q152Sql =
+    s"""${PhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |edges AS (
+      |  SELECT media_i AS ea, media_j AS eb FROM phpairs
+      |  UNION ALL SELECT media_j, media_i FROM phpairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM p
+      |  UNION
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id),
+      |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+      |j AS (SELECT c.rep, c.id, CAST(OCTET_LENGTH(ENCODE(d.text)) AS BIGINT) AS n_bytes
+      |      FROM comp c JOIN documents d ON d.doc_id = c.id),
+      |r AS (SELECT rep, id, n_bytes,
+      |        ROW_NUMBER() OVER (PARTITION BY rep ORDER BY n_bytes DESC, id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY rep) AS n_media
+      |      FROM j)
+      |SELECT rep AS cluster_rep, CAST(n_media AS BIGINT) AS n_media,
+      |  id AS keep_id, n_bytes AS keep_bytes
+      |FROM r WHERE rn = 1""".stripMargin
+
   private val q151Sql =
     s"""${PhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
       |edges AS (
@@ -414,6 +458,7 @@ object MultimodalQueries extends QueryModule {
     Q("q148_phash_syndication", q148PhashSyndication, Some(q148Sql)),
     Q("q150_incr_phash_pairs", q150IncrPhashPairs, Some(q150Sql)),
     Q("q151_media_clusters", q151MediaClusters, Some(q151Sql)),
+    Q("q152_media_canonical", q152MediaCanonical, Some(q152Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),
