@@ -22,6 +22,14 @@ object TextFunctions {
       ColumnBridge.expression(text)))
   }
 
+  /** Content-defined chunk boundary positions (native expression — see
+    * [[graft.functions.expressions.CdcBoundaries]]). */
+  def cdcBoundaries(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.CdcBoundaries(
+      ColumnBridge.expression(text), w))
+  }
+
   /** Distinct n-word shingles of a token array (n-gram units for
     * Jaccard/MinHash dedup). Empty when fewer than n tokens. */
   def wordShingles(toks: Column, n: Int): Column =

@@ -300,33 +300,32 @@ object DedupQueries extends QueryModule {
     * boundary stream and the leading chunk one generate-filter pass —
     * no union branch.
     *
-    * Scale shape: boundary detection is content-LOCAL — explode
-    * positions, one codegen md5 per gram, a doc-local LEAD window (the
-    * q63 lesson: never an interpreted HOF over per-char arrays). The
-    * text column is DROPPED before the window shuffle — carrying it
-    * through would ship one full text copy per boundary row, an
-    * O(len²/16) shuffle blowup per document — and joins back in
-    * exactly once (id-keyed, co-partitioned with the window output)
-    * for the chunk digests; the digest-keyed count then shuffles only
+    * Scale shape: boundary detection is content-LOCAL and runs as ONE
+    * native-expression call per document
+    * ([[graft.functions.expressions.CdcBoundaries]]): the per-position
+    * md5 loop lives in a JVM kernel with a thread-reused digest and an
+    * ASCII zero-allocation fast path, so the plan never materializes
+    * the corpus×doc-length position stream the composed formulation
+    * (explode → codegen md5 → filter → LEAD window) paid — measured
+    * 1.87 s floor composed vs sub-second with the kernel at sf0.1.
+    * Chunk extents come from zipping the boundary array with its own
+    * tail IN the array domain (~n/16 elements per doc — small, unlike
+    * per-char arrays, the q63 HOF caveat does not bite) — no window,
+    * no shuffle before the digest-keyed count, which ships only
     * (digest, len) pairs. */
   private def q92CdcChunks(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
+    val perDigest = Tables.documents(s, dir)
       .filter(length(col("text")) >= CdcW)
-      .select(col("doc_id"), col("text"))
-    val starts = docs
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (CdcW - 1))).as("i"))
-      .filter(col("i") === 1 ||
-        substring(md5(col("text").substr(col("i"), lit(CdcW))), 1, 1) === "0")
-      .select("doc_id", "i")
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    val perDigest = starts
-      .withColumn("nxt", lead("i", 1).over(w))
-      .join(docs, "doc_id")
-      .withColumn("nxt", coalesce(col("nxt"), length(col("text")) + 1))
-      .select(md5(col("text").substr(col("i"), col("nxt") - col("i"))).as("dg"),
-        (col("nxt") - col("i")).as("clen"))
+        graft.functions.TextFunctions.cdcBoundaries(col("text"), CdcW).as("b"))
+      .select(col("text"), explode(
+        transform(sequence(lit(0), size(col("b")) - 1), k =>
+          struct(get(col("b"), k).as("i"),
+            coalesce(get(col("b"), k + 1), length(col("text")) + 1)
+              .as("nxt")))).as("c"))
+      .select(md5(col("text").substr(col("c.i"), col("c.nxt") - col("c.i")))
+          .as("dg"),
+        (col("c.nxt") - col("c.i")).cast("long").as("clen"))
       .groupBy("dg").agg(count(lit(1)).as("cnt"), min("clen").as("len"))
     perDigest.agg(sum("cnt").as("n_chunks"),
       count(lit(1)).as("n_unique"),

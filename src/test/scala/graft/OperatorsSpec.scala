@@ -1234,6 +1234,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 0L, 4L, 4L)), s"b: ${got("b")}")
   }
 
+  test("cdc boundaries: kernel equals the composed explode+md5 formulation") {
+    import spark.implicits._
+    val w = 16
+    // ascii fast path, multibyte fallback (é forces the char-based
+    // walk), and an exactly-w-length edge doc
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog " * 8).trim),
+      (2L, ("café au lait crème brûlée " * 12).trim),
+      (3L, "exactly sixteen!"))
+      .toDF("doc_id", "text")
+    val kernel = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.cdcBoundaries(col("text"), w)).as("i"))
+      .as[(Long, Int)].collect().toSet
+    val composed = docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (w - 1))).as("i"))
+      .filter(col("i") === 1 ||
+        substring(md5(col("text").substr(col("i"), lit(w))), 1, 1) === "0")
+      .as[(Long, Int)].collect().toSet
+    assert(kernel == composed,
+      s"kernel/composed diverged: only_k=${(kernel -- composed).take(3)} " +
+        s"only_c=${(composed -- kernel).take(3)}")
+    assert(kernel.exists(_._1 == 2L), "multibyte doc must chunk")
+    assert(kernel.count(_._1 == 3L) == 1, "w-length doc = single boundary")
+  }
+
   test("skew report ranks hot keys and cross-multiplies the ratios exactly") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
