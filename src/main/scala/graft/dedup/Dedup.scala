@@ -218,6 +218,28 @@ object Dedup {
   def winnowFingerprints(
       docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1)
+    // one native-expression call per document
+    // (functions.expressions.WinnowFps): gram hashing, the sliding
+    // window min, and the per-doc distinct all run in a JVM kernel, so
+    // the plan materializes only the SELECTED fingerprints (~2/(w+1)
+    // of the grams) — the composed explode → md5 → doc-partitioned
+    // window-min → distinct formulation this replaces (kept below for
+    // the differential spec) paid a corpus×doc-length row stream
+    // through a sort and two aggregates for the same output
+    parallelize(docs, idCol)
+      .select(col(idCol).as("doc_id"),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("s"))
+      .filter(length(col("s")) >= k)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .winnowFps(col("s"), k, w)).as("fp"))
+  }
+
+  /** The composed-operator formulation of [[winnowFingerprints]] —
+    * retained as the differential anchor (WinnowSpec pins kernel ≡
+    * composed on every doc class); not on any hot path. */
+  private[graft] def winnowFingerprintsComposed(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1)
     import org.apache.spark.sql.expressions.Window
     val grams = parallelize(docs, idCol)
       .select(col(idCol).as("doc_id"),
@@ -278,26 +300,35 @@ object Dedup {
   def winnowDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, threshold: Double, maxFpFreq: Long = 0L): DataFrame = {
-    // materialized: the df-cut consumes raw TWICE (hot-fp aggregation +
-    // anti-join left side) and the self-join below consumes the cut
-    // twice more — without this the whole fingerprint computation is
-    // re-run per DAG branch (no cross-branch reuse in Catalyst)
+    // ONE fp-keyed aggregation builds the posting list per fingerprint;
+    // the df cut is then a filter on the aggregate (no anti-join back
+    // to the row stream), per-doc set sizes re-explode the kept
+    // postings (doc-keyed, pre-combined), and candidate pairs are the
+    // WITHIN-ARRAY combinations of each posting list — the self-join
+    // this replaces shuffled the full (fp, doc) stream twice to
+    // produce exactly the same Σ df·(df−1)/2 rows the array expansion
+    // emits map-side. With the cut, a posting's combinations are
+    // ≤ maxFpFreq·(maxFpFreq−1)/2 structs per fp — bounded, tiny, and
+    // the HOF runs on a ≤ maxFpFreq array, not per corpus row (the q63
+    // per-char-array caveat does not apply). maxFpFreq = 0 (the
+    // small-scale oracle anchor) skips the cut and the combination
+    // arrays are then corpus-df-sized — correct, but the cut IS the
+    // scale path, exactly as documented below.
     val raw = mat(winnowFingerprints(docs, idCol, textCol, k, w))
-    val cut =
-      if (maxFpFreq <= 0) raw
-      else {
-        val hot = raw.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxFpFreq).select("fp")
-        raw.join(hot, Seq("fp"), "left_anti")
-      }
-    // fps are already fixed-width longs ([[winnowFingerprints]] carries
-    // the 60-bit md5 prefix), so joins and intersection counts need no
-    // further conversion
-    val fps = cut
-    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+    val byFp = raw.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        count(lit(1)).as("df"))
+    // materialized: consumed by the size branch AND the pair branch
+    val kept = mat(
+      if (maxFpFreq <= 0) byFp else byFp.filter(col("df") <= maxFpFreq))
+    val sizes = kept.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val combos = flatten(transform(sequence(lit(0), size(col("ids")) - 2), a =>
+      transform(sequence(a + 1, size(col("ids")) - 1), b =>
+        struct(get(col("ids"), a).as("i"), get(col("ids"), b).as("j")))))
+    kept.filter(col("df") >= 2)
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.i").as("doc_i"), col("p.j").as("doc_j"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
       .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")

@@ -30,6 +30,14 @@ object TextFunctions {
       ColumnBridge.expression(text), w))
   }
 
+  /** Distinct winnowing fingerprints of a normalized string (native
+    * expression — see [[graft.functions.expressions.WinnowFps]]). */
+  def winnowFps(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.WinnowFps(
+      ColumnBridge.expression(text), k, w))
+  }
+
   /** Distinct n-word shingles of a token array (n-gram units for
     * Jaccard/MinHash dedup). Empty when fewer than n tokens. */
   def wordShingles(toks: Column, n: Int): Column =

@@ -65,6 +65,26 @@ class WinnowSpec extends AnyFunSuite {
     assert(m(1L) == m(2L))
   }
 
+  test("kernel fingerprints equal the composed explode+window formulation") {
+    import spark.implicits._
+    // ascii, multibyte (forces the char-based walk), repeated-content
+    // (exercises the per-doc distinct), under-w-grams, and exactly-k
+    val rows = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog " * 6).trim,
+      2L -> ("café au lait crème brûlée encore une fois " * 6).trim,
+      3L -> ("aaaa bbbb aaaa bbbb " * 10).trim,
+      4L -> "exactly9c",
+      5L -> "12345678")
+    val docs = rows.toDF("doc_id", "text")
+    val kernel = Dedup.winnowFingerprints(docs, "doc_id", "text", K, W)
+      .as[(Long, Long)].collect().toSet
+    val composed = Dedup.winnowFingerprintsComposed(docs, "doc_id", "text", K, W)
+      .as[(Long, Long)].collect().toSet
+    assert(kernel == composed,
+      s"kernel/composed diverged: only_k=${(kernel -- composed).take(3)} " +
+        s"only_c=${(composed -- kernel).take(3)}")
+  }
+
   test("winnowDedupPairs finds the planted near-dup and not the unrelated doc") {
     import spark.implicits._
     val docs = Seq(
