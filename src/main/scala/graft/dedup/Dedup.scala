@@ -152,9 +152,15 @@ object Dedup {
         .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("hots"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val emptyArr = array().cast("array<bigint>")
-      filtered.as("a").join(filtered.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      // below-cut postings are df-bounded by construction, so the
+      // inverted-index pairs expand as within-array combinations —
+      // one sh-keyed aggregation instead of self-joining the shingle
+      // stream (which shuffled it twice for the same pair multiset)
+      filtered.groupBy("sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(pairCombos(col("ids"))).as("p"))
+        .groupBy(col("p.i").as("doc_i"), col("p.j").as("doc_j"))
         .agg(count(lit(1)).as("inter_cut"))
         .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
         .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
@@ -323,11 +329,8 @@ object Dedup {
       if (maxFpFreq <= 0) byFp else byFp.filter(col("df") <= maxFpFreq))
     val sizes = kept.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val combos = flatten(transform(sequence(lit(0), size(col("ids")) - 2), a =>
-      transform(sequence(a + 1, size(col("ids")) - 1), b =>
-        struct(get(col("ids"), a).as("i"), get(col("ids"), b).as("j")))))
     kept.filter(col("df") >= 2)
-      .select(explode(combos).as("p"))
+      .select(explode(pairCombos(col("ids"))).as("p"))
       .groupBy(col("p.i").as("doc_i"), col("p.j").as("doc_j"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
@@ -336,6 +339,18 @@ object Dedup {
         (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
       .select("doc_i", "doc_j")
   }
+
+  /** All unordered (i, j) combinations of a SORTED id array as structs
+    * — the inverted-index pair expansion: a posting list of df ids
+    * yields its df·(df−1)/2 candidate pairs map-side, replacing a
+    * self-join that would shuffle the full row stream twice to emit
+    * the same multiset. Only for df-BOUNDED postings (a hot-shingle /
+    * hot-fingerprint cut upstream): the HOF runs on a ≤ cut-sized
+    * array per posting, never per corpus row. */
+  private def pairCombos(ids: Column): Column =
+    flatten(transform(sequence(lit(0), size(ids) - 2), a =>
+      transform(sequence(a + 1, size(ids) - 1), b =>
+        struct(get(ids, a).as("i"), get(ids, b).as("j")))))
 
   /** MinHash signatures: (doc_id, h0..h{k-1}), each hj = min over the
     * doc's shingles of the j-th hash function. One aggregation, k longs
