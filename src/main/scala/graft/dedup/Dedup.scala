@@ -632,7 +632,17 @@ object Dedup {
   /** Banded simhash candidates: the 64 bits slice into `maxHamming + 1`
     * bands — by pigeonhole a pair within `maxHamming` bits agrees on at
     * least one whole band — made as WIDE as recall allows: more bucket
-    * values, smaller buckets, quadratically fewer pairs per bucket. */
+    * values, smaller buckets, quadratically fewer pairs per bucket.
+    *
+    * Band LAYOUT is immaterial to the output (any disjoint partition of
+    * the bits satisfies the pigeonhole bound, and the hamming filter is
+    * exact), and — measured, r10 — immaterial to candidate volume here
+    * too: a strided layout (band c = bits ≡ c mod nBands, decorrelating
+    * aHash's spatially-adjacent bits) produced 13.7M candidates vs
+    * 12.7M contiguous on the sf0.1 phash table. The volume is driven by
+    * GROUPS OF IDENTICAL fingerprints (exact re-encodes, by corpus
+    * design), which share every band under any layout; the contiguous
+    * slice is kept for its cheaper bucket extraction. */
   private[graft] def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
     val banded = simHashBands(fp, maxHamming)
     banded.as("a").join(banded.as("b"),
