@@ -634,15 +634,23 @@ object Dedup {
     * least one whole band — made as WIDE as recall allows: more bucket
     * values, smaller buckets, quadratically fewer pairs per bucket.
     *
-    * Band LAYOUT is immaterial to the output (any disjoint partition of
-    * the bits satisfies the pigeonhole bound, and the hamming filter is
-    * exact), and — measured, r10 — immaterial to candidate volume here
-    * too: a strided layout (band c = bits ≡ c mod nBands, decorrelating
-    * aHash's spatially-adjacent bits) produced 13.7M candidates vs
-    * 12.7M contiguous on the sf0.1 phash table. The volume is driven by
-    * GROUPS OF IDENTICAL fingerprints (exact re-encodes, by corpus
-    * design), which share every band under any layout; the contiguous
-    * slice is kept for its cheaper bucket extraction. */
+    * Two volume-reduction variants were MEASURED (r10) and rejected —
+    * the row-level contiguous join stands:
+    *  - strided layout (band c = bits ≡ c mod nBands, decorrelating
+    *    aHash's spatially-adjacent bits): 13.7M candidates vs 12.7M
+    *    contiguous on the sf0.1 phash table — layout is immaterial to
+    *    the output (any disjoint bit partition satisfies pigeonhole)
+    *    and, here, to the volume;
+    *  - collapse-identical-values-first (band over distinct values,
+    *    expand member lists only for surviving value pairs): no q143
+    *    gain — at this corpus the volume is set by the 5-6-bit bucket
+    *    WIDTH that maxHamming=10 forces, not by duplicate groups — and
+    *    a 2x regression on q27 (mostly-distinct fingerprints pay the
+    *    extra aggregate/expand stages for nothing).
+    * The generous-budget candidate stream is inherent to maxHamming=10
+    * (the documented O(n²/buckets) regime); the production budget
+    * (maxHamming ≤ 3, q146/Manku et al.) gets 16-bit buckets and
+    * near-linear candidates from the same code. */
   private[graft] def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
     val banded = simHashBands(fp, maxHamming)
     banded.as("a").join(banded.as("b"),
