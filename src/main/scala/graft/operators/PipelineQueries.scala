@@ -273,6 +273,43 @@ object PipelineQueries extends QueryModule {
     * exact cumulative window to ≤ budget·salts rows per source however
     * large the stratum; the prefix-sum itself cannot be salted (it is
     * order-dependent), bounding its input is the scale lever. */
+  /** DETERMINISTIC WEIGHTED SAMPLE WITHOUT REPLACEMENT — the
+    * Efraimidis–Spirakis exponential race (IPL 2006): each doc gets key
+    * −ln(u)/w with u uniform and w its weight (chars here; any quality
+    * score in production), and the k SMALLEST keys are a weighted
+    * without-replacement draw. u derives from a salted md5 of the id
+    * (the q81/q118/q145 determinism convention), so the "random" draw
+    * is bit-reproducible on any engine and the oracle replays it
+    * exactly — the missing member of the sampling family: q08 is
+    * unweighted Bernoulli, q118/q128 are quota draws, this is
+    * probability-proportional-to-size.
+    *
+    * Scale shape: one scan computes keys map-side; the k smallest ride
+    * a TakeOrdered (per-partition top-k then a k-row driver merge,
+    * never a global sort) — constant memory in corpus size. The only
+    * doubles are the shared −ln(u)/w expression whose ORDERING both
+    * engines agree on (md5-spread keys never tie within ulp); the
+    * registered output carries ids and integer weights only. */
+  private def q153WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("wsr1:"), col("doc_id"))), 1, 13),
+      16, 10).cast("double") + 1.0) / 4503599627370497.0 // (2^52)+1: u in (0,1]
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"), (-log(u) / col("n_chars")).as("k"))
+      .orderBy("k").limit(WsrK)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  private val WsrK = 100
+
+  private val q153Sql =
+    s"""SELECT doc_id, n_chars FROM (
+       |  SELECT doc_id, n_chars,
+       |    -LN((CAST(CAST('0x' || SUBSTR(MD5('wsr1:' || doc_id), 1, 13) AS BIGINT)
+       |         AS DOUBLE) + 1.0) / 4503599627370497.0) / n_chars AS k
+       |  FROM documents WHERE n_chars > 0)
+       |ORDER BY k LIMIT $WsrK""".stripMargin
+
   private def q128BudgetSample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(s, dir).select(col("source"), col("doc_id"),
@@ -1199,6 +1236,7 @@ object PipelineQueries extends QueryModule {
     Q("q71_stratified_sample", q71StratifiedSample, Some(q71Sql)),
     Q("q118_group_quota_sample", q118GroupQuotaSample, Some(q118Sql)),
     Q("q128_budget_sample", q128BudgetSample, Some(q128Sql)),
+    Q("q153_weighted_sample", q153WeightedSample, Some(q153Sql)),
     Q("q72_keep_best", q72KeepBest, Some(q72Sql)),
     Q("q73_doc_chunks", q73DocChunks, Some(q73Sql)),
     Q("q74_unigram_lm", q74UnigramLm, Some(q74Sql)),

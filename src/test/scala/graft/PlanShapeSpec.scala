@@ -554,6 +554,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"date and segment filters must reach the parquet scans:\n$p")
   }
 
+  test("weighted sample: top-k without global sort, no join") {
+    val p = plan(SparkEntry.queries("q153_weighted_sample")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k smallest keys must never plan a global sort:\n$p")
+    assert(!p.contains("Join"), s"the draw must not join:\n$p")
+  }
+
   test("budget sample: salted prefilter bounds the cumulative window input") {
     val p = plan(SparkEntry.queries("q128_budget_sample")(spark, sfDir))
     assert("windowspecdefinition\\(source[#\\d]*, salt".r.findFirstIn(p).isDefined,
