@@ -320,7 +320,12 @@ object Dedup {
     // small-scale oracle anchor) skips the cut and the combination
     // arrays are then corpus-df-sized — correct, but the cut IS the
     // scale path, exactly as documented below.
-    val raw = mat(winnowFingerprints(docs, idCol, textCol, k, w))
+    // NOT materialized: the fingerprint table now has exactly one
+    // consumer (the posting aggregation below) — the old dual-consumer
+    // justification died with the anti-join formulation, and a
+    // localCheckpoint would pin the corpus-sized fp table in block
+    // storage for no reuse
+    val raw = winnowFingerprints(docs, idCol, textCol, k, w)
     val byFp = raw.groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
         count(lit(1)).as("df"))
@@ -346,11 +351,18 @@ object Dedup {
     * self-join that would shuffle the full row stream twice to emit
     * the same multiset. Only for df-BOUNDED postings (a hot-shingle /
     * hot-fingerprint cut upstream): the HOF runs on a ≤ cut-sized
-    * array per posting, never per corpus row. */
+    * array per posting, never per corpus row.
+    *
+    * Total on any input: each element pairs with the tail AFTER it via
+    * `slice` (clamped, so singleton and empty arrays yield an empty
+    * result) — a `sequence(0, size-2)` formulation would DESCEND to
+    * [0, -1] on singletons and emit null-field phantom pairs, so
+    * callers' df >= 2 filters are an optimization here, not a safety
+    * requirement. */
   private def pairCombos(ids: Column): Column =
-    flatten(transform(sequence(lit(0), size(ids) - 2), a =>
-      transform(sequence(a + 1, size(ids) - 1), b =>
-        struct(get(ids, a).as("i"), get(ids, b).as("j")))))
+    flatten(transform(ids, (x, a) =>
+      transform(slice(ids, a + 2, size(ids)), y =>
+        struct(x.as("i"), y.as("j")))))
 
   /** MinHash signatures: (doc_id, h0..h{k-1}), each hj = min over the
     * doc's shingles of the j-th hash function. One aggregation, k longs

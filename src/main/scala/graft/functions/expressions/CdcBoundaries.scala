@@ -43,14 +43,18 @@ object CdcBoundariesUtil {
         i += 1
       }
     } else {
-      val str = s.toString
-      val n = str.length
+      // CODE POINTS, not UTF-16 units: the emitted positions feed
+      // Spark's code-point-based substr (and mirror DuckDB's SUBSTR);
+      // String.substring would count astral chars as two and shift
+      // every boundary after the first one
+      val cps = s.toString.codePoints().toArray
+      val n = cps.length
       var i = 1
       while (i <= n - w + 1) {
         if (i == 1) out.add(i)
         else {
           md.reset()
-          md.update(str.substring(i - 1, i - 1 + w)
+          md.update(new String(cps, i - 1, w)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           if ((md.digest()(0) & 0xf0) == 0) out.add(i)
         }

@@ -32,15 +32,19 @@ object WinnowFpsUtil {
     val md = md5.get()
     val ascii = s.numBytes == s.numChars
     val bytes = if (ascii) s.getBytes else null
-    val str = if (ascii) null else s.toString
-    val nChars = if (ascii) bytes.length else str.length
+    // CODE POINTS, not UTF-16 units: Spark's substr/length and DuckDB's
+    // SUBSTR both count code points, so supplementary-plane chars
+    // (emoji) are one position — String.substring would count them as
+    // two and shear every window after the first astral char
+    val cps = if (ascii) null else s.toString.codePoints().toArray
+    val nChars = if (ascii) bytes.length else cps.length
     val n = nChars - k + 1 // gram count; caller filters nChars >= k
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {
       md.reset()
       if (ascii) md.update(bytes, i, k)
-      else md.update(str.substring(i, i + k)
+      else md.update(new String(cps, i, k)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       h(i) = digest60(md.digest())
       i += 1

@@ -316,16 +316,20 @@ object MultimodalQueries extends QueryModule {
     * binary is touched. The oracle recomputes the pair set from the
     * payloads from scratch.
     *
-    * Scale shape: the pair list is tiny relative to the corpus, so it
-    * BROADCASTS through both id→source lookups — two map-side joins
-    * against the documents scan, then a ≤|sources|² aggregate. */
+    * Scale shape: the pair list is small relative to the corpus, so
+    * AQE broadcasts it through both id→source lookups — and when a
+    * duplicate-heavy corpus grows the pair set past the threshold
+    * (953k rows at the 10x probe, 2.0M at 30x organic), AQE falls back
+    * to shuffled joins. No hints on purpose: the q147 lesson — a
+    * forced broadcast() overrides the size check exactly in the regime
+    * where broadcasting is wrong. */
   private def q148PhashSyndication(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val pairs = graft.dedup.DedupArtifacts.phashPairs(s, dir)
     val withA = src
-      .join(broadcast(pairs), col("doc_id") === col("media_i"))
+      .join(pairs, col("doc_id") === col("media_i"))
       .select(col("media_j"), col("source").as("src_a"))
-    src.join(broadcast(withA), col("doc_id") === col("media_j"))
+    src.join(withA, col("doc_id") === col("media_j"))
       .select(least(col("src_a"), col("source")).as("source_a"),
         greatest(col("src_a"), col("source")).as("source_b"))
       .groupBy("source_a", "source_b")
@@ -420,7 +424,11 @@ object MultimodalQueries extends QueryModule {
       .select(col("cluster_rep"), col("n_media"),
         col("best.media_id").as("keep_id"), col("best.n_bytes").as("keep_bytes"))
 
-  private val q152Sql =
+  /** The recursive transitive closure over the phash pair set — ONE
+    * literal shared by the q151/q152 oracles (the closureCte lesson:
+    * duplicated oracle CTEs let a fix land in one and miss the
+    * other). */
+  private val MediaClosureCtes =
     s"""${PhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
       |edges AS (
       |  SELECT media_i AS ea, media_j AS eb FROM phpairs
@@ -428,7 +436,10 @@ object MultimodalQueries extends QueryModule {
       |reach AS (
       |  SELECT doc_id AS id, doc_id AS r FROM p
       |  UNION
-      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id),
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)""".stripMargin
+
+  private val q152Sql =
+    s"""$MediaClosureCtes,
       |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
       |j AS (SELECT c.rep, c.id, CAST(OCTET_LENGTH(ENCODE(d.text)) AS BIGINT) AS n_bytes
       |      FROM comp c JOIN documents d ON d.doc_id = c.id),
@@ -441,14 +452,7 @@ object MultimodalQueries extends QueryModule {
       |FROM r WHERE rn = 1""".stripMargin
 
   private val q151Sql =
-    s"""${PhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-      |edges AS (
-      |  SELECT media_i AS ea, media_j AS eb FROM phpairs
-      |  UNION ALL SELECT media_j, media_i FROM phpairs),
-      |reach AS (
-      |  SELECT doc_id AS id, doc_id AS r FROM p
-      |  UNION
-      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
+    s"""$MediaClosureCtes
       |SELECT id AS media_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
   override def queries: Seq[Q] = Seq(

@@ -1238,11 +1238,13 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val w = 16
     // ascii fast path, multibyte fallback (é forces the char-based
-    // walk), and an exactly-w-length edge doc
+    // walk), supplementary-plane (emoji = one code point like Spark
+    // substr, two UTF-16 units), and an exactly-w-length edge doc
     val docs = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog " * 8).trim),
       (2L, ("café au lait crème brûlée " * 12).trim),
-      (3L, "exactly sixteen!"))
+      (3L, "exactly sixteen!"),
+      (4L, ("smile 😀 wave 👋 clap 👏 again " * 10).trim))
       .toDF("doc_id", "text")
     val kernel = docs
       .select(col("doc_id"),

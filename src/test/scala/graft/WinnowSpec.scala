@@ -67,14 +67,17 @@ class WinnowSpec extends AnyFunSuite {
 
   test("kernel fingerprints equal the composed explode+window formulation") {
     import spark.implicits._
-    // ascii, multibyte (forces the char-based walk), repeated-content
+    // ascii, multibyte (forces the char-based walk), supplementary-
+    // plane (emoji = ONE code point like Spark substr, TWO UTF-16
+    // units — the seam the kernel must not shear on), repeated-content
     // (exercises the per-doc distinct), under-w-grams, and exactly-k
     val rows = Seq(
       1L -> ("the quick brown fox jumps over the lazy dog " * 6).trim,
       2L -> ("café au lait crème brûlée encore une fois " * 6).trim,
       3L -> ("aaaa bbbb aaaa bbbb " * 10).trim,
       4L -> "exactly9c",
-      5L -> "12345678")
+      5L -> "12345678",
+      6L -> ("smile 😀 and wave 👋 at the camera " * 6).trim)
     val docs = rows.toDF("doc_id", "text")
     val kernel = Dedup.winnowFingerprints(docs, "doc_id", "text", K, W)
       .as[(Long, Long)].collect().toSet
