@@ -90,7 +90,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-only targeting: SPARK_GRAFT_ONLY=q63,q75 runs just the named
+    // queries (comma substrings) — for eager-vs-lazy style A/B
+    // measurements of one site without paying the full sweep. The
+    // driver never sets it; official runs are always the full suite.
+    val onlyFilter: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        onlyFilter.forall(subs => subs.exists(n.contains)) }
     // ONE warm-up query: absorbs JVM/Spark start-up. (A full warm-up
     // sweep was tried in round 6 and measured WORSE: it doubles wall
     // time, and any timed-out query's orphans bleed into the next
@@ -192,6 +200,21 @@ object Bench {
     // steady-state floor. A contended round shows value >> best_total; a
     // regressed round raises best_total itself.
     val bestTotal = best.values.filter(_ >= 0).sum
+    // Driver-visible floors: the merged per-query MIN history is the
+    // only trustworthy trend signal on this steal-prone VM, but it
+    // lived in target/ where only shell access could read it. Persist
+    // it as a repo-root JSON artifact (cwd = the repo under sbt) so the
+    // end-of-round commit snapshots floors alongside BENCH_r{N}.json.
+    try {
+      val floorsJson = best.toSeq.sortBy(_._1)
+        .map { case (n, t) => "\"" + n + "\":" + fmt(t) }
+        .mkString(
+          s"""{"sf":"$sfDir","best_total":${fmt(bestTotal)},"floors":{""",
+          ",", "}}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"BENCH_FLOORS_${new java.io.File(sfDir).getName}.json"), floorsJson)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench-warn] floors write skipped: $e") }
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$prunePart,"queries":$qs,"sf":"$sfDir"}"""
     val compact =
@@ -260,8 +283,11 @@ object Bench {
       // (observed: a poisoned 19 s baseline for a 0.25 s query). Only
       // queries still in the suite are kept (dropped ones would haunt
       // the file forever); a failed query keeps its prior entry so a
-      // later recovery still has a baseline to diff against.
-      val current = results.map(_._1).toSet
+      // later recovery still has a baseline to diff against. A
+      // SPARK_GRAFT_ONLY-filtered dev run must not evict the rest of
+      // the suite's floors, so "still in the suite" means the FULL
+      // registered suite, not this run's subset.
+      val current = SparkEntry.queries.keySet
       val merged = (prev.toSeq ++ results.filter(_._2 >= 0))
         .groupMapReduce(_._1)(_._2)(math.min)
         .filter { case (n, _) => current(n) }

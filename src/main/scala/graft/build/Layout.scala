@@ -107,22 +107,31 @@ object Layout {
   }
 
   /** length:mtime fingerprint of source paths, for [[ensureBucketed]].
-    * Directories fingerprint their DIRECT CHILDREN (name:len:mtime,
-    * hashed to one token): a directory's own stat is filesystem-
-    * dependent (length often 0/4096, mtime moves only on child
-    * add/remove), so an in-place rewrite of same-named part files would
-    * otherwise pass as fresh. Metadata-only — one listing per path. */
+    * Directories fingerprint every FILE in the tree recursively
+    * (relative-path:len:mtime, hashed to one token): a directory's own
+    * stat is filesystem-dependent (length often 0/4096, mtime moves only
+    * on child add/remove) — and for partitioned/nested layouts the
+    * direct children are themselves directories with the same problem,
+    * so an in-place rewrite of a part file inside a partition subdir
+    * must still flip the fingerprint. Metadata-only — one recursive
+    * listing per path, never a content read. */
   def sourceFingerprint(spark: SparkSession, paths: String*): String =
     paths.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(hp)
       val detail =
-        if (st.isDirectory)
-          fs.listStatus(hp).map(c =>
-            s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
-            .sorted.mkString(",")
-        else ""
+        if (st.isDirectory) {
+          val base = hp.toUri.getPath
+          val it = fs.listFiles(hp, true)
+          val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val c = it.next()
+            val rel = c.getPath.toUri.getPath.stripPrefix(base)
+            entries += s"$rel:${c.getLen}:${c.getModificationTime}"
+          }
+          entries.sorted.mkString(",")
+        } else ""
       s"${st.getLen}:${st.getModificationTime}:" +
         Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(detail))
     }.mkString(",")

@@ -702,19 +702,21 @@ object Dedup {
     * the delta's band table (small) joins the full band table, so
     * base×base bucket pairs are never generated and today's candidate
     * volume scales with the delta's bucket neighborhoods, not the
-    * corpus. Ids are normalized a_id < b_id; the sims ride along
-    * un-normalized (hamming is symmetric). Delta-delta pairs emerge in
+    * corpus. Ids are normalized a_id < b_id and the sims are swapped by
+    * the SAME rule, so (a_id, a_sim) and (b_id, b_sim) always
+    * correspond to the fingerprint table. Delta-delta pairs emerge in
     * both orders and collapse in the caller's distinct. */
   private[graft] def bandedCrossCandidates(
       fp: DataFrame, maxHamming: Int,
       isDelta: org.apache.spark.sql.Column): DataFrame = {
     val banded = simHashBands(fp, maxHamming)
+    val aFirst = col("a.doc_id") < col("b.doc_id")
     banded.filter(isDelta).as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
-        col("a.simhash").as("a_sim"),
+        when(aFirst, col("a.simhash")).otherwise(col("b.simhash")).as("a_sim"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
-        col("b.simhash").as("b_sim"))
+        when(aFirst, col("b.simhash")).otherwise(col("a.simhash")).as("b_sim"))
   }
 }

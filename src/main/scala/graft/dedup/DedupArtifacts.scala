@@ -95,8 +95,10 @@ object DedupArtifacts {
     *     hashes — the media twin of minhash_pairs, so syndication/QC
     *     reports join a persisted pair list).
     * v8: + media_clusters (components over phash_pairs — the media twin
-    *     of the cluster map, completing the media funnel at ingest). */
-  private[graft] val Version = 8
+    *     of the cluster map, completing the media funnel at ingest).
+    * v9: + base_media_clusters (the q154 incremental media-maintenance
+    *     base — the media twin of base_clusters). */
+  private[graft] val Version = 9
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -131,26 +133,35 @@ object DedupArtifacts {
   private def phashesPath(sfDir: String) = s"${root(sfDir)}/phashes"
   private def phashPairsPath(sfDir: String) = s"${root(sfDir)}/phash_pairs"
   private def mediaClustersPath(sfDir: String) = s"${root(sfDir)}/media_clusters"
+  private def baseMediaClustersPath(sfDir: String) = s"${root(sfDir)}/base_media_clusters"
   private def shinglesTable(sfDir: String) =
     s"graft_shingles_${corpusKey(sfDir).replace('.', '_').replace('-', '_')}"
 
-  /** Source fingerprint: per-child (name, length, mtime) over the
-    * parquet directory's direct children — the directory's OWN stat is
-    * filesystem-dependent (length often 0/4096; mtime only moves when
-    * children are added/removed), so an in-place rewrite of same-named
-    * part files would serve stale artifacts under a dir-level stat.
-    * Still metadata-only (one listing), never a content read. */
+  /** Source fingerprint: (relative-path, length, mtime) over every FILE
+    * in the parquet directory tree, recursively — the directory's OWN
+    * stat is filesystem-dependent (length often 0/4096; mtime only moves
+    * when children are added/removed), and for partitioned/nested
+    * layouts the direct children are subdirectories with exactly the
+    * same staleness, so an in-place rewrite of a part file inside a
+    * partition subdir must still flip the fingerprint.
+    * Still metadata-only (one recursive listing), never a content read. */
   private def fingerprint(s: SparkSession, sfDir: String,
       table: String = "documents"): String = {
     val p = new Path(s"$sfDir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val detail =
-      if (st.isDirectory)
-        fs.listStatus(p).map(c =>
-          s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
-          .sorted.mkString(",")
-      else s"${st.getLen}:${st.getModificationTime}"
+      if (st.isDirectory) {
+        val base = p.toUri.getPath
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val c = it.next()
+          val rel = c.getPath.toUri.getPath.stripPrefix(base)
+          entries += s"$rel:${c.getLen}:${c.getModificationTime}"
+        }
+        entries.sorted.mkString(",")
+      } else s"${st.getLen}:${st.getModificationTime}"
     // hash the listing so the meta file stays one short line at any
     // file count
     s"v$Version:${st.getLen}:${st.getModificationTime}:" +
@@ -263,6 +274,20 @@ object DedupArtifacts {
           .select(col("media_i").as("src"), col("media_j").as("dst")))
       .select(col("id").as("media_id"), col("comp").as("cluster_rep"))
       .write.parquet(mediaClustersPath(sfDir))
+    // "yesterday's run" for the media tier (q154): the cluster
+    // assignment over the BASE media subset only, from the
+    // base-internal phash pairs — pair membership is a per-pair
+    // property of its two endpoints, so filtering the just-persisted
+    // pair artifact IS the base subset's pair set (nothing re-hashed).
+    val isDeltaMedia = col("doc_id") % DeltaMod === DeltaRem
+    Components.connectedComponents(
+        phs.filter(!isDeltaMedia).select(col("doc_id").as("id")),
+        s.read.parquet(phashPairsPath(sfDir))
+          .filter(col("media_i") % DeltaMod =!= DeltaRem &&
+            col("media_j") % DeltaMod =!= DeltaRem)
+          .select(col("media_i").as("src"), col("media_j").as("dst")))
+      .select(col("id").as("media_id"), col("comp").as("cluster_rep"))
+      .write.parquet(baseMediaClustersPath(sfDir))
     val banded = s.read.parquet(bandedPath(sfDir))
     val sets = s.read.parquet(docSetsPath(sfDir))
     // the verified MinHash pair set — q25's exact operator output,
@@ -404,6 +429,14 @@ object DedupArtifacts {
   def mediaClusters(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(mediaClustersPath(sfDir))
+  }
+
+  /** The base media subset's cluster assignment (media_id, cluster_rep)
+    * — the persisted state q154's incremental media merge starts from;
+    * the media twin of [[baseClusters]]. */
+  def baseMediaClusters(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(baseMediaClustersPath(sfDir))
   }
 
   /** Write-or-redeclare the bucketed shingle table (cross-session

@@ -38,7 +38,11 @@ object WinnowFpsUtil {
     // two and shear every window after the first astral char
     val cps = if (ascii) null else s.toString.codePoints().toArray
     val nChars = if (ascii) bytes.length else cps.length
-    val n = nChars - k + 1 // gram count; caller filters nChars >= k
+    val n = nChars - k + 1 // gram count
+    // Inputs shorter than k code points have no k-gram: empty set, not
+    // NegativeArraySizeException — the expression is public via
+    // TextFunctions.winnowFps, so it cannot rely on callers pre-filtering
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {

@@ -375,7 +375,14 @@ object MultimodalQueries extends QueryModule {
     val basePairs = graft.dedup.DedupArtifacts.phashPairs(s, dir)
       .filter(col("media_i") % DA.DeltaMod =!= DA.DeltaRem &&
         col("media_j") % DA.DeltaMod =!= DA.DeltaRem)
-    basePairs.unionByName(cross).distinct()
+    // The two sets are disjoint by construction — every cross pair has at
+    // least one delta endpoint (bandedCrossCandidates filters its probe
+    // side to isDelta), while basePairs filters BOTH endpoints non-delta —
+    // and basePairs is already distinct (a filter of the distinct
+    // artifact). Only cross needs dedup (multi-band hits), so the base
+    // artifact streams through filter+union with no shuffle: today's
+    // shuffle volume is delta-sized, matching the docstring's claim.
+    basePairs.unionByName(cross.distinct())
   }
 
   // incremental-vs-full is the whole claim: the oracle recomputes the
@@ -455,6 +462,47 @@ object MultimodalQueries extends QueryModule {
     s"""$MediaClosureCtes
       |SELECT id AS media_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
+  /** INCREMENTAL MEDIA CLUSTER MAINTENANCE — the media twin of q142:
+    * merge today's media batch into yesterday's persisted cluster
+    * assignment (`DedupArtifacts.baseMediaClusters`, v9) via the SAME
+    * [[DedupQueries.mergeAssignments]] label contraction — the merge is
+    * media-agnostic because a cluster assignment whose labels are min
+    * ids is a valid contraction base regardless of how the pairs were
+    * found. Today's new pairs come from
+    * [[graft.dedup.Dedup.bandedCrossCandidates]] over the persisted
+    * phashes (delta probes the full band table; base×base bucket pairs
+    * are never generated, no binary is re-decoded). The oracle is
+    * q151's FULL-RECOMPUTE recursive closure, unchanged — incremental
+    * must hash-match from-scratch.
+    *
+    * Scale shape: candidate volume scales with the delta's bucket
+    * neighborhoods; the contraction graph is bounded by the new pair
+    * count, never corpus size; the merged mapping broadcasts back onto
+    * the corpus in one map join. The two-successive-delta composition
+    * is spec-pinned in DedupArtifactsSpec's media section. */
+  private def q154IncrMediaClusters(s: SparkSession, dir: String): DataFrame = {
+    val DA = graft.dedup.DedupArtifacts
+    val isDeltaId = col("doc_id") % DA.DeltaMod === DA.DeltaRem
+    val fp = DA.phashes(s, dir)
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    val newPairs = graft.dedup.Dedup
+      .bandedCrossCandidates(fp, PHashMaxHamming, isDeltaId)
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= PHashMaxHamming)
+      .select(col("a_id").as("doc_i"), col("b_id").as("doc_j"))
+      .distinct()
+    DedupQueries.mergeAssignments(
+        fp.select(col("doc_id")),
+        DA.baseMediaClusters(s, dir)
+          .select(col("media_id").as("doc_id"), col("cluster_rep")),
+        newPairs)
+      .select(col("doc_id").as("media_id"), col("cluster_rep"))
+  }
+
+  // incremental-vs-full is the whole claim (q150's lesson applied to
+  // clusters): the oracle recomputes the complete transitive closure
+  // from the payloads, same as q151's
+  private val q154Sql = q151Sql
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q129_phash_buckets", q129PHashBuckets, Some(q129Sql)),
@@ -463,6 +511,7 @@ object MultimodalQueries extends QueryModule {
     Q("q150_incr_phash_pairs", q150IncrPhashPairs, Some(q150Sql)),
     Q("q151_media_clusters", q151MediaClusters, Some(q151Sql)),
     Q("q152_media_canonical", q152MediaCanonical, Some(q152Sql)),
+    Q("q154_incr_media_clusters", q154IncrMediaClusters, Some(q154Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),

@@ -255,4 +255,65 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(a2.as[(Long, Long)].collect().toSet == full2,
       "second delta batch diverged from the full recompute")
   }
+
+  test("media incremental merge composes across two successive delta batches") {
+    import spark.implicits._
+    val h = DedupArtifacts.PHashMaxHamming
+    val fp = DedupArtifacts.phashes(spark, sfDir)
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      .localCheckpoint(eager = true)
+    def res(r: Long) = col("doc_id") % DedupArtifacts.DeltaMod === r
+
+    def fullClusters(cond: org.apache.spark.sql.Column) = {
+      val sub = fp.filter(cond)
+      val pairs = Dedup.bandedCandidates(sub, h)
+        .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= h)
+      Components.connectedComponents(
+          sub.select(col("doc_id").as("id")),
+          pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+    }
+    def pairsFor(cond: org.apache.spark.sql.Column,
+        isDelta: org.apache.spark.sql.Column) =
+      Dedup.bandedCrossCandidates(fp.filter(cond), h, isDelta)
+        .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= h)
+        .select(col("a_id").as("doc_i"), col("b_id").as("doc_j"))
+        .distinct()
+
+    // yesterday's state: media clusters over residues ∉ {5, 6}
+    val base0Cond = !res(5) && !res(6)
+    val assign0 = fullClusters(base0Cond)
+    // batch 1: residue 5 arrives
+    val u1Cond = !res(6)
+    val a1 = graft.operators.DedupQueries.mergeAssignments(
+        fp.filter(u1Cond).select(col("doc_id")),
+        assign0, pairsFor(u1Cond, res(5)))
+      .localCheckpoint(eager = true)
+    val full1 = fullClusters(u1Cond).as[(Long, Long)].collect().toSet
+    assert(a1.as[(Long, Long)].collect().toSet == full1,
+      "first media delta batch diverged from the full recompute")
+    // batch 2: residue 6 arrives, merged into batch 1's OUTPUT
+    val a2 = graft.operators.DedupQueries.mergeAssignments(
+      fp.select(col("doc_id")), a1, pairsFor(lit(true), res(6)))
+    val full2 = fullClusters(lit(true)).as[(Long, Long)].collect().toSet
+    assert(a2.as[(Long, Long)].collect().toSet == full2,
+      "second media delta batch diverged from the full recompute")
+  }
+
+  test("bandedCrossCandidates keeps (id, sim) correspondence after normalization") {
+    import spark.implicits._
+    val fp = DedupArtifacts.phashes(spark, sfDir)
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    val lookup = fp.as[(Long, Long)].collect().toMap
+    val cand = Dedup.bandedCrossCandidates(
+        fp, DedupArtifacts.PHashMaxHamming,
+        col("doc_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(cand.nonEmpty)
+    cand.foreach { case (aId, aSim, bId, bSim) =>
+      assert(aId < bId, "ids must be normalized a_id < b_id")
+      assert(lookup(aId) == aSim, s"a_sim does not correspond to a_id=$aId")
+      assert(lookup(bId) == bSim, s"b_sim does not correspond to b_id=$bId")
+    }
+  }
 }

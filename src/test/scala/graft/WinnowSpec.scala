@@ -58,6 +58,20 @@ class WinnowSpec extends AnyFunSuite {
     assert(m(2L).size == 1)
   }
 
+  test("public kernel on under-k input returns empty, never throws") {
+    // the expression is exposed via TextFunctions.winnowFps without the
+    // operator's length pre-filter, so the kernel itself must guard
+    // short inputs (ascii and astral code-point paths both)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("tiny", "", "ab😀c", "exactly9c")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.winnowFps(col("text"), K, W).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(out(0).isEmpty && out(1).isEmpty && out(2).isEmpty)
+    assert(out(3).size == 1)
+  }
+
   test("whitespace normalization: runs of spaces dedupe to the same fingerprints") {
     val m = fps(Seq(
       1L -> "spark  shuffles \t rows   fast",
