@@ -113,68 +113,81 @@ object Dedup {
   /** [[exactJaccardPairs]] over a pre-built shingle table (see
     * [[minHashDedupPairsFromShingles]] for the seam's purpose). */
   def exactJaccardPairsFromShingles(
-      shingles: DataFrame, threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
+      shingles: DataFrame, threshold: Double, maxShingleFreq: Long = 0L): DataFrame =
+    if (maxShingleFreq <= 0) exactJaccardPairsUncut(shingles, threshold)
+    else exactJaccardPairsWithHot(shingles, threshold,
+      shingles.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleFreq).select("sh"))
+
+  private def exactJaccardPairsUncut(
+      shingles: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles
-    if (maxShingleFreq <= 0) {
-      // UNCUT exact path: no shingle is dropped, so the inverted-index
-      // self-join emits exactly one row per (pair, shared shingle) —
-      // counting rows per pair IN the join's own shuffle IS the exact
-      // intersection. No per-doc set arrays, no second verification
-      // join; sizes come from a count over the doc-partitioned shingle
-      // table (exchange-free after parallelize's doc_id partitioning).
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
-        .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
-        .filter(col("inter").cast("double") /
-          (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
-        .select("doc_i", "doc_j")
-    } else {
-      // CUT path: hot shingles (df > maxShingleFreq) are dropped BEFORE
-      // the quadratic step — they generate df^2 candidate rows each and
-      // carry no signal. The cut affects recall only (a pair sharing
-      // EXCLUSIVELY hot shingles is missed); reported Jaccard stays
-      // exact because the intersection splits cleanly along the df
-      // partition:  |S_i ∩ S_j| = |cut_i ∩ cut_j| + |hot_i ∩ hot_j|.
-      // The first term is counted inside the (now-bounded) inverted-
-      // index shuffle exactly like the uncut path; the second comes
-      // from per-doc HOT-shingle arrays — bounded by the number of hot
-      // shingles, which the cut keeps small BY DEFINITION (total
-      // occurrences / maxShingleFreq), so no full shingle set is ever
-      // collected per doc.
-      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleFreq).select("sh")
-      val filtered = sh.join(hot, Seq("sh"), "left_anti")
-      val docHot = sh.join(hot, "sh")
-        .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("hots"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val emptyArr = array().cast("array<bigint>")
-      // below-cut postings are df-bounded by construction, so the
-      // inverted-index pairs expand as within-array combinations —
-      // one sh-keyed aggregation instead of self-joining the shingle
-      // stream (which shuffled it twice for the same pair multiset)
-      filtered.groupBy("sh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(explode(pairCombos(col("ids"))).as("p"))
-        .groupBy(col("p.i").as("doc_i"), col("p.j").as("doc_j"))
-        .agg(count(lit(1)).as("inter_cut"))
-        .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
-        .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
-        .join(docHot.select(col("doc_id").as("doc_i"), col("hots").as("hot_i")),
-          Seq("doc_i"), "left")
-        .join(docHot.select(col("doc_id").as("doc_j"), col("hots").as("hot_j")),
-          Seq("doc_j"), "left")
-        .withColumn("inter",
-          col("inter_cut") + size(array_intersect(
-            coalesce(col("hot_i"), emptyArr), coalesce(col("hot_j"), emptyArr))))
-        .filter(col("inter").cast("double") /
-          (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
-        .select("doc_i", "doc_j")
-    }
+    // UNCUT exact path: no shingle is dropped, so the inverted-index
+    // self-join emits exactly one row per (pair, shared shingle) —
+    // counting rows per pair IN the join's own shuffle IS the exact
+    // intersection. No per-doc set arrays, no second verification
+    // join; sizes come from a count over the doc-partitioned shingle
+    // table (exchange-free after parallelize's doc_id partitioning).
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
+      .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
+      .filter(col("inter").cast("double") /
+        (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
+      .select("doc_i", "doc_j")
+  }
+
+  /** The CUT Jaccard path with the hot-shingle set supplied by the
+    * caller — the seam that lets a consumer reuse a PERSISTED df cut
+    * (DedupArtifacts.hotShingles) instead of re-aggregating document
+    * frequency over the whole shingle table (q53's floor was dominated
+    * by exactly that recomputed aggregate).
+    *
+    * Hot shingles (df > maxShingleFreq) are dropped BEFORE the
+    * quadratic step — they generate df^2 candidate rows each and
+    * carry no signal. The cut affects recall only (a pair sharing
+    * EXCLUSIVELY hot shingles is missed); reported Jaccard stays
+    * exact because the intersection splits cleanly along the df
+    * partition:  |S_i ∩ S_j| = |cut_i ∩ cut_j| + |hot_i ∩ hot_j|.
+    * The first term is counted inside the (now-bounded) inverted-
+    * index shuffle exactly like the uncut path; the second comes
+    * from per-doc HOT-shingle arrays — bounded by the number of hot
+    * shingles, which the cut keeps small BY DEFINITION (total
+    * occurrences / maxShingleFreq), so no full shingle set is ever
+    * collected per doc. */
+  def exactJaccardPairsWithHot(
+      shingles: DataFrame, threshold: Double, hot: DataFrame): DataFrame = {
+    val sh = shingles
+    val filtered = sh.join(hot, Seq("sh"), "left_anti")
+    val docHot = sh.join(hot, "sh")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("hots"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val emptyArr = array().cast("array<bigint>")
+    // below-cut postings are df-bounded by construction, so the
+    // inverted-index pairs expand as within-array combinations —
+    // one sh-keyed aggregation instead of self-joining the shingle
+    // stream (which shuffled it twice for the same pair multiset)
+    filtered.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .groupBy(col("p.i").as("doc_i"), col("p.j").as("doc_j"))
+      .agg(count(lit(1)).as("inter_cut"))
+      .join(sizes.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
+      .join(sizes.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
+      .join(docHot.select(col("doc_id").as("doc_i"), col("hots").as("hot_i")),
+        Seq("doc_i"), "left")
+      .join(docHot.select(col("doc_id").as("doc_j"), col("hots").as("hot_j")),
+        Seq("doc_j"), "left")
+      .withColumn("inter",
+        col("inter_cut") + size(array_intersect(
+          coalesce(col("hot_i"), emptyArr), coalesce(col("hot_j"), emptyArr))))
+      .filter(col("inter").cast("double") /
+        (col("sz_i") + col("sz_j") - col("inter")) >= threshold)
+      .select("doc_i", "doc_j")
   }
 
   /** WINNOWING fingerprints (the MOSS scheme, Schleimer/Wilkerson/Aiken

@@ -67,7 +67,19 @@ object DedupQueries extends QueryModule {
     * this query literally that build recomputed under the full
     * from-raw-text SQL oracle (the index is itself spec-pinned equal to
     * the from-scratch shingle table; q26 keeps the full tokenize→pairs
-    * path exercised from raw docs). */
+    * path exercised from raw docs).
+    *
+    * MEASURED AND KEPT (r11): consuming the persisted hot_shingles df
+    * cut instead of re-aggregating document frequency was A/B'd
+    * same-JVM at sf0.1 — recomputed-df MIN 1.87 s vs persisted-hot
+    * 2.33 s over 4 alternating iterations. The df-aggregate subtree
+    * gives Catalyst small size estimates that keep the docHot and
+    * pair-stream joins BROADCAST; sourcing hot from a raw artifact
+    * scan degraded those joins to sort-merge plus an extra shuffle of
+    * the pair stream. The aggregate is cheaper than the planning it
+    * buys. (A broadcast hint on docHot would pin the fast plan but is
+    * scale-unsafe: docHot has one row per doc containing a hot
+    * shingle — potentially corpus-sized; the q147 lesson.) */
   private def q53DedupNgramCut(s: SparkSession, dir: String): DataFrame =
     Dedup.exactJaccardPairsFromShingles(DedupArtifacts.shingles(s, dir),
       Threshold, maxShingleFreq = MaxShingleFreq)

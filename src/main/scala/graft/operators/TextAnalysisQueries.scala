@@ -304,7 +304,10 @@ object TextAnalysisQueries extends QueryModule {
     * itself is touched once, by the wordcount. */
   private def q86BpeMerge(s: SparkSession, dir: String): DataFrame = {
     // materialized: consumed by the pair-count branch AND the apply scan
-    val vocab = bpeVocab(s, dir).localCheckpoint(false)
+    // LAZY measured-and-kept (r11 A/B at sf0.1: lazy MIN 0.634 s vs
+    // eager 0.638 s — the q122 concurrent-consumer race doesn't bite
+    // here; the broadcast branch is tiny)
+    val vocab = bpeVocab(s, dir).localCheckpoint(eager = false)
     val top = bpePairCounts(vocab)
       .orderBy(col("n_occ").desc, col("pair").asc).limit(1)
     val occ = ((length(col("tok")) -
@@ -352,7 +355,9 @@ object TextAnalysisQueries extends QueryModule {
     // Catalyst does no cross-branch reuse
     val t = graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
       .select(col("toks").as("tk"))
-      .localCheckpoint(false)
+      // LAZY measured-and-kept (r11 A/B at sf0.1: lazy MIN 0.532 s vs
+      // eager 0.571 s over 5 alternating iters)
+      .localCheckpoint(eager = false)
     val pr = t.filter(size(col("tk")) >= 2)
       .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
       .select(col("tk"), col("i"),

@@ -343,7 +343,13 @@ object Ann {
         explode(array(bandStructs(col("sig"), bands, rowsPerBand): _*)).as("bb"))
       .select(col("id"), col("v"), col("n"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .localCheckpoint(false) // consumed by both sides of the self-join
+      // consumed by both sides of the self-join. LAZY measured-and-kept
+      // (r11 same-JVM alternating A/B at sf0.1 via q51: lazy MIN 1.195 s
+      // vs eager 1.222 s over 5 iters) — unlike the q122 case, the
+      // first-consumer stage materializes it once and the self-join's
+      // other side reads the cached blocks; eager just adds a
+      // synchronous extra job up front.
+      .localCheckpoint(eager = false)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
