@@ -945,10 +945,17 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("lbl"))
       .localCheckpoint(eager = true)
+    // materialized: consumed TWICE inside connectedComponents (the
+    // symmetrized-edge checkpoint AND the initial node-label checkpoint
+    // via lblNodes) — without this the whole newPairs subtree (the
+    // banded candidate join in q154's case, ~1.1 s at sf0.1) runs once
+    // per consumer. Eager per the q122 rule: both consumers are
+    // checkpoint actions. Measured on q154: floor 3.98 -> ~3.2 s.
     val lblEdges = newPairs
       .join(lbl.select(col("doc_id").as("doc_i"), col("lbl").as("src")), "doc_i")
       .join(lbl.select(col("doc_id").as("doc_j"), col("lbl").as("dst")), "doc_j")
       .select("src", "dst").filter(col("src") =!= col("dst"))
+      .localCheckpoint(eager = true)
     val lblNodes = lblEdges.select(col("src").as("id"))
       .union(lblEdges.select(col("dst").as("id"))).distinct()
     // tiny iterative step: |nodes| <= 2x new pairs, NEVER corpus-sized

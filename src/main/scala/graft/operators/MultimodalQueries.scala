@@ -479,7 +479,12 @@ object MultimodalQueries extends QueryModule {
     * neighborhoods; the contraction graph is bounded by the new pair
     * count, never corpus size; the merged mapping broadcasts back onto
     * the corpus in one map join. The two-successive-delta composition
-    * is spec-pinned in DedupArtifactsSpec's media section. */
+    * is spec-pinned in DedupArtifactsSpec's media section. Measured
+    * (r11): sf0.1 floor ~3.2 s; 30x-organic warm 23.3 s; 100x-organic
+    * warm 167.9 s — the hamming-10 budget makes the pair graph DENSE
+    * (26.5M pairs at 100x), so the probe is the documented
+    * generous-budget anchor; the production h<=3 budget keeps the
+    * contraction graph delta-sized (q146's measured shape). */
   private def q154IncrMediaClusters(s: SparkSession, dir: String): DataFrame = {
     val DA = graft.dedup.DedupArtifacts
     val isDeltaId = col("doc_id") % DA.DeltaMod === DA.DeltaRem
