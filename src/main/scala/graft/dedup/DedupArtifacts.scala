@@ -51,6 +51,14 @@ import org.apache.spark.sql.functions._
   * report) and a distributed filesystem path next to the corpus —
   * the artifact shapes and the build plan are unchanged.
   *
+  * Measured full-chain ingest (organic-regime probes, local[32]):
+  * ~14 s at 1x (5k docs), ~150 s at 30x (150k), 759.7 s at 100x
+  * (500k, r11 clean run). Sub-linear per doc to 30x; the 100x point
+  * turns superlinear because the hamming-10 phash pair build's output
+  * grows 13x (2.0M → 26.5M pairs) — the generous-budget density the
+  * production h<=3 tier (q155) avoids; the text-side chain stays
+  * linear.
+  *
   * Single-writer assumption: `prepare` is synchronized within one JVM;
   * two separate JVMs building the same sf dir concurrently would race
   * the root delete. The driver's verify/bench flows are sequential; a

@@ -950,7 +950,7 @@ object DedupQueries extends QueryModule {
     // via lblNodes) — without this the whole newPairs subtree (the
     // banded candidate join in q154's case, ~1.1 s at sf0.1) runs once
     // per consumer. Eager per the q122 rule: both consumers are
-    // checkpoint actions. Measured on q154: floor 3.98 -> ~3.2 s.
+    // checkpoint actions. Measured on q154: floor 3.98 -> 2.64 s (full-run floor).
     val lblEdges = newPairs
       .join(lbl.select(col("doc_id").as("doc_i"), col("lbl").as("src")), "doc_i")
       .join(lbl.select(col("doc_id").as("doc_j"), col("lbl").as("dst")), "doc_j")

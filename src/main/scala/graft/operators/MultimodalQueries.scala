@@ -280,9 +280,10 @@ object MultimodalQueries extends QueryModule {
   // the q129 fingerprint CTE + the exact O(n^2) hamming join (lo/hi
   // halves per the q27 rule) as a shared CTE chain; the banded Spark
   // path must reproduce the `phpairs` set exactly by the pigeonhole
-  // guarantee. Shared by q143 (the pair set itself) and q148 (the
-  // syndication matrix over it).
-  private val PhashPairsCtes =
+  // guarantee. Shared by q143 (the pair set itself), q148 (the
+  // syndication matrix over it), and — via the parameterized form —
+  // q155 (the production hamming <= 3 tier).
+  private def phashPairsCtes(maxHamming: Int): String =
     s"""WITH p AS (
       |  SELECT doc_id, hex(encode(text)) AS hx, OCTET_LENGTH(encode(text)) AS n
       |  FROM documents WHERE OCTET_LENGTH(encode(text)) > 0),
@@ -302,7 +303,34 @@ object MultimodalQueries extends QueryModule {
       |  SELECT a.doc_id AS media_i, b.doc_id AS media_j
       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       |  WHERE BIT_COUNT(XOR(a.lo, b.lo)) + BIT_COUNT(XOR(a.hi, b.hi))
-      |        <= $PHashMaxHamming)""".stripMargin
+      |        <= $maxHamming)""".stripMargin
+
+  private val PhashPairsCtes = phashPairsCtes(PHashMaxHamming)
+
+  /** PRODUCTION MEDIA HAMMING BUDGET — the media twin of q146: the same
+    * banded machinery at maxHamming <= 3 (Manku et al. WWW'07), where
+    * the pigeonhole banding gets 4 bands of 16 bits — 2^16-value
+    * buckets and a near-linear candidate stream. The r11 100x-organic
+    * probes measured WHY this knob matters for media: at 500k docs this
+    * query runs 6.3 s warm vs q143's 652 s — ~100x from the budget
+    * alone, with outputs of similar size (20.4M pairs at h<=3 vs 26.5M
+    * at h<=10). The knob controls the CANDIDATE stream (16-bit buckets
+    * stay sparse; 5-6-bit buckets at h=10 hold ~700 media each and go
+    * quadratic), not the pair set. Oracle-gated against the exact
+    * O(n^2) hamming join at the same budget (exact re-encode copies
+    * sit at hamming 0, so the tier is non-empty). */
+  private def q155PhashNearDupH3(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.dedup.DedupArtifacts.phashes(s, dir)
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    graft.dedup.Dedup.bandedCandidates(fp, 3)
+      .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= 3)
+      .select(col("a_id").as("media_i"), col("b_id").as("media_j"))
+      .distinct()
+  }
+
+  private val q155Sql =
+    s"""${phashPairsCtes(3)}
+      |SELECT media_i, media_j FROM phpairs""".stripMargin
 
   private val q143Sql =
     s"""$PhashPairsCtes
@@ -480,7 +508,7 @@ object MultimodalQueries extends QueryModule {
     * count, never corpus size; the merged mapping broadcasts back onto
     * the corpus in one map join. The two-successive-delta composition
     * is spec-pinned in DedupArtifactsSpec's media section. Measured
-    * (r11): sf0.1 floor ~3.2 s; 30x-organic warm 23.3 s; 100x-organic
+    * (r11): sf0.1 floor 2.64 s; 30x-organic warm 23.3 s; 100x-organic
     * warm 167.9 s — the hamming-10 budget makes the pair graph DENSE
     * (26.5M pairs at 100x), so the probe is the documented
     * generous-budget anchor; the production h<=3 budget keeps the
@@ -517,6 +545,7 @@ object MultimodalQueries extends QueryModule {
     Q("q151_media_clusters", q151MediaClusters, Some(q151Sql)),
     Q("q152_media_canonical", q152MediaCanonical, Some(q152Sql)),
     Q("q154_incr_media_clusters", q154IncrMediaClusters, Some(q154Sql)),
+    Q("q155_phash_h3", q155PhashNearDupH3, Some(q155Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),
     Q("q57_image_decode", q57ImageDecode, Some(q57Sql)),
