@@ -688,7 +688,7 @@ object Dedup {
   /** The per-fingerprint band/bucket table behind [[bandedCandidates]]:
     * the 64 bits slice into `maxHamming + 1` bands, each as wide as the
     * budget allows. */
-  private def simHashBands(fp: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def simHashBands(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val wide = 64 % nBands // first `wide` bands get an extra bit

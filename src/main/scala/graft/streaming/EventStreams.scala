@@ -209,4 +209,57 @@ object EventStreams {
       .select(col("new_id"), col("base_id"))
       .dropDuplicates("new_id", "base_id")
   }
+
+  /** Streaming PERCEPTUAL-HASH near-dup detection against a persisted
+    * base phash table — the media twin of [[nearDupAgainstBase]] and
+    * the ingest-side counterpart of the q154 cluster merge: new media
+    * stream in, and each emits the (new_id, base_id) pairs within
+    * `maxHamming` bits of an already-ingested item
+    * (`DedupArtifacts.phashes` filtered to the base is the static
+    * side).
+    *
+    * Stream side is MAP-ONLY: the 64-bit aHash per payload (real
+    * ImageIO path for decodable images, the deterministic stub
+    * otherwise — the same dispatch the batch phash artifact uses for
+    * `kind`) and `maxHamming + 1` pigeonhole band rows per item
+    * ([[graft.dedup.Dedup.simHashBands]], the q143/q155 machinery).
+    * Then ONE stream-static join on (band, bucket) and a codegen
+    * `bit_count` verify — hamming IS the definition here, so unlike
+    * the MinHash twin there is no second verification join. Multi-band
+    * hits dedupe on the pair key; the same
+    * `dropDuplicatesWithinWatermark` production note as
+    * [[nearDupAgainstBase]] applies.
+    *
+    * At 100 TB the static band table is the persisted phash artifact
+    * re-banded per micro-batch (11 cheap projections of an 8-byte
+    * column) — or persisted banded once, the q142 pattern; and the
+    * budget knob is the same q155 story: h <= 3 keeps the stream's
+    * bucket neighborhoods sparse. */
+  def mediaNearDupAgainstBase(
+      media: DataFrame, basePhashes: DataFrame,
+      idCol: String, payloadCol: String, kind: String,
+      maxHamming: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val fp = media
+      .select(col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("p"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val h = (if (kind == "image") graft.multimodal.Multimodal.aHashImage(p)
+          else None).getOrElse(graft.multimodal.Multimodal.aHashStub(p))
+        (id, h)
+      }.toDF("doc_id", "simhash")
+    val streamBands = graft.dedup.Dedup.simHashBands(fp, maxHamming)
+    val baseBands = graft.dedup.Dedup.simHashBands(
+      basePhashes.select(col("media_id").as("doc_id"),
+        col("phash").as("simhash")), maxHamming)
+    streamBands
+      .join(baseBands.select(col("doc_id").as("base_id"),
+        col("simhash").as("base_sim"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("base_id") =!= col("doc_id"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("base_sim"))) <= maxHamming)
+      .select(col("doc_id").as("new_id"), col("base_id"))
+      .dropDuplicates("new_id", "base_id")
+  }
 }

@@ -568,6 +568,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Join") == false, s"the draw must not join:\n$p")
   }
 
+  test("incremental media pairs: base artifact streams through, no payload re-hash") {
+    val p = plan(SparkEntry.queries("q150_incr_phash_pairs")(spark, sfDir))
+    // the persisted pair artifact is a filter+union input, never joined
+    // or re-shuffled (the r11 distinct-scope fix: only the cross side
+    // dedupes), and no binary is ever re-decoded per run
+    assert(p.contains("phash_pairs"),
+      s"the base pair artifact must be scanned:\n$p")
+    assert(!p.contains("MapPartitions"),
+      s"no per-run payload re-hashing:\n$p")
+    // exactly one HashAggregate pair (partial+final distinct) — over
+    // the cross side only, not the union of base + cross
+    val unionIdx = p.indexOf("Union")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(unionIdx >= 0 && aggIdx > unionIdx,
+      s"the distinct must sit BELOW the union (cross side only):\n$p")
+  }
+
+  test("incremental media clusters: checkpointed inputs, merge map broadcast") {
+    val p = plan(SparkEntry.queries("q154_incr_media_clusters")(spark, sfDir))
+    // the iterative contraction ran in upstream checkpoint jobs, so the
+    // FINAL plan is exactly the one map join: checkpointed label table
+    // (ExistingRDD) + the merged mapping broadcast back onto the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"the merged label mapping must broadcast back onto the corpus:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the label table must come from the materialized checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("MapPartitions"),
+      s"the final merge is one broadcast map join, nothing heavier:\n$p")
+  }
+
+  test("production media hamming tier: artifact scan, banded equi-join, no cartesian") {
+    val p = plan(SparkEntry.queries("q155_phash_h3")(spark, sfDir))
+    assert(p.contains("phashes"),
+      s"the tier must scan the persisted phash artifact:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the (band, bucket) equi-join:\n$p")
+    assert(!p.contains("MapPartitions"),
+      s"no per-report re-hashing of payloads:\n$p")
+  }
+
   test("fuzzy terms: query variants broadcast onto the deletion index, verify codegen") {
     val p = plan(SparkEntry.queries("q126_fuzzy_terms")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),

@@ -272,6 +272,51 @@ class StreamingOpsSpec extends AnyFunSuite {
         s"only_batch=${(batch -- streamed).take(3)}")
     assert(streamed.nonEmpty, "the sf0.001 delta has planted near-dups in the base")
   }
+
+  test("streaming media near-dup vs persisted phashes equals the brute-force hamming set") {
+    import graft.dedup.DedupArtifacts
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val h = DedupArtifacts.PHashMaxHamming
+    val isDelta =
+      col("media_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    val basePh = DedupArtifacts.phashes(spark, sfDir).filter(!isDelta)
+    // today's media batch streams in (text payloads — the same stand-in
+    // the phash artifact was built from, so stream-side hashes must
+    // equal the artifact's for the delta ids)
+    val src = s"$work/media_neardup_docs"
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem &&
+        length(col("text")) > 0)
+      .select("doc_id", "text").write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = EventStreams.mediaNearDupAgainstBase(
+        stream, basePh, "doc_id", "text", "image", h)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("media_neardup_out")
+      .option("checkpointLocation", s"$work/media_neardup_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("media_neardup_out")
+      .as[(Long, Long)].collect().toSet
+    // brute-force truth from the persisted phashes: every (delta, base)
+    // pair within h bits
+    val all = DedupArtifacts.phashes(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val d = DedupArtifacts.DeltaMod
+    val r = DedupArtifacts.DeltaRem
+    val expected = (for {
+      (i, hi) <- all if i % d == r
+      (j, hj) <- all if j % d != r
+      if java.lang.Long.bitCount(hi ^ hj) <= h
+    } yield (i, j)).toSet
+    assert(streamed == expected,
+      s"stream/brute diverged: only_stream=${(streamed -- expected).take(3)} " +
+        s"only_brute=${(expected -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "the sf0.001 delta has media near-dups in the base")
+  }
 }
 
 final case class UserSessionRow(user_id: Long, n_events: Long,
