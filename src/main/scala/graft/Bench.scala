@@ -205,7 +205,10 @@ object Bench {
     // lived in target/ where only shell access could read it. Persist
     // it as a repo-root JSON artifact (cwd = the repo under sbt) so the
     // end-of-round commit snapshots floors alongside BENCH_r{N}.json.
-    try {
+    // FULL-SUITE runs only: a SPARK_GRAFT_ONLY dev run on a machine
+    // with no MIN history would otherwise clobber the committed
+    // 155-floor artifact with a one-entry subset.
+    if (onlyFilter.isEmpty) try {
       val floorsJson = best.toSeq.sortBy(_._1)
         .map { case (n, t) => "\"" + n + "\":" + fmt(t) }
         .mkString(

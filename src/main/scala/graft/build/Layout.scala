@@ -121,18 +121,26 @@ object Layout {
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(hp)
       val detail =
-        if (st.isDirectory) {
-          val base = hp.toUri.getPath
-          val it = fs.listFiles(hp, true)
-          val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (it.hasNext) {
-            val c = it.next()
-            val rel = c.getPath.toUri.getPath.stripPrefix(base)
-            entries += s"$rel:${c.getLen}:${c.getModificationTime}"
-          }
-          entries.sorted.mkString(",")
-        } else ""
+        if (st.isDirectory) recursiveListingDetail(fs, hp) else ""
       s"${st.getLen}:${st.getModificationTime}:" +
         Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(detail))
     }.mkString(",")
+
+  /** The shared staleness walk behind [[sourceFingerprint]] and
+    * `DedupArtifacts.fingerprint`: every FILE in the tree recursively as
+    * sorted "relative-path:len:mtime" entries — one definition so the
+    * two freshness rules can never drift apart. */
+  private[graft] def recursiveListingDetail(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val base = p.toUri.getPath
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val c = it.next()
+      val rel = c.getPath.toUri.getPath.stripPrefix(base)
+      entries += s"$rel:${c.getLen}:${c.getModificationTime}"
+    }
+    entries.sorted.mkString(",")
+  }
 }

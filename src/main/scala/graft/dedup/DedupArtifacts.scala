@@ -159,17 +159,8 @@ object DedupArtifacts {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val detail =
-      if (st.isDirectory) {
-        val base = p.toUri.getPath
-        val it = fs.listFiles(p, true)
-        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val c = it.next()
-          val rel = c.getPath.toUri.getPath.stripPrefix(base)
-          entries += s"$rel:${c.getLen}:${c.getModificationTime}"
-        }
-        entries.sorted.mkString(",")
-      } else s"${st.getLen}:${st.getModificationTime}"
+      if (st.isDirectory) graft.build.Layout.recursiveListingDetail(fs, p)
+      else s"${st.getLen}:${st.getModificationTime}"
     // hash the listing so the meta file stays one short line at any
     // file count
     s"v$Version:${st.getLen}:${st.getModificationTime}:" +

@@ -240,9 +240,15 @@ object EventStreams {
       idCol: String, payloadCol: String, kind: String,
       maxHamming: Int): DataFrame = {
     import media.sparkSession.implicits._
+    // null/empty payloads are excluded BEFORE the typed map — the batch
+    // phash artifact is built from docs.filter(length > 0), so an empty
+    // item must not hash (aHashStub would give it 0L and pair it with
+    // any near-zero base phash, breaking stream ≡ batch), and a null
+    // payload would NPE the whole streaming query inside aHashImage
     val fp = media
       .select(col(idCol).cast("long").as("id"),
         col(payloadCol).cast("binary").as("p"))
+      .filter(col("id").isNotNull && col("p").isNotNull && length(col("p")) > 0)
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
         val h = (if (kind == "image") graft.multimodal.Multimodal.aHashImage(p)

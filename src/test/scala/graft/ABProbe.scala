@@ -2,16 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch dev tool: same-JVM alternating A/B of the graft.eagerAB
-  * toggle (lazy vs eager localCheckpoint at the five audited
-  * multi-consumer sites) for each named query — alternation makes box
-  * noise hit both sides equally. Not part of the library surface. */
+/** Scratch dev tool: same-JVM ALTERNATING timing of registered queries
+  * — interleaving the runs makes box noise hit every query equally, so
+  * relative comparisons (e.g. two formulations registered side by side,
+  * like q143 vs q155) are trustworthy on this steal-prone host where
+  * sequential runs are not.
+  *
+  * Provenance note: the r11 lazy-vs-eager checkpoint A/B cited in
+  * Ann.scala / PipelineQueries.scala / TextAnalysisQueries.scala was
+  * run with a TEMPORARY source-level toggle (a sys-prop read at the
+  * five audited localCheckpoint sites) that was removed once the
+  * decision landed; re-running that experiment requires re-introducing
+  * the toggle. The measured numbers live in the site comments. */
 object ABProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val iters = if (args.length > 1) args(1).toInt else 4
     val names = (if (args.length > 2) args(2)
-      else "q51_embed_neardup_lsh").split(',').toSeq
+      else "q143_phash_neardup,q155_phash_h3").split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,20 +30,20 @@ object ABProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      def a() = { sys.props.remove("graft.eagerAB"); fn(spark, dir) }
-      def b() = { sys.props("graft.eagerAB") = "1"; fn(spark, dir) }
-      a().count(); b().count() // warm both once
-      var minA = Double.MaxValue
-      var minB = Double.MaxValue
-      (1 to iters).foreach { i =>
-        val t0 = System.nanoTime(); a().count(); val ta = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime(); b().count(); val tb = (System.nanoTime() - t1) / 1e9
-        minA = math.min(minA, ta); minB = math.min(minB, tb)
-        println(f"[ab] $name iter $i: lazy=$ta%.3f s eager=$tb%.3f s")
+    val fns = names.map(n => n -> SparkEntry.queries(n))
+    fns.foreach { case (_, fn) => fn(spark, dir).count() } // warm all once
+    val mins = scala.collection.mutable.Map.empty[String, Double]
+    (1 to iters).foreach { i =>
+      fns.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), t)
+        println(f"[ab] $name iter $i: $t%.3f s")
       }
-      println(f"[ab] $name MIN: lazy=$minA%.3f s eager=$minB%.3f s")
+    }
+    mins.toSeq.sortBy(_._1).foreach { case (n, t) =>
+      println(f"[ab] $n MIN: $t%.3f s")
     }
     spark.stop()
   }
