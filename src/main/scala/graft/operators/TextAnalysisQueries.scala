@@ -825,8 +825,68 @@ object TextAnalysisQueries extends QueryModule {
       |  CAST(SUM(LEN(NFC_NORMALIZE(text))) AS BIGINT) AS post_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** TOKEN-ENTROPY QUALITY SIGNAL — per-document Shannon entropy of the
+    * token distribution (nats), the information-density filter beside
+    * q44's heuristics and q67's repetition counts: keyboard-mash and
+    * template-spam docs sit at the entropy extremes that token counts
+    * alone miss (the CCNet/quality-classifier-era signal). Uses the
+    * one-pass identity H = ln(n) − (Σ c·ln c)/n over per-token counts.
+    *
+    * Scale shape: MAP-ONLY — zero shuffle. Token counts come from
+    * run-lengths over the per-doc SORTED token array (array HOFs:
+    * run starts by adjacent-inequality, counts by consecutive-start
+    * differences, one `aggregate` fold for Σ c·ln c), so the corpus
+    * never explodes into a (doc, token) stream and nothing is keyed by
+    * token. 6dp rounding per the q74 convention (the fold's float
+    * accumulation order differs from the oracle's SUM). */
+  private def q156TokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), sort_array(tk).as("st"))
+      .filter(size(col("st")) > 0)
+      .select(col("doc_id"), col("st"), size(col("st")).as("n"),
+        filter(sequence(lit(1), size(col("st"))), i =>
+          i === 1 || element_at(col("st"), i) =!= element_at(col("st"), i - 1))
+          .as("starts"))
+      .select(col("doc_id"), col("n"),
+        transform(sequence(lit(1), size(col("starts"))), j =>
+          // ANSI mode: element_at past the end THROWS, so the last
+          // run's end is guarded explicitly (n + 1), not coalesced
+          when(j < size(col("starts")), element_at(col("starts"), j + 1))
+            .otherwise(col("n") + 1) -
+            element_at(col("starts"), j))
+          .as("counts"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("counts")).cast("long").as("n_uniq"),
+        round(
+          log(col("n").cast("double")) -
+            aggregate(col("counts"), lit(0.0d),
+              (acc, c) => acc + c.cast("double") * log(c.cast("double"))) /
+              col("n").cast("double"),
+          6).as("entropy"))
+  }
+
+  private val q156Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS tk
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, UNNEST(tk) AS tok FROM t WHERE LEN(tk) > 0)
+      |  GROUP BY doc_id, tok),
+      |a AS (
+      |  SELECT doc_id, SUM(c) AS n, SUM(c * LN(c)) AS s, COUNT(*) AS n_uniq
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(n_uniq AS BIGINT) AS n_uniq,
+      |  ROUND(LN(n) - s / n, 6) AS entropy
+      |FROM a""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q31_token_stats", q31TokenStats, Some(q31Sql)),
+    Q("q156_token_entropy", q156TokenEntropy, Some(q156Sql)),
     Q("q133_nfc_audit", q133NfcAudit, Some(q133Sql)),
     Q("q119_charset_audit", q119CharsetAudit, Some(q119Sql)),
     Q("q120_line_filter", q120LineFilter, Some(q120Sql)),

@@ -598,6 +598,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the final merge is one broadcast map join, nothing heavier:\n$p")
   }
 
+  test("token entropy is map-only: no exchange, no join, no explode") {
+    val p = plan(SparkEntry.queries("q156_token_entropy")(spark, sfDir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the entropy scan must not move the corpus:\n$p")
+    assert(!p.contains("Generate"),
+      s"token counts come from in-array run-lengths, never an explode:\n$p")
+  }
+
   test("production media hamming tier: artifact scan, banded equi-join, no cartesian") {
     val p = plan(SparkEntry.queries("q155_phash_h3")(spark, sfDir))
     assert(p.contains("phashes"),
