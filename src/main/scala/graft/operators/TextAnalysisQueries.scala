@@ -218,6 +218,18 @@ object TextAnalysisQueries extends QueryModule {
     * dependent); the classic wordcount shape — one shuffle on the
     * token, partial counts map-side combined, so shuffle volume is the
     * distinct-token count per partition, not the corpus token count. */
+  /** MEASURED AND REJECTED (r11): an explicit per-partition Misra–Gries
+    * heavy-hitter sketch (k=256 counters, candidates broadcast back for
+    * an exact recount) was built, oracle-verified, and benched against
+    * this plain aggregation: 1.58 vs 0.74 s at sf0.1 and 4.2 vs 0.86 s
+    * at 30x-organic — the sketch LOSES at every measurable scale here
+    * because Spark's map-side partial aggregation already bounds the
+    * token shuffle to per-partition-DISTINCT keys (the hash agg is
+    * itself a per-partition summary with spill), so explicit MG adds
+    * per-row JVM overhead without saving any shuffle volume. The
+    * sketch-then-verify shape earns its keep only where candidates cut
+    * a QUADRATIC step (the LSH/banding dedup family), not a linear
+    * keyed aggregate. */
   private def q70Vocab(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.tokenTable(Tables.documents(s, dir), "doc_id", "text")
       .select(col("doc_id"), explode(col("toks")).as("tok"))
