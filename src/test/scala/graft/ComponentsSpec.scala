@@ -27,6 +27,29 @@ class ComponentsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
   }
 
+  test("driver fast path equals the distributed iteration on a random graph") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(23)
+    val n = 400L
+    val nodes = (1L to n).toDF("id")
+    // random sparse graph + a few dense pockets: exercises chains,
+    // merged components, and singletons
+    val edges = ((1 to 300).map(_ =>
+        (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1)) ++
+        Seq((1L, 399L), (399L, 17L)))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val fast = Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val iterative = Components.connectedComponentsIterative(nodes, sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == iterative,
+      s"paths diverged on ${fast.count { case (k, v) => iterative(k) != v }} nodes")
+  }
+
   test("empty node set returns an empty result (no NPE in the sum check)") {
     val nodes = Seq.empty[Long].toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
