@@ -37,20 +37,35 @@ object Bench {
     * exact number carries no extra information. */
   private val QueryTimeout = 60.seconds
 
-  /** Run one query under the watchdog. Returns elapsed seconds, or -1
-    * on failure/timeout (the sentinel the history diff ignores). */
+  /** Per-attempt pruning telemetry: (nScans, bytesBefore, bytesAfter,
+    * pruneMs) attributable to ONE timed run. */
+  private type PruneDelta = (Long, Long, Long, Long)
+  private val ZeroDelta: PruneDelta = (0L, 0L, 0L, 0L)
+
+  /** Run one query under the watchdog. Returns (elapsed seconds or -1
+    * on failure/timeout — the sentinel the history diff ignores, THIS
+    * attempt's PruneStats delta). Attributing prune counters per
+    * attempt (cumulative-counter subtraction) is what keeps contended
+    * runs honest: the retry loop re-measures indexed queries, and
+    * before r12 every retry added another PruneReport to the run-wide
+    * aggregate — BENCH_r11 showed exactly 2x the scans of a calm round. */
   private def timedRun(
       spark: SparkSession, name: String,
-      fn: (SparkSession, String) => DataFrame, sfDir: String): Double = {
+      fn: (SparkSession, String) => DataFrame, sfDir: String): (Double, PruneDelta) = {
     import scala.concurrent.ExecutionContext.Implicits.global
     val group = s"bench-$name"
+    val before = graft.query.PruneStats.counters()
     val t0 = System.nanoTime()
     val task = Future {
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       finally spark.sparkContext.clearJobGroup()
     }
-    try Await.result(task, QueryTimeout)
+    def delta(): PruneDelta = {
+      val a = graft.query.PruneStats.counters()
+      (a._1 - before._1, a._2 - before._2, a._3 - before._3, a._4 - before._4)
+    }
+    try { val t = Await.result(task, QueryTimeout); (t, delta()) }
     catch {
       case _: TimeoutException =>
         // cancel the runaway jobs, then wait (bounded) for the scheduler
@@ -60,10 +75,10 @@ object Bench {
         catch { case _: TimeoutException => () }
         drain(spark, 60.seconds)
         System.err.println(s"[bench-warn] $name timed out after $QueryTimeout, recorded -1")
-        -1.0
+        (-1.0, delta())
       case NonFatal(e) =>
         System.err.println(s"[bench-warn] $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, delta())
     }
   }
 
@@ -104,7 +119,7 @@ object Bench {
     // time, and any timed-out query's orphans bleed into the next
     // timer. One-time index builds inside individual queries are part
     // of those queries' honest cost.)
-    ordered.headOption.foreach { case (name, fn) => timedRun(spark, name, fn, sfDir) }
+    ordered.headOption.foreach { case (name, fn) => timedRun(spark, name, fn, sfDir): Unit }
     // The probe floor is calibrated after the warm-up query so the JVM
     // (and the probe loop's own JIT) are hot.
     Contention.calibrate()
@@ -131,19 +146,21 @@ object Bench {
         case _ => t > 20
       })
       Contention.waitCalm()
-      var t = timedRun(spark, name, fn, sfDir)
+      var (t, pd) = timedRun(spark, name, fn, sfDir)
       var attempts = 0
       while (attempts < 2 && looksContended(t)) {
         System.err.println(f"[bench-warn] $name: $t%.2f s looks contended, re-measuring")
         Contention.waitCalm()
-        val t2 = timedRun(spark, name, fn, sfDir)
-        t = if (t < 0) t2 else if (t2 < 0) t else math.min(t, t2)
+        val (t2, pd2) = timedRun(spark, name, fn, sfDir)
+        // keep the prune delta of the attempt whose time is recorded —
+        // one suite pass worth of scans, regardless of retry count
+        if (t < 0 || (t2 >= 0 && t2 < t)) { t = t2; pd = pd2 }
         attempts += 1
       }
       // per-query progress on stderr (stdout stays the one JSON line):
       // a killed/hung run's log tail then shows exactly where time went
       System.err.println(f"[bench] $name: $t%.2f s")
-      name -> t
+      (name, t, pd)
     }
     // RESCUE SWEEP for -1 sentinels: during a steal wave the in-place
     // retries all land inside the SAME wave (round 7: q27 best-known
@@ -151,19 +168,21 @@ object Bench {
     // wave, and passed minutes later). One more attempt at the very end
     // of the run — after every other query, re-gated — gives the host
     // time to go calm; keep the better result.
-    val rescued = if (results.exists(_._2 < 0)) {
+    val rescuedFull = if (results.exists(_._2 < 0)) {
       val fnByName = ordered.toMap
-      results.map { case (name, t) =>
-        if (t >= 0) name -> t
+      results.map { case (name, t, pd) =>
+        if (t >= 0) (name, t, pd)
         else {
           System.err.println(s"[bench-warn] $name: end-of-run rescue re-run after -1")
           Contention.waitCalm()
-          val t2 = timedRun(spark, name, fnByName(name), sfDir)
+          val (t2, pd2) = timedRun(spark, name, fnByName(name), sfDir)
           System.err.println(f"[bench] $name (rescue): $t2%.2f s")
-          name -> math.max(t, t2) // t is -1, so any real time wins
+          // t is -1, so any real time wins — and its delta with it
+          if (t2 >= 0) (name, t2, pd2) else (name, t, pd)
         }
       }
     } else results
+    val rescued = rescuedFull.map { case (n, t, _) => (n, t) }
     // ET-parity pruning observability (SURVEY §4 R10): the aggregate of
     // every index-pruned scan's bytes-before/after and prune time across
     // the run (the reference's getSplits log line, rolled up), plus one
@@ -178,11 +197,18 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench-warn] observed probe skipped: ${e.getMessage}"); ""
     }
-    val prunePart = graft.query.PruneStats.snapshot()
-      .map { case (n, before, after, ms) =>
-        s""","pruned_scans":$n,"prune_bytes_before":$before""" +
-          s""","prune_bytes_after":$after,"prune_ms":$ms$rowsPart"""
-      }.getOrElse("")
+    // per-run prune rollup = SUM of the per-query RECORDED attempts'
+    // deltas (one suite pass), NOT the process-wide PruneStats
+    // cumulative — contended-run retries would otherwise double-count
+    // every indexed scan (the r11 finding: 28 scans / 10330 ms in a
+    // contended round vs 14 / 1538 calm, purely an accounting artifact)
+    val pruneSum = rescuedFull.filter(_._2 >= 0).map(_._3)
+      .foldLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), (w, x, y, z)) =>
+        (a + w, b + x, c + y, d + z) }
+    val prunePart =
+      if (pruneSum._1 == 0) ""
+      else s""","pruned_scans":${pruneSum._1},"prune_bytes_before":${pruneSum._2}""" +
+        s""","prune_bytes_after":${pruneSum._3},"prune_ms":${pruneSum._4}$rowsPart"""
     graft.query.PruneStats.summaryLine().foreach(l =>
       System.err.println(s"[bench-prune] ${l.dropRight(1)}$rowsPart}"))
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -203,8 +229,9 @@ object Bench {
     // Driver-visible floors: the merged per-query MIN history is the
     // only trustworthy trend signal on this steal-prone VM, but it
     // lived in target/ where only shell access could read it. Persist
-    // it as a repo-root JSON artifact (cwd = the repo under sbt) so the
-    // end-of-round commit snapshots floors alongside BENCH_r{N}.json.
+    // it as a repo-root JSON artifact (anchored via RepoRoot next to
+    // the target/ history it summarizes — never against a bare cwd) so
+    // the end-of-round commit snapshots floors alongside BENCH_r{N}.json.
     // FULL-SUITE runs only: a SPARK_GRAFT_ONLY dev run on a machine
     // with no MIN history would otherwise clobber the committed
     // 155-floor artifact with a one-entry subset.
@@ -214,7 +241,7 @@ object Bench {
         .mkString(
           s"""{"sf":"$sfDir","best_total":${fmt(bestTotal)},"floors":{""",
           ",", "}}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      java.nio.file.Files.writeString(RepoRoot.resolve(
         s"BENCH_FLOORS_${new java.io.File(sfDir).getName}.json"), floorsJson)
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench-warn] floors write skipped: $e") }

@@ -110,12 +110,24 @@ object ScaleProbe {
     * contended probe can never raise a recorded floor. */
   private def recordProbe(factor: Int, organic: Boolean, name: String,
       times: Seq[(String, Double, Long)]): Unit = try {
-    val path = java.nio.file.Paths.get("SCALE_PROBES.json")
+    val path = graft.RepoRoot.resolve("SCALE_PROBES.json")
     val existing: Map[String, Map[String, Double]] =
       if (java.nio.file.Files.exists(path)) parse(java.nio.file.Files.readString(path))
       else Map.empty
     val key = s"${factor}x${if (organic) "-organic" else ""}:$name"
-    val prev = existing.getOrElse(key, Map.empty)
+    val prevAll = existing.getOrElse(key, Map.empty)
+    // EPOCH CONSISTENCY: floors and rows must describe the same code.
+    // A change that alters the query's cardinality starts a new epoch —
+    // keeping the old floors would pair this epoch's row count with a
+    // previous epoch's timings (the r11 advisor finding).
+    val newRows = times.head._3
+    val prev = prevAll.get("rows") match {
+      case Some(r) if r.toLong != newRows =>
+        System.err.println(
+          s"[scale] $key: rows changed ${r.toLong} -> $newRows, resetting floors")
+        Map.empty[String, Double]
+      case _ => prevAll
+    }
     val merged = times.foldLeft(prev) { case (m, (label, t, rows)) =>
       val best = m.get(label).fold(t)(math.min(_, t))
       m + (label -> best) + ("rows" -> rows.toDouble)

@@ -17,14 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Edge-count cap for the driver union-find fast path: 1M edges is
-    * ~16 MB collected — bounded driver memory by construction. The
-    * incremental-merge contraction graphs (q142/q154) are delta-bounded
-    * and sit far under it; corpus-scale dedup graphs at 100 TB exceed
-    * it and take the distributed iteration, so the scale path is
-    * unchanged. Only EDGES gate the fast path — the node universe
-    * (corpus-sized for cluster maps) never collects: singletons are
-    * label = self, appended as a map-side coalesce. */
+  /** Edge-count cap for the driver union-find fast path. Collected
+    * volume is bounded by construction: the RAW (un-symmetrized) edge
+    * list collects as `Array[(Long, Long)]` — `Tuple2` is
+    * `@specialized` on `Long`, so 1M edges is ~1M tuple objects of two
+    * primitive longs (~32 MB with headers), plus a boxed HashMap over
+    * the touched-node universe — a few hundred MB worst case on a
+    * driver heap that budgets gigabytes. The incremental-merge
+    * contraction graphs (q142/q154/q158) are delta-bounded and sit far
+    * under it; corpus-scale dedup graphs at 100 TB exceed it and take
+    * the distributed iteration, so the scale path is unchanged. Only
+    * EDGES gate the fast path — the node universe (corpus-sized for
+    * cluster maps) never collects: singletons are label = self,
+    * appended as a map-side coalesce. */
   private val SmallGraphMaxEdges = 1000000L
 
   /** @param nodes one column `id`
@@ -32,17 +37,24 @@ object Components {
     * @return (id, comp) with comp = min id reachable */
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // materialize the RAW edges once: the gate count, the fast-path
+    // collect, and the iterative path's symmetrization all read these
+    // checkpointed blocks instead of re-running the edge subtree
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(eager = true)
     // FAST PATH measured on the merge queries (r11, same-JVM
     // alternating A/B at sf0.1): the iterative path pays ~3 rounds x
     // (2 joins + agg + checkpoint + convergence action) even on a
     // 2k-edge contraction graph — driver union-find replaces all of it
-    // with one bounded collect and one broadcast join. The count is an
-    // agg over the just-checkpointed sym blocks (cheap, no recompute).
-    val nSym = sym.count()
-    if (nSym <= 2 * SmallGraphMaxEdges) {
+    // with one bounded collect and one broadcast join. Union-find needs
+    // only ONE orientation per edge, so the collect is the
+    // un-symmetrized list, typed (specialized tuples — primitive longs,
+    // not GenericRow boxes), at half the volume of the old
+    // symmetrized-Row collect.
+    val nEdges = raw.count()
+    if (nEdges <= SmallGraphMaxEdges) {
+      val s = nodes.sparkSession
+      import s.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -52,20 +64,25 @@ object Components {
         while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      sym.select(col("src"), col("dst")).collect().foreach { row =>
-        val a = find(row.getLong(0)); val b = find(row.getLong(1))
+      raw.as[(Long, Long)].collect().foreach { case (x, y) =>
+        val a = find(x); val b = find(y)
         // min-id representative: union by label order keeps comp = min
         if (a < b) parent(b) = a else if (b < a) parent(a) = b
       }
-      val assign = parent.keysIterator.map(x => (x, find(x))).toSeq
-      val s = nodes.sparkSession
-      import s.implicits._
-      val labelDf = assign.toDF("id", "comp")
+      // snapshot the key set BEFORE the resolve loop: find() writes
+      // path-compression updates into `parent` while we read it, which
+      // is only safe while compression never INSERTS (no rehash) — an
+      // invariant a snapshot makes irrelevant rather than load-bearing
+      val ks = parent.keys.toArray
+      val labelDf = ks.map(x => (x, find(x))).toSeq.toDF("id", "comp")
       // every non-edge node is its own singleton component
       return nodes.select(col("id"))
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     }
+    val sym = raw
+      .union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
     connectedComponentsIterative(nodes, sym, maxIter)
   }
 

@@ -53,6 +53,14 @@ object PruneStats {
     if (nScans == 0) None else Some((nScans, bytesTotal, bytesRead, pruneMs))
   }
 
+  /** Raw cumulative counters, zeros included — for delta accounting: a
+    * harness that re-measures queries (Bench's contention retries)
+    * subtracts a before-counters from an after-counters to attribute
+    * pruning work to ONE attempt instead of double-counting retries. */
+  def counters(): (Long, Long, Long, Long) = lock.synchronized {
+    (nScans, bytesTotal, bytesRead, pruneMs)
+  }
+
   /** One compact JSON-ish summary, or None when no pruned scan ran. */
   def summaryLine(): Option[String] = lock.synchronized {
     if (nScans == 0) None
