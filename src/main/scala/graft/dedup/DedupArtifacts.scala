@@ -105,8 +105,13 @@ object DedupArtifacts {
     * v8: + media_clusters (components over phash_pairs — the media twin
     *     of the cluster map, completing the media funnel at ingest).
     * v9: + base_media_clusters (the q154 incremental media-maintenance
-    *     base — the media twin of base_clusters). */
-  private[graft] val Version = 9
+    *     base — the media twin of base_clusters).
+    * v10: + base_sem_pairs / base_sem_clusters (the q157/q158
+    *     incremental SEMANTIC-maintenance base — the embedding twin of
+    *     base_clusters, completing the third incremental quadrant; in
+    *     the sem meta, not the doc meta: they derive from the
+    *     embeddings table). */
+  private[graft] val Version = 10
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -133,6 +138,8 @@ object DedupArtifacts {
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
   private def semPairsPath(sfDir: String) = s"${root(sfDir)}/sem_pairs"
   private def semMetaPath(sfDir: String) = s"${root(sfDir)}/_META_SEM"
+  private def baseSemPairsPath(sfDir: String) = s"${root(sfDir)}/base_sem_pairs"
+  private def baseSemClustersPath(sfDir: String) = s"${root(sfDir)}/base_sem_clusters"
   private def baseClustersPath(sfDir: String) = s"${root(sfDir)}/base_clusters"
   private def bandedPath(sfDir: String) = s"${root(sfDir)}/banded"
   private def docSetsPath(sfDir: String) = s"${root(sfDir)}/doc_sets"
@@ -341,11 +348,29 @@ object DedupArtifacts {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val meta = new Path(semMetaPath(sfDir))
     if (readMeta(fs, meta).contains(fp)) return
-    val dir = new Path(semPairsPath(sfDir))
-    if (fs.exists(dir)) fs.delete(dir, true)
+    for (d <- Seq(semPairsPath(sfDir), baseSemPairsPath(sfDir),
+        baseSemClustersPath(sfDir))) {
+      val p = new Path(d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     graft.similarity.Ann
       .cosineNearDupPairs(graft.Tables.embeddings(s, sfDir), SemThreshold)
-      .write.parquet(dir.toString)
+      .write.parquet(semPairsPath(sfDir))
+    // "yesterday's run" for the incremental semantic demos (q157/q158):
+    // pair membership is a per-pair property of its two endpoints, so
+    // the base-internal pair set is a pure FILTER of the just-written
+    // full pair set — no second O(n^2) pass
+    val isDelta = (c: org.apache.spark.sql.Column) => c % DeltaMod === DeltaRem
+    val basePairs = s.read.parquet(semPairsPath(sfDir))
+      .filter(!isDelta(col("id_i")) && !isDelta(col("id_j")))
+    basePairs.write.parquet(baseSemPairsPath(sfDir))
+    graft.operators.Components.connectedComponents(
+        graft.Tables.embeddings(s, sfDir)
+          .filter(!isDelta(col("vec_id"))).select(col("vec_id").as("id")),
+        s.read.parquet(baseSemPairsPath(sfDir))
+          .select(col("id_i").as("src"), col("id_j").as("dst")))
+      .select(col("id").as("vec_id"), col("comp").as("cluster_rep"))
+      .write.parquet(baseSemClustersPath(sfDir))
     writeMeta(fs, meta, fp)
   }
 
@@ -372,6 +397,22 @@ object DedupArtifacts {
   def semPairs(s: SparkSession, sfDir: String): DataFrame = {
     prepareSem(s, sfDir)
     s.read.parquet(semPairsPath(sfDir))
+  }
+
+  /** The base embedding subset's internal pair set (id_i, id_j) — the
+    * persisted state q157's incremental pair maintenance streams. */
+  def baseSemPairs(s: SparkSession, sfDir: String): DataFrame = {
+    prepareSem(s, sfDir)
+    s.read.parquet(baseSemPairsPath(sfDir))
+  }
+
+  /** The base embedding subset's cluster assignment
+    * (vec_id, cluster_rep) — the persisted state q158's incremental
+    * semantic merge starts from; the embedding twin of
+    * [[baseClusters]]. */
+  def baseSemClusters(s: SparkSession, sfDir: String): DataFrame = {
+    prepareSem(s, sfDir)
+    s.read.parquet(baseSemClustersPath(sfDir))
   }
 
   /** The base subset's cluster assignment (doc_id, cluster_rep) — the

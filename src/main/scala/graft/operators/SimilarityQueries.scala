@@ -456,8 +456,87 @@ object SimilarityQueries extends QueryModule {
       |    AS code_digest
       |FROM c""".stripMargin
 
+  /** INCREMENTAL SEMANTIC PAIR MAINTENANCE — the embedding twin of
+    * q150: merge today's embedding batch into the PERSISTED semantic
+    * pair set without re-scoring the base corpus. Base-internal pairs
+    * stream from the v10 `DedupArtifacts.baseSemPairs` artifact (a
+    * filter of the ingest-persisted pair set — nothing is re-embedded
+    * or re-scored); today's work is one broadcast cross evaluation
+    * (delta broadcasts with precomputed norms, the base streams
+    * map-side) plus the delta-internal O(|delta|^2) — and the three
+    * sets are DISJOINT by endpoint parity (base/base, base/delta,
+    * delta/delta), each internally duplicate-free, so the union needs
+    * no distinct: today's shuffle volume is zero on the base side.
+    * The oracle is the FULL from-scratch recompute (q28's O(n^2)
+    * cosine), unchanged — incremental must hash-match from-scratch.
+    *
+    * 100 TB shape: yesterday's corpus contributes one artifact read;
+    * today's batch pays |base|×|delta| map-side work, which at real
+    * scale is first cut by the ANN candidate index (q51's banding) with
+    * this exact kernel as the verify stage. */
+  private def q157IncrSemPairs(s: SparkSession, dir: String): DataFrame = {
+    val DA = graft.dedup.DedupArtifacts
+    val emb = Tables.embeddings(s, dir)
+    val isDelta = col("vec_id") % DA.DeltaMod === DA.DeltaRem
+    val cross = Ann.cosineCrossPairs(
+      emb.filter(!isDelta), emb.filter(isDelta), DA.SemThreshold)
+    val internal = Ann.cosineNearDupPairs(emb.filter(isDelta), DA.SemThreshold)
+    DA.baseSemPairs(s, dir).unionByName(cross).unionByName(internal)
+  }
+
+  // incremental-vs-full is the whole claim (q150's lesson): the oracle
+  // recomputes the complete pair set from the embeddings, same as q28's
+  private val q157Sql = q28Sql
+
+  /** INCREMENTAL SEMANTIC CLUSTER MAINTENANCE — the embedding twin of
+    * q142/q154, completing the incremental family's third quadrant
+    * (text/media/semantic × pairs/clusters): merge today's embedding
+    * batch into yesterday's persisted semantic cluster assignment
+    * (`DedupArtifacts.baseSemClusters`, v10) via the SAME
+    * [[DedupQueries.mergeAssignments]] label contraction — valid here
+    * because the base assignment's labels are min ids of their
+    * clusters, which is all the contraction requires. Today's new
+    * pairs are the q157 delta neighborhoods (broadcast cross +
+    * delta-internal); the contraction graph is bounded by the new pair
+    * count, never corpus size; the merged mapping broadcasts back onto
+    * the embedding universe in one map join. The oracle is the
+    * FULL-RECOMPUTE transitive closure over the exact cosine pair set
+    * — incremental must hash-match from-scratch. */
+  private def q158IncrSemClusters(s: SparkSession, dir: String): DataFrame = {
+    val DA = graft.dedup.DedupArtifacts
+    val emb = Tables.embeddings(s, dir)
+    val isDelta = col("vec_id") % DA.DeltaMod === DA.DeltaRem
+    val newPairs = Ann.cosineCrossPairs(
+        emb.filter(!isDelta), emb.filter(isDelta), DA.SemThreshold)
+      .unionByName(Ann.cosineNearDupPairs(emb.filter(isDelta), DA.SemThreshold))
+      .select(col("id_i").as("doc_i"), col("id_j").as("doc_j"))
+    DedupQueries.mergeAssignments(
+        emb.select(col("vec_id").as("doc_id")),
+        DA.baseSemClusters(s, dir)
+          .select(col("vec_id").as("doc_id"), col("cluster_rep")),
+        newPairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+  }
+
+  private val q158Sql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+      |edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |reach AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+      |  UNION
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
+      |SELECT id AS vec_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
+    Q("q157_incr_sem_pairs", q157IncrSemPairs, Some(q157Sql)),
+    Q("q158_incr_sem_clusters", q158IncrSemClusters, Some(q158Sql)),
     Q("q130_int8_quant", q130Int8Quant, Some(q130Sql)),
     Q("q123_pq_codes", q123PqCodes, Some(q123Sql)),
     Q("q124_pq_adc", q124PqAdc, Some(recallSql(PqAdcFloor))),

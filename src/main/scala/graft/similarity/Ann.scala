@@ -376,6 +376,34 @@ object Ann {
       .select("id_i", "id_j")
   }
 
+  /** Cross-set cosine near-dup pairs between a LARGE base and a SMALL
+    * delta batch — the incremental-ingest primitive (q157/q158): the
+    * delta broadcasts with precomputed norms, the base streams through
+    * one map-side evaluation (never shuffled, never self-joined), and
+    * each base×delta pair is generated exactly once, so no distinct is
+    * needed downstream. Pair orientation is normalized to
+    * (id_i, id_j) = (min, max) to compose with [[cosineNearDupPairs]]'
+    * output. The sets must be id-disjoint (caller's base/delta split
+    * rule guarantees it).
+    *
+    * 100 TB shape: cost scales with |base| × |delta| map-side work per
+    * ingest batch, with the broadcast bounded by the batch — at real
+    * scale the base side is first cut by an ANN index ([[lshNearDupPairs]]'
+    * banding or [[ivfTopK]]'s routing); this exact form is the verify
+    * kernel those candidate generators feed. */
+  def cosineCrossPairs(
+      base: DataFrame, delta: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = base.select(col(idCol).as("base_id"), col(vecCol).as("va"),
+      Vectors.norm(col(vecCol)).as("na"))
+    val d = delta.select(col(idCol).as("delta_id"), col(vecCol).as("vb"),
+      Vectors.norm(col(vecCol)).as("nb"))
+    a.crossJoin(broadcast(d))
+      .filter(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(least(col("base_id"), col("delta_id")).as("id_i"),
+        greatest(col("base_id"), col("delta_id")).as("id_j"))
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** (id, sub, subvector) expansion shared by the PQ paths. */

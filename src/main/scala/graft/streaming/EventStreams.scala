@@ -268,4 +268,41 @@ object EventStreams {
       .select(col("doc_id").as("new_id"), col("base_id"))
       .dropDuplicates("new_id", "base_id")
   }
+
+  /** Streaming EMBEDDING-COSINE near-dup detection against a persisted
+    * base embedding table — the semantic twin of [[nearDupAgainstBase]]
+    * / [[mediaNearDupAgainstBase]], completing the streaming tier of
+    * the third dedup modality (the ingest-side counterpart of the
+    * q157/q158 delta merge): new vectors stream in, and each emits the
+    * (new_id, base_id) pairs whose cosine reaches `threshold` in the
+    * already-ingested corpus.
+    *
+    * Stream side is MAP-ONLY (one norm per vector); the join is ONE
+    * stateless stream-static evaluation with the SAME
+    * dot/(na*nb)-in-doubles kernel as the batch `Ann.cosineCrossPairs`,
+    * so stream ≡ batch holds bit-for-bit (StreamingOpsSpec pins it
+    * row-level) — including the NaN-on-zero-norm convention (a
+    * zero-norm vector pairs with nothing on either path). Each
+    * base×new pair is generated exactly once, so unlike the banded
+    * twins no pair-key dedup state is needed at all.
+    *
+    * At 100 TB the static side is first cut by the persisted ANN
+    * candidate index (sign-LSH banding or IVF routing — q51/q45's
+    * machinery, bucketed so each micro-batch joins only its probe
+    * buckets); this exact form is the verify kernel those candidate
+    * generators feed, the same role [[Ann.cosineCrossPairs]] plays
+    * for the batch merge. */
+  def semNearDupAgainstBase(
+      vecs: DataFrame, baseEmb: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val d = vecs.select(col(idCol).cast("long").as("new_id"),
+      col(vecCol).as("vb"), graft.functions.Vectors.norm(col(vecCol)).as("nb"))
+    val b = baseEmb.select(col("vec_id").as("base_id"),
+      col("embedding").as("va"),
+      graft.functions.Vectors.norm(col("embedding")).as("na"))
+    d.join(b,
+        graft.functions.Vectors.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")) >= threshold)
+      .select("new_id", "base_id")
+  }
 }

@@ -300,6 +300,70 @@ class DedupArtifactsSpec extends AnyFunSuite {
       "second media delta batch diverged from the full recompute")
   }
 
+  test("persisted base sem artifacts equal the from-scratch base subset") {
+    import spark.implicits._
+    val t = DedupArtifacts.SemThreshold
+    val emb = Tables.embeddings(spark, sfDir)
+    val isBase = col("vec_id") % DedupArtifacts.DeltaMod =!= DedupArtifacts.DeltaRem
+    val freshPairs = graft.similarity.Ann
+      .cosineNearDupPairs(emb.filter(isBase), t)
+      .as[(Long, Long)].collect().toSet
+    assert(DedupArtifacts.baseSemPairs(spark, sfDir)
+      .as[(Long, Long)].collect().toSet == freshPairs)
+    val freshClusters = Components.connectedComponents(
+        emb.filter(isBase).select(col("vec_id").as("id")),
+        graft.similarity.Ann.cosineNearDupPairs(emb.filter(isBase), t)
+          .select(col("id_i").as("src"), col("id_j").as("dst")))
+      .as[(Long, Long)].collect().toSet
+    assert(DedupArtifacts.baseSemClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSet == freshClusters)
+  }
+
+  test("semantic incremental merge composes across two successive delta batches") {
+    import spark.implicits._
+    val t = DedupArtifacts.SemThreshold
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").localCheckpoint(eager = true)
+    def res(r: Long) = col("vec_id") % DedupArtifacts.DeltaMod === r
+
+    def fullClusters(cond: org.apache.spark.sql.Column) = {
+      val sub = emb.filter(cond)
+      Components.connectedComponents(
+          sub.select(col("vec_id").as("id")),
+          graft.similarity.Ann.cosineNearDupPairs(sub, t)
+            .select(col("id_i").as("src"), col("id_j").as("dst")))
+        .select(col("id").as("vec_id"), col("comp").as("cluster_rep"))
+    }
+    def pairsFor(cond: org.apache.spark.sql.Column,
+        isDelta: org.apache.spark.sql.Column) =
+      graft.similarity.Ann.cosineCrossPairs(
+          emb.filter(cond && !isDelta), emb.filter(cond && isDelta), t)
+        .unionByName(
+          graft.similarity.Ann.cosineNearDupPairs(emb.filter(cond && isDelta), t))
+        .select(col("id_i").as("doc_i"), col("id_j").as("doc_j"))
+
+    // yesterday's state: semantic clusters over residues ∉ {5, 6}
+    val base0Cond = !res(5) && !res(6)
+    val assign0 = fullClusters(base0Cond)
+      .select(col("vec_id").as("doc_id"), col("cluster_rep"))
+    // batch 1: residue 5 arrives
+    val u1Cond = !res(6)
+    val a1 = graft.operators.DedupQueries.mergeAssignments(
+        emb.filter(u1Cond).select(col("vec_id").as("doc_id")),
+        assign0, pairsFor(u1Cond, res(5)))
+      .localCheckpoint(eager = true)
+    val full1 = fullClusters(u1Cond).as[(Long, Long)].collect().toSet
+    assert(a1.as[(Long, Long)].collect().toSet == full1,
+      "first semantic delta batch diverged from the full recompute")
+    // batch 2: residue 6 arrives, merged into batch 1's OUTPUT — the
+    // contraction must compose with its own result
+    val a2 = graft.operators.DedupQueries.mergeAssignments(
+      emb.select(col("vec_id").as("doc_id")), a1, pairsFor(lit(true), res(6)))
+    val full2 = fullClusters(lit(true)).as[(Long, Long)].collect().toSet
+    assert(a2.as[(Long, Long)].collect().toSet == full2,
+      "second semantic delta batch diverged from the full recompute")
+  }
+
   test("bandedCrossCandidates keeps (id, sim) correspondence after normalization") {
     import spark.implicits._
     val fp = DedupArtifacts.phashes(spark, sfDir)

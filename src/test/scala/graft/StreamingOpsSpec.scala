@@ -317,6 +317,42 @@ class StreamingOpsSpec extends AnyFunSuite {
         s"only_brute=${(expected -- streamed).take(3)}")
     assert(streamed.nonEmpty, "the sf0.001 delta has media near-dups in the base")
   }
+
+  test("streaming semantic near-dup vs persisted base equals the batch cross-pair set") {
+    import graft.dedup.DedupArtifacts
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val t = DedupArtifacts.SemThreshold
+    val isDelta =
+      col("vec_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val base = emb.filter(!isDelta)
+    // today's embedding batch streams in
+    val src = s"$work/sem_neardup_vecs"
+    emb.filter(isDelta).write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = EventStreams.semNearDupAgainstBase(
+        stream, base, "vec_id", "embedding", t)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_neardup_out")
+      .option("checkpointLocation", s"$work/sem_neardup_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sem_neardup_out")
+      .select(least(col("new_id"), col("base_id")),
+        greatest(col("new_id"), col("base_id")))
+      .as[(Long, Long)].collect().toSet
+    // batch truth: the q157 cross-pair kernel over the same split
+    val batch = graft.similarity.Ann.cosineCrossPairs(
+        base, emb.filter(isDelta), t)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch diverged: only_stream=${(streamed -- batch).take(3)} " +
+        s"only_batch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "the sf0.001 delta has semantic near-dups in the base")
+  }
 }
 
 final case class UserSessionRow(user_id: Long, n_events: Long,
