@@ -2,15 +2,22 @@
 """Local replica of the driver's correctness gate (dev tool only; the
 shipped library has no Python dependency).
 
-Usage: python3 scripts/selfcheck.py [sfDir] [outDir]
+Usage: python3 scripts/selfcheck.py [sfDir] [outDir] [filter] [timeoutSec]
 
 Runs DuckDB on each oracle_sql.json entry against the parquet tables in
 sfDir, loads the Spark result parquet written by graft.Verify from
 outDir, sorts columns by name and rows by all columns, and compares
 values exactly. Prints per-query PASS/FAIL.
+
+filter: comma-separated name substrings to include, or (with a leading
+`-`) to EXCLUDE — the sf0.1 sweep excludes the documented quadratic
+oracle anchors. timeoutSec: per-oracle DuckDB wall-clock cap (the
+oracle is interrupted and the query reported ORACLE-TIMEOUT rather
+than hanging the sweep); 0 = no cap (default).
 """
 import json
 import sys
+import threading
 from pathlib import Path
 
 import duckdb
@@ -36,15 +43,45 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 # optional third arg: comma-separated query-name substrings to check
 # (e.g. "q63,q75") — the full sweep at sf0.1 spends most of its time in
 # the deliberately-quadratic oracle anchors, so targeted re-checks of
-# just-changed queries need a filter
-only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+# just-changed queries need a filter; a leading "-" inverts it into an
+# exclusion list (sf0.1 sweeps exclude the quadratic anchors)
+only = exclude = None
+if len(sys.argv) > 3 and sys.argv[3]:
+    if sys.argv[3].startswith("-"):
+        exclude = sys.argv[3][1:].split(",")
+    else:
+        only = sys.argv[3].split(",")
+timeout_s = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 
-n_pass = n_fail = 0
+
+def run_oracle(sql: str):
+    """Run one oracle under the wall-clock cap; DuckDB interrupt aborts
+    the quadratic anchors cleanly instead of hanging the sweep."""
+    if timeout_s <= 0:
+        return con.execute(sql).df()
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        done.set()
+        w.join()
+
+n_pass = n_fail = n_timeout = 0
 for qdir in sorted(out_dir.iterdir()):
     if not qdir.is_dir():
         continue
     name = qdir.name
     if only is not None and not any(s in name for s in only):
+        continue
+    if exclude is not None and any(s in name for s in exclude):
+        print(f"{name}: EXCLUDED")
         continue
     spark_df = duckdb.connect().execute(
         f"SELECT * FROM '{qdir}/*.parquet'").df()
@@ -52,8 +89,16 @@ for qdir in sorted(out_dir.iterdir()):
         print(f"{name}: NO-ORACLE rows={len(spark_df)}")
         continue
     try:
-        oracle_df = con.execute(oracle[name]).df()
+        oracle_df = run_oracle(oracle[name])
+    except duckdb.InterruptException:
+        print(f"{name}: ORACLE-TIMEOUT >{timeout_s}s")
+        n_timeout += 1
+        continue
     except Exception as e:
+        if "INTERRUPT" in str(e).upper():
+            print(f"{name}: ORACLE-TIMEOUT >{timeout_s}s")
+            n_timeout += 1
+            continue
         print(f"{name}: ORACLE-SQL-ERROR {e}")
         n_fail += 1
         continue
@@ -74,5 +119,6 @@ for qdir in sorted(out_dir.iterdir()):
         print(f"{name}: VALUE-MISMATCH {str(e)[:400]}")
         n_fail += 1
 
-print(f"\n{n_pass} pass, {n_fail} fail")
+print(f"\n{n_pass} pass, {n_fail} fail"
+      + (f", {n_timeout} oracle-timeout" if n_timeout else ""))
 sys.exit(1 if n_fail else 0)

@@ -340,6 +340,156 @@ object TextAnalysisQueries extends QueryModule {
       |       AS BIGINT) AS n_apply
       |FROM v, top GROUP BY top.pair, top.n_occ""".stripMargin
 
+  /** Number of merges in the fixed BPE merge table q159/q160 apply.
+    * Deliberately small: the POINT is the encode mechanics (priority-
+    * ordered greedy merge application, vocab-level caching), not a
+    * realistic 32k-merge tokenizer — the shape is merge-count-
+    * independent. */
+  private val BpeNumMerges = 8
+
+  /** The fixed merge table: top-[[BpeNumMerges]] pairs of q77's static
+    * pair statistic, total-ordered (count desc, pair asc — no top-k
+    * ties), each assigned a private-use-plane symbol (U+E000+rank) so
+    * later merges see earlier merge RESULTS as single symbols. A
+    * bounded driver collect — the merge table is the tokenizer MODEL
+    * (a few rows to a few 10k rows in production), never corpus-sized.
+    * Returned in priority order. */
+  private def bpeMerges(vocab: DataFrame): Seq[(String, String)] = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    bpePairCounts(vocab)
+      .orderBy(col("n_occ").desc, col("pair").asc).limit(BpeNumMerges)
+      .select("pair").as[String].collect().toSeq
+      .zipWithIndex.map { case (p, i) => (p, (0xE000 + i).toChar.toString) }
+  }
+
+  /** (doc_id, pos, tok) token stream + (tok → encoded symbol string)
+    * map — shared by q159/q160. Encoding happens at the VOCABULARY
+    * level (each distinct token type encoded once, broadcast back onto
+    * the token stream), never per occurrence: at 100 TB the K merge
+    * replaces run over |vocab| strings (millions) instead of the
+    * corpus's token stream (trillions) — the word-level encode cache
+    * every production BPE tokenizer keeps. The merge fold itself is one
+    * codegen'd projection of K chained `replace`s (greedy left-to-right
+    * non-overlapping per merge — REPLACE semantics in both engines, the
+    * q86 convention). */
+  private def bpeEncodedDocs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocab(s, dir).localCheckpoint(eager = false)
+    val merges = bpeMerges(vocab)
+    val enc = merges.foldLeft(col("tok")) {
+      case (c, (p, sym)) => replace(c, lit(p), lit(sym))
+    }
+    val encVocab = vocab.select(col("tok"), enc.as("enc"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(broadcast(encVocab), Seq("tok"))
+  }
+
+  /** BPE ENCODE — the pass that turns the trained merge table into
+    * ACTUAL TRAINING TOKENS (the stage between q77/q86's trainer
+    * statistics and q68's sequence packing): apply the fixed
+    * [[BpeNumMerges]]-entry merge table to every document, in merge
+    * priority order, and report per document the whitespace token
+    * count, the encoded TOKEN-ID count (one id per remaining symbol —
+    * base chars and merge symbols alike map to ids by codepoint, a
+    * fixed bijection, so the symbol string IS the id sequence), and an
+    * md5 digest of the ordered encoded sequence (unit-separator-joined)
+    * pinning the exact token stream both engines produced.
+    *
+    * Scale shape: one corpus wordcount builds the vocab; the merge
+    * fold runs on vocab types only; the per-doc assembly is one
+    * broadcast join on the token stream + one per-doc ordered
+    * aggregation. Docs with zero tokens produce no ids and drop out
+    * (both engines). */
+  private def q159BpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodedDocs(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(length(col("enc"))).cast("long").as("n_ids"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("enc")))),
+            x => x.getField("enc")),
+          "\u001f")).as("enc_digest"))
+
+  /** Shared oracle chain for q159/q160: bpeCte (with RECURSIVE enabled
+    * — DuckDB requires the keyword on the first WITH) + the merge
+    * table + the recursive K-step fold + the per-doc positional token
+    * stream. One literal so the encode semantics can never drift
+    * between the two oracles. */
+  private val bpeEncCte = bpeCte.replace("WITH tok", "WITH RECURSIVE tok") + s""",
+      |m AS (
+      |  SELECT pair, CHR(57344 + CAST(rk AS INT) - 1) AS sym, rk FROM (
+      |    SELECT pair, ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair) AS rk
+      |    FROM pc)
+      |  WHERE rk <= $BpeNumMerges),
+      |e AS (
+      |  SELECT tok, tok AS enc, 0 AS step FROM v
+      |  UNION ALL
+      |  SELECT e.tok, REPLACE(e.enc, m.pair, m.sym) AS enc, e.step + 1
+      |  FROM e JOIN m ON m.rk = e.step + 1),
+      |ev AS (SELECT tok, enc FROM e WHERE step = (SELECT COUNT(*) FROM m)),
+      |tk AS (
+      |  SELECT doc_id, UNNEST(tks) AS tok,
+      |    UNNEST(RANGE(1, LEN(tks) + 1)) AS pos
+      |  FROM (SELECT doc_id,
+      |          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+      |                      x -> LEN(x) > 0) AS tks
+      |        FROM documents)),
+      |d AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    CAST(SUM(LEN(ev.enc)) AS BIGINT) AS n_ids,
+      |    MD5(STRING_AGG(ev.enc, CHR(31) ORDER BY pos)) AS enc_digest
+      |  FROM tk JOIN ev USING (tok) GROUP BY doc_id)""".stripMargin
+
+  private val q159Sql = bpeEncCte +
+    "\nSELECT doc_id, n_toks, n_ids, enc_digest FROM d"
+
+  /** BPE-AWARE SEQUENCE PACKING — q68's batch construction run on the
+    * lengths the model actually trains on: documents are packed into
+    * [[BpePackBudget]]-id samples using q159's encoded token-ID counts
+    * (not whitespace token counts — the two distributions differ
+    * exactly where the tokenizer compresses well, so packing on raw
+    * token counts over- or under-fills every sample). Same distributed
+    * formulation as q68: packing is independent per range bucket of
+    * doc_ids (embarrassingly parallel, at most one partial sample lost
+    * per bucket boundary, sample ids deterministic); the only addition
+    * is that the per-doc length arrives from the vocab-broadcast encode
+    * instead of a `size()`.
+    *
+    * Completes the tokenizer story end-to-end: q77 (pair statistic) →
+    * q86 (merge step) → q159 (encode) → q160 (pack) is the full
+    * trainer-statistics-to-training-batches chain. */
+  private def q160BpePack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = bpeEncodedDocs(s, dir)
+      .groupBy("doc_id")
+      .agg(sum(length(col("enc"))).cast("long").as("n_ids"))
+      .withColumn("bucket", expr("doc_id DIV 100"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sizes.withColumn("cum", sum(col("n_ids")).over(w))
+      .select(col("doc_id"), col("n_ids"),
+        (col("bucket") * 10000 +
+          expr(s"(cum - n_ids) DIV $BpePackBudget")).as("sample_id"),
+        expr(s"(cum - n_ids) % $BpePackBudget").as("offset"))
+  }
+
+  private val BpePackBudget = 512L
+
+  // the CASTs are load-bearing (q68's round-7 lesson): DuckDB's
+  // windowed SUM promotes to HUGEINT and the promotion survives // and %
+  private val q160Sql = bpeEncCte + s""",
+      |c AS (
+      |  SELECT doc_id, doc_id // 100 AS bucket, n_ids,
+      |    SUM(n_ids) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS cum
+      |  FROM d)
+      |SELECT doc_id, CAST(n_ids AS BIGINT) AS n_ids,
+      |  CAST(bucket * 10000 + (cum - n_ids) // $BpePackBudget AS BIGINT) AS sample_id,
+      |  CAST((cum - n_ids) % $BpePackBudget AS BIGINT) AS offset
+      |FROM c""".stripMargin
+
   /** PMI CO-OCCURRENCE PAIRS — the pointwise-mutual-information table
     * over skip-gram pairs within a [[PmiWindow]]-token window (the
     * word2vec/GloVe-era corpus statistic, still the standard collocation
@@ -913,6 +1063,8 @@ object TextAnalysisQueries extends QueryModule {
     Q("q67_repetition", q67Repetition, Some(q67Sql)),
     Q("q70_vocab", q70Vocab, Some(q70Sql)),
     Q("q77_bpe_pairs", q77BpePairs, Some(q77Sql)),
+    Q("q159_bpe_encode", q159BpeEncode, Some(q159Sql)),
+    Q("q160_bpe_pack", q160BpePack, Some(q160Sql)),
     Q("q80_pmi_pairs", q80PmiPairs, Some(q80Sql)),
     Q("q82_tfidf_terms", q82TfidfTerms, Some(q82Sql)),
     Q("q86_bpe_merge", q86BpeMerge, Some(q86Sql)))

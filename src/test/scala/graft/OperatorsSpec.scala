@@ -473,6 +473,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected the hand-computed merge report, got ${got.toSeq}")
   }
 
+  test("BPE encode: priority-ordered static merges, greedy non-overlap, exact digest") {
+    import spark.implicits._
+    // vocab: abab x2, aaa x1, cd x1. Static sliding pairs (corpus-
+    // weighted): ab=4, ba=2, aa=2, cd=1 -> merge ranks (count desc,
+    // pair asc): ab=U+E000, aa=U+E001 (tie with ba broken lexically),
+    // ba=U+E002, cd=U+E003.
+    //  abab -> replace ab: \ue000\ue000 (later merges see merge RESULTS
+    //          as single symbols -> ba never fires inside it)
+    //  aaa  -> replace aa greedy left-to-right non-overlapping:
+    //          \ue001a (2 ids, NOT 1 — 'aaa' takes ONE aa merge)
+    //  cd   -> \ue003
+    Seq((7L, "abab abab aaa cd")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_bpe_enc/documents.parquet")
+    val got = SparkEntry.queries("q159_bpe_encode")(spark, "target/test_bpe_enc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val seq = Seq("\ue000\ue000", "\ue000\ue000", "\ue001a", "\ue003")
+      .mkString("\u001f")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectDigest = md.digest(seq.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq((7L, 4L, 7L, expectDigest)),
+      s"expected the hand-computed encode row, got ${got.toSeq}")
+  }
+
   test("syndication report spans clusters across sources; singletons are excluded") {
     import spark.implicits._
     val article = (1 to 30).map(i => s"a$i").mkString(" ")
