@@ -79,14 +79,20 @@ object DedupQueries extends QueryModule {
     * the pair stream. The aggregate is cheaper than the planning it
     * buys. (A broadcast hint on docHot would pin the fast plan but is
     * scale-unsafe: docHot has one row per doc containing a hot
-    * shingle — potentially corpus-sized; the q147 lesson.) */
+    * shingle — potentially corpus-sized; the q147 lesson.)
+    *
+    * DELIBERATE ORACLE ANCHOR — this floor will not shrink; see
+    * README "Anchor-budget policy". */
   private def q53DedupNgramCut(s: SparkSession, dir: String): DataFrame =
     Dedup.exactJaccardPairsFromShingles(DedupArtifacts.shingles(s, dir),
       Threshold, maxShingleFreq = MaxShingleFreq)
 
   private[graft] val MaxShingleFreq = DedupArtifacts.MaxShingleFreq
 
-  /** SimHash fingerprints + banded hamming candidates + exact verify. */
+  /** SimHash fingerprints + banded hamming candidates + exact verify.
+    * DELIBERATE ORACLE ANCHOR at the generous hamming ≤ 10 budget —
+    * this floor will not shrink; q146 gates the production knob. See
+    * README "Anchor-budget policy". */
   private def q27DedupSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashDedupPairs(Tables.documents(s, dir), "doc_id", "text", N, Threshold)
 

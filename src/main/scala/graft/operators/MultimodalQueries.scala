@@ -267,7 +267,12 @@ object MultimodalQueries extends QueryModule {
     * never re-decoded per report; `DedupArtifacts.phashes`); candidates
     * stream through one codegen join+bit_count loop; output dedupes on
     * the pair key. The oracle still recomputes the fingerprints from
-    * the payload hex rendering from scratch. */
+    * the payload hex rendering from scratch.
+    *
+    * DELIBERATE ORACLE ANCHOR — the from-scratch hamming-10 pair build
+    * the phash-pair artifact is verified against; this floor will not
+    * shrink. q155 gates the production budget. See README
+    * "Anchor-budget policy". */
   private def q143PHashNearDup(s: SparkSession, dir: String): DataFrame = {
     val fp = graft.dedup.DedupArtifacts.phashes(s, dir)
       .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
