@@ -190,12 +190,52 @@ object Bench {
     // counters (FilterRecordReader parity). Embedded in BOTH final JSON
     // lines — the driver records only a short stdout tail, so a
     // stderr-only line is invisible to it (the round-9 lesson).
-    val rowsPart = try {
-      graft.operators.IndexedQueries.observedScanDemo(spark, sfDir)
-        .map { case (sc, q) => s""","rows_scanned":$sc,"rows_qualified":$q""" }
+    // Per-query FilterRecordReader-parity counters (r12): one extra
+    // UNTIMED pass over the indexed family (every query whose recorded
+    // attempt pruned at least one scan) with observation enabled —
+    // the observe node blocks residual pushdown, so it must never touch
+    // the timed runs (the reason observedScanDemo was a separate probe).
+    // Emitted as "scan_rows":{name:[scanned,qualified]} in the FULL
+    // JSON line only (the compact line must stay <200 chars); the
+    // top-level rows_scanned/rows_qualified keys stay the aggregate.
+    // Queries that prune via the transparent rule (no scanWithReport in
+    // their plan) publish nothing and are simply absent from the map.
+    val fnByName2 = ordered.toMap
+    graft.query.ScanMetrics.register(spark)
+    val scanRows: Seq[(String, (Long, Long))] =
+      rescuedFull.filter(_._3._1 > 0).map(_._1).sorted.flatMap { name =>
+        try {
+          graft.query.ScanMetrics.withObservation(name) {
+            fnByName2(name)(spark, sfDir).count(): Unit
+          }
+          // the listener publishes asynchronously after the action
+          val deadline = System.currentTimeMillis() + 5000
+          var m = graft.query.ScanMetrics.drain(name)
+          while (m.isEmpty && System.currentTimeMillis() < deadline) {
+            Thread.sleep(100); m = graft.query.ScanMetrics.drain(name)
+          }
+          m.map(name -> _)
+        } catch { case NonFatal(e) =>
+          System.err.println(
+            s"[bench-warn] scan-rows pass skipped for $name: ${e.getMessage}")
+          None
+        }
+      }
+    val scanRowsPart =
+      if (scanRows.isEmpty) ""
+      else scanRows.map { case (n, (sc, q)) => s""""$n":[$sc,$q]""" }
+        .mkString(""","scan_rows":{""", ",", "}")
+    val rowsPart = {
+      val agg =
+        if (scanRows.nonEmpty)
+          Some((scanRows.map(_._2._1).sum, scanRows.map(_._2._2).sum))
+        else try graft.operators.IndexedQueries.observedScanDemo(spark, sfDir)
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench-warn] observed probe skipped: ${e.getMessage}")
+          None
+        }
+      agg.map { case (sc, q) => s""","rows_scanned":$sc,"rows_qualified":$q""" }
         .getOrElse("")
-    } catch { case NonFatal(e) =>
-      System.err.println(s"[bench-warn] observed probe skipped: ${e.getMessage}"); ""
     }
     // per-run prune rollup = SUM of the per-query RECORDED attempts'
     // deltas (one suite pass), NOT the process-wide PruneStats
@@ -246,7 +286,7 @@ object Bench {
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench-warn] floors write skipped: $e") }
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$prunePart,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed$prunePart$scanRowsPart,"queries":$qs,"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"best_total":${fmt(bestTotal)}$prunePart,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(

@@ -329,8 +329,16 @@ object PrunedScanner extends Logging {
     // Residual row-level re-check is mandatory: block pruning is coarse
     // (BlockIndexedFileInputFormat.java:669-679). The schema-aware form
     // keeps the filter parquet-pushable (row-group min/max + dictionary
-    // skipping) on typed columns.
-    (df.filter(residual.getOrElse(pred.toColumnFor(schema))), report)
+    // skipping) on typed columns. When Bench's untimed observability
+    // pass has a label set (ScanMetrics.withObservation), the residual
+    // is wrapped with scanned/qualified counters instead — that plan
+    // loses residual pushdown, which is exactly why it is opt-in.
+    val resCol = residual.getOrElse(pred.toColumnFor(schema))
+    val filtered = ScanMetrics.nextObservationName() match {
+      case Some(n) => ScanMetrics.observed(df, resCol, name = n)
+      case None => df.filter(resCol)
+    }
+    (filtered, report)
   }
 
   def scan(spark: SparkSession, dataDir: String, pred: Pred, indexRoot: String): DataFrame =

@@ -87,4 +87,40 @@ object ScanMetrics {
     * an observed scan under `name`; -1 for a side not yet reported. */
   def last(name: String = "graft_scan"): Option[(Long, Long)] =
     Option(results.get(name))
+
+  // ------------------------- opt-in per-query observation (r12) ------
+  // The observe node sits BETWEEN scan and residual, which blocks
+  // parquet pushdown of the residual — so observation must never be on
+  // in a timed or production path. Bench enables it around ONE extra
+  // untimed pass over the indexed family; PrunedScanner.scanWithReport
+  // attaches the counters only while a label is set on the building
+  // thread (DataFrame CONSTRUCTION happens inside the labelled block).
+  private val observeLabel = new ThreadLocal[String]
+  private val useCounter = new java.util.concurrent.atomic.AtomicLong
+
+  /** Run `f` with pruned-scan observation enabled under `label`. */
+  def withObservation[T](label: String)(f: => T): T = {
+    observeLabel.set(label)
+    try f finally observeLabel.remove()
+  }
+
+  /** The next observation name for the current thread's label, or None
+    * when observation is off. The per-use counter suffix keeps
+    * observation names unique when one query builds several pruned
+    * scans (Spark rejects duplicate observed names in a plan). */
+  private[query] def nextObservationName(): Option[String] =
+    Option(observeLabel.get()).map(l => s"$l#${useCounter.getAndIncrement()}")
+
+  /** Sum-and-remove every published pair for `label` — both counters
+    * summed across all of that query's observed scans, cleared so the
+    * next query's pass starts clean. None when nothing (complete) was
+    * published. */
+  def drain(label: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val ks = results.keySet.asScala
+      .filter(k => k == label || k.startsWith(label + "#")).toSeq
+    val vs = ks.flatMap(k => Option(results.remove(k)))
+      .filter(t => t._1 >= 0 && t._2 >= 0)
+    if (vs.isEmpty) None else Some((vs.map(_._1).sum, vs.map(_._2).sum))
+  }
 }
