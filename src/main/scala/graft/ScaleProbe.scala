@@ -74,6 +74,34 @@ object ScaleProbe {
         .repartition(32)
         .write.parquet(dest.toString)
     }
+    // the semantic queries (q28/q157/q158) read the embeddings table —
+    // replicate it with the same disjoint-id-range scheme. Organic
+    // regime: copy i's vectors are CIRCULARLY SHIFTED by i positions —
+    // an orthogonal transformation, so every intra-copy pairwise cosine
+    // is preserved EXACTLY (each copy keeps the original near-dup
+    // structure) while cross-copy cosines fall to random-direction
+    // noise (~N(0, 1/sqrt(64)) — nowhere near the 0.45 bar), the
+    // embedding analog of the per-copy token suffix.
+    val edest = new org.apache.hadoop.fs.Path(s"$outDir/embeddings.parquet")
+    if (!fs.exists(edest)) {
+      val emb = Tables.embeddings(spark, srcDir)
+      val maxVid = emb.agg(max(col("vec_id"))).first().getLong(0)
+      val estride = math.max(100000000L, maxVid + 1)
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      (0 until factor)
+        .map { i =>
+          val keyed = emb.withColumn("vec_id", col("vec_id") + lit(i * estride))
+          val k = i % dim
+          if (organic && i > 0 && k > 0)
+            keyed.withColumn("embedding",
+              concat(expr(s"slice(embedding, ${k + 1}, ${dim - k})"),
+                expr(s"slice(embedding, 1, $k)")))
+          else keyed
+        }
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .write.parquet(edest.toString)
+    }
     val n = spark.read.parquet(dest.toString).count()
     println(s"[scale] corpus: $n docs (${factor}x of $srcDir)")
 

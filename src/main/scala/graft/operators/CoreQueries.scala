@@ -431,9 +431,10 @@ object CoreQueries extends QueryModule {
     * monitoring/feature pipeline needs, as a RANGE frame (value-based,
     * unlike q13's ROWS ranking): per event, the count and mean of its
     * type's events in the preceding hour. Time is epoch-microsecond
-    * longs so the frame bound is integer arithmetic; the mean is
-    * 6dp-rounded (both engines aggregate the identical double set; the
-    * q74 precedent).
+    * longs so the frame bound is integer arithmetic; the mean is an
+    * exact decimal(18,2) windowed sum divided once in doubles, then
+    * 6dp-rounded (the q98/q01 convention — see the in-body comment for
+    * why a double AVG is not scale-independent here).
     *
     * Scale shape: one (event_type) window partitioning. Five types
     * make fat partitions here; at scale the key would be
@@ -443,22 +444,42 @@ object CoreQueries extends QueryModule {
   private def q97MovingStats(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("us"))
       .rangeBetween(-3600000000L, 0L)
+    // the windowed mean is computed ENTIRELY in integers (r12, found
+    // by the sf0.1 sweep): value is a 2dp quantity, so the window sums
+    // exact cents (longs), and the 6dp mean is the half-up integer
+    // rounding of the exact rational — (2·cents·10^4 + n) DIV (2n) in
+    // micro-units — divided ONCE by 1e6 in doubles (same integer, same
+    // IEEE op, both engines). A double AVG is accumulation-order-
+    // dependent (0.66% of sf0.1 rows crossed the 6dp boundary) and
+    // even an exact-decimal sum with a double divide leaves rounding-
+    // path ties (0.03%); integers leave nothing.
     Tables.events(s, dir)
       .select(col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"))
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .select(col("event_id"),
         count(lit(1)).over(w).as("n_trailing_1h"),
-        round(avg("value").over(w), 6).as("avg_trailing_1h"))
+        sum(col("cents")).over(w).as("s"))
+      .select(col("event_id"), col("n_trailing_1h"),
+        (expr("(s * 20000 + n_trailing_1h) DIV (2 * n_trailing_1h)")
+          .cast("double") / 1000000.0).as("avg_trailing_1h"))
   }
 
   private val q97Sql =
     """WITH e AS (
-      |  SELECT event_id, event_type, EPOCH_US(ts) AS us, value FROM events)
-      |SELECT event_id,
-      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
-      |  ROUND(AVG(value) OVER w, 6) AS avg_trailing_1h
-      |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us
-      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+      |  SELECT event_id, event_type, EPOCH_US(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |t AS (
+      |  SELECT event_id,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS s
+      |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, n_trailing_1h,
+      |  CAST((s * 20000 + n_trailing_1h) // (2 * n_trailing_1h) AS BIGINT)
+      |    / 1000000.0 AS avg_trailing_1h
+      |FROM t""".stripMargin
 
   /** SALTED TWO-PHASE AGGREGATION under the oracle gate — the
     * [[Skew.saltedAgg]] decomposition (partial on (key, salt), final
