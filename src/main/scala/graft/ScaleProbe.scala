@@ -79,9 +79,14 @@ object ScaleProbe {
     // regime: copy i's vectors are CIRCULARLY SHIFTED by i positions —
     // an orthogonal transformation, so every intra-copy pairwise cosine
     // is preserved EXACTLY (each copy keeps the original near-dup
-    // structure) while cross-copy cosines fall to random-direction
-    // noise (~N(0, 1/sqrt(64)) — nowhere near the 0.45 bar), the
-    // embedding analog of the per-copy token suffix.
+    // structure) while cross-copy cosines become mean-zero noise
+    // (~N(0, 1/sqrt(64))). NOTE the tail is not negligible at dim 64:
+    // P(cos >= 0.45) ~ 1e-4 per cross pair (measured 1e-4 on this
+    // data), so the scaled corpus gains accidental cross-copy pairs
+    // quadratically — exactly the rate truly INDEPENDENT new vectors
+    // would produce at this threshold/dimension, which is the honest
+    // organic-growth regime (10x-organic q28 rows: 16,786 vs 144 at
+    // 1x — dominated by those accidental pairs, like real ingest).
     val edest = new org.apache.hadoop.fs.Path(s"$outDir/embeddings.parquet")
     if (!fs.exists(edest)) {
       val emb = Tables.embeddings(spark, srcDir)
