@@ -342,8 +342,8 @@ object TextAnalysisQueries extends QueryModule {
 
   /** Number of merges in the fixed BPE merge table q159/q160 apply.
     * Deliberately small: the POINT is the encode mechanics (priority-
-    * ordered greedy merge application, vocab-level caching), not a
-    * realistic 32k-merge tokenizer — the shape is merge-count-
+    * ordered greedy merge application, a zero-shuffle encode pass), not
+    * a realistic 32k-merge tokenizer — the shape is merge-count-
     * independent. */
   private val BpeNumMerges = 8
 
@@ -363,27 +363,45 @@ object TextAnalysisQueries extends QueryModule {
       .zipWithIndex.map { case (p, i) => (p, (0xE000 + i).toChar.toString) }
   }
 
-  /** (doc_id, pos, tok) token stream + (tok → encoded symbol string)
-    * map — shared by q159/q160. Encoding happens at the VOCABULARY
-    * level (each distinct token type encoded once, broadcast back onto
-    * the token stream), never per occurrence: at 100 TB the K merge
-    * replaces run over |vocab| strings (millions) instead of the
-    * corpus's token stream (trillions) — the word-level encode cache
-    * every production BPE tokenizer keeps. The merge fold itself is one
-    * codegen'd projection of K chained `replace`s (greedy left-to-right
-    * non-overlapping per merge — REPLACE semantics in both engines, the
-    * q86 convention). */
+  /** (doc_id, n_toks, n_ids, e) per-document encode — shared by
+    * q159/q160. The encode pass is MAP-ONLY and ZERO-SHUFFLE (r12
+    * rewrite; the first formulation exploded the corpus into a
+    * (doc, pos, tok) stream, broadcast-joined the encoded vocabulary
+    * back on and re-grouped per doc with an ordered collect — a full
+    * token-stream shuffle that benched 3.5 s at sf0.1; this one runs
+    * as one streaming pass):
+    *
+    * each document's normalized token stream is space-joined and the
+    * K merges fold over it as one codegen'd chain of `replace`s.
+    * PROVABLY equal to encoding each token separately: merge pairs are
+    * substrings of vocabulary tokens, so they never contain the space
+    * separator, and replacements substitute non-separator symbols, so
+    * they never create one — a match can neither span nor manufacture
+    * a token boundary, hence text-level REPLACE = concatenation of
+    * token-level REPLACEs (greedy left-to-right non-overlapping per
+    * merge in both engines, the q86 convention; OperatorsSpec pins the
+    * hand-computed result).
+    *
+    * The only shuffle anywhere is the vocabulary wordcount that
+    * DERIVES this demo's merge table from q77's statistic — a
+    * production encode consumes a FIXED merge table and is zero-shuffle
+    * end to end. */
   private def bpeEncodedDocs(s: SparkSession, dir: String): DataFrame = {
-    val vocab = bpeVocab(s, dir).localCheckpoint(eager = false)
-    val merges = bpeMerges(vocab)
-    val enc = merges.foldLeft(col("tok")) {
+    val merges = bpeMerges(bpeVocab(s, dir))
+    val enc = merges.foldLeft(
+        array_join(TextFunctions.tokens(col("text")), " ")) {
       case (c, (p, sym)) => replace(c, lit(p), lit(sym))
     }
-    val encVocab = vocab.select(col("tok"), enc.as("enc"))
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
-      .join(broadcast(encVocab), Seq("tok"))
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"),
+        enc.as("e"))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"),
+        // every remaining char is one symbol = one token id, except the
+        // n_toks-1 separator spaces (merges can never touch them)
+        (length(col("e")) - (col("n_toks") - 1)).cast("long").as("n_ids"),
+        col("e"))
   }
 
   /** BPE ENCODE — the pass that turns the trained merge table into
@@ -394,54 +412,47 @@ object TextAnalysisQueries extends QueryModule {
     * count, the encoded TOKEN-ID count (one id per remaining symbol —
     * base chars and merge symbols alike map to ids by codepoint, a
     * fixed bijection, so the symbol string IS the id sequence), and an
-    * md5 digest of the ordered encoded sequence (unit-separator-joined)
-    * pinning the exact token stream both engines produced.
-    *
-    * Scale shape: one corpus wordcount builds the vocab; the merge
-    * fold runs on vocab types only; the per-doc assembly is one
-    * broadcast join on the token stream + one per-doc ordered
-    * aggregation. Docs with zero tokens produce no ids and drop out
-    * (both engines). */
+    * md5 digest of the space-joined encoded sequence pinning the exact
+    * token stream both engines produced. Docs with zero tokens produce
+    * no ids and drop out (both engines). Scale shape: see
+    * [[bpeEncodedDocs]] — map-only, zero shuffle. */
   private def q159BpeEncode(s: SparkSession, dir: String): DataFrame =
     bpeEncodedDocs(s, dir)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        sum(length(col("enc"))).cast("long").as("n_ids"),
-        md5(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("enc")))),
-            x => x.getField("enc")),
-          "\u001f")).as("enc_digest"))
+      .select(col("doc_id"), col("n_toks"), col("n_ids"),
+        md5(col("e")).as("enc_digest"))
 
   /** Shared oracle chain for q159/q160: bpeCte (with RECURSIVE enabled
     * — DuckDB requires the keyword on the first WITH) + the merge
-    * table + the recursive K-step fold + the per-doc positional token
-    * stream. One literal so the encode semantics can never drift
-    * between the two oracles. */
+    * table + the recursive K-step per-DOCUMENT fold over the
+    * space-joined token stream (the same text-level REPLACE the Spark
+    * side runs — see [[bpeEncodedDocs]] for the equivalence argument).
+    * One literal so the encode semantics can never drift between the
+    * two oracles. */
   private val bpeEncCte = bpeCte.replace("WITH tok", "WITH RECURSIVE tok") + s""",
       |m AS (
       |  SELECT pair, CHR(57344 + CAST(rk AS INT) - 1) AS sym, rk FROM (
       |    SELECT pair, ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair) AS rk
       |    FROM pc)
       |  WHERE rk <= $BpeNumMerges),
-      |e AS (
-      |  SELECT tok, tok AS enc, 0 AS step FROM v
-      |  UNION ALL
-      |  SELECT e.tok, REPLACE(e.enc, m.pair, m.sym) AS enc, e.step + 1
-      |  FROM e JOIN m ON m.rk = e.step + 1),
-      |ev AS (SELECT tok, enc FROM e WHERE step = (SELECT COUNT(*) FROM m)),
-      |tk AS (
-      |  SELECT doc_id, UNNEST(tks) AS tok,
-      |    UNNEST(RANGE(1, LEN(tks) + 1)) AS pos
+      |t2 AS (
+      |  SELECT doc_id, CAST(LEN(tks) AS BIGINT) AS n_toks,
+      |    ARRAY_TO_STRING(tks, ' ') AS txt
       |  FROM (SELECT doc_id,
       |          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
       |                      x -> LEN(x) > 0) AS tks
-      |        FROM documents)),
+      |        FROM documents)
+      |  WHERE LEN(tks) > 0),
+      |e AS (
+      |  SELECT doc_id, n_toks, txt AS enc, 0 AS step FROM t2
+      |  UNION ALL
+      |  SELECT e.doc_id, e.n_toks, REPLACE(e.enc, m.pair, m.sym) AS enc,
+      |    e.step + 1
+      |  FROM e JOIN m ON m.rk = e.step + 1),
       |d AS (
-      |  SELECT doc_id,
-      |    CAST(COUNT(*) AS BIGINT) AS n_toks,
-      |    CAST(SUM(LEN(ev.enc)) AS BIGINT) AS n_ids,
-      |    MD5(STRING_AGG(ev.enc, CHR(31) ORDER BY pos)) AS enc_digest
-      |  FROM tk JOIN ev USING (tok) GROUP BY doc_id)""".stripMargin
+      |  SELECT doc_id, n_toks,
+      |    CAST(LEN(enc) - (n_toks - 1) AS BIGINT) AS n_ids,
+      |    MD5(enc) AS enc_digest
+      |  FROM e WHERE step = (SELECT COUNT(*) FROM m))""".stripMargin
 
   private val q159Sql = bpeEncCte +
     "\nSELECT doc_id, n_toks, n_ids, enc_digest FROM d"
@@ -455,8 +466,8 @@ object TextAnalysisQueries extends QueryModule {
     * formulation as q68: packing is independent per range bucket of
     * doc_ids (embarrassingly parallel, at most one partial sample lost
     * per bucket boundary, sample ids deterministic); the only addition
-    * is that the per-doc length arrives from the vocab-broadcast encode
-    * instead of a `size()`.
+    * is that the per-doc length arrives from the zero-shuffle encode
+    * pass instead of a `size()`.
     *
     * Completes the tokenizer story end-to-end: q77 (pair statistic) →
     * q86 (merge step) → q159 (encode) → q160 (pack) is the full
@@ -464,8 +475,7 @@ object TextAnalysisQueries extends QueryModule {
   private def q160BpePack(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sizes = bpeEncodedDocs(s, dir)
-      .groupBy("doc_id")
-      .agg(sum(length(col("enc"))).cast("long").as("n_ids"))
+      .select(col("doc_id"), col("n_ids"))
       .withColumn("bucket", expr("doc_id DIV 100"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

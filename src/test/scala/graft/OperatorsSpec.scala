@@ -489,7 +489,7 @@ class OperatorsSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q159_bpe_encode")(spark, "target/test_bpe_enc")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val seq = Seq("\ue000\ue000", "\ue000\ue000", "\ue001a", "\ue003")
-      .mkString("\u001f")
+      .mkString(" ")
     val md = java.security.MessageDigest.getInstance("MD5")
     val expectDigest = md.digest(seq.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
