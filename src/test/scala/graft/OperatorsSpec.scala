@@ -497,6 +497,23 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected the hand-computed encode row, got ${got.toSeq}")
   }
 
+  test("BPE encode with no learnable pairs is the identity encoding") {
+    import spark.implicits._
+    // all tokens are single chars -> the pair table is EMPTY, the merge
+    // fold is a no-op, and the encode must degrade to the normalized
+    // token stream itself (n_ids = n_toks here, one char per token)
+    Seq((3L, "a b c"), (4L, "   ")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/test_bpe_id/documents.parquet")
+    val got = SparkEntry.queries("q159_bpe_encode")(spark, "target/test_bpe_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectDigest = md.digest("a b c".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // doc 4 (whitespace only -> zero tokens) must drop out entirely
+    assert(got.toSeq == Seq((3L, 3L, 3L, expectDigest)),
+      s"expected the identity encode of doc 3 only, got ${got.toSeq}")
+  }
+
   test("syndication report spans clusters across sources; singletons are excluded") {
     import spark.implicits._
     val article = (1 to 30).map(i => s"a$i").mkString(" ")

@@ -598,6 +598,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the final merge is one broadcast map join, nothing heavier:\n$p")
   }
 
+  test("BPE encode pass is map-only: no exchange, no join, no explode") {
+    // the merge-table DERIVATION (vocab wordcount + top-k collect) runs
+    // eagerly at build time as its own bounded job; the RETURNED encode
+    // plan must be one streaming scan→fold-replace→project pass
+    val p = plan(SparkEntry.queries("q159_bpe_encode")(spark, sfDir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the encode pass must not move the corpus:\n$p")
+    assert(!p.contains("Generate"),
+      s"the corpus must never explode into a token stream:\n$p")
+  }
+
   test("token entropy is map-only: no exchange, no join, no explode") {
     val p = plan(SparkEntry.queries("q156_token_entropy")(spark, sfDir))
     assert(!p.contains("Exchange") && !p.contains("Join"),
