@@ -32,7 +32,17 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity computed as dot/(|a||b|) in double precision. */
+  /** Cosine similarity computed as dot/(|a||b|) in double precision.
+    * NULL when either vector has zero norm — see [[cosineFromNorms]]. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    cosineFromNorms(a, b, norm(a), norm(b))
+
+  /** dot/(na·nb) with precomputed norms; NULL (which every comparison
+    * and filter excludes) when either norm is zero. Spark 4 runs ANSI
+    * mode, where a plain double division throws DIVIDE_BY_ZERO — one
+    * zero vector anywhere in a 100 TB corpus would kill the whole job
+    * (LshNearDupSpec pins the exclusion). `try_divide` is bit-identical
+    * to `/` for every nonzero divisor, so oracle parity is untouched. */
+  def cosineFromNorms(va: Column, vb: Column, na: Column, nb: Column): Column =
+    try_divide(dot(va, vb), na * nb)
 }

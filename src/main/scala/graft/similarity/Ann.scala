@@ -50,7 +50,7 @@ object Ann {
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .filter(pairFilter)
-      .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", Vectors.cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -141,7 +141,7 @@ object Ann {
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    cand.withColumn("sim", Vectors.cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -192,7 +192,7 @@ object Ann {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", Vectors.cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -260,8 +260,14 @@ object Ann {
     array(cs.toSeq.zipWithIndex.map { case (cvec, i) =>
       val centLit = array(cvec.toSeq.map(lit): _*)
       struct(
-        (-Vectors.dot(vn.getField("v"), centLit) /
-          (vn.getField("n") * lit(l2(cvec)))).as("negsim"),
+        // coalesce: a zero-norm vector (or degenerate centroid) has no
+        // defined cosine — rank it worst in EVERY cell so array_min
+        // still assigns it deterministically (ties -> lowest cell id)
+        // instead of ANSI-throwing on the division
+        coalesce(
+          try_divide(-Vectors.dot(vn.getField("v"), centLit),
+            vn.getField("n") * lit(l2(cvec))),
+          lit(Double.MaxValue)).as("negsim"),
         lit(i.toLong).as("cell"))
     }: _*)
   }
@@ -296,8 +302,7 @@ object Ann {
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") &&
           col(s"b.$idCol") < col(s"a.$idCol"))
-      .filter(Vectors.dot(col("a.v"), col("b.v")) /
-        (col("a.n") * col("b.n")) >= threshold)
+      .filter(Vectors.cosineFromNorms(col("a.v"), col("b.v"), col("a.n"), col("b.n")) >= threshold)
       .select(col(s"a.$idCol").as(idCol)).distinct()
     cells.select(col(idCol), col("cell"))
       .join(dropped.withColumn("d", lit(true)), Seq(idCol), "left")
@@ -353,7 +358,7 @@ object Ann {
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .filter(Vectors.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")) >= threshold)
+      .filter(Vectors.cosineFromNorms(col("a.v"), col("b.v"), col("a.n"), col("b.n")) >= threshold)
       .select(col("a.id").as("id_i"), col("b.id").as("id_j"))
       .distinct()
   }
@@ -372,7 +377,7 @@ object Ann {
       Vectors.norm(col(vecCol)).as("nb"))
     a.crossJoin(b)
       .filter(col("id_i") < col("id_j"))
-      .filter(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .filter(Vectors.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")) >= threshold)
       .select("id_i", "id_j")
   }
 
@@ -399,7 +404,7 @@ object Ann {
     val d = delta.select(col(idCol).as("delta_id"), col(vecCol).as("vb"),
       Vectors.norm(col(vecCol)).as("nb"))
     a.crossJoin(broadcast(d))
-      .filter(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .filter(Vectors.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")) >= threshold)
       .select(least(col("base_id"), col("delta_id")).as("id_i"),
         greatest(col("base_id"), col("delta_id")).as("id_j"))
   }
@@ -490,7 +495,7 @@ object Ann {
     cv.join(broadcast(cand), "neighbor_id")
       .join(broadcast(qv), "query_id")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", Vectors.cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")

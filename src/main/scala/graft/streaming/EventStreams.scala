@@ -301,8 +301,8 @@ object EventStreams {
       col("embedding").as("va"),
       graft.functions.Vectors.norm(col("embedding")).as("na"))
     d.join(b,
-        graft.functions.Vectors.dot(col("va"), col("vb")) /
-          (col("na") * col("nb")) >= threshold)
+        graft.functions.Vectors.cosineFromNorms(
+          col("va"), col("vb"), col("na"), col("nb")) >= threshold)
       .select("new_id", "base_id")
   }
 }

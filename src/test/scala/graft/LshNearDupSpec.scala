@@ -66,6 +66,28 @@ class LshNearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm vectors pair with nothing in the cosine kernels (batch + cross)") {
+    import spark.implicits._
+    // the NaN-on-zero-norm convention the streaming twin's docstring
+    // leans on: dot/(0*nb) is NaN, every NaN comparison is false, so a
+    // zero vector silently matches nothing — pinned here for the self
+    // kernel (q28's) and the incremental cross kernel (q157's)
+    val df = Seq(
+      (1L, Array.fill(4)(0f)),            // zero vector in the base
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f)),        // exact dup of 2
+      (10L, Array.fill(4)(0f)),           // zero vector in the delta
+      (11L, Array(0.9f, 0.1f, 0f, 0f)))   // near-dup of 2 and 3
+      .toDF("vec_id", "embedding")
+    val self = pairs(graft.similarity.Ann.cosineNearDupPairs(df, 0.8))
+    assert(self == Set((2L, 3L), (2L, 11L), (3L, 11L)),
+      s"self kernel must skip both zero vectors, got $self")
+    val cross = pairs(graft.similarity.Ann.cosineCrossPairs(
+      df.filter(col("vec_id") < 10), df.filter(col("vec_id") >= 10), 0.8))
+    assert(cross == Set((2L, 11L), (3L, 11L)),
+      s"cross kernel must skip both zero vectors, got $cross")
+  }
+
   test("boundary regime measured: threshold-0.45 hamming exceeds any band budget (sf0.01)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val planes = Ann.hyperplanes(24, 64, 42L)
