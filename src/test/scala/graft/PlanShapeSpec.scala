@@ -598,6 +598,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the final merge is one broadcast map join, nothing heavier:\n$p")
   }
 
+  test("incremental semantic pairs: artifact streams, delta broadcasts, base never shuffle-joins") {
+    val p = plan(SparkEntry.queries("q157_incr_sem_pairs")(spark, sfDir))
+    assert(p.contains("base_sem_pairs"),
+      s"base-internal pairs must come from the persisted artifact:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"nothing in the merge may shuffle-join the base:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the cross evaluation must ride a delta broadcast:\n$p")
+  }
+
   test("BPE encode pass is map-only: no exchange, no join, no explode") {
     // the merge-table DERIVATION (vocab wordcount + top-k collect) runs
     // eagerly at build time as its own bounded job; the RETURNED encode
