@@ -208,13 +208,16 @@ object Bench {
           graft.query.ScanMetrics.withObservation(name) {
             fnByName2(name)(spark, sfDir).count(): Unit
           }
-          // the listener publishes asynchronously after the action
-          val deadline = System.currentTimeMillis() + 5000
-          var m = graft.query.ScanMetrics.drain(name)
-          while (m.isEmpty && System.currentTimeMillis() < deadline) {
-            Thread.sleep(100); m = graft.query.ScanMetrics.drain(name)
+          if (graft.query.ScanMetrics.issuedCount(name) == 0) None
+          else {
+            // the listener publishes asynchronously after the action
+            val deadline = System.currentTimeMillis() + 5000
+            var m = graft.query.ScanMetrics.drain(name)
+            while (m.isEmpty && System.currentTimeMillis() < deadline) {
+              Thread.sleep(100); m = graft.query.ScanMetrics.drain(name)
+            }
+            m.map(name -> _)
           }
-          m.map(name -> _)
         } catch { case NonFatal(e) =>
           System.err.println(
             s"[bench-warn] scan-rows pass skipped for $name: ${e.getMessage}")

@@ -97,6 +97,7 @@ object ScanMetrics {
   // thread (DataFrame CONSTRUCTION happens inside the labelled block).
   private val observeLabel = new ThreadLocal[String]
   private val useCounter = new java.util.concurrent.atomic.AtomicLong
+  private val issuedCounts = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Run `f` with pruned-scan observation enabled under `label`. */
   def withObservation[T](label: String)(f: => T): T = {
@@ -109,7 +110,17 @@ object ScanMetrics {
     * observation names unique when one query builds several pruned
     * scans (Spark rejects duplicate observed names in a plan). */
   private[query] def nextObservationName(): Option[String] =
-    Option(observeLabel.get()).map(l => s"$l#${useCounter.getAndIncrement()}")
+    Option(observeLabel.get()).map { l =>
+      issuedCounts.merge(l, 1L, (a, b) => a + b)
+      s"$l#${useCounter.getAndIncrement()}"
+    }
+
+  /** How many observation names a label's block issued — zero means
+    * the query never routed through scanWithReport (e.g. it prunes via
+    * the transparent rule), so a caller can skip the publish poll
+    * instead of waiting out its deadline. */
+  def issuedCount(label: String): Long =
+    Option(issuedCounts.get(label)).map(_.longValue).getOrElse(0L)
 
   /** Sum-and-remove every published pair for `label` — both counters
     * summed across all of that query's observed scans, cleared so the
