@@ -62,7 +62,12 @@ def run_oracle(sql: str):
     done = threading.Event()
 
     def watchdog():
-        if not done.wait(timeout_s):
+        # re-check AFTER the wait returns: the query may have completed
+        # in the gap between wait() timing out and interrupt() firing,
+        # in which case the interrupt would hit the NEXT query on this
+        # shared connection instead (the window is not fully closable
+        # from Python, but this removes the common just-finished case)
+        if not done.wait(timeout_s) and not done.is_set():
             con.interrupt()
 
     w = threading.Thread(target=watchdog, daemon=True)
@@ -121,4 +126,12 @@ for qdir in sorted(out_dir.iterdir()):
 
 print(f"\n{n_pass} pass, {n_fail} fail"
       + (f", {n_timeout} oracle-timeout" if n_timeout else ""))
-sys.exit(1 if n_fail else 0)
+if n_timeout:
+    # a timed-out oracle is an UNVERIFIED query, not a pass: the sweep
+    # must either exclude documented quadratic anchors explicitly (the
+    # `-` filter) or raise the cap — silence here would let a hung
+    # oracle masquerade as a green sweep
+    print(f"WARNING: {n_timeout} non-excluded oracle(s) timed out — "
+          "exclude documented quadratic anchors with the '-' filter "
+          "or raise timeoutSec; treating as failure")
+sys.exit(1 if (n_fail or n_timeout) else 0)

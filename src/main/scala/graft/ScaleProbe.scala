@@ -97,11 +97,28 @@ object ScaleProbe {
         .map { i =>
           val keyed = emb.withColumn("vec_id", col("vec_id") + lit(i * estride))
           val k = i % dim
-          if (organic && i > 0 && k > 0)
-            keyed.withColumn("embedding",
-              concat(expr(s"slice(embedding, ${k + 1}, ${dim - k})"),
-                expr(s"slice(embedding, 1, $k)")))
-          else keyed
+          // the shift alone wraps at factor >= dim (copy `dim` would be
+          // an unshifted EXACT duplicate of copy 0) — compose it with a
+          // per-wrap-generation deterministic +-1 sign flip: a diagonal
+          // orthogonal transform, so intra-copy cosines are preserved
+          // BIT-EXACTLY (each element multiplies by +-1.0f) while
+          // same-shift copies from different generations decorrelate.
+          // g = 0 for every copy below dim, so factor <= dim corpora
+          // are byte-identical to the pre-guard construction (recorded
+          // 10x/30x probe rows stay comparable).
+          val g = i / dim
+          val shifted =
+            if (organic && i > 0 && k > 0)
+              keyed.withColumn("embedding",
+                concat(expr(s"slice(embedding, ${k + 1}, ${dim - k})"),
+                  expr(s"slice(embedding, 1, $k)")))
+            else keyed
+          if (organic && g > 0)
+            shifted.withColumn("embedding",
+              expr(s"transform(embedding, (x, j) -> " +
+                s"x * CAST(CASE WHEN pmod(xxhash64($g, j), 2) = 0 " +
+                s"THEN 1.0 ELSE -1.0 END AS FLOAT))"))
+          else shifted
         }
         .reduce(_ unionByName _)
         .repartition(32)

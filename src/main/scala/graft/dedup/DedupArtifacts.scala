@@ -79,6 +79,36 @@ object DedupArtifacts {
   val SemThreshold = 0.45  // embedding-cosine near-dup bar (q28's)
   val PHashMaxHamming = 10 // perceptual-hash near-dup bar in bits (q143's)
 
+  /** PRODUCTION semantic near-dup parameters — the q51 regime (true
+    * near-dups at cosine >= 0.9, ~26 deg), where sign-LSH banding's
+    * pigeonhole budget (64 planes / 8 bands covers every pair within 7
+    * differing signature bits) holds the qualifying pairs with margin
+    * (LshNearDupSpec measures planted pairs at hamming 0). The 0.45
+    * boundary regime stays the q157 exact anchor — LshNearDupSpec
+    * measures why no disjoint banding can guarantee a 63-degree
+    * threshold. */
+  val SemProdThreshold = 0.9
+  val SemPlanes = 64
+  val SemBands = 8
+  val SemSeed = 42L
+
+  /** The planted-near-dup corpus construction shared by q51/q78/q161
+    * and the v11 semantic artifacts: the natural embeddings plus an
+    * exact x0.5-scaled copy of the first [[PlantedCutoff]] vectors
+    * (power-of-two scaling is exact in float, so signatures and cosines
+    * are preserved bit-for-bit; planted cosine ~1.0, next natural pair
+    * <= 0.52). ONE construction here and one SQL twin in
+    * SimilarityQueries — they must never drift apart. */
+  val PlantedCutoff = 50L
+  val PlantedIdShift = 100000L
+
+  def plantedEmbeddings(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(s, sfDir).select("vec_id", "embedding")
+    emb.unionByName(emb.filter(col("vec_id") < PlantedCutoff)
+      .select((col("vec_id") + PlantedIdShift).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
+  }
+
   /** The deterministic base/delta batch split for the incremental-
     * maintenance demos (q142): docs with id ≡ DeltaRem (mod DeltaMod)
     * are "today's batch", the rest are the already-ingested base whose
@@ -110,8 +140,13 @@ object DedupArtifacts {
     *     incremental SEMANTIC-maintenance base — the embedding twin of
     *     base_clusters, completing the third incremental quadrant; in
     *     the sem meta, not the doc meta: they derive from the
-    *     embeddings table). */
-  private[graft] val Version = 10
+    *     embeddings table).
+    * v11: + sem_banded (the sign-LSH banded signature table over the
+    *     planted corpus at the PRODUCTION parameters — the semantic
+    *     candidate index, twin of the text `banded` table), sem_pairs
+    *     _prod / base_sem_pairs_prod (the production-threshold pair set
+    *     and its base-subset filter — q161's persisted state). */
+  private[graft] val Version = 11
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -139,6 +174,9 @@ object DedupArtifacts {
   private def semPairsPath(sfDir: String) = s"${root(sfDir)}/sem_pairs"
   private def semMetaPath(sfDir: String) = s"${root(sfDir)}/_META_SEM"
   private def baseSemPairsPath(sfDir: String) = s"${root(sfDir)}/base_sem_pairs"
+  private def semBandedPath(sfDir: String) = s"${root(sfDir)}/sem_banded"
+  private def semPairsProdPath(sfDir: String) = s"${root(sfDir)}/sem_pairs_prod"
+  private def baseSemPairsProdPath(sfDir: String) = s"${root(sfDir)}/base_sem_pairs_prod"
   private def baseSemClustersPath(sfDir: String) = s"${root(sfDir)}/base_sem_clusters"
   private def baseClustersPath(sfDir: String) = s"${root(sfDir)}/base_clusters"
   private def bandedPath(sfDir: String) = s"${root(sfDir)}/banded"
@@ -349,7 +387,8 @@ object DedupArtifacts {
     val meta = new Path(semMetaPath(sfDir))
     if (readMeta(fs, meta).contains(fp)) return
     for (d <- Seq(semPairsPath(sfDir), baseSemPairsPath(sfDir),
-        baseSemClustersPath(sfDir))) {
+        baseSemClustersPath(sfDir), semBandedPath(sfDir),
+        semPairsProdPath(sfDir), baseSemPairsProdPath(sfDir))) {
       val p = new Path(d)
       if (fs.exists(p)) fs.delete(p, true)
     }
@@ -371,6 +410,26 @@ object DedupArtifacts {
           .select(col("id_i").as("src"), col("id_j").as("dst")))
       .select(col("id").as("vec_id"), col("comp").as("cluster_rep"))
       .write.parquet(baseSemClustersPath(sfDir))
+    // v11: the PRODUCTION-regime semantic candidate index and pair set
+    // over the planted corpus (q51's registered regime, where banding's
+    // pigeonhole budget is exact). Banded rows are per-vector
+    // properties: one table serves full, base-side, and delta-side
+    // joins; the pair set is built THROUGH the artifact (candidates
+    // from the persisted index, exact-cosine verify on candidates only
+    // — the production path proving itself at ingest), and the base
+    // subset is a pure endpoint filter of it.
+    val corpusP = plantedEmbeddings(s, sfDir)
+    graft.similarity.Ann.bandedSignatures(corpusP, "vec_id", "embedding",
+        SemPlanes, SemBands, SemSeed)
+      .write.parquet(semBandedPath(sfDir))
+    val bandedP = s.read.parquet(semBandedPath(sfDir))
+    graft.similarity.Ann.verifyCosinePairs(
+        graft.similarity.Ann.selfCandidatesFromBanded(bandedP),
+        corpusP, SemProdThreshold)
+      .write.parquet(semPairsProdPath(sfDir))
+    s.read.parquet(semPairsProdPath(sfDir))
+      .filter(!isDelta(col("id_i")) && !isDelta(col("id_j")))
+      .write.parquet(baseSemPairsProdPath(sfDir))
     writeMeta(fs, meta, fp)
   }
 
@@ -413,6 +472,28 @@ object DedupArtifacts {
   def baseSemClusters(s: SparkSession, sfDir: String): DataFrame = {
     prepareSem(s, sfDir)
     s.read.parquet(baseSemClustersPath(sfDir))
+  }
+
+  /** The sign-LSH banded signature table over the planted corpus at
+    * the PRODUCTION parameters (vec_id, band, bucket) — the semantic
+    * candidate index q161 and the streaming semantic path probe. */
+  def semBanded(s: SparkSession, sfDir: String): DataFrame = {
+    prepareSem(s, sfDir)
+    s.read.parquet(semBandedPath(sfDir))
+  }
+
+  /** The production-threshold ([[SemProdThreshold]]) pair set over the
+    * planted corpus (id_i, id_j), built through the banded index. */
+  def semPairsProd(s: SparkSession, sfDir: String): DataFrame = {
+    prepareSem(s, sfDir)
+    s.read.parquet(semPairsProdPath(sfDir))
+  }
+
+  /** The base subset's internal production-threshold pair set — the
+    * persisted state q161's banded incremental merge starts from. */
+  def baseSemPairsProd(s: SparkSession, sfDir: String): DataFrame = {
+    prepareSem(s, sfDir)
+    s.read.parquet(baseSemPairsProdPath(sfDir))
   }
 
   /** The base subset's cluster assignment (doc_id, cluster_rep) — the

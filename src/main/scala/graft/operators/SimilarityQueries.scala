@@ -54,16 +54,11 @@ object SimilarityQueries extends QueryModule {
     * and ONE in SQL, shared by both queries' engine sides and oracles —
     * q78's determinism argument leans on exactly these corpus
     * properties, so the two queries must never drift apart. */
-  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val planted = emb.filter(col("vec_id") < PlantedCutoff)
-      .select((col("vec_id") + PlantedIdShift).as("vec_id"),
-        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
-    emb.unionByName(planted)
-  }
+  private def plantedCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupArtifacts.plantedEmbeddings(s, dir)
 
-  private val PlantedCutoff = 50L
-  private val PlantedIdShift = 100000L
+  private val PlantedCutoff = graft.dedup.DedupArtifacts.PlantedCutoff
+  private val PlantedIdShift = graft.dedup.DedupArtifacts.PlantedIdShift
 
   private val plantedCorpusSql =
     s"""SELECT vec_id, embedding FROM embeddings
@@ -547,9 +542,53 @@ object SimilarityQueries extends QueryModule {
       |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
       |SELECT id AS vec_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
+  /** BANDED INCREMENTAL SEMANTIC PAIR MAINTENANCE — the PRODUCTION twin
+    * of q157 (the q27/q146 anchor/twin pattern): merge today's embedding
+    * batch into the persisted production-threshold pair set with
+    * candidate generation from the PERSISTED sign-LSH banded signature
+    * index instead of brute-force scoring the whole base. Runs in the
+    * q51 regime (planted corpus, cosine >= 0.9) where the pigeonhole
+    * band budget provably covers every qualifying pair (LshNearDupSpec),
+    * so the banded path must HASH-MATCH the full from-scratch O(n^2)
+    * recompute oracle — q157 stays the 0.45 boundary-regime exact
+    * anchor, where LshNearDupSpec measures why no disjoint banding can
+    * guarantee a 63-degree threshold.
+    *
+    * Today's work: base-internal pairs are an artifact read; cross
+    * candidates come from the broadcast delta probing the base's
+    * persisted (band, bucket) index — the base is consumed by a
+    * map-side hash join and never scans beyond matching buckets (the
+    * scale fix for q157's |base|x|delta| evaluation); delta-internal
+    * candidates are the delta's own banded self-join (banded rows are
+    * per-vector properties, so filtering the artifact IS the subset's
+    * index). Exact-cosine verify runs on CANDIDATES ONLY, with the same
+    * dot/(na*nb) kernel as q157's cross evaluation. The three pair sets
+    * are disjoint by endpoint parity, so the union needs no distinct.
+    * Per-batch cost is bounded by the delta's bucket neighborhoods,
+    * never |base| — the property the 30x-organic probe row records. */
+  private def q161BandedIncrSemPairs(s: SparkSession, dir: String): DataFrame = {
+    val DA = graft.dedup.DedupArtifacts
+    val corpus = plantedCorpus(s, dir)
+    val isDelta = col("vec_id") % DA.DeltaMod === DA.DeltaRem
+    val banded = DA.semBanded(s, dir)
+    val cross = Ann.verifyCosinePairs(
+      Ann.crossCandidatesFromBanded(banded, isDelta),
+      corpus, DA.SemProdThreshold, broadcastCand = true)
+    val internal = Ann.verifyCosinePairs(
+      Ann.selfCandidatesFromBanded(banded.filter(isDelta)),
+      corpus.filter(isDelta), DA.SemProdThreshold, broadcastCand = true)
+    DA.baseSemPairsProd(s, dir).unionByName(cross).unionByName(internal)
+  }
+
+  // the oracle is q51's FULL-RECOMPUTE O(n^2) at the production
+  // threshold: the banded incremental path must hash-match recomputing
+  // the complete pair set from scratch
+  private val q161Sql = q51Sql
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
     Q("q157_incr_sem_pairs", q157IncrSemPairs, Some(q157Sql)),
+    Q("q161_banded_incr_sem_pairs", q161BandedIncrSemPairs, Some(q161Sql)),
     Q("q158_incr_sem_clusters", q158IncrSemClusters, Some(q158Sql)),
     Q("q130_int8_quant", q130Int8Quant, Some(q130Sql)),
     Q("q123_pq_codes", q123PqCodes, Some(q123Sql)),

@@ -130,8 +130,17 @@ object ScanMetrics {
     import scala.jdk.CollectionConverters._
     val ks = results.keySet.asScala
       .filter(k => k == label || k.startsWith(label + "#")).toSeq
-    val vs = ks.flatMap(k => Option(results.remove(k)))
-      .filter(t => t._1 >= 0 && t._2 >= 0)
+    // remove only COMPLETE pairs; a partial pair (one side still -1 —
+    // its completing publish hasn't landed yet) stays in the map so the
+    // late publish upgrades it for a subsequent drain instead of being
+    // silently discarded here. The conditional remove(k, v) keeps a
+    // pair that completed between our read and the removal.
+    val vs = ks.flatMap { k =>
+      Option(results.get(k)) match {
+        case Some(v) if v._1 >= 0 && v._2 >= 0 && results.remove(k, v) => Some(v)
+        case _ => None
+      }
+    }
     if (vs.isEmpty) None else Some((vs.map(_._1).sum, vs.map(_._2).sum))
   }
 }

@@ -363,6 +363,96 @@ object Ann {
       .distinct()
   }
 
+  /** The PERSISTABLE sign-LSH banded signature table (id, band, bucket)
+    * — [[lshNearDupPairs]]' candidate-generation state as an ingest
+    * artifact, the embedding twin of the text pipeline's persisted
+    * `banded` table (reference economics: index once at build time,
+    * every consumer reads it — `AbstractBlockIndexingJob.java:122-152`).
+    * Rows are a PER-VECTOR property, so filtering the table to any id
+    * subset equals rebuilding it over that subset: one table serves
+    * full-corpus self-joins, base-side probe joins, and delta-side
+    * internal joins. At 100 TB it is written `partitionBy(band)` /
+    * bucketed by bucket next to the corpus. */
+  def bandedSignatures(
+      corpus: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      nPlanes: Int = 64, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nPlanes % bands == 0)
+    val dimOpt = dimOf(corpus, vecCol)
+    if (dimOpt.isEmpty)
+      return corpus.select(col(idCol), lit(0).as("band"), lit(0L).as("bucket"))
+        .limit(0)
+    bandedRows(corpus, idCol, vecCol, hyperplanes(nPlanes, dimOpt.get, seed), bands)
+      .select(idCol, "band", "bucket")
+  }
+
+  /** Banded rows CARRYING the vector column — (idCol, vecCol, band,
+    * bucket) — with caller-supplied planes, so it stays streaming-safe
+    * (no action at plan-construction time; a streaming delta can band
+    * itself against a static base's planes). */
+  private[graft] def bandedRows(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bands: Int): DataFrame = {
+    require(planes.length % bands == 0)
+    val rowsPerBand = planes.length / bands
+    df.withColumn("__sig", signSignature(col(vecCol), planes))
+      .select(col(idCol), col(vecCol),
+        explode(array(bandStructs(col("__sig"), bands, rowsPerBand): _*)).as("bb"))
+      .select(col(idCol), col(vecCol),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate self-join over a persisted banded table: vectors sharing
+    * any (band, bucket), normalized to id_i < id_j. NOT distinct —
+    * [[verifyCosinePairs]] folds the multi-band dedupe into a shuffle
+    * it must do anyway (the `Dedup.lshCandidatesFromBanded` rule). */
+  def selfCandidatesFromBanded(banded: DataFrame, idCol: String = "vec_id"): DataFrame =
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_i"), col(s"b.$idCol").as("id_j"))
+
+  /** Cross-set candidates over a persisted banded table: the probe side
+    * (a delta ingest batch) BROADCASTS, so the corpus side is consumed
+    * by a map-side hash join on (band, bucket) and NEVER scans beyond
+    * its matching buckets — the scale fix for [[cosineCrossPairs]]'
+    * full-base evaluation. Output normalized to (id_i, id_j) =
+    * (min, max). */
+  def crossCandidatesFromBanded(
+      banded: DataFrame, isProbe: Column, idCol: String = "vec_id"): DataFrame =
+    broadcast(banded.filter(isProbe)).as("a")
+      .join(banded.filter(!isProbe).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_i"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_j"))
+
+  /** Exact-cosine verification of a candidate (id_i, id_j) stream —
+    * the same dot/(na*nb)-in-doubles arithmetic as
+    * [[cosineCrossPairs]], applied to CANDIDATES ONLY: distinct the
+    * multi-band hits once, fetch both endpoints' vectors by id, keep
+    * pairs reaching `threshold`. Precision is exact by construction;
+    * recall is the candidate generator's banding budget.
+    * `broadcastCand` marks a candidate set bounded by a delta batch's
+    * bucket neighborhoods (broadcast back onto the corpus, the q109
+    * hit-set shape); leave it false when candidates are corpus-sized
+    * (artifact build), where the id-keyed joins co-locate under the
+    * bucketed layout instead. */
+  def verifyCosinePairs(
+      cand: DataFrame, corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastCand: Boolean = false): DataFrame = {
+    val dedup = cand.distinct()
+    val pairs = if (broadcastCand) broadcast(dedup) else dedup
+    val v = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      Vectors.norm(col(vecCol)).as("__n"))
+    pairs
+      .join(v.select(col("__id").as("id_i"), col("__v").as("va"),
+        col("__n").as("na")), "id_i")
+      .join(v.select(col("__id").as("id_j"), col("__v").as("vb"),
+        col("__n").as("nb")), "id_j")
+      .filter(Vectors.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")) >= threshold)
+      .select("id_i", "id_j")
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup
     * detection). Exact O(n^2) scoring — suitable as the verification
     * baseline; production path is [[lshNearDupPairs]]. */

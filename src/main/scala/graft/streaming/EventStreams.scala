@@ -272,37 +272,60 @@ object EventStreams {
   /** Streaming EMBEDDING-COSINE near-dup detection against a persisted
     * base embedding table — the semantic twin of [[nearDupAgainstBase]]
     * / [[mediaNearDupAgainstBase]], completing the streaming tier of
-    * the third dedup modality (the ingest-side counterpart of the
-    * q157/q158 delta merge): new vectors stream in, and each emits the
+    * the third dedup modality (the ingest-side counterpart of the q161
+    * banded delta merge): new vectors stream in, and each emits the
     * (new_id, base_id) pairs whose cosine reaches `threshold` in the
     * already-ingested corpus.
     *
-    * Stream side is MAP-ONLY (one norm per vector); the join is ONE
-    * stateless stream-static evaluation with the SAME
-    * dot/(na*nb)-in-doubles kernel as the batch `Ann.cosineCrossPairs`,
-    * so stream ≡ batch holds bit-for-bit (StreamingOpsSpec pins it
-    * row-level) — including the NaN-on-zero-norm convention (a
-    * zero-norm vector pairs with nothing on either path). Each
-    * base×new pair is generated exactly once, so unlike the banded
-    * twins no pair-key dedup state is needed at all.
+    * Candidate generation is the persisted sign-LSH banded signature
+    * index (`DedupArtifacts.semBanded`, q161's): the stream side bands
+    * ITSELF map-only against the base's planes (one signature + `bands`
+    * projections per vector, no action, no state), and the join is a
+    * stateless stream-static EQUI-join on (band, bucket) — each
+    * micro-batch touches only its matching buckets, never the full
+    * base (the scale fix for the previous full-base theta-join, whose
+    * per-batch cost grew with |base|). Survivors are exact-cosine
+    * verified with the SAME dot/(na*nb)-in-doubles kernel as the batch
+    * path, so precision is exact and recall is the banding pigeonhole
+    * budget — at the production threshold the budget covers every
+    * qualifying pair, making stream ≡ batch ≡ exact (StreamingOpsSpec
+    * pins it row-level), including the NULL-on-zero-norm convention (a
+    * zero-norm vector's cosine is NULL under `try_divide`, which every
+    * threshold comparison excludes, so it pairs with nothing on either
+    * path — LshNearDupSpec pins it). Multi-band hits duplicate a
+    * pair, so the pair key dedups per the banded twins'
+    * `dropDuplicates` (production: `dropDuplicatesWithinWatermark`
+    * bounds the state, as [[nearDupAgainstBase]] documents).
     *
-    * At 100 TB the static side is first cut by the persisted ANN
-    * candidate index (sign-LSH banding or IVF routing — q51/q45's
-    * machinery, bucketed so each micro-batch joins only its probe
-    * buckets); this exact form is the verify kernel those candidate
-    * generators feed, the same role [[Ann.cosineCrossPairs]] plays
-    * for the batch merge. */
+    * At 100 TB the banded artifact is bucketed by (band, bucket) next
+    * to the corpus, so each micro-batch's probe reads only matching
+    * buckets' files — the same skipping architecture as the sparse
+    * index, and the same persisted state the q161 batch merge probes. */
   def semNearDupAgainstBase(
-      vecs: DataFrame, baseEmb: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val d = vecs.select(col(idCol).cast("long").as("new_id"),
-      col(vecCol).as("vb"), graft.functions.Vectors.norm(col(vecCol)).as("nb"))
-    val b = baseEmb.select(col("vec_id").as("base_id"),
-      col("embedding").as("va"),
-      graft.functions.Vectors.norm(col("embedding")).as("na"))
-    d.join(b,
-        graft.functions.Vectors.cosineFromNorms(
-          col("va"), col("vb"), col("na"), col("nb")) >= threshold)
+      vecs: DataFrame, baseEmb: DataFrame, baseBanded: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nPlanes: Int = graft.dedup.DedupArtifacts.SemPlanes,
+      bands: Int = graft.dedup.DedupArtifacts.SemBands,
+      seed: Long = graft.dedup.DedupArtifacts.SemSeed): DataFrame = {
+    // dim comes from the STATIC base (one head() at plan construction —
+    // the stream side must never need an action), so the stream bands
+    // itself with exactly the base index's hyperplanes
+    val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
+    val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim, seed)
+    val d = graft.similarity.Ann.bandedRows(
+        vecs.select(col(idCol).cast("long").as("new_id"), col(vecCol).as("vb")),
+        "new_id", "vb", planes, bands)
+      .withColumn("nb", graft.functions.Vectors.norm(col("vb")))
+    val b = baseBanded.join(
+        baseEmb.select(col("vec_id"), col("embedding").as("va"),
+          graft.functions.Vectors.norm(col("embedding")).as("na")),
+        "vec_id")
+      .select(col("vec_id").as("base_id"), col("va"), col("na"),
+        col("band"), col("bucket"))
+    d.join(b, Seq("band", "bucket"))
+      .filter(graft.functions.Vectors.cosineFromNorms(
+        col("va"), col("vb"), col("na"), col("nb")) >= threshold)
       .select("new_id", "base_id")
+      .dropDuplicates("new_id", "base_id")
   }
 }

@@ -68,10 +68,10 @@ class LshNearDupSpec extends AnyFunSuite {
 
   test("zero-norm vectors pair with nothing in the cosine kernels (batch + cross)") {
     import spark.implicits._
-    // the NaN-on-zero-norm convention the streaming twin's docstring
-    // leans on: dot/(0*nb) is NaN, every NaN comparison is false, so a
-    // zero vector silently matches nothing — pinned here for the self
-    // kernel (q28's) and the incremental cross kernel (q157's)
+    // the NULL-on-zero-norm convention the streaming twin's docstring
+    // leans on: try_divide(dot, 0*nb) is NULL, every NULL comparison is
+    // false, so a zero vector silently matches nothing — pinned here for
+    // the self kernel (q28's) and the incremental cross kernel (q157's)
     val df = Seq(
       (1L, Array.fill(4)(0f)),            // zero vector in the base
       (2L, Array(1f, 0f, 0f, 0f)),

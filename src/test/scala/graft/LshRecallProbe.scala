@@ -34,6 +34,33 @@ object LshRecallProbe {
           .collect().map(r => s"q${r.getLong(0)}=${r.getLong(1)}").mkString(" ")
         println(s"[lsh-recall] $sf planes=$np bands=$b hits: $hits")
       }
+      // q161's banded CROSS path (delta probes the persisted base index):
+      // candidate counts and recall at the 0.45 boundary regime (natural
+      // corpus — banding is boundary-blind at 63 deg, documenting why the
+      // production twin does not run there) vs the production 0.9 regime
+      // (planted corpus — pigeonhole recall 1.0)
+      val DA = graft.dedup.DedupArtifacts
+      val isDelta = col("vec_id") % DA.DeltaMod === DA.DeltaRem
+      for ((label, corpus, t) <- Seq(
+          ("natural@0.45", emb.select("vec_id", "embedding"), 0.45),
+          ("planted@0.9",
+            DA.plantedEmbeddings(spark, s"/root/testdata/$sf"), DA.SemProdThreshold))) {
+        val banded = graft.similarity.Ann.bandedSignatures(
+          corpus, nPlanes = DA.SemPlanes, bands = DA.SemBands, seed = DA.SemSeed)
+        val cand = graft.similarity.Ann.crossCandidatesFromBanded(banded, isDelta)
+          .distinct()
+        val nCand = cand.count()
+        val found = graft.similarity.Ann.verifyCosinePairs(
+          cand, corpus, t, broadcastCand = true).count()
+        val truth = graft.similarity.Ann.cosineCrossPairs(
+          corpus.filter(!isDelta), corpus.filter(isDelta), t).count()
+        val base = corpus.filter(!isDelta).count()
+        val delta = corpus.filter(isDelta).count()
+        val brute = base * delta
+        println(f"[cross-recall] $sf $label cand=$nCand (vs brute=$brute, " +
+          f"${nCand.toDouble / brute * 100}%.2f%%) found=$found true=$truth " +
+          f"recall=${if (truth == 0) 1.0 else found.toDouble / truth}%.3f")
+      }
     }
     spark.stop()
   }

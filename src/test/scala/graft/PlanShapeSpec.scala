@@ -346,6 +346,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the intra-batch first-claim must be a window over the delta's digest shuffle:\n$p")
   }
 
+  test("banded incremental semantic pairs: no nested loop anywhere; delta-bounded sides broadcast") {
+    val p = plan(SparkEntry.queries("q161_banded_incr_sem_pairs")(spark, sfDir))
+    // the whole point of the q161 twin vs the q157 anchor: candidate
+    // generation is (band, bucket)-keyed and verification is id-keyed,
+    // so NOTHING in the plan may evaluate a pair predicate over an
+    // unbounded cross product
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded maintenance must never plan a nested loop / cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the delta probe and candidate verify must broadcast the batch-bounded side:\n$p")
+  }
+
   test("table checksum is a join-free map into one pre-combined aggregate") {
     val p = plan(SparkEntry.queries("q110_table_checksum")(spark, sfDir))
     assert(!p.contains("Join"), s"a table checksum must not join:\n$p")

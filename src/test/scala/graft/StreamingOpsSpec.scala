@@ -318,22 +318,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "the sf0.001 delta has media near-dups in the base")
   }
 
-  test("streaming semantic near-dup vs persisted base equals the batch cross-pair set") {
+  test("streaming banded semantic near-dup vs persisted base equals the exact batch cross-pair set") {
     import graft.dedup.DedupArtifacts
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
-    val t = DedupArtifacts.SemThreshold
+    // the PRODUCTION regime (q51/q161's): planted corpus at
+    // SemProdThreshold, where the banding pigeonhole budget covers every
+    // qualifying pair — so the banded stream must equal not just the
+    // banded batch twin but the EXACT cross kernel, the strongest
+    // stream ≡ batch statement available
+    val t = DedupArtifacts.SemProdThreshold
     val isDelta =
       col("vec_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
-    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val emb = DedupArtifacts.plantedEmbeddings(spark, sfDir)
     val base = emb.filter(!isDelta)
+    val baseBanded = DedupArtifacts.semBanded(spark, sfDir).filter(!isDelta)
     // today's embedding batch streams in
     val src = s"$work/sem_neardup_vecs"
     emb.filter(isDelta).write.parquet(src)
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema).parquet(src)
     val q = EventStreams.semNearDupAgainstBase(
-        stream, base, "vec_id", "embedding", t)
+        stream, base, baseBanded, "vec_id", "embedding", t)
       .writeStream.outputMode("append")
       .format("memory").queryName("sem_neardup_out")
       .option("checkpointLocation", s"$work/sem_neardup_ckpt")
@@ -344,14 +350,24 @@ class StreamingOpsSpec extends AnyFunSuite {
       .select(least(col("new_id"), col("base_id")),
         greatest(col("new_id"), col("base_id")))
       .as[(Long, Long)].collect().toSet
-    // batch truth: the q157 cross-pair kernel over the same split
-    val batch = graft.similarity.Ann.cosineCrossPairs(
+    // batch truth #1: the q161 banded cross path over the same split
+    val banded = DedupArtifacts.semBanded(spark, sfDir)
+    val bandedBatch = graft.similarity.Ann.verifyCosinePairs(
+        graft.similarity.Ann.crossCandidatesFromBanded(banded, isDelta),
+        emb, t, broadcastCand = true)
+      .as[(Long, Long)].collect().toSet
+    // batch truth #2: the EXACT cross kernel (q157's) — recall 1.0 by
+    // the pigeonhole guarantee at this threshold
+    val exact = graft.similarity.Ann.cosineCrossPairs(
         base, emb.filter(isDelta), t)
       .as[(Long, Long)].collect().toSet
-    assert(streamed == batch,
-      s"stream/batch diverged: only_stream=${(streamed -- batch).take(3)} " +
-        s"only_batch=${(batch -- streamed).take(3)}")
-    assert(streamed.nonEmpty, "the sf0.001 delta has semantic near-dups in the base")
+    assert(streamed == bandedBatch,
+      s"stream/banded-batch diverged: only_stream=${(streamed -- bandedBatch).take(3)} " +
+        s"only_batch=${(bandedBatch -- streamed).take(3)}")
+    assert(streamed == exact,
+      s"stream/exact diverged: only_stream=${(streamed -- exact).take(3)} " +
+        s"only_exact=${(exact -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "the planted delta has semantic near-dups in the base")
   }
 }
 
