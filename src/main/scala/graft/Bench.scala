@@ -264,7 +264,21 @@ object Bench {
     // faster than a healthy one
     val total = rescued.map(_._2).filter(_ >= 0).sum
     val failed = rescued.count(_._2 < 0)
-    val best = diffAgainstHistory(sfDir, rescued)
+    // Per-query PLAN DIGESTS (canonicalized analyzed-plan hash): the
+    // floors history is only meaningful while a query's plan is the one
+    // that set its MIN — an honest plan change must RESET that query's
+    // floor automatically instead of forcing a hand edit of the floors
+    // artifact (it happened twice: the q30 banding change and its
+    // knock-ons). Construction is untimed and cheap (plans, no jobs);
+    // a query whose digest can't be computed keeps its floor.
+    val digests: Map[String, String] = ordered.flatMap { case (n, fn) =>
+      try Some(n -> planDigest(fn(spark, sfDir)))
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench-warn] plan digest skipped for $n: ${e.getMessage}")
+        None
+      }
+    }.toMap
+    val best = diffAgainstHistory(sfDir, rescued, digests)
     // best_total = sum of per-query MINs across all runs at this sf: the
     // steady-state floor. A contended round shows value >> best_total; a
     // regressed round raises best_total itself.
@@ -279,11 +293,18 @@ object Bench {
     // with no MIN history would otherwise clobber the committed
     // 155-floor artifact with a one-entry subset.
     if (onlyFilter.isEmpty) try {
-      val floorsJson = best.toSeq.sortBy(_._1)
+      // each floor carries the plan digest of the EPOCH that set it —
+      // self-evidencing: a reader can tell a floor from a superseded
+      // plan apart without git archaeology, and diffAgainstHistory
+      // resets floors automatically on digest change
+      val floorsPart = best.toSeq.sortBy(_._1)
         .map { case (n, t) => "\"" + n + "\":" + fmt(t) }
-        .mkString(
-          s"""{"sf":"$sfDir","best_total":${fmt(bestTotal)},"floors":{""",
-          ",", "}}")
+        .mkString(""""floors":{""", ",", "}")
+      val digestsPart = best.keys.toSeq.sorted
+        .flatMap(n => digests.get(n).map(d => "\"" + n + "\":\"" + d + "\""))
+        .mkString(""""plan_digests":{""", ",", "}")
+      val floorsJson =
+        s"""{"sf":"$sfDir","best_total":${fmt(bestTotal)},$floorsPart,$digestsPart}"""
       java.nio.file.Files.writeString(RepoRoot.resolve(
         s"BENCH_FLOORS_${new java.io.File(sfDir).getName}.json"), floorsJson)
     } catch { case NonFatal(e) =>
@@ -307,6 +328,25 @@ object Bench {
     println(compact)
   }
 
+  /** Normalized analyzed-plan digest — the floors epoch key. The plan
+    * STRING is digested rather than `semanticHash` because scan plans
+    * hash their FileIndex objects by IDENTITY (measured: the same query
+    * hashed differently across two runs of one build), while the
+    * printed plan names relations by path. Expression ids (`#123`,
+    * session-history-dependent) and object addresses (`@hex`) are
+    * stripped; every remaining token — operators, columns, literals
+    * (LSH planes, IVF centroids: seeded-deterministic per corpus),
+    * paths — is run-stable, so the digest changes exactly when the
+    * query's logical plan does. */
+  private def planDigest(df: DataFrame): String = {
+    val s = df.queryExecution.analyzed.toString
+      .replaceAll("#\\d+", "#")
+      .replaceAll("@[0-9a-fA-F]+", "@")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
   /** Round-over-round guardrail: keep the previous run's per-query times
     * next to the build and WARN (stderr — stdout stays the one parsed
     * JSON line) on any query that regressed more than 25% AND 0.5s
@@ -316,8 +356,11 @@ object Bench {
   private def histPath(sfDir: String) = java.nio.file.Paths.get(
     s"${graft.dedup.DedupArtifacts.artifactBase}/bench_prev_${new java.io.File(sfDir).getName}.txt")
 
-  /** Previous run's per-query times, empty when absent/unreadable. */
-  private def readHistory(sfDir: String): Map[String, Double] =
+  /** Previous run's per-query (time, plan digest) — the digest field is
+    * absent in pre-epoch history lines ("name time") and carried as
+    * None until a digest-bearing run rewrites them ("name time digest").
+    * Empty when absent/unreadable. */
+  private def readHistoryFull(sfDir: String): Map[String, (Double, Option[String])] =
     try {
       val hist = histPath(sfDir)
       if (java.nio.file.Files.exists(hist))
@@ -325,21 +368,42 @@ object Bench {
           java.nio.file.Files.readAllLines(hist)).asScala
           .flatMap { l =>
             l.split(' ') match {
-              case Array(n, t) => t.toDoubleOption.map(n -> _)
+              case Array(n, t) => t.toDoubleOption.map(n -> (_, None))
+              case Array(n, t, d) =>
+                t.toDoubleOption.map(n -> (_, Some(d).filter(_ != "-")))
               case _ => None
             }
           }.toMap
       else Map.empty
     } catch { case NonFatal(_) => Map.empty }
 
+  /** Previous run's per-query times, empty when absent/unreadable. */
+  private def readHistory(sfDir: String): Map[String, Double] =
+    readHistoryFull(sfDir).view.mapValues(_._1).toMap
+
   /** Warn on regressions, persist per-query MINs, and RETURN the merged
     * min map (the best-known steady-state floor per query) so the
     * summary line can report `best_total`. */
   private def diffAgainstHistory(
-      sfDir: String, results: Seq[(String, Double)]): Map[String, Double] = {
+      sfDir: String, results: Seq[(String, Double)],
+      digests: Map[String, String]): Map[String, Double] = {
     val hist = histPath(sfDir)
     try {
-      val prev: Map[String, Double] = readHistory(sfDir)
+      val prevFull = readHistoryFull(sfDir)
+      // PLAN-DIGEST EPOCHS: a floor set under a different plan is not a
+      // baseline for this one — drop it (logged) instead of min-merging
+      // across the epoch boundary, so an honest plan change resets its
+      // query's floor automatically with no manual floors-file surgery.
+      // A history line with no digest (pre-epoch) or a query with no
+      // current digest keeps its floor: resets happen only on EVIDENCED
+      // mismatch, never on missing evidence.
+      val prev: Map[String, Double] = prevFull.flatMap {
+        case (n, (t, Some(od))) if digests.get(n).exists(_ != od) =>
+          System.err.println(
+            s"[bench-epoch] $n plan digest changed ($od -> ${digests(n)}) — floor reset")
+          None
+        case (n, (t, _)) => Some(n -> t)
+      }
       results.foreach { case (name, t) =>
         prev.get(name).foreach { p =>
           // -1 sentinels carry no timing signal: never compare against
@@ -364,8 +428,14 @@ object Bench {
       val merged = (prev.toSeq ++ results.filter(_._2 >= 0))
         .groupMapReduce(_._1)(_._2)(math.min)
         .filter { case (n, _) => current(n) }
+      // each line records the digest of the plan its MIN was measured
+      // under: this run's digest when available, else the carried one
+      // ("-" = unknown, parsed back as None)
       java.nio.file.Files.write(hist,
-        merged.toSeq.sortBy(_._1).map { case (n, t) => s"$n $t" }.mkString("\n")
+        merged.toSeq.sortBy(_._1).map { case (n, t) =>
+          val d = digests.get(n).orElse(prevFull.get(n).flatMap(_._2))
+          s"$n $t ${d.getOrElse("-")}"
+        }.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       merged
     } catch {

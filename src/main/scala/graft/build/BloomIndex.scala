@@ -221,13 +221,23 @@ object BloomIndex extends Logging {
 
   /** Bloom-pruned scan with the mandatory row-level residual. */
   def scan(spark: SparkSession, dataDir: String, pred: Eq, bloomRoot: String): DataFrame = {
-    val (toRead, _) = selectFiles(spark, dataDir, pred, bloomRoot)
+    val (toRead, report) = selectFiles(spark, dataDir, pred, bloomRoot)
+    // same run-level accounting as the sparse-index scans: the bloom
+    // prune is a pruned scan and must show up in the per-run rollup
+    // (it was silently absent before — q46 published no telemetry)
+    graft.query.PruneStats.record(report)
     val schema = spark.read.parquet(dataDir).schema
     val df =
       if (toRead.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(toRead: _*)
-    df.filter(pred.toColumn)
+    // scanned/qualified observability under a ScanMetrics label (the
+    // bench's untimed pass) — the scanWithReport pattern; observation
+    // blocks residual pushdown, so it must never be on in a timed run
+    graft.query.ScanMetrics.nextObservationName() match {
+      case Some(n) => graft.query.ScanMetrics.observed(df, pred.toColumn, name = n)
+      case None => df.filter(pred.toColumn)
+    }
   }
 }

@@ -80,16 +80,23 @@ object DedupArtifacts {
   val PHashMaxHamming = 10 // perceptual-hash near-dup bar in bits (q143's)
 
   /** PRODUCTION semantic near-dup parameters — the q51 regime (true
-    * near-dups at cosine >= 0.9, ~26 deg), where sign-LSH banding's
-    * pigeonhole budget (64 planes / 8 bands covers every pair within 7
-    * differing signature bits) holds the qualifying pairs with margin
-    * (LshNearDupSpec measures planted pairs at hamming 0). The 0.45
+    * near-dups at cosine >= 0.9, ~26 deg). 64 planes / 4 bands = 16-bit
+    * buckets: a RANDOM pair collides in any band with probability
+    * ~4/2^16 ≈ 6e-5, so candidate volume stays ~n²/16k (measured at
+    * 30x-organic: the 8-bit banding's n²/32 candidate stream benched
+    * SLOWER than the brute map-side cross — wide buckets are the knob
+    * that makes the banded path actually win). The pigeonhole budget
+    * (every pair within 3 differing signature bits shares a band) still
+    * holds the registered corpus' qualifying pairs with maximal margin
+    * — planted pairs sit at hamming 0 (LshNearDupSpec) — and production
+    * recall tuning at this threshold raises the TABLE count (more
+    * planes, more 16-bit bands), not the bucket width. The 0.45
     * boundary regime stays the q157 exact anchor — LshNearDupSpec
     * measures why no disjoint banding can guarantee a 63-degree
     * threshold. */
   val SemProdThreshold = 0.9
   val SemPlanes = 64
-  val SemBands = 8
+  val SemBands = 4
   val SemSeed = 42L
 
   /** The planted-near-dup corpus construction shared by q51/q78/q161
@@ -225,6 +232,31 @@ object DedupArtifacts {
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Generic single-table artifact with its own meta: build `build`
+    * once per (corpus fingerprint, params, Version), read thereafter —
+    * the seam for small derived models (e.g. the BPE merge table) that
+    * deserve persist-once economics without joining one of the big
+    * artifact trees' rebuild units. Same meta-last protocol as
+    * [[prepare]]. */
+  private[graft] def cachedTable(
+      s: SparkSession, sfDir: String, name: String,
+      table: String, params: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val fp = fingerprint(s, sfDir, table) +
+        (if (params.nonEmpty) s":$params" else "")
+      val dir = s"${root(sfDir)}/$name"
+      val fs = new Path(root(sfDir))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val meta = new Path(s"${root(sfDir)}/_META_${name.toUpperCase}")
+      if (!readMeta(fs, meta).contains(fp)) {
+        val p = new Path(dir)
+        if (fs.exists(p)) fs.delete(p, true)
+        build.write.parquet(dir)
+        writeMeta(fs, meta, fp)
+      }
+      s.read.parquet(dir)
+    }
 
   /** Idempotent build: a matching meta fingerprint is a no-op; anything
     * else (absent, stale, partial) rebuilds the whole tree. Meta is
@@ -381,7 +413,11 @@ object DedupArtifacts {
     * EMBEDDINGS table, so a re-embedded corpus rebuilds it without
     * touching the text-derived artifacts and vice versa. */
   private def prepareSem(s: SparkSession, sfDir: String): Unit = synchronized {
-    val fp = fingerprint(s, sfDir, table = "embeddings")
+    // banding parameters are part of the artifact identity: retuning
+    // them must rebuild the sem tree (and only it), not silently serve
+    // buckets hashed under the old structure
+    val fp = fingerprint(s, sfDir, table = "embeddings") +
+      s":b$SemPlanes/$SemBands/$SemSeed"
     val fs = new Path(root(sfDir))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val meta = new Path(semMetaPath(sfDir))

@@ -347,20 +347,38 @@ object TextAnalysisQueries extends QueryModule {
     * independent. */
   private val BpeNumMerges = 8
 
-  /** The fixed merge table: top-[[BpeNumMerges]] pairs of q77's static
-    * pair statistic, total-ordered (count desc, pair asc — no top-k
-    * ties), each assigned a private-use-plane symbol (U+E000+rank) so
-    * later merges see earlier merge RESULTS as single symbols. A
-    * bounded driver collect — the merge table is the tokenizer MODEL
-    * (a few rows to a few 10k rows in production), never corpus-sized.
-    * Returned in priority order. */
-  private def bpeMerges(vocab: DataFrame): Seq[(String, String)] = {
-    val s = vocab.sparkSession
+  /** The fixed merge table as a PERSISTED artifact (rank, pair, sym):
+    * top-[[BpeNumMerges]] pairs of q77's static pair statistic,
+    * total-ordered (count desc, pair asc — no top-k ties), each
+    * assigned a private-use-plane symbol (U+E000+rank) so later merges
+    * see earlier merge RESULTS as single symbols. The merge table is
+    * the tokenizer MODEL — trained once per corpus, consumed by every
+    * encode run — so it lives under its own meta
+    * (`DedupArtifacts.cachedTable`) instead of re-running the
+    * vocabulary wordcount per invocation. */
+  private def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupArtifacts.cachedTable(
+        s, dir, "bpe_merges", "documents", s"k$BpeNumMerges") {
+      import org.apache.spark.sql.expressions.Window
+      // rank is the only thing persisted besides the pair: the symbol
+      // is the FIXED bijection U+E000+rank, derived at read time (and
+      // Spark's chr() wraps at 256, so it couldn't mint these anyway)
+      bpePairCounts(bpeVocab(s, dir))
+        .orderBy(col("n_occ").desc, col("pair").asc).limit(BpeNumMerges)
+        .select(
+          (row_number().over(
+            Window.orderBy(col("n_occ").desc, col("pair").asc)) - 1).as("rank"),
+          col("pair"))
+    }
+
+  /** The merge table in priority order, as the (pair, sym) pairs the
+    * encode kernels consume. A bounded driver collect — a few rows here
+    * to a few 10k rows in production, never corpus-sized. */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
     import s.implicits._
-    bpePairCounts(vocab)
-      .orderBy(col("n_occ").desc, col("pair").asc).limit(BpeNumMerges)
-      .select("pair").as[String].collect().toSeq
-      .zipWithIndex.map { case (p, i) => (p, (0xE000 + i).toChar.toString) }
+    bpeMergeTable(s, dir).orderBy("rank")
+      .select("rank", "pair").as[(Int, String)].collect().toSeq
+      .map { case (r, p) => (p, (0xE000 + r).toChar.toString) }
   }
 
   /** (doc_id, n_toks, n_ids, e) per-document encode — shared by
@@ -372,7 +390,10 @@ object TextAnalysisQueries extends QueryModule {
     * as one streaming pass):
     *
     * each document's normalized token stream is space-joined and the
-    * K merges fold over it as one codegen'd chain of `replace`s.
+    * priority-ordered merge table applies in ONE codegen'd kernel
+    * evaluation (`BpeEncode` — chain-equivalent semantics at cost
+    * independent of the table size; the K=8 `replace` chain remains the
+    * differential baseline).
     * PROVABLY equal to encoding each token separately: merge pairs are
     * substrings of vocabulary tokens, so they never contain the space
     * separator, and replacements substitute non-separator symbols, so
@@ -387,11 +408,13 @@ object TextAnalysisQueries extends QueryModule {
     * production encode consumes a FIXED merge table and is zero-shuffle
     * end to end. */
   private def bpeEncodedDocs(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMerges(bpeVocab(s, dir))
-    val enc = merges.foldLeft(
-        array_join(TextFunctions.tokens(col("text")), " ")) {
-      case (c, (p, sym)) => replace(c, lit(p), lit(sym))
-    }
+    val merges = bpeMerges(s, dir)
+    // the production kernel: one broadcast merge table, per-row cost
+    // independent of K (the K=8 replace CHAIN below is its differential
+    // baseline, pinned equal by BpeKernelSpec — a 32k-merge table can't
+    // be an expression chain)
+    val enc = bpeKernelEncode(
+      array_join(TextFunctions.tokens(col("text")), " "), merges)
     Tables.documents(s, dir)
       .select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"),
@@ -403,6 +426,25 @@ object TextAnalysisQueries extends QueryModule {
         (length(col("e")) - (col("n_toks") - 1)).cast("long").as("n_ids"),
         col("e"))
   }
+
+  /** The native-kernel encode column ([[graft.functions.expressions.BpeEncode]]). */
+  private[graft] def bpeKernelEncode(
+      c: org.apache.spark.sql.Column, merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.BpeEncode(
+      ColumnBridge.expression(c), merges.map(_._1), merges.map(_._2)))
+  }
+
+  /** The K-step replace-chain encode — the kernel's differential
+    * baseline (see [[bpeEncodedDocs]]); exposed for BpeKernelSpec. */
+  private[graft] def bpeChainEncode(
+      c: org.apache.spark.sql.Column, merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(c) { case (acc, (p, sym)) => replace(acc, lit(p), lit(sym)) }
+
+  /** The registered merge table, exposed for BpeKernelSpec's
+    * plan-level differential. */
+  private[graft] def bpeMergesForSpec(
+      s: SparkSession, dir: String): Seq[(String, String)] = bpeMerges(s, dir)
 
   /** BPE ENCODE — the pass that turns the trained merge table into
     * ACTUAL TRAINING TOKENS (the stage between q77/q86's trainer

@@ -192,23 +192,60 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
           // a driver-side job and must not rerun per fixed-point pass.
           // The no-op tag goes on the FILTER (a shared relation node may
           // still be prunable under a different filter elsewhere).
-          if (!any) { f.setTagValue(PrunedTag, true); f }
-          else {
+          if (!any) {
+            f.setTagValue(PrunedTag, true)
+            maybeObserved(cond, lr).getOrElse(f)
+          } else {
             val prunedIndex =
               new GraftPrunedFileIndex(rel.location, excluded.result(), excludedBytes)
             val prunedRel = rel.copy(location = prunedIndex)(spark)
             val newLr = lr.copy(relation = prunedRel)
             newLr.setTagValue(PrunedTag, true)
-            Filter(cond, newLr)
+            maybeObserved(cond, newLr).getOrElse(Filter(cond, newLr))
           }
         case _ => f
       }
   }
+
+  /** Scanned/qualified observability for the TRANSPARENT rule path:
+    * when a `ScanMetrics` label is set on the planning thread (the
+    * bench's untimed scan-rows pass — never a timed or production run,
+    * since the metrics node blocks residual pushdown into the reader),
+    * wrap the (pruned) scan in the same `_in`/`_out` CollectMetrics
+    * pair `PrunedScanner.scanWithReport` issues, so rule-pruned queries
+    * publish the FilterRecordReader-parity row counters too instead of
+    * being absent from `scan_rows`. The wrapped shape can never
+    * re-match this rule's pattern (the Filter's child is the metrics
+    * node, not the relation), so idempotence is preserved without
+    * tagging. */
+  private def maybeObserved(
+      cond: Expression,
+      scan: LogicalPlan): Option[LogicalPlan] =
+    graft.query.ScanMetrics.nextObservationName().map { n =>
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+      import org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+      def cnt(as: String) =
+        Alias(Count(Literal(1)).toAggregateExpression(), as)()
+      CollectMetrics(s"${n}_out",
+        Seq(cnt(graft.query.ScanMetrics.QualifiedMetric)),
+        Filter(cond,
+          CollectMetrics(s"${n}_in",
+            Seq(cnt(graft.query.ScanMetrics.ScannedMetric)),
+            scan, GraftPruneRule.nextObserveId())),
+        GraftPruneRule.nextObserveId())
+    }
 }
 
 object GraftPruneRule {
   val IndexesConf = "spark.graft.indexes"
   val PrunedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.pruned")
+
+  // CollectMetrics dataframeIds for rule-injected observation nodes:
+  // drawn far above Dataset's own monotonically-increasing ids so the
+  // two can never alias in duplicate-name validation
+  private val observeIds = new java.util.concurrent.atomic.AtomicLong(1L << 40)
+  private[plans] def nextObserveId(): Long = observeIds.getAndIncrement()
 
   /** Tolerant parse of the `dataDir=indexRoot;...` registry conf —
     * segments without '=' are ignored rather than erroring (shared by

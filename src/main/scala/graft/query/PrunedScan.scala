@@ -35,7 +35,7 @@ object PruneStats {
   private var bytesRead = 0L
   private var pruneMs = 0L
 
-  private[query] def record(r: PruneReport): Unit = lock.synchronized {
+  private[graft] def record(r: PruneReport): Unit = lock.synchronized {
     nScans += 1
     bytesTotal += r.totalBytes
     bytesRead += r.selectedBytes

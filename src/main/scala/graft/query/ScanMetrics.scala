@@ -109,7 +109,7 @@ object ScanMetrics {
     * when observation is off. The per-use counter suffix keeps
     * observation names unique when one query builds several pruned
     * scans (Spark rejects duplicate observed names in a plan). */
-  private[query] def nextObservationName(): Option[String] =
+  private[graft] def nextObservationName(): Option[String] =
     Option(observeLabel.get()).map { l =>
       issuedCounts.merge(l, 1L, (a, b) => a + b)
       s"$l#${useCounter.getAndIncrement()}"
