@@ -139,6 +139,22 @@ object ScaleProbe {
           (s, d) => graft.dedup.Dedup.simHashDedupPairs(
             Tables.documents(s, d), "doc_id", "text", n = 3,
             threshold = 0.8, maxHamming = 3)
+        // `ann_ivf_incr` probes AnnIndex maintenance economics: the COLD
+        // run pays the base index build (train + full assignment), the
+        // WARM run pays only a delta append (map-only assignment of the
+        // batch under the persisted centroids) + the live view — the
+        // O(|delta|)-per-batch claim, measured
+        else if (name == "ann_ivf_incr")
+          (s, d) => {
+            val idx = s"$d/ivf_index"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            val isDelta = col("vec_id") % 7 === 6
+            val p = new org.apache.hadoop.fs.Path(idx)
+            if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+              graft.similarity.AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+            graft.similarity.AnnIndex.appendIvf(emb.filter(isDelta), idx)
+            graft.similarity.AnnIndex.ivfAssignments(s, idx)
+          }
         else SparkEntry.queries(name)
       val times = (1 to 2).map { i =>
         val t0 = System.nanoTime()

@@ -204,7 +204,7 @@ object Ann {
     * local loop with fixed iteration order — exact-deterministic, the
     * way production IVF trains (on a sample, never the corpus). Shared
     * by [[ivfTopK]] and [[semanticDedup]]. */
-  private def trainCentroids(
+  private[similarity] def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, lloydIters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
@@ -256,7 +256,7 @@ object Ann {
     * ordering = lexicographic, so ties break on the lower cell id).
     * No crossJoin, no aggregation, no window: assignment costs zero
     * shuffles at any corpus size. Input column: a struct (v, n). */
-  private def cellScoresFor(cs: Array[Array[Double]]): Column => Column = { vn =>
+  private[similarity] def cellScoresFor(cs: Array[Array[Double]]): Column => Column = { vn =>
     array(cs.toSeq.zipWithIndex.map { case (cvec, i) =>
       val centLit = array(cvec.toSeq.map(lit): _*)
       struct(

@@ -1,0 +1,129 @@
+package graft
+
+import graft.similarity.{Ann, AnnIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental ANN index maintenance (AnnIndex): delta-append must
+  * equal a from-scratch rebuild — EXACTLY, because assignment under a
+  * fixed model (persisted IVF centroids / seeded LSH planes) is a pure
+  * per-row function — and a compacted index must reproduce the
+  * registered q45/q30 in-query builds bit-for-bit (same trainer, same
+  * parameters, same probe). Upserts follow the postings `gen`
+  * convention: a re-ingested id's latest generation supersedes. */
+class AnnIndexSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("AnnIndexSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val work = {
+    val d = java.nio.file.Files.createTempDirectory("annidx").toString
+    d
+  }
+
+  private def rows3(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def topk(df: DataFrame): Set[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  private def emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+  private def isDelta = col("vec_id") % 7 === 6
+
+  test("IVF: base-build + delta-append equals assigning the union under the same model") {
+    val idx = s"$work/ivf1"
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+    AnnIndex.appendIvf(emb.filter(isDelta), idx)
+    val appended = rows3(AnnIndex.ivfAssignments(spark, idx)
+      .select(col("vec_id"), col("cell"), lit(0L)))
+    // rebuild comparator: the SAME persisted centroids assign the whole
+    // corpus from scratch — build a second index whose base is the full
+    // corpus but whose model is COPIED from the first (via the centroid
+    // table), by appending everything to an empty base
+    val idx2 = s"$work/ivf1_rebuilt"
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx2, nlist = 16)
+    AnnIndex.appendIvf(emb, idx2) // every id re-assigned under gen 1
+    val rebuilt = rows3(AnnIndex.ivfAssignments(spark, idx2)
+      .select(col("vec_id"), col("cell"), lit(0L)))
+    assert(appended == rebuilt,
+      s"append diverged from rebuild: ${(appended -- rebuilt).take(3)} / ${(rebuilt -- appended).take(3)}")
+    // and the staleness signal reflects the delta fraction
+    val st = AnnIndex.staleness(spark, idx)
+    val frac = emb.filter(isDelta).count().toDouble / emb.count()
+    assert(math.abs(st - frac) < 1e-9, s"staleness $st != delta fraction $frac")
+  }
+
+  test("IVF: upsert — a re-ingested id's latest generation supersedes") {
+    import spark.implicits._
+    val idx = s"$work/ivf_upsert"
+    val base = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.buildIvf(base, idx, nlist = 2, lloydIters = 0)
+    // vector 2 is re-ingested pointing near vector 1's direction
+    AnnIndex.appendIvf(
+      Seq((2L, Array(0.9f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding"), idx)
+    val live = AnnIndex.ivfAssignments(spark, idx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(live.size == 4, s"one live row per id, got $live")
+    assert(live(2L)._2 == 1L, s"id 2 must be served from gen 1, got ${live(2L)}")
+    val cellOf1 = live(1L)._1
+    assert(live(2L)._1 == cellOf1,
+      s"re-ingested vector near id 1 must land in its cell: $live")
+  }
+
+  test("IVF: compact reproduces the registered q45 in-query build bit-for-bit") {
+    val idx = s"$work/ivf_compact"
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+    AnnIndex.appendIvf(emb.filter(isDelta), idx)
+    AnnIndex.compactIvf(emb, idx, nlist = 16)
+    assert(AnnIndex.staleness(spark, idx) == 0.0)
+    val q = emb.filter(col("vec_id") < 3)
+    val fromIndex = topk(
+      AnnIndex.ivfTopKFromIndex(spark, idx, emb, q, 5, nprobe = 8))
+    val registered = topk(Ann.ivfTopK(emb, q, 5, nlist = 16, nprobe = 8))
+    assert(fromIndex == registered,
+      s"compacted index diverged from q45's build: ${(fromIndex -- registered).take(3)} / ${(registered -- fromIndex).take(3)}")
+  }
+
+  test("IVF: the maintained (append, un-compacted) index still clears q45's recall floor") {
+    val idx = s"$work/ivf_recall"
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+    AnnIndex.appendIvf(emb.filter(isDelta), idx)
+    val q = emb.filter(col("vec_id") < 3)
+    val approx = AnnIndex.ivfTopKFromIndex(spark, idx, emb, q, 5, nprobe = 8)
+    val exact = Ann.bruteForceTopK(emb, q, 5)
+    val hits = approx.join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.size == 3 && hits.values.forall(_ >= 4),
+      s"q45's floor (4 of 5) must hold on the maintained index: $hits")
+  }
+
+  test("LSH: base-build + delta-append equals the full rebuild, and q30 reproduces exactly") {
+    val idx = s"$work/lsh1"
+    AnnIndex.buildBanded(emb.filter(!isDelta), idx, nPlanes = 16, bands = 8)
+    AnnIndex.appendBanded(emb.filter(isDelta), idx, nPlanes = 16, bands = 8)
+    val appended = rows3(AnnIndex.bandedRowsLive(spark, idx)
+      .select(col("vec_id"), col("band").cast("long"), col("bucket")))
+    val rebuilt = rows3(Ann.bandedSignatures(emb, nPlanes = 16, bands = 8, seed = 42L)
+      .select(col("vec_id"), col("band").cast("long"), col("bucket")))
+    assert(appended == rebuilt)
+    val q = emb.filter(col("vec_id") < 3)
+    val fromIndex = topk(AnnIndex.lshTopKFromIndex(
+      spark, idx, emb, q, 5, nPlanes = 16, bands = 8))
+    val registered = topk(Ann.lshTopK(emb, q, 5, nPlanes = 16, bands = 8))
+    assert(fromIndex == registered,
+      s"maintained banded index diverged from q30's build: ${(fromIndex -- registered).take(3)} / ${(registered -- fromIndex).take(3)}")
+  }
+}
