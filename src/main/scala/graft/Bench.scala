@@ -278,7 +278,7 @@ object Bench {
         None
       }
     }.toMap
-    val best = diffAgainstHistory(sfDir, rescued, digests)
+    val (best, floorsScans) = diffAgainstHistory(sfDir, rescued, digests, scanRows.toMap)
     // best_total = sum of per-query MINs across all runs at this sf: the
     // steady-state floor. A contended round shows value >> best_total; a
     // regressed round raises best_total itself.
@@ -303,8 +303,11 @@ object Bench {
       val digestsPart = best.keys.toSeq.sorted
         .flatMap(n => digests.get(n).map(d => "\"" + n + "\":\"" + d + "\""))
         .mkString(""""plan_digests":{""", ",", "}")
+      val scansPart = floorsScans.toSeq.sortBy(_._1)
+        .map { case (n, (sc, q)) => s""""$n":[$sc,$q]""" }
+        .mkString(""""scan_rows":{""", ",", "}")
       val floorsJson =
-        s"""{"sf":"$sfDir","best_total":${fmt(bestTotal)},$floorsPart,$digestsPart}"""
+        s"""{"sf":"$sfDir","best_total":${fmt(bestTotal)},$floorsPart,$digestsPart,$scansPart}"""
       java.nio.file.Files.writeString(RepoRoot.resolve(
         s"BENCH_FLOORS_${new java.io.File(sfDir).getName}.json"), floorsJson)
     } catch { case NonFatal(e) =>
@@ -356,21 +359,33 @@ object Bench {
   private def histPath(sfDir: String) = java.nio.file.Paths.get(
     s"${graft.dedup.DedupArtifacts.artifactBase}/bench_prev_${new java.io.File(sfDir).getName}.txt")
 
-  /** Previous run's per-query (time, plan digest) — the digest field is
-    * absent in pre-epoch history lines ("name time") and carried as
-    * None until a digest-bearing run rewrites them ("name time digest").
-    * Empty when absent/unreadable. */
-  private def readHistoryFull(sfDir: String): Map[String, (Double, Option[String])] =
+  /** One parsed history line: best time, the plan digest of the epoch
+    * that set it, and the last observed (scanned, qualified) counters. */
+  private final case class HistEntry(
+      t: Double, digest: Option[String], scan: Option[(Long, Long)])
+
+  /** Previous run's per-query history — older line formats ("name time",
+    * "name time digest") parse with the missing fields as None and are
+    * upgraded the next time a run records them ("name time digest
+    * scanned qualified"). Empty when absent/unreadable. */
+  private def readHistoryFull(sfDir: String): Map[String, HistEntry] =
     try {
       val hist = histPath(sfDir)
       if (java.nio.file.Files.exists(hist))
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(hist)).asScala
           .flatMap { l =>
+            def dOpt(d: String) = Some(d).filter(_ != "-")
             l.split(' ') match {
-              case Array(n, t) => t.toDoubleOption.map(n -> (_, None))
+              case Array(n, t) =>
+                t.toDoubleOption.map(n -> HistEntry(_, None, None))
               case Array(n, t, d) =>
-                t.toDoubleOption.map(n -> (_, Some(d).filter(_ != "-")))
+                t.toDoubleOption.map(n -> HistEntry(_, dOpt(d), None))
+              case Array(n, t, d, sc, q) =>
+                for {
+                  tv <- t.toDoubleOption; scv <- sc.toLongOption
+                  qv <- q.toLongOption
+                } yield n -> HistEntry(tv, dOpt(d), Some((scv, qv)))
               case _ => None
             }
           }.toMap
@@ -379,14 +394,15 @@ object Bench {
 
   /** Previous run's per-query times, empty when absent/unreadable. */
   private def readHistory(sfDir: String): Map[String, Double] =
-    readHistoryFull(sfDir).view.mapValues(_._1).toMap
+    readHistoryFull(sfDir).view.mapValues(_.t).toMap
 
   /** Warn on regressions, persist per-query MINs, and RETURN the merged
     * min map (the best-known steady-state floor per query) so the
     * summary line can report `best_total`. */
   private def diffAgainstHistory(
       sfDir: String, results: Seq[(String, Double)],
-      digests: Map[String, String]): Map[String, Double] = {
+      digests: Map[String, String],
+      scanRows: Map[String, (Long, Long)]): (Map[String, Double], Map[String, (Long, Long)]) = {
     val hist = histPath(sfDir)
     try {
       val prevFull = readHistoryFull(sfDir)
@@ -398,11 +414,26 @@ object Bench {
       // current digest keeps its floor: resets happen only on EVIDENCED
       // mismatch, never on missing evidence.
       val prev: Map[String, Double] = prevFull.flatMap {
-        case (n, (t, Some(od))) if digests.get(n).exists(_ != od) =>
+        case (n, HistEntry(t, Some(od), _)) if digests.get(n).exists(_ != od) =>
           System.err.println(
             s"[bench-epoch] $n plan digest changed ($od -> ${digests(n)}) — floor reset")
           None
-        case (n, (t, _)) => Some(n -> t)
+        case (n, e) => Some(n -> e.t)
+      }
+      // SCAN-ROWS TREND: a >2x move in a query's qualified/scanned ratio
+      // means its pruning selectivity changed materially — surface it
+      // (stderr; the counters themselves ride the JSON lines) so a
+      // selectivity regression is caught in-round, not by archaeology
+      scanRows.foreach { case (n, (sc, q)) =>
+        prevFull.get(n).flatMap(_.scan).foreach { case (psc, pq) =>
+          if (sc > 0 && psc > 0 && q > 0 && pq > 0) {
+            val cur = q.toDouble / sc
+            val old = pq.toDouble / psc
+            if (cur / old > 2 || old / cur > 2)
+              System.err.println(
+                f"[bench-scanrows] $n qualified/scanned ratio moved $old%.4f -> $cur%.4f (>2x)")
+          }
+        }
       }
       results.foreach { case (name, t) =>
         prev.get(name).foreach { p =>
@@ -429,19 +460,24 @@ object Bench {
         .groupMapReduce(_._1)(_._2)(math.min)
         .filter { case (n, _) => current(n) }
       // each line records the digest of the plan its MIN was measured
-      // under: this run's digest when available, else the carried one
-      // ("-" = unknown, parsed back as None)
+      // under (this run's digest when available, else the carried one;
+      // "-" = unknown, parsed back as None) and the latest observed
+      // scan counters
+      val mergedScans: Map[String, (Long, Long)] =
+        prevFull.collect { case (n, e) if e.scan.isDefined => n -> e.scan.get } ++
+          scanRows
       java.nio.file.Files.write(hist,
         merged.toSeq.sortBy(_._1).map { case (n, t) =>
-          val d = digests.get(n).orElse(prevFull.get(n).flatMap(_._2))
-          s"$n $t ${d.getOrElse("-")}"
+          val d = digests.get(n).orElse(prevFull.get(n).flatMap(_.digest))
+          val base = s"$n $t ${d.getOrElse("-")}"
+          mergedScans.get(n).fold(base) { case (sc, q) => s"$base $sc $q" }
         }.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      merged
+      (merged, mergedScans.filter { case (n, _) => current(n) })
     } catch {
       case NonFatal(e) =>
         System.err.println(s"[bench-warn] history diff skipped: $e")
-        results.filter(_._2 >= 0).toMap
+        (results.filter(_._2 >= 0).toMap, scanRows)
     }
   }
 }
