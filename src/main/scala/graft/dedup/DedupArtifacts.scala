@@ -184,6 +184,7 @@ object DedupArtifacts {
   private def semBandedPath(sfDir: String) = s"${root(sfDir)}/sem_banded"
   private def semPairsProdPath(sfDir: String) = s"${root(sfDir)}/sem_pairs_prod"
   private def baseSemPairsProdPath(sfDir: String) = s"${root(sfDir)}/base_sem_pairs_prod"
+  private def baseSemClustersProdPath(sfDir: String) = s"${root(sfDir)}/base_sem_clusters_prod"
   private def baseSemClustersPath(sfDir: String) = s"${root(sfDir)}/base_sem_clusters"
   private def baseClustersPath(sfDir: String) = s"${root(sfDir)}/base_clusters"
   private def bandedPath(sfDir: String) = s"${root(sfDir)}/banded"
@@ -413,18 +414,21 @@ object DedupArtifacts {
     * EMBEDDINGS table, so a re-embedded corpus rebuilds it without
     * touching the text-derived artifacts and vice versa. */
   private def prepareSem(s: SparkSession, sfDir: String): Unit = synchronized {
-    // banding parameters are part of the artifact identity: retuning
-    // them must rebuild the sem tree (and only it), not silently serve
-    // buckets hashed under the old structure
+    // banding parameters and the artifact SET are part of the artifact
+    // identity: retuning the banding or adding a table must rebuild the
+    // sem tree (and only it), not silently serve buckets hashed under
+    // the old structure or a tree missing the new table (set2: +
+    // base_sem_clusters_prod)
     val fp = fingerprint(s, sfDir, table = "embeddings") +
-      s":b$SemPlanes/$SemBands/$SemSeed"
+      s":b$SemPlanes/$SemBands/$SemSeed:set2"
     val fs = new Path(root(sfDir))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val meta = new Path(semMetaPath(sfDir))
     if (readMeta(fs, meta).contains(fp)) return
     for (d <- Seq(semPairsPath(sfDir), baseSemPairsPath(sfDir),
         baseSemClustersPath(sfDir), semBandedPath(sfDir),
-        semPairsProdPath(sfDir), baseSemPairsProdPath(sfDir))) {
+        semPairsProdPath(sfDir), baseSemPairsProdPath(sfDir),
+        baseSemClustersProdPath(sfDir))) {
       val p = new Path(d)
       if (fs.exists(p)) fs.delete(p, true)
     }
@@ -466,6 +470,15 @@ object DedupArtifacts {
     s.read.parquet(semPairsProdPath(sfDir))
       .filter(!isDelta(col("id_i")) && !isDelta(col("id_j")))
       .write.parquet(baseSemPairsProdPath(sfDir))
+    // "yesterday's run" for the banded incremental cluster demo (q163):
+    // components over the base-internal production pair set — the
+    // production twin of base_sem_clusters
+    graft.operators.Components.connectedComponents(
+        corpusP.filter(!isDelta(col("vec_id"))).select(col("vec_id").as("id")),
+        s.read.parquet(baseSemPairsProdPath(sfDir))
+          .select(col("id_i").as("src"), col("id_j").as("dst")))
+      .select(col("id").as("vec_id"), col("comp").as("cluster_rep"))
+      .write.parquet(baseSemClustersProdPath(sfDir))
     writeMeta(fs, meta, fp)
   }
 
@@ -530,6 +543,14 @@ object DedupArtifacts {
   def baseSemPairsProd(s: SparkSession, sfDir: String): DataFrame = {
     prepareSem(s, sfDir)
     s.read.parquet(baseSemPairsProdPath(sfDir))
+  }
+
+  /** The base subset's production-threshold cluster assignment
+    * (vec_id, cluster_rep) — the persisted state q163's banded
+    * incremental cluster merge starts from. */
+  def baseSemClustersProd(s: SparkSession, sfDir: String): DataFrame = {
+    prepareSem(s, sfDir)
+    s.read.parquet(baseSemClustersProdPath(sfDir))
   }
 
   /** The base subset's cluster assignment (doc_id, cluster_rep) — the

@@ -566,7 +566,14 @@ object SimilarityQueries extends QueryModule {
     * are disjoint by endpoint parity, so the union needs no distinct.
     * Per-batch cost is bounded by the delta's bucket neighborhoods,
     * never |base| — the property the 30x-organic probe row records. */
-  private def q161BandedIncrSemPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Today's NEW production-threshold pairs from the persisted banded
+    * index — the delta's cross (broadcast probe of the base's buckets)
+    * plus delta-internal (the delta's own banded self-join), exact-
+    * cosine verified on candidates only. Shared by q161 (pair
+    * maintenance) and q163 (cluster maintenance) so the two twins can
+    * never diverge in what "today's work" means. The two sets are
+    * disjoint by endpoint parity and each internally distinct. */
+  private def bandedSemNewPairs(s: SparkSession, dir: String): DataFrame = {
     val DA = graft.dedup.DedupArtifacts
     val corpus = plantedCorpus(s, dir)
     val isDelta = col("vec_id") % DA.DeltaMod === DA.DeltaRem
@@ -577,18 +584,66 @@ object SimilarityQueries extends QueryModule {
     val internal = Ann.verifyCosinePairs(
       Ann.selfCandidatesFromBanded(banded.filter(isDelta)),
       corpus.filter(isDelta), DA.SemProdThreshold, broadcastCand = true)
-    DA.baseSemPairsProd(s, dir).unionByName(cross).unionByName(internal)
+    cross.unionByName(internal)
   }
+
+  private def q161BandedIncrSemPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupArtifacts.baseSemPairsProd(s, dir)
+      .unionByName(bandedSemNewPairs(s, dir))
 
   // the oracle is q51's FULL-RECOMPUTE O(n^2) at the production
   // threshold: the banded incremental path must hash-match recomputing
   // the complete pair set from scratch
   private val q161Sql = q51Sql
 
+  /** BANDED INCREMENTAL SEMANTIC CLUSTER MAINTENANCE — q158's
+    * production twin, completing the twin symmetry for the cluster
+    * quadrant (text q142 and media q154 already merge from banded
+    * candidates; the semantic quadrant's cluster merge was still
+    * brute-force): merge today's embedding batch into yesterday's
+    * persisted PRODUCTION-threshold cluster assignment
+    * (`base_sem_clusters_prod`) via the same
+    * [[DedupQueries.mergeAssignments]] label contraction, with today's
+    * new pairs coming from the persisted banded index
+    * ([[bandedSemNewPairs]]) instead of re-scoring the base. The
+    * contraction graph is bounded by the new pair count; the oracle is
+    * the FULL-RECOMPUTE transitive closure over the exact cosine pair
+    * set at the production threshold — incremental banded must
+    * hash-match from-scratch. */
+  private def q163BandedIncrSemClusters(s: SparkSession, dir: String): DataFrame = {
+    val DA = graft.dedup.DedupArtifacts
+    DedupQueries.mergeAssignments(
+        plantedCorpus(s, dir).select(col("vec_id").as("doc_id")),
+        DA.baseSemClustersProd(s, dir)
+          .select(col("vec_id").as("doc_id"), col("cluster_rep")),
+        bandedSemNewPairs(s, dir)
+          .select(col("id_i").as("doc_i"), col("id_j").as("doc_j")))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+  }
+
+  private val q163Sql =
+    s"""WITH RECURSIVE corpus AS (
+      |  $plantedCorpusSql
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |  WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) >= 0.9),
+      |edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |reach AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM corpus
+      |  UNION
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
+      |SELECT id AS vec_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q28_embed_neardup", q28EmbedNearDup, Some(q28Sql)),
     Q("q157_incr_sem_pairs", q157IncrSemPairs, Some(q157Sql)),
     Q("q161_banded_incr_sem_pairs", q161BandedIncrSemPairs, Some(q161Sql)),
+    Q("q163_banded_incr_sem_clusters", q163BandedIncrSemClusters, Some(q163Sql)),
     Q("q158_incr_sem_clusters", q158IncrSemClusters, Some(q158Sql)),
     Q("q130_int8_quant", q130Int8Quant, Some(q130Sql)),
     Q("q123_pq_codes", q123PqCodes, Some(q123Sql)),

@@ -358,6 +358,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the delta probe and candidate verify must broadcast the batch-bounded side:\n$p")
   }
 
+  test("banded incremental semantic clusters: no nested loop, contraction graph broadcast back") {
+    val p = plan(SparkEntry.queries("q163_banded_incr_sem_clusters")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded cluster maintenance must never plan a nested loop / cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the merged label mapping must broadcast back onto the corpus:\n$p")
+  }
+
   test("table checksum is a join-free map into one pre-combined aggregate") {
     val p = plan(SparkEntry.queries("q110_table_checksum")(spark, sfDir))
     assert(!p.contains("Join"), s"a table checksum must not join:\n$p")
