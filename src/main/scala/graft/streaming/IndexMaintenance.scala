@@ -41,4 +41,45 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming maintenance of the IVF ANN index — the vector twin of
+    * [[runAvailableNow]]: new embedding files stream in, and each
+    * micro-batch delta-assigns its vectors under the index's PERSISTED
+    * centroids and appends them gen-stamped
+    * (`AnnIndex.appendIvf` — map-only, no retrain, no base re-scan).
+    * The first batch against a missing index trains and builds it.
+    *
+    * Exactly-once composition: a replayed batch after a crash appends a
+    * duplicate generation for the same ids, and the index's live view
+    * resolves per-id to the latest generation with identical content
+    * (assignment under a fixed model is a pure function) — so replays
+    * are CONTENT-idempotent without any dedup state in the stream
+    * (AnnIndexSpec pins upsert semantics; StreamingIndexSpec pins
+    * stream-built ≡ batch-built). Compaction on staleness stays a
+    * batch-side decision (`AnnIndex.compactIvf`), exactly like postings
+    * compaction. */
+  def runIvfAvailableNow(
+      spark: SparkSession,
+      vecDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16): StreamingQuery = {
+    val schema = spark.read.parquet(vecDir).schema
+    val stream = spark.readStream.schema(schema).parquet(vecDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+        val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        if (!exists)
+          graft.similarity.AnnIndex.buildIvf(batch, indexDir, idCol, vecCol, nlist)
+        else
+          graft.similarity.AnnIndex.appendIvf(batch, indexDir, idCol, vecCol)
+        logInfo(s"IndexMaintenance IVF batch $batchId: ${if (exists) "append" else "build"}")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

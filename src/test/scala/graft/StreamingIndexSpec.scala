@@ -125,4 +125,37 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(found2.select("id").as[Long].collect().toSet == Set(9L))
     assert(report2.fallbackFiles == 0)
   }
+
+  test("AvailableNow IVF maintenance: stream-built index equals the batch build+append") {
+    import graft.similarity.AnnIndex
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val isDelta = col("vec_id") % 7 === 6
+    // base arrives first, the delta batch later — two AvailableNow runs
+    // over ONE shared checkpoint, so the second run processes exactly
+    // the newly-arrived file (build micro-batch, then append
+    // micro-batch), the postings-maintenance pattern above
+    val vecDir = s"$work/ivf_vecs"
+    emb.filter(!isDelta).coalesce(1).write.parquet(vecDir)
+    val streamIdx = s"$work/ivf_stream_idx"
+    val q1 = IndexMaintenance.runIvfAvailableNow(
+      spark, vecDir, streamIdx, s"$work/ivf_ckpt")
+    q1.awaitTermination()
+    emb.filter(isDelta).coalesce(1).write.mode("append").parquet(vecDir)
+    val q2 = IndexMaintenance.runIvfAvailableNow(
+      spark, vecDir, streamIdx, s"$work/ivf_ckpt")
+    q2.awaitTermination()
+    // batch comparator: the same base build + delta append run directly
+    val batchIdx = s"$work/ivf_batch_idx"
+    AnnIndex.buildIvf(emb.filter(!isDelta), batchIdx)
+    AnnIndex.appendIvf(emb.filter(isDelta), batchIdx)
+    def live(idx: String): Set[(Long, Long)] =
+      AnnIndex.ivfAssignments(spark, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = live(streamIdx)
+    val s2 = live(batchIdx)
+    assert(s1 == s2,
+      s"stream/batch index diverged: ${(s1 -- s2).take(3)} / ${(s2 -- s1).take(3)}")
+    assert(s1.size == emb.count(), "every vector assigned exactly once")
+  }
 }
