@@ -364,6 +364,59 @@ class DedupArtifactsSpec extends AnyFunSuite {
       "second semantic delta batch diverged from the full recompute")
   }
 
+  test("BANDED semantic incremental merge composes across two successive delta batches") {
+    // the q161/q163 PRODUCTION machinery (persisted banded index,
+    // candidates from (band, bucket), exact-cosine verify) must compose
+    // across days exactly like the brute kernels above — the planted
+    // 0.9 regime, where the pigeonhole budget makes the banded pair set
+    // exact
+    import spark.implicits._
+    val DA = DedupArtifacts
+    val t = DA.SemProdThreshold
+    val emb = DA.plantedEmbeddings(spark, sfDir)
+      .localCheckpoint(eager = true)
+    val banded = graft.similarity.Ann.bandedSignatures(
+        emb, nPlanes = DA.SemPlanes, bands = DA.SemBands, seed = DA.SemSeed)
+      .localCheckpoint(eager = true)
+    def res(r: Long) = col("vec_id") % DA.DeltaMod === r
+
+    def fullClusters(cond: org.apache.spark.sql.Column) = {
+      val sub = emb.filter(cond)
+      Components.connectedComponents(
+          sub.select(col("vec_id").as("id")),
+          graft.similarity.Ann.cosineNearDupPairs(sub, t)
+            .select(col("id_i").as("src"), col("id_j").as("dst")))
+        .select(col("id").as("vec_id"), col("comp").as("cluster_rep"))
+    }
+    def pairsFor(cond: org.apache.spark.sql.Column,
+        isDelta: org.apache.spark.sql.Column) = {
+      val b = banded.filter(cond)
+      graft.similarity.Ann.verifyCosinePairs(
+          graft.similarity.Ann.crossCandidatesFromBanded(b, isDelta)
+            .unionByName(graft.similarity.Ann.selfCandidatesFromBanded(
+              b.filter(isDelta))),
+          emb.filter(cond), t, broadcastCand = true)
+        .select(col("id_i").as("doc_i"), col("id_j").as("doc_j"))
+    }
+
+    val base0Cond = !res(5) && !res(6)
+    val assign0 = fullClusters(base0Cond)
+      .select(col("vec_id").as("doc_id"), col("cluster_rep"))
+    val u1Cond = !res(6)
+    val a1 = graft.operators.DedupQueries.mergeAssignments(
+        emb.filter(u1Cond).select(col("vec_id").as("doc_id")),
+        assign0, pairsFor(u1Cond, res(5)))
+      .localCheckpoint(eager = true)
+    val full1 = fullClusters(u1Cond).as[(Long, Long)].collect().toSet
+    assert(a1.as[(Long, Long)].collect().toSet == full1,
+      "first banded semantic delta batch diverged from the full recompute")
+    val a2 = graft.operators.DedupQueries.mergeAssignments(
+      emb.select(col("vec_id").as("doc_id")), a1, pairsFor(lit(true), res(6)))
+    val full2 = fullClusters(lit(true)).as[(Long, Long)].collect().toSet
+    assert(a2.as[(Long, Long)].collect().toSet == full2,
+      "second banded semantic delta batch diverged from the full recompute")
+  }
+
   test("bandedCrossCandidates keeps (id, sim) correspondence after normalization") {
     import spark.implicits._
     val fp = DedupArtifacts.phashes(spark, sfDir)

@@ -356,6 +356,11 @@ class PlanShapeSpec extends AnyFunSuite {
       s"banded maintenance must never plan a nested loop / cross product:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the delta probe and candidate verify must broadcast the batch-bounded side:\n$p")
+    // every join side that isn't the (streaming) base/corpus is bounded
+    // by the delta's bucket neighborhoods, so NOTHING may shuffle for a
+    // join — the only exchanges are the two candidate distincts
+    assert(!p.contains("SortMergeJoin"),
+      s"no join in the banded pair merge may shuffle both sides:\n$p")
   }
 
   test("banded incremental semantic clusters: no nested loop, contraction graph broadcast back") {
