@@ -487,9 +487,23 @@ object Bench {
       val mergedScans: Map[String, (Long, Long)] =
         prevFull.collect { case (n, e) if e.scan.isDefined => n -> e.scan.get } ++
           scanRows
+      val resMap = results.toMap
       java.nio.file.Files.write(hist,
         merged.toSeq.sortBy(_._1).map { case (n, t) =>
-          val d = digests.get(n).orElse(prevFull.get(n).flatMap(_.digest))
+          val d = prevFull.get(n) match {
+            // pre-epoch line (no recorded digest): adopt this run's
+            // digest ONLY when this run set (or matched) the floor —
+            // a floor measured under an unknown older plan must stay
+            // epoch-less ("-") rather than be silently stamped into the
+            // current epoch, so a later evidenced mismatch can still
+            // reset it
+            case Some(e) if e.digest.isEmpty =>
+              resMap.get(n) match {
+                case Some(rt) if rt >= 0 && rt <= e.t => digests.get(n)
+                case _ => None
+              }
+            case _ => digests.get(n).orElse(prevFull.get(n).flatMap(_.digest))
+          }
           val base = s"$n $t ${d.getOrElse("-")}"
           mergedScans.get(n).fold(base) { case (sc, q) => s"$base $sc $q" }
         }.mkString("\n")

@@ -149,8 +149,15 @@ object ScaleProbe {
             val idx = s"$d/ivf_index"
             val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
             val isDelta = col("vec_id") % 7 === 6
-            val p = new org.apache.hadoop.fs.Path(idx)
-            if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+            // completeness comes from the meta marker (a legacy/partial
+            // tree reports incomplete and rebuilds — the flat layout
+            // cannot be appended to). The warm run RE-appends the same
+            // delta ids, so newIds stays false (an honest upsert) and
+            // the view exercises latest-gen resolution; the gen counter
+            // itself is now an O(1) meta read either way. Row counts
+            // stay stable across runs, keeping recorded floors
+            // comparable.
+            if (!graft.similarity.AnnIndex.isComplete(s, idx))
               graft.similarity.AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
             graft.similarity.AnnIndex.appendIvf(emb.filter(isDelta), idx)
             graft.similarity.AnnIndex.ivfAssignments(s, idx)

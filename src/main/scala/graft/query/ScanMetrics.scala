@@ -99,8 +99,16 @@ object ScanMetrics {
   private val useCounter = new java.util.concurrent.atomic.AtomicLong
   private val issuedCounts = new ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Run `f` with pruned-scan observation enabled under `label`. */
+  /** Run `f` with pruned-scan observation enabled under `label`.
+    * Starts CLEAN: any leftover pairs a previous pass under the same
+    * label published after its drain deadline (drain keeps partial
+    * pairs on purpose) are discarded here — labels are reused across
+    * bench passes within one JVM, and a stale completed pair from the
+    * last pass would otherwise be summed into this pass's drain,
+    * inflating its counters. */
   def withObservation[T](label: String)(f: => T): T = {
+    results.keySet.removeIf(k => k == label || k.startsWith(label + "#"))
+    issuedCounts.remove(label)
     observeLabel.set(label)
     try f finally observeLabel.remove()
   }

@@ -49,15 +49,24 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
     * (`AnnIndex.appendIvf` — map-only, no retrain, no base re-scan).
     * The first batch against a missing index trains and builds it.
     *
-    * Exactly-once composition: a replayed batch after a crash appends a
-    * duplicate generation for the same ids, and the index's live view
-    * resolves per-id to the latest generation with identical content
-    * (assignment under a fixed model is a pure function) — so replays
-    * are CONTENT-idempotent without any dedup state in the stream
-    * (AnnIndexSpec pins upsert semantics; StreamingIndexSpec pins
-    * stream-built ≡ batch-built). Compaction on staleness stays a
-    * batch-side decision (`AnnIndex.compactIvf`), exactly like postings
-    * compaction. */
+    * Exactly-once composition, crash case by crash case:
+    *  - build-vs-append is decided by `AnnIndex.isComplete` — the
+    *    `_INDEX_META` completion marker buildIvf writes LAST — so a
+    *    crash between the centroid and assignment writes replays as a
+    *    BUILD (which deletes the partial tree first), never as an
+    *    append onto missing state;
+    *  - a batch already recorded in the meta (`lastAppliedBatch`)
+    *    replays as a no-op — the checkpoint committed after the meta,
+    *    so a recorded batch is fully applied;
+    *  - a crash between the gen-dir append and the meta update replays
+    *    the append into the SAME reserved generation directory with
+    *    overwrite semantics — file-idempotent, no duplicate rows.
+    * `assumeNewIds = true` declares the stream's ids new by
+    * construction (dated ingest files — the common case), which keeps
+    * the index append-only and its live views plain reads; the default
+    * conservatively routes readers through upsert resolution.
+    * Compaction on staleness stays a batch-side decision
+    * (`AnnIndex.compactIvf`), exactly like postings compaction. */
   def runIvfAvailableNow(
       spark: SparkSession,
       vecDir: String,
@@ -65,18 +74,23 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       checkpointDir: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      nlist: Int = 16): StreamingQuery = {
+      nlist: Int = 16,
+      assumeNewIds: Boolean = false): StreamingQuery = {
     val schema = spark.read.parquet(vecDir).schema
     val stream = spark.readStream.schema(schema).parquet(vecDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val p = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
-        val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        if (!exists)
-          graft.similarity.AnnIndex.buildIvf(batch, indexDir, idCol, vecCol, nlist)
-        else
-          graft.similarity.AnnIndex.appendIvf(batch, indexDir, idCol, vecCol)
-        logInfo(s"IndexMaintenance IVF batch $batchId: ${if (exists) "append" else "build"}")
+        val AI = graft.similarity.AnnIndex
+        if (!AI.isComplete(spark, indexDir)) {
+          AI.buildIvf(batch, indexDir, idCol, vecCol, nlist, batchId = batchId)
+          logInfo(s"IndexMaintenance IVF batch $batchId: build")
+        } else if (batchId <= AI.lastAppliedBatch(spark, indexDir)) {
+          logInfo(s"IndexMaintenance IVF batch $batchId: replay, skipped")
+        } else {
+          AI.appendIvf(batch, indexDir, idCol, vecCol,
+            newIds = assumeNewIds, batchId = batchId)
+          logInfo(s"IndexMaintenance IVF batch $batchId: append")
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -110,6 +110,154 @@ class AnnIndexSpec extends AnyFunSuite {
       s"q45's floor (4 of 5) must hold on the maintained index: $hits")
   }
 
+  /** Files actually read by an executed scan (post-action metric). The
+    * probe plans are exchange-free (scan + filter), so the scans stay
+    * leaves — no AQE wrapper in between. */
+  private def scanStats(df: DataFrame): (Long, Long) = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    (scans.map(_.metrics("numFiles").value).sum,
+      scans.map(_.metrics("numOutputRows").value).sum)
+  }
+
+  test("durability: the meta marker is written last, and a partial tree reports incomplete") {
+    val idx = s"$work/ivf_partial"
+    assert(!AnnIndex.isComplete(spark, idx), "missing index must report incomplete")
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+    assert(AnnIndex.isComplete(spark, idx))
+    // simulate a crash between the data writes and the meta write:
+    // delete the marker — the index must stop claiming completeness and
+    // REFUSE appends (a partial tree rebuilds, it is never appended to)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_INDEX_META"), false)
+    assert(!AnnIndex.isComplete(spark, idx),
+      "post-crash partial tree must report incomplete")
+    intercept[IllegalStateException] {
+      AnnIndex.appendIvf(emb.filter(isDelta), idx)
+    }
+    // and a rebuild recovers cleanly over the partial state
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+    assert(AnnIndex.isComplete(spark, idx))
+  }
+
+  test("streaming replay: a batch recorded in the meta is fully applied; a crashed append replays into the same gen") {
+    import spark.implicits._
+    val idx = s"$work/ivf_replay"
+    val base = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.buildIvf(base, idx, nlist = 2, lloydIters = 0, batchId = 0L)
+    assert(AnnIndex.lastAppliedBatch(spark, idx) == 0L)
+    val delta = Seq((3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    AnnIndex.appendIvf(delta, idx, newIds = true, batchId = 1L)
+    assert(AnnIndex.lastAppliedBatch(spark, idx) == 1L)
+    // crash-between-append-and-meta: replaying the SAME delta re-reserves
+    // the same generation and overwrites it — appending it again (as a
+    // foreachBatch replay would after a meta-less crash) must not
+    // duplicate rows in the plain (append-only) live view beyond the one
+    // extra gen it writes; simulate by rolling the meta's gen back
+    val before = AnnIndex.ivfAssignments(spark, idx).count()
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(s"$idx/_INDEX_META")
+    val out = fs.create(metaP, true)
+    out.write("gen=1;plain=true;batch=0".getBytes); out.close()
+    AnnIndex.appendIvf(delta, idx, newIds = true, batchId = 1L) // the replay
+    assert(AnnIndex.ivfAssignments(spark, idx).count() == before,
+      "replayed append must overwrite its gen dir, not duplicate rows")
+    assert(AnnIndex.lastAppliedBatch(spark, idx) == 1L)
+  }
+
+  test("append-only live view is a PLAIN read (no shuffle) and equals the reduce view") {
+    val idx = s"$work/ivf_plain"
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+    AnnIndex.appendIvf(emb.filter(isDelta), idx, newIds = true)
+    val plainView = AnnIndex.ivfAssignments(spark, idx)
+    assert(!plainView.queryExecution.executedPlan.toString.contains("Exchange"),
+      "append-only history must serve a plain read — no latest-gen shuffle")
+    // and the plain view is exactly what the upsert-resolving reduce
+    // would produce (the reduce is the identity on append-only history)
+    val rows = rows3(plainView.select(col("vec_id"), col("cell"), lit(0L)))
+    val idx2 = s"$work/ivf_plain_cmp"
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx2, nlist = 16)
+    AnnIndex.appendIvf(emb.filter(isDelta), idx2) // undeclared: reduce path
+    assert(AnnIndex.ivfAssignments(spark, idx2)
+      .queryExecution.executedPlan.toString.contains("Exchange"),
+      "undeclared append must route readers through upsert resolution")
+    val reduced = rows3(AnnIndex.ivfAssignments(spark, idx2)
+      .select(col("vec_id"), col("cell"), lit(0L)))
+    assert(rows == reduced)
+  }
+
+  test("IVF probe prunes to the probe cells' partitions (append-only), files measured") {
+    val idx = s"$work/ivf_prune"
+    AnnIndex.buildIvf(emb, idx, nlist = 16)
+    val (allFiles, allRows) = scanStats(AnnIndex.ivfAssignments(spark, idx))
+    val someCells = Seq(0L, 3L)
+    val (prunedFiles, prunedRows) =
+      scanStats(AnnIndex.ivfAssignments(spark, idx, cells = Some(someCells)))
+    assert(prunedFiles < allFiles,
+      s"cell partition pruning must skip files: $prunedFiles of $allFiles read")
+    assert(prunedRows < allRows)
+    // pruned read ≡ filtered full read
+    val full = AnnIndex.ivfAssignments(spark, idx)
+      .filter(col("cell").isin(someCells: _*))
+    assert(rows3(AnnIndex.ivfAssignments(spark, idx, cells = Some(someCells))
+        .select(col("vec_id"), col("cell"), lit(0L))) ==
+      rows3(full.select(col("vec_id"), col("cell"), lit(0L))))
+  }
+
+  test("upsert + probe: pruning applies AFTER latest-gen resolution (no resurrected rows)") {
+    import spark.implicits._
+    val idx = s"$work/ivf_upsert_prune"
+    val base = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.buildIvf(base, idx, nlist = 2, lloydIters = 0)
+    val oldCellOf2 = AnnIndex.ivfAssignments(spark, idx)
+      .filter(col("vec_id") === 2L).head().getLong(1)
+    // id 2 re-ingested into (presumably) another cell's direction
+    AnnIndex.appendIvf(
+      Seq((2L, Array(0.9f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding"), idx)
+    val newCellOf2 = AnnIndex.ivfAssignments(spark, idx)
+      .filter(col("vec_id") === 2L).head().getLong(1)
+    assume(newCellOf2 != oldCellOf2, "fixture must move id 2 across cells")
+    // probing id 2's OLD cell must NOT resurrect its superseded row
+    val probed = AnnIndex.ivfAssignments(spark, idx, cells = Some(Seq(oldCellOf2)))
+      .filter(col("vec_id") === 2L).count()
+    assert(probed == 0L,
+      "superseded row resurrected: probe filter ran before gen resolution")
+  }
+
+  test("LSH probe skips non-matching buckets on the range-clustered layout, rows measured") {
+    val idx = s"$work/lsh_prune"
+    // 16-bit buckets (64 planes / 4 bands): a single query's ≤4 bucket
+    // values against ~2^16 — the high-selectivity regime where the
+    // range-clustered files' min-max stats must cut most row groups.
+    // Widen the range partitioning so the tiny fixture still yields
+    // enough files/row groups for skipping to be measurable (each file
+    // is one row group here).
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try AnnIndex.buildBanded(emb, idx, nPlanes = 64, bands = 4)
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val (_, allRows) = scanStats(AnnIndex.bandedRowsLive(spark, idx))
+    val someBuckets = AnnIndex.bandedRowsLive(spark, idx)
+      .filter(col("vec_id") === 0L).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    val probe = (someBuckets.map(_._1).toSeq.distinct,
+      someBuckets.map(_._2).toSeq.distinct)
+    val probeDf = AnnIndex.bandedRowsLive(spark, idx, probe = Some(probe))
+    assert(probeDf.queryExecution.executedPlan.toString.contains("In(bucket"),
+      "probe bucket IN-list must push to the parquet scan")
+    val (_, probedRows) = scanStats(probeDf)
+    assert(probedRows < allRows / 4,
+      s"bucket probe must skip most row groups: $probedRows of $allRows rows scanned")
+  }
+
   test("LSH: base-build + delta-append equals the full rebuild, and q30 reproduces exactly") {
     val idx = s"$work/lsh1"
     AnnIndex.buildBanded(emb.filter(!isDelta), idx, nPlanes = 16, bands = 8)
