@@ -157,6 +157,45 @@ object SimilarityQueries extends QueryModule {
       Ann.bruteForceTopK(emb, q, 5), minHits = 4)
   }
 
+  /** ANN THROUGH THE MAINTAINED IVF INDEX — q45's probe served from the
+    * PERSISTED `AnnIndex` lifecycle instead of an in-query build: the
+    * artifact (`AnnArtifacts`) carries a real maintenance history
+    * (gen-0 full build + a gen-1 re-ingest upsert of the standard delta
+    * batch), and the read path resolves the live view, prunes the
+    * assignment scan to the probe cells' partitions, and exactly
+    * reranks. Assignment under a fixed model is a pure function, so the
+    * resolved view is bit-identical to the from-scratch build and the
+    * oracle's recall bound (4 of 5, q45's) holds with the same
+    * determinism — this is what puts the maintained-index READ path
+    * under the DuckDB gate rather than only under specs. */
+  private def q164AnnIvfMaintained(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.ivfTopKFromIndex(
+        s, graft.similarity.AnnArtifacts.ivfDir(dir), emb, q, 5, nprobe = 8),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 4)
+  }
+
+  /** ANN THROUGH THE MAINTAINED BANDED LSH INDEX — q30's probe served
+    * from the persisted banded signature table (same seeded planes,
+    * same candidate set): the query-side (band, bucket) keys push into
+    * the range-clustered artifact as a superset filter, so the probe
+    * skips non-matching buckets' row groups, and the exact rerank keeps
+    * the recall bound (2 of 5, q30's) oracle-checkable. */
+  private def q165AnnLshMaintained(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.lshTopKFromIndex(
+        s, graft.similarity.AnnArtifacts.lshDir(dir), emb, q, 5,
+        nPlanes = graft.similarity.AnnArtifacts.LshPlanes,
+        bands = graft.similarity.AnnArtifacts.LshBands),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
     * engine clusters the q51 planted-near-dup corpus with
     * [[Ann.semanticDedup]] (IVF cells, within-cell drop of close
@@ -655,5 +694,7 @@ object SimilarityQueries extends QueryModule {
     Q("q29_ann_bruteforce", q29AnnBruteForce, Some(q29Sql)),
     Q("q30_ann_lsh", q30AnnLsh, Some(recallSql(2))),
     Q("q45_ann_ivf", q45AnnIvf, Some(recallSql(4))),
+    Q("q164_ann_ivf_maintained", q164AnnIvfMaintained, Some(recallSql(4))),
+    Q("q165_ann_lsh_maintained", q165AnnLshMaintained, Some(recallSql(2))),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }
