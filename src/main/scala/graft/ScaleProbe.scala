@@ -162,6 +162,18 @@ object ScaleProbe {
             graft.similarity.AnnIndex.appendIvf(emb.filter(isDelta), idx)
             graft.similarity.AnnIndex.ivfAssignments(s, idx)
           }
+        // `sem_cand_probe` measures the BANDED CANDIDATE VOLUME of the
+        // q161/q163 delta probe (rows = candidate stream size, the cost
+        // driver of the banded incremental path) — the denominator is
+        // |base| x |delta| brute pairs, so the recorded row count IS the
+        // candidate-percentage scale argument at each factor
+        else if (name == "sem_cand_probe")
+          (s, d) => {
+            val DA = graft.dedup.DedupArtifacts
+            val isDelta = col("vec_id") % DA.DeltaMod === DA.DeltaRem
+            graft.similarity.Ann.crossCandidatesFromBanded(
+              DA.semBanded(s, d), isDelta)
+          }
         else SparkEntry.queries(name)
       val times = (1 to 2).map { i =>
         val t0 = System.nanoTime()

@@ -106,6 +106,72 @@ object Layout {
     }
   }
 
+  // ------------------------- (band, bucket) probe layout --------------
+
+  /** Directory fan-out for the banded candidate artifacts. At 100 TB
+    * this scales with the corpus (thousands); locally 64 keeps the
+    * directory count sane while a small probe still demonstrates real
+    * file skipping (K probe buckets touch ≤ K of the 64 dirs). */
+  val ProbePartitions = 64
+
+  /** Max driver-collected probe keys before [[pruneToProbe]] declines
+    * to prune — the broadcast-threshold analog: a day-scale delta's
+    * bucket neighborhood covers most directories anyway, so scanning
+    * all of them behind the map-side hash join is the right plan; the
+    * pruning pays for SMALL probes (streaming micro-batches, point
+    * lookups), which is exactly when it collapses the scan to a handful
+    * of directories. */
+  val ProbeKeyCap = 1024
+
+  /** Write a (.., band, bucket) table partitioned by
+    * `pb = pmod(bucket, ProbePartitions)` with bucket-sorted rows in
+    * each file: a probe's bucket set prunes to its matching `pb=`
+    * directories by EXACT catalyst partition pruning (works for any
+    * IN-list size, unlike parquet stats pushdown which degrades to a
+    * useless min-max range past the In-filter threshold), and the
+    * within-file bucket ordering gives tight row-group stats for the
+    * residual bucket filter. The reference analog is the index pinned
+    * to a fixed HashPartitioner on write and read so a point lookup
+    * touches one part file (`BlockIndexedFileInputFormat.java:419-431`).
+    * Readers get `pb` back as a partition column (int) after the data
+    * columns. */
+  def writeBucketDirs(df: DataFrame, path: String): Unit =
+    df.withColumn("pb",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("bucket"),
+          org.apache.spark.sql.functions.lit(ProbePartitions)).cast("int"))
+      // explicit count: an AQE-coalesced exchange would merge the
+      // writer tasks, which is harmless for dirs but loses the
+      // one-file-per-pb packing
+      .repartition(ProbePartitions, org.apache.spark.sql.functions.col("pb"))
+      .sortWithinPartitions("bucket")
+      .write.partitionBy("pb").parquet(path)
+
+  /** Prune `base` (a [[writeBucketDirs]]-layout table carrying `pb`) to
+    * the probe side's bucket neighborhoods: collect the probe's
+    * distinct buckets (cap-guarded) and filter base to their `pb`
+    * directories plus the exact bucket set. A SUPERSET filter — the
+    * caller's equi-join stays the correctness boundary — so the result
+    * is always exact. No-ops (and collects nothing) when base has no
+    * `pb` column (an in-query banded table) or the probe exceeds
+    * [[ProbeKeyCap]]. */
+  def pruneToProbe(base: DataFrame, probe: DataFrame,
+      cap: Int = ProbeKeyCap): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!base.columns.contains("pb")) base
+    else {
+      val keys = probe.select("bucket").distinct().limit(cap + 1)
+        .collect().map(_.getLong(0))
+      if (keys.isEmpty || keys.length > cap) base
+      else {
+        val pbs = keys
+          .map(b => (((b % ProbePartitions) + ProbePartitions) % ProbePartitions).toInt)
+          .distinct.toSeq
+        base.filter(col("pb").isin(pbs: _*) && col("bucket").isin(keys.toSeq: _*))
+      }
+    }
+  }
+
   /** length:mtime fingerprint of source paths, for [[ensureBucketed]].
     * Directories fingerprint every FILE in the tree recursively
     * (relative-path:len:mtime, hashed to one token): a directory's own

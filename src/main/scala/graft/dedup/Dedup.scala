@@ -446,13 +446,20 @@ object Dedup {
   /** Cross-set LSH candidates over a pre-built banded table: the probe
     * side (a delta batch, an eval set) BROADCASTS, so the corpus side
     * is consumed by a map-side hash join and never shuffles for
-    * candidate generation. Output normalized to doc_i < doc_j. */
-  def crossCandidatesFromBanded(banded: DataFrame, isProbe: Column): DataFrame =
-    broadcast(banded.filter(isProbe)).as("a")
-      .join(banded.filter(!isProbe).as("b"),
+    * candidate generation. On a `Layout.writeBucketDirs`-layout
+    * artifact, a cap-bounded probe also prunes the base scan to its
+    * bucket neighborhoods' `pb` directories (see
+    * `Ann.crossCandidatesFromBanded` — same policy, same no-op cases).
+    * Output normalized to doc_i < doc_j. */
+  def crossCandidatesFromBanded(banded: DataFrame, isProbe: Column): DataFrame = {
+    val probe = banded.filter(isProbe)
+    val base = graft.build.Layout.pruneToProbe(banded.filter(!isProbe), probe)
+    broadcast(probe).as("a")
+      .join(base.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_j"))
+  }
 
   /** MinHash+LSH near-dup pairs with mandatory exact-Jaccard
     * verification of candidates (approximation affects recall only). */

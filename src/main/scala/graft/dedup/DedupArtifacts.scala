@@ -152,8 +152,15 @@ object DedupArtifacts {
     *     planted corpus at the PRODUCTION parameters — the semantic
     *     candidate index, twin of the text `banded` table), sem_pairs
     *     _prod / base_sem_pairs_prod (the production-threshold pair set
-    *     and its base-subset filter — q161's persisted state). */
-  private[graft] val Version = 11
+    *     and its base-subset filter — q161's persisted state).
+    * v12: `banded` and `sem_banded` move to the `Layout.writeBucketDirs`
+    *     PHYSICAL layout (pb = pmod(bucket, 64) directories,
+    *     bucket-sorted files): the docstring claim "at 100 TB written
+    *     partitioned/bucketed" is now the on-disk truth, and a
+    *     cap-bounded probe join reads only its matching directories'
+    *     files (plan-asserted in DedupArtifactsSpec). Readers carry the
+    *     extra `pb` partition column. */
+  private[graft] val Version = 12
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -197,6 +204,8 @@ object DedupArtifacts {
   private def baseMediaClustersPath(sfDir: String) = s"${root(sfDir)}/base_media_clusters"
   private def shinglesTable(sfDir: String) =
     s"graft_shingles_${corpusKey(sfDir).replace('.', '_').replace('-', '_')}"
+  private def bucketedTableName(sfDir: String, what: String) =
+    s"graft_${what}_${corpusKey(sfDir).replace('.', '_').replace('-', '_')}"
 
   /** Source fingerprint: (relative-path, length, mtime) over every FILE
     * in the parquet directory tree, recursively — the directory's OWN
@@ -292,7 +301,8 @@ object DedupArtifacts {
     // rebuilding the table over that subset — which is what lets the
     // base-side build below and the q142 delta merge share them with
     // zero re-hashing.
-    Dedup.bandedTable(shArt, K, Bands).write.parquet(bandedPath(sfDir))
+    graft.build.Layout.writeBucketDirs(
+      Dedup.bandedTable(shArt, K, Bands), bandedPath(sfDir))
     Dedup.docSetTable(shArt).write.parquet(docSetsPath(sfDir))
     // the df cut (shingles in > MaxShingleFreq docs) — corpus-stable,
     // consumed by every overlap/cut report (q105) instead of
@@ -459,9 +469,10 @@ object DedupArtifacts {
     // — the production path proving itself at ingest), and the base
     // subset is a pure endpoint filter of it.
     val corpusP = plantedEmbeddings(s, sfDir)
-    graft.similarity.Ann.bandedSignatures(corpusP, "vec_id", "embedding",
-        SemPlanes, SemBands, SemSeed)
-      .write.parquet(semBandedPath(sfDir))
+    graft.build.Layout.writeBucketDirs(
+      graft.similarity.Ann.bandedSignatures(corpusP, "vec_id", "embedding",
+        SemPlanes, SemBands, SemSeed),
+      semBandedPath(sfDir))
     val bandedP = s.read.parquet(semBandedPath(sfDir))
     graft.similarity.Ann.verifyCosinePairs(
         graft.similarity.Ann.selfCandidatesFromBanded(bandedP),
@@ -489,10 +500,21 @@ object DedupArtifacts {
   }
 
   /** Cluster assignment (doc_id, cluster_rep); every document appears,
-    * singletons map to themselves. */
+    * singletons map to themselves. Served from a doc_id-BUCKETED
+    * catalog table (32 buckets, the shingle index's spec): every report
+    * join against a doc_id-co-bucketed table — at 100 TB, the corpus
+    * itself — is exchange-free on this side (BucketingSpec plan-asserts
+    * it against the bucketed shingle table). The plain parquet artifact
+    * stays the durable record; the bucketed copy is built once per
+    * (corpus fingerprint, Version) by `Layout.ensureBucketed` and
+    * re-declared across sessions. */
   def clusters(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
-    s.read.parquet(clustersPath(sfDir))
+    val t = bucketedTableName(sfDir, "clusters")
+    graft.build.Layout.ensureBucketed(
+      s.read.parquet(clustersPath(sfDir)), t, "doc_id", buckets = 32,
+      sourceFp = fingerprint(s, sfDir))
+    graft.build.Layout.read(s, t)
   }
 
   /** Hot-shingle-cut exact-Jaccard pairs (doc_i, doc_j), doc_i < doc_j. */
@@ -524,8 +546,10 @@ object DedupArtifacts {
   }
 
   /** The sign-LSH banded signature table over the planted corpus at
-    * the PRODUCTION parameters (vec_id, band, bucket) — the semantic
-    * candidate index q161 and the streaming semantic path probe. */
+    * the PRODUCTION parameters (vec_id, band, bucket, pb) — the
+    * semantic candidate index q161 and the streaming semantic path
+    * probe. `pb` is the `Layout.writeBucketDirs` directory column: a
+    * cap-bounded probe join reads only matching directories' files. */
   def semBanded(s: SparkSession, sfDir: String): DataFrame = {
     prepareSem(s, sfDir)
     s.read.parquet(semBandedPath(sfDir))
@@ -560,9 +584,12 @@ object DedupArtifacts {
     s.read.parquet(baseClustersPath(sfDir))
   }
 
-  /** The banded LSH bucket table (doc_id, band, bucket) — the persisted
-    * candidate-generation state. Per-doc rows: filtering to any doc
-    * subset equals rebuilding over that subset, so one table serves
+  /** The banded LSH bucket table (doc_id, band, bucket, pb) — the
+    * persisted candidate-generation state, in the
+    * `Layout.writeBucketDirs` physical layout (`pb` directories,
+    * bucket-sorted files) so a cap-bounded probe join reads only its
+    * matching directories. Per-doc rows: filtering to any doc subset
+    * equals rebuilding over that subset, so one table serves
     * full-corpus, base-side, and delta-side candidate joins. */
   def banded(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
@@ -607,10 +634,15 @@ object DedupArtifacts {
 
   /** Media cluster assignment (media_id, cluster_rep) — components over
     * [[phashPairs]]; every hashed media item appears, singletons map to
-    * themselves. */
+    * themselves. Bucketed by media_id, the media twin of [[clusters]]'
+    * layout. */
   def mediaClusters(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
-    s.read.parquet(mediaClustersPath(sfDir))
+    val t = bucketedTableName(sfDir, "media_clusters")
+    graft.build.Layout.ensureBucketed(
+      s.read.parquet(mediaClustersPath(sfDir)), t, "media_id", buckets = 32,
+      sourceFp = fingerprint(s, sfDir))
+    graft.build.Layout.read(s, t)
   }
 
   /** The base media subset's cluster assignment (media_id, cluster_rep)

@@ -385,20 +385,24 @@ object Ann {
       .select(idCol, "band", "bucket")
   }
 
-  /** Banded rows CARRYING the vector column — (idCol, vecCol, band,
-    * bucket) — with caller-supplied planes, so it stays streaming-safe
-    * (no action at plan-construction time; a streaming delta can band
-    * itself against a static base's planes). */
+  /** Banded rows CARRYING the vector column — (idCol, vecCol,
+    * extraCols..., band, bucket) — with caller-supplied planes, so it
+    * stays streaming-safe (no action at plan-construction time; a
+    * streaming delta can band itself against a static base's planes).
+    * `extraCols` ride along untouched (e.g. the event-time column a
+    * watermarked consumer must keep). */
   private[graft] def bandedRows(
       df: DataFrame, idCol: String, vecCol: String,
-      planes: Array[Array[Double]], bands: Int): DataFrame = {
+      planes: Array[Array[Double]], bands: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     require(planes.length % bands == 0)
     val rowsPerBand = planes.length / bands
+    val carried = extraCols.map(col)
     df.withColumn("__sig", signSignature(col(vecCol), planes))
-      .select(col(idCol), col(vecCol),
-        explode(array(bandStructs(col("__sig"), bands, rowsPerBand): _*)).as("bb"))
-      .select(col(idCol), col(vecCol),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col(idCol) +: col(vecCol) +: carried :+
+        explode(array(bandStructs(col("__sig"), bands, rowsPerBand): _*)).as("bb"): _*)
+      .select(col(idCol) +: col(vecCol) +: carried :+
+        col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
   }
 
   /** Candidate self-join over a persisted banded table: vectors sharing
@@ -415,15 +419,24 @@ object Ann {
     * (a delta ingest batch) BROADCASTS, so the corpus side is consumed
     * by a map-side hash join on (band, bucket) and NEVER scans beyond
     * its matching buckets — the scale fix for [[cosineCrossPairs]]'
-    * full-base evaluation. Output normalized to (id_i, id_j) =
-    * (min, max). */
+    * full-base evaluation. When the banded table carries the
+    * `Layout.writeBucketDirs` physical layout (`pb` directories), a
+    * cap-bounded probe additionally prunes the base SCAN to its bucket
+    * neighborhoods' directories — the files-read counterpart of the
+    * map-side join's rows-read bound (no-op for in-query banded tables
+    * and for day-scale deltas past the cap, where scanning all
+    * directories behind the hash join is the right plan). Output
+    * normalized to (id_i, id_j) = (min, max). */
   def crossCandidatesFromBanded(
-      banded: DataFrame, isProbe: Column, idCol: String = "vec_id"): DataFrame =
-    broadcast(banded.filter(isProbe)).as("a")
-      .join(banded.filter(!isProbe).as("b"),
+      banded: DataFrame, isProbe: Column, idCol: String = "vec_id"): DataFrame = {
+    val probe = banded.filter(isProbe)
+    val base = graft.build.Layout.pruneToProbe(banded.filter(!isProbe), probe)
+    broadcast(probe).as("a")
+      .join(base.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_i"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_j"))
+  }
 
   /** Exact-cosine verification of a candidate (id_i, id_j) stream —
     * the same dot/(na*nb)-in-doubles arithmetic as

@@ -306,15 +306,52 @@ object EventStreams {
       idCol: String, vecCol: String, threshold: Double,
       nPlanes: Int = graft.dedup.DedupArtifacts.SemPlanes,
       bands: Int = graft.dedup.DedupArtifacts.SemBands,
-      seed: Long = graft.dedup.DedupArtifacts.SemSeed): DataFrame = {
+      seed: Long = graft.dedup.DedupArtifacts.SemSeed): DataFrame =
+    semNearDupHits(vecs, baseEmb, baseBanded, idCol, vecCol, threshold,
+      nPlanes, bands, seed, carryCols = Nil)
+      .select("new_id", "base_id")
+      .dropDuplicates("new_id", "base_id")
+
+  /** The PRODUCTION form of [[semNearDupAgainstBase]]: the pair-key
+    * dedup state is BOUNDED by the stream's event-time watermark
+    * (`dropDuplicatesWithinWatermark`) instead of kept forever — the
+    * same contract [[dedupStream]] documents, now offered in code so
+    * the state bound is an overload, not prose. Multi-band hits of one
+    * pair arrive in the same micro-batch (they are projections of one
+    * input row), so any non-degenerate delay dedups them; the window
+    * only matters for a REPLAYED source re-emitting old rows, which is
+    * exactly what a watermark bounds. Output carries `tsCol` (the
+    * first-arrival event time) alongside the pair. */
+  def semNearDupAgainstBaseWithinWatermark(
+      vecs: DataFrame, baseEmb: DataFrame, baseBanded: DataFrame,
+      idCol: String, vecCol: String, tsCol: String, delay: String,
+      threshold: Double,
+      nPlanes: Int = graft.dedup.DedupArtifacts.SemPlanes,
+      bands: Int = graft.dedup.DedupArtifacts.SemBands,
+      seed: Long = graft.dedup.DedupArtifacts.SemSeed): DataFrame =
+    semNearDupHits(vecs.withWatermark(tsCol, delay), baseEmb, baseBanded,
+      idCol, vecCol, threshold, nPlanes, bands, seed, carryCols = Seq(tsCol))
+      .select("new_id", "base_id", tsCol)
+      .dropDuplicatesWithinWatermark("new_id", "base_id")
+
+  /** Shared un-deduped hit stream behind both overloads — one
+    * definition of "a qualifying (new, base) pair" so the plain and
+    * watermarked forms can never diverge in semantics, only in how the
+    * pair-key dedup state is bounded. */
+  private def semNearDupHits(
+      vecs: DataFrame, baseEmb: DataFrame, baseBanded: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nPlanes: Int, bands: Int, seed: Long,
+      carryCols: Seq[String]): DataFrame = {
     // dim comes from the STATIC base (one head() at plan construction —
     // the stream side must never need an action), so the stream bands
     // itself with exactly the base index's hyperplanes
     val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
     val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim, seed)
     val d = graft.similarity.Ann.bandedRows(
-        vecs.select(col(idCol).cast("long").as("new_id"), col(vecCol).as("vb")),
-        "new_id", "vb", planes, bands)
+        vecs.select(col(idCol).cast("long").as("new_id") +:
+          col(vecCol).as("vb") +: carryCols.map(col): _*),
+        "new_id", "vb", planes, bands, extraCols = carryCols)
       .withColumn("nb", graft.functions.Vectors.norm(col("vb")))
     val b = baseBanded.join(
         baseEmb.select(col("vec_id"), col("embedding").as("va"),
@@ -325,7 +362,5 @@ object EventStreams {
     d.join(b, Seq("band", "bucket"))
       .filter(graft.functions.Vectors.cosineFromNorms(
         col("va"), col("vb"), col("na"), col("nb")) >= threshold)
-      .select("new_id", "base_id")
-      .dropDuplicates("new_id", "base_id")
   }
 }

@@ -65,6 +65,28 @@ class BucketingSpec extends AnyFunSuite {
     assert(!aggPlan.contains("Exchange"), aggPlan)
   }
 
+  test("the bucketed cluster map joins a doc_id-co-bucketed table exchange-free") {
+    // the v12 accessor claim: DedupArtifacts.clusters is served from a
+    // doc_id-bucketed catalog table, so a join against any other
+    // doc_id-co-bucketed table (here the persisted shingle index; at
+    // 100 TB, the corpus itself) plans no Exchange on either side —
+    // the "exchange-free joins from every report" docstring is a plan
+    // assert, not prose
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val clusters = graft.dedup.DedupArtifacts.clusters(spark, sfDir)
+      val shingles = graft.dedup.DedupArtifacts.shingles(spark, sfDir)
+      val j = clusters.join(shingles, "doc_id")
+      j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"cluster-map join against a co-bucketed table must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("re-declaring a bucketed table over existing files keeps content and bucketing") {
     // the ensureBucketed cross-session path: a new JVM's catalog has
     // forgotten the table but the directory survives — CREATE TABLE ...

@@ -159,6 +159,7 @@ class DedupArtifactsSpec extends AnyFunSuite {
     val bandedFresh = Dedup.bandedTable(sh, DedupArtifacts.K, DedupArtifacts.Bands)
       .as[(Long, Int, Long)].collect().toSet
     val bandedArt = DedupArtifacts.banded(spark, sfDir)
+      .select("doc_id", "band", "bucket") // pb is the v12 layout column
       .as[(Long, Int, Long)].collect().toSet
     assert(bandedArt == bandedFresh)
     val setsFresh = Dedup.docSetTable(sh)
@@ -415,6 +416,52 @@ class DedupArtifactsSpec extends AnyFunSuite {
     val full2 = fullClusters(lit(true)).as[(Long, Long)].collect().toSet
     assert(a2.as[(Long, Long)].collect().toSet == full2,
       "second banded semantic delta batch diverged from the full recompute")
+  }
+
+  test("v12 layout: a cap-bounded probe join reads only its matching pb directories") {
+    import spark.implicits._
+    // small probe (3 docs' bucket neighborhoods) against the persisted
+    // text banded artifact: the pruned base scan must touch a strict
+    // subset of the pb= directories, and the candidate set must equal
+    // the unpruned join's (the filter is a superset of the join keys)
+    val banded = DedupArtifacts.banded(spark, sfDir)
+    val isProbe = col("doc_id") < 3
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val allFiles = filesRead(banded.filter(!isProbe))
+    val prunedBase = graft.build.Layout.pruneToProbe(
+      banded.filter(!isProbe), banded.filter(isProbe))
+    val prunedFiles = filesRead(prunedBase)
+    assert(prunedFiles < allFiles,
+      s"probe must prune pb directories: read $prunedFiles of $allFiles files")
+    // exactness: pruned candidate generation ≡ unpruned join
+    val pruned = Dedup.crossCandidatesFromBanded(banded, isProbe)
+      .as[(Long, Long)].collect().toSet
+    val unpruned = broadcast(banded.filter(isProbe)).as("a")
+      .join(banded.filter(!isProbe).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(least(col("a.doc_id"), col("b.doc_id")),
+        greatest(col("a.doc_id"), col("b.doc_id")))
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == unpruned)
+    // the sem artifact carries the same layout: same probe economics
+    val semBanded = DedupArtifacts.semBanded(spark, sfDir)
+    val semProbe = col("vec_id") < 3
+    val semAll = filesRead(semBanded.filter(!semProbe))
+    val semPruned = filesRead(graft.build.Layout.pruneToProbe(
+      semBanded.filter(!semProbe), semBanded.filter(semProbe)))
+    assert(semPruned < semAll,
+      s"sem probe must prune pb directories: read $semPruned of $semAll files")
+    // a probe past the cap declines to prune (no collect-driven filter)
+    val uncapped = graft.build.Layout.pruneToProbe(
+      banded.filter(!isProbe), banded.filter(isProbe), cap = 1)
+    assert(uncapped.columns.sameElements(banded.columns))
+    assert(filesRead(uncapped) == allFiles)
   }
 
   test("bandedCrossCandidates keeps (id, sim) correspondence after normalization") {

@@ -739,8 +739,12 @@ class PlanShapeSpec extends AnyFunSuite {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       // q122 materializes the artifact-derived histogram at build time
       // (eager checkpoint), so its final plan shows the checkpointed
-      // ExistingRDD rather than the artifact FileScan itself
-      assert(p.contains("graft_dedup") || p.contains("ExistingRDD"),
+      // ExistingRDD rather than the artifact FileScan itself; the
+      // cluster map is served from its doc_id-BUCKETED catalog table
+      // (graft_clusters_*, v12 layout) — still the persisted artifact,
+      // one bucketed copy removed from the parquet tree
+      assert(p.contains("graft_dedup") || p.contains("graft_clusters_") ||
+        p.contains("graft_media_clusters_") || p.contains("ExistingRDD"),
         s"$q must consume the persisted artifact:\n$p")
       assert(!p.contains("xxhash64"),
         s"$q must not re-hash shingles per report:\n$p")

@@ -369,6 +369,48 @@ class StreamingOpsSpec extends AnyFunSuite {
         s"only_exact=${(exact -- streamed).take(3)}")
     assert(streamed.nonEmpty, "the planted delta has semantic near-dups in the base")
   }
+
+  test("watermarked semantic near-dup overload equals the unbounded-state form") {
+    import graft.dedup.DedupArtifacts
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val t = DedupArtifacts.SemProdThreshold
+    val isDelta =
+      col("vec_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    val emb = DedupArtifacts.plantedEmbeddings(spark, sfDir)
+    val base = emb.filter(!isDelta)
+    val baseBanded = DedupArtifacts.semBanded(spark, sfDir).filter(!isDelta)
+    // the delta batch with an ingest event time — the column the
+    // production overload bounds its dedup state on
+    val src = s"$work/sem_neardup_wm_vecs"
+    emb.filter(isDelta)
+      .withColumn("ingest_ts", lit("2024-01-15 12:00:00").cast("timestamp"))
+      .write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = EventStreams.semNearDupAgainstBaseWithinWatermark(
+        stream, base, baseBanded, "vec_id", "embedding",
+        tsCol = "ingest_ts", delay = "1 hour", threshold = t)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_neardup_wm_out")
+      .option("checkpointLocation", s"$work/sem_neardup_wm_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sem_neardup_wm_out")
+      .select(least(col("new_id"), col("base_id")),
+        greatest(col("new_id"), col("base_id")))
+      .as[(Long, Long)].collect().toSet
+    // must equal the exact cross kernel like the plain overload (same
+    // hit stream; only the dedup-state bound differs)
+    val exact = graft.similarity.Ann.cosineCrossPairs(
+        base, emb.filter(isDelta), t)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == exact,
+      s"watermarked stream/exact diverged: only_stream=${(streamed -- exact).take(3)} " +
+        s"only_exact=${(exact -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
 }
 
 final case class UserSessionRow(user_id: Long, n_events: Long,
