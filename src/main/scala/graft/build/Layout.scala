@@ -148,22 +148,26 @@ object Layout {
       .write.partitionBy("pb").parquet(path)
 
   /** Prune `base` (a [[writeBucketDirs]]-layout table carrying `pb`) to
-    * the probe side's bucket neighborhoods: collect the probe's
-    * distinct buckets (cap-guarded) and filter base to their `pb`
-    * directories plus the exact bucket set. A SUPERSET filter — the
-    * caller's equi-join stays the correctness boundary — so the result
-    * is always exact. No-ops (and collects nothing) when base has no
-    * `pb` column (an in-query banded table) or the probe exceeds
-    * [[ProbeKeyCap]]. */
+    * the probe side's bucket neighborhoods: collect up to `cap`+1 of
+    * the probe's RAW bucket rows (a pushed-down limit — early-exit
+    * scan, no shuffle; dedup happens driver-side, so the plan-time cost
+    * of asking "is this probe small?" is reading at most cap+1 rows)
+    * and filter base to their `pb` directories plus the exact bucket
+    * set. A SUPERSET filter — the caller's equi-join stays the
+    * correctness boundary — so the result is always exact. No-ops (and
+    * collects nothing) when base has no `pb` column (an in-query banded
+    * table); declines when the probe carries more than `cap` raw rows
+    * (a day-scale delta — scanning all directories behind the map-side
+    * hash join is the right plan there). */
   def pruneToProbe(base: DataFrame, probe: DataFrame,
       cap: Int = ProbeKeyCap): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (!base.columns.contains("pb")) base
     else {
-      val keys = probe.select("bucket").distinct().limit(cap + 1)
-        .collect().map(_.getLong(0))
-      if (keys.isEmpty || keys.length > cap) base
+      val rows = probe.select("bucket").limit(cap + 1).collect()
+      if (rows.isEmpty || rows.length > cap) base
       else {
+        val keys = rows.map(_.getLong(0)).distinct
         val pbs = keys
           .map(b => (((b % ProbePartitions) + ProbePartitions) % ProbePartitions).toInt)
           .distinct.toSeq
