@@ -46,10 +46,14 @@ import org.apache.spark.sql.functions._
   * operator's semantics change, orphaning old layouts instead of
   * silently serving them.
   *
-  * At 100 TB the only change is the destination: `Layout.writeBucketed`
-  * by doc_id for the cluster map (exchange-free joins from every
-  * report) and a distributed filesystem path next to the corpus —
-  * the artifact shapes and the build plan are unchanged.
+  * The 100 TB physical layout is ON DISK, not prose (v12): the cluster
+  * maps are served from doc_id-bucketed catalog tables
+  * (`Layout.ensureBucketed` — exchange-free joins against any
+  * co-bucketed table, plan-asserted in BucketingSpec), and the banded
+  * candidate tables are written in `Layout.writeBucketDirs`'s
+  * pb-directory layout so a cap-bounded probe join reads only matching
+  * directories (measured in DedupArtifactsSpec). At larger scale only
+  * the destination path and the fan-out constants change.
   *
   * Measured full-chain ingest (organic-regime probes, local[32]):
   * ~14 s at 1x (5k docs), ~150 s at 30x (150k), 759.7 s at 100x

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * against the full corpus — one pass, no shuffle of the corpus, per-
   * partition top-k then a k-row merge. The LSH variant buckets the
   * corpus by signature so each query only scores its probe buckets;
-  * at 100 TB the bucketed table would be written out partitioned by
-  * signature prefix so repeated queries touch only matching files (the
-  * same skipping architecture as the sparse index).
+  * the PERSISTED forms ([[bandedSignatures]] under
+  * `Layout.writeBucketDirs`, `AnnIndex.buildBanded`'s range-clustered
+  * generations) put that on disk so repeated queries touch only
+  * matching files — the same skipping architecture as the sparse
+  * index, measured in DedupArtifactsSpec/AnnIndexSpec.
   */
 object Ann {
 
@@ -371,8 +373,10 @@ object Ann {
     * Rows are a PER-VECTOR property, so filtering the table to any id
     * subset equals rebuilding it over that subset: one table serves
     * full-corpus self-joins, base-side probe joins, and delta-side
-    * internal joins. At 100 TB it is written `partitionBy(band)` /
-    * bucketed by bucket next to the corpus. */
+    * internal joins. Persisted via `Layout.writeBucketDirs`
+    * (pb = pmod(bucket, N) directories, bucket-sorted files) so a
+    * cap-bounded probe reads only matching directories — see
+    * `DedupArtifacts.semBanded` for the artifact form. */
   def bandedSignatures(
       corpus: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       nPlanes: Int = 64, bands: Int = 8, seed: Long = 42L): DataFrame = {

@@ -297,10 +297,14 @@ object EventStreams {
     * `dropDuplicates` (production: `dropDuplicatesWithinWatermark`
     * bounds the state, as [[nearDupAgainstBase]] documents).
     *
-    * At 100 TB the banded artifact is bucketed by (band, bucket) next
-    * to the corpus, so each micro-batch's probe reads only matching
-    * buckets' files — the same skipping architecture as the sparse
-    * index, and the same persisted state the q161 batch merge probes. */
+    * The banded artifact ships in the `Layout.writeBucketDirs` layout
+    * (v12: pb directories, bucket-sorted files) — the same persisted
+    * state the q161 batch merge probes. This stateless form joins the
+    * whole artifact map-side (the stream's bucket set is unknown at
+    * plan time); a deployment that wants per-batch FILE skipping runs
+    * the batch kernel inside `foreachBatch`, where
+    * `Layout.pruneToProbe` cuts the scan to the micro-batch's bucket
+    * neighborhoods' directories. */
   def semNearDupAgainstBase(
       vecs: DataFrame, baseEmb: DataFrame, baseBanded: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
