@@ -207,8 +207,8 @@ object AnnIndex {
   def compactIvf(
       corpus: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, lloydIters: Int = 2): Unit =
-    buildIvf(corpus, indexDir, idCol, vecCol, nlist, lloydIters)
+      nlist: Int = 16, lloydIters: Int = 2, batchId: Long = -1L): Unit =
+    buildIvf(corpus, indexDir, idCol, vecCol, nlist, lloydIters, batchId)
 
   /** Fraction of live assignment rows that arrived by append (gen > 0)
     * — the drift signal a deployment compacts on. */

@@ -65,8 +65,17 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
     * construction (dated ingest files — the common case), which keeps
     * the index append-only and its live views plain reads; the default
     * conservatively routes readers through upsert resolution.
-    * Compaction on staleness stays a batch-side decision
-    * (`AnnIndex.compactIvf`), exactly like postings compaction. */
+    *
+    * `compactAt > 0` closes the lifecycle in-stream: after an append
+    * pushes [[graft.similarity.AnnIndex.staleness]] (the gen>0 live
+    * fraction) past the threshold, the index is retrained and rewritten
+    * at gen 0 over the corpus as currently present in `vecDir` — the
+    * drift-budget compaction FAISS deployments schedule out-of-band,
+    * here riding the same exactly-once batch bookkeeping (a crash
+    * mid-compact replays as a rebuild via the completion marker; a
+    * crash after it replays as a skipped batch). 0 (default) keeps
+    * compaction a batch-side decision (`AnnIndex.compactIvf`), exactly
+    * like postings compaction. */
   def runIvfAvailableNow(
       spark: SparkSession,
       vecDir: String,
@@ -75,7 +84,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nlist: Int = 16,
-      assumeNewIds: Boolean = false): StreamingQuery = {
+      assumeNewIds: Boolean = false,
+      compactAt: Double = 0.0): StreamingQuery = {
     val schema = spark.read.parquet(vecDir).schema
     val stream = spark.readStream.schema(schema).parquet(vecDir)
     stream.writeStream
@@ -90,6 +100,15 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
           AI.appendIvf(batch, indexDir, idCol, vecCol,
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance IVF batch $batchId: append")
+          if (compactAt > 0 && AI.staleness(spark, indexDir) >= compactAt) {
+            // retrain over the corpus as present NOW; buildIvf stamps
+            // the same batchId so a crash right after still skips the
+            // replay, and a crash mid-compact replays as a rebuild
+            // (the marker is gone until the rewrite completes)
+            AI.compactIvf(spark.read.parquet(vecDir), indexDir,
+              idCol, vecCol, nlist, batchId = batchId)
+            logInfo(s"IndexMaintenance IVF batch $batchId: compacted")
+          }
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -126,6 +126,37 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(report2.fallbackFiles == 0)
   }
 
+  test("AvailableNow IVF maintenance compacts in-stream once staleness crosses the budget") {
+    import graft.similarity.AnnIndex
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val isDelta = col("vec_id") % 7 === 6
+    val vecDir = s"$work/ivfc_vecs"
+    emb.filter(!isDelta).coalesce(1).write.parquet(vecDir)
+    val idx = s"$work/ivfc_idx"
+    // base batch: builds (staleness 0, no compact)
+    IndexMaintenance.runIvfAvailableNow(
+      spark, vecDir, idx, s"$work/ivfc_ckpt", compactAt = 0.1)
+      .awaitTermination()
+    assert(AnnIndex.staleness(spark, idx) == 0.0)
+    // delta batch: appends ~1/7 of the corpus, pushing staleness past
+    // the 0.1 budget -> the stream compacts back to one generation
+    emb.filter(isDelta).coalesce(1).write.mode("append").parquet(vecDir)
+    IndexMaintenance.runIvfAvailableNow(
+      spark, vecDir, idx, s"$work/ivfc_ckpt", compactAt = 0.1)
+      .awaitTermination()
+    assert(AnnIndex.staleness(spark, idx) == 0.0,
+      "post-compact index must be one generation")
+    // and the compacted index equals a from-scratch full build
+    val batchIdx = s"$work/ivfc_full"
+    AnnIndex.buildIvf(emb, batchIdx)
+    def live(d: String): Set[(Long, Long)] =
+      AnnIndex.ivfAssignments(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live(idx) == live(batchIdx),
+      "in-stream compaction diverged from the from-scratch build")
+  }
+
   test("AvailableNow IVF maintenance: stream-built index equals the batch build+append") {
     import graft.similarity.AnnIndex
     val sfDir = "/root/testdata/sf0.001"
