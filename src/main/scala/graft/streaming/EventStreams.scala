@@ -302,9 +302,10 @@ object EventStreams {
     * state the q161 batch merge probes. This stateless form joins the
     * whole artifact map-side (the stream's bucket set is unknown at
     * plan time); a deployment that wants per-batch FILE skipping runs
-    * the batch kernel inside `foreachBatch`, where
+    * [[semNearDupBatch]] inside `foreachBatch`, where
     * `Layout.pruneToProbe` cuts the scan to the micro-batch's bucket
-    * neighborhoods' directories. */
+    * neighborhoods' directories (files-read drop measured in
+    * StreamingOpsSpec). */
   def semNearDupAgainstBase(
       vecs: DataFrame, baseEmb: DataFrame, baseBanded: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
@@ -337,6 +338,51 @@ object EventStreams {
       idCol, vecCol, threshold, nPlanes, bands, seed, carryCols = Seq(tsCol))
       .select("new_id", "base_id", tsCol)
       .dropDuplicatesWithinWatermark("new_id", "base_id")
+
+  /** The foreachBatch FORM of the semantic near-dup probe — the shape a
+    * deployment uses when it wants per-batch FILE skipping on top of
+    * the stateless join's rows-read bound: each micro-batch is a plain
+    * DataFrame here, so its bucket neighborhoods CAN be collected and
+    * `Layout.pruneToProbe` cuts the banded-artifact scan to the
+    * matching `pb` directories before the join (the stream-static form
+    * cannot — the stream's buckets are unknown at plan time). Same
+    * kernel, same planes, same verify as [[semNearDupAgainstBase]]:
+    * StreamingOpsSpec pins foreachBatch ≡ stateless ≡ exact, and
+    * measures the files-read drop directly on this kernel.
+    *
+    * Usage: {{{
+    * stream.writeStream.foreachBatch { (batch, id) =>
+    *   EventStreams.semNearDupBatch(batch, baseEmb, baseBanded, ...)
+    *     .write.mode("append").parquet(out)
+    * }
+    * }}} */
+  def semNearDupBatch(
+      batch: DataFrame, baseEmb: DataFrame, baseBanded: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nPlanes: Int = graft.dedup.DedupArtifacts.SemPlanes,
+      bands: Int = graft.dedup.DedupArtifacts.SemBands,
+      seed: Long = graft.dedup.DedupArtifacts.SemSeed): DataFrame = {
+    val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
+    val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim, seed)
+    val d = graft.similarity.Ann.bandedRows(
+        batch.select(col(idCol).cast("long").as("new_id"), col(vecCol).as("vb")),
+        "new_id", "vb", planes, bands)
+      .withColumn("nb", graft.functions.Vectors.norm(col("vb")))
+    // prune FIRST (the artifact carries pb), join vectors after: the
+    // directory cut applies to the banded scan itself
+    val prunedBanded = graft.build.Layout.pruneToProbe(baseBanded, d)
+    val b = prunedBanded.join(
+        baseEmb.select(col("vec_id"), col("embedding").as("va"),
+          graft.functions.Vectors.norm(col("embedding")).as("na")),
+        "vec_id")
+      .select(col("vec_id").as("base_id"), col("va"), col("na"),
+        col("band"), col("bucket"))
+    d.join(b, Seq("band", "bucket"))
+      .filter(graft.functions.Vectors.cosineFromNorms(
+        col("va"), col("vb"), col("na"), col("nb")) >= threshold)
+      .select("new_id", "base_id")
+      .dropDuplicates("new_id", "base_id")
+  }
 
   /** Shared un-deduped hit stream behind both overloads — one
     * definition of "a qualifying (new, base) pair" so the plain and

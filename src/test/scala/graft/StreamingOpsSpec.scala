@@ -370,6 +370,70 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "the planted delta has semantic near-dups in the base")
   }
 
+  test("foreachBatch semantic kernel prunes the banded scan per batch and equals the exact set") {
+    import graft.dedup.DedupArtifacts
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val t = DedupArtifacts.SemProdThreshold
+    val isDelta =
+      col("vec_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    val emb = DedupArtifacts.plantedEmbeddings(spark, sfDir)
+    val base = emb.filter(!isDelta)
+    val baseBanded = DedupArtifacts.semBanded(spark, sfDir).filter(!isDelta)
+    // a SMALL micro-batch: its bucket neighborhoods must cut the
+    // banded-artifact scan to a strict subset of the pb directories
+    val batch = emb.filter(isDelta).limit(5)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.toString.contains("sem_banded") =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val allFiles = filesRead(baseBanded)
+    // measure on the pruned base directly (the kernel's own plan is
+    // AQE-wrapped, hiding its leaves) — same pruneToProbe call the
+    // kernel makes, same probe
+    val pruned = graft.build.Layout.pruneToProbe(baseBanded,
+      graft.similarity.Ann.bandedRows(
+        batch.select(col("vec_id").cast("long").as("new_id"),
+          col("embedding").as("vb")),
+        "new_id", "vb",
+        graft.similarity.Ann.hyperplanes(DedupArtifacts.SemPlanes,
+          base.select(size(col("embedding"))).head().getInt(0),
+          DedupArtifacts.SemSeed),
+        DedupArtifacts.SemBands))
+    assert(filesRead(pruned) < allFiles,
+      s"per-batch probe must prune pb dirs: ${filesRead(pruned)} of $allFiles")
+    // and the full-delta foreachBatch run equals the exact cross kernel
+    val src = s"$work/sem_neardup_fb_vecs"
+    emb.filter(isDelta).write.parquet(src)
+    val outDir = s"$work/sem_neardup_fb_out"
+    val q = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStreams.semNearDupBatch(
+            b, base, baseBanded, "vec_id", "embedding", t)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", s"$work/sem_neardup_fb_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select(least(col("new_id"), col("base_id")),
+        greatest(col("new_id"), col("base_id")))
+      .as[(Long, Long)].collect().toSet
+    val exact = graft.similarity.Ann.cosineCrossPairs(
+        base, emb.filter(isDelta), t)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == exact,
+      s"foreachBatch/exact diverged: only_stream=${(streamed -- exact).take(3)} " +
+        s"only_exact=${(exact -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("watermarked semantic near-dup overload equals the unbounded-state form") {
     import graft.dedup.DedupArtifacts
     import spark.implicits._
