@@ -274,13 +274,16 @@ object DedupArtifacts {
 
   /** Idempotent build: a matching meta fingerprint is a no-op; anything
     * else (absent, stale, partial) rebuilds the whole tree. Meta is
-    * written LAST, so a killed build never masquerades as complete. */
-  def prepare(s: SparkSession, sfDir: String): Unit = synchronized {
+    * written LAST, so a killed build never masquerades as complete.
+    * Returns the source fingerprint it computed, so accessors that need
+    * it (the bucketed cluster-map tables) don't pay a second recursive
+    * listing of the source tree per call. */
+  def prepare(s: SparkSession, sfDir: String): String = synchronized {
     val fp = fingerprint(s, sfDir)
     val rootPath = new Path(root(sfDir))
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val meta = new Path(metaPath(sfDir))
-    if (readMeta(fs, meta).contains(fp)) return
+    if (readMeta(fs, meta).contains(fp)) return fp
     // stale/partial: rebuild the document-derived artifacts (the sem
     // artifact has its own meta and source; clear it too only if the
     // whole root goes)
@@ -296,7 +299,7 @@ object DedupArtifacts {
     // consumer — the bucketed layout keeps them Exchange-free, exactly
     // the reference pinning its index partitioning on both write and
     // read sides (`io/TextLongPairWritable.java:134-142`).
-    ensureShingles(s, sfDir)
+    ensureShingles(s, sfDir, fp)
     val shArt = graft.build.Layout.read(s, shinglesTable(sfDir))
     // the banded LSH bucket table and the verification doc-set table —
     // the rest of the incremental pipeline's persisted state. Both are
@@ -421,6 +424,7 @@ object DedupArtifacts {
       .write.parquet(baseClustersPath(sfDir))
 
     writeMeta(fs, meta, fp)
+    fp
   }
 
   /** Build the embedding-cosine near-dup pair artifact (the q28 exact
@@ -513,11 +517,11 @@ object DedupArtifacts {
     * (corpus fingerprint, Version) by `Layout.ensureBucketed` and
     * re-declared across sessions. */
   def clusters(s: SparkSession, sfDir: String): DataFrame = {
-    prepare(s, sfDir)
+    val fp = prepare(s, sfDir)
     val t = bucketedTableName(sfDir, "clusters")
     graft.build.Layout.ensureBucketed(
       s.read.parquet(clustersPath(sfDir)), t, "doc_id", buckets = 32,
-      sourceFp = fingerprint(s, sfDir))
+      sourceFp = fp)
     graft.build.Layout.read(s, t)
   }
 
@@ -641,11 +645,11 @@ object DedupArtifacts {
     * themselves. Bucketed by media_id, the media twin of [[clusters]]'
     * layout. */
   def mediaClusters(s: SparkSession, sfDir: String): DataFrame = {
-    prepare(s, sfDir)
+    val fp = prepare(s, sfDir)
     val t = bucketedTableName(sfDir, "media_clusters")
     graft.build.Layout.ensureBucketed(
       s.read.parquet(mediaClustersPath(sfDir)), t, "media_id", buckets = 32,
-      sourceFp = fingerprint(s, sfDir))
+      sourceFp = fp)
     graft.build.Layout.read(s, t)
   }
 
@@ -661,18 +665,18 @@ object DedupArtifacts {
     * idempotent via Layout.ensureBucketed's own fingerprint; called on
     * every access because the catalog entry dies with the session while
     * the files persist). */
-  private def ensureShingles(s: SparkSession, sfDir: String): Unit =
+  private def ensureShingles(s: SparkSession, sfDir: String, fp: String): Unit =
     graft.build.Layout.ensureBucketed(
       Dedup.shingleTable(Tables.documents(s, sfDir), "doc_id", "text", N),
       shinglesTable(sfDir), "doc_id", buckets = 32,
-      sourceFp = fingerprint(s, sfDir))
+      sourceFp = fp)
 
   /** The persisted shingle index (doc_id, sh) — distinct n-shingles per
     * document as 64-bit hashes, bucketed by doc_id, the input every
     * pair build and overlap report starts from. */
   def shingles(s: SparkSession, sfDir: String): DataFrame = {
-    prepare(s, sfDir)
-    ensureShingles(s, sfDir)
+    val fp = prepare(s, sfDir)
+    ensureShingles(s, sfDir, fp)
     graft.build.Layout.read(s, shinglesTable(sfDir))
   }
 }

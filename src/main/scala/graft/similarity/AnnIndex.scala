@@ -108,11 +108,22 @@ object AnnIndex {
     }
   }
 
+  /** Meta writes are ATOMIC (temp file + overwrite-rename): an in-place
+    * create would truncate the old marker before the new bytes land, so
+    * a crash mid-write on an APPEND would destroy the completion marker
+    * of a perfectly intact index — and the next maintenance pass would
+    * treat it as partial and rebuild from one micro-batch. */
   private def writeMeta(s: SparkSession, dir: String, m: Meta): Unit = {
-    val out = fsOf(s, dir).create(new Path(metaPath(dir)), true)
+    val fs = fsOf(s, dir)
+    val tmp = new Path(metaPath(dir) + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"gen=${m.gen};plain=${m.appendOnly};batch=${m.batch}"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(metaPath(dir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Whether a COMPLETE index lives at `dir` — true only once the
@@ -203,12 +214,55 @@ object AnnIndex {
   /** Retrain on the current corpus and rewrite the whole index at
     * gen 0 — the compaction step once [[staleness]] crosses the
     * deployment's drift budget. Resets the append-only flag: a
-    * compacted index is one generation, trivially plain-readable. */
+    * compacted index is one generation, trivially plain-readable.
+    *
+    * STAGED: the rebuild lands in a sibling `.compact.tmp` tree (meta
+    * last), and only then swaps in (delete old, rename). A crash
+    * mid-rebuild leaves the OLD index fully intact and complete — never
+    * the deleted-old/half-new state an in-place rewrite risks, which a
+    * streaming replay would "recover" by rebuilding from one micro-batch
+    * (losing every earlier batch). The delete→rename gap is covered by
+    * [[recover]]: a complete tmp beside a missing/partial index is
+    * adopted by rename. */
   def compactIvf(
       corpus: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, lloydIters: Int = 2, batchId: Long = -1L): Unit =
-    buildIvf(corpus, indexDir, idCol, vecCol, nlist, lloydIters, batchId)
+      nlist: Int = 16, lloydIters: Int = 2, batchId: Long = -1L): Unit = {
+    val s = corpus.sparkSession
+    recover(s, indexDir)
+    val tmp = compactTmp(indexDir)
+    buildIvf(corpus, tmp, idCol, vecCol, nlist, lloydIters, batchId)
+    val fs = fsOf(s, indexDir)
+    fs.delete(new Path(indexDir), true)
+    if (!fs.rename(new Path(tmp), new Path(indexDir)))
+      throw new java.io.IOException(
+        s"compact swap failed: could not rename $tmp over $indexDir")
+  }
+
+  private def compactTmp(dir: String) = s"${dir.stripSuffix("/")}.compact.tmp"
+
+  /** Adopt a completed-but-unswapped compaction: if the index tree is
+    * missing/partial while a COMPLETE `.compact.tmp` sits beside it
+    * (crash between the swap's delete and rename), rename it in.
+    * Returns whether a recovery happened. Safe to call any time —
+    * no-op unless exactly that state is found. */
+  def recover(s: SparkSession, indexDir: String): Boolean = {
+    val tmp = compactTmp(indexDir)
+    if (!isComplete(s, indexDir) && isComplete(s, tmp)) {
+      val fs = fsOf(s, indexDir)
+      fs.delete(new Path(indexDir), true)
+      fs.rename(new Path(tmp), new Path(indexDir))
+    } else false
+  }
+
+  /** Record that upserts are POSSIBLE from here on (plain reads off
+    * until the next compact) — used by in-stream compaction, whose
+    * corpus snapshot may include not-yet-processed batches that will
+    * later re-append as duplicate content; the latest-gen reduce
+    * resolves them, a plain read would not. */
+  private[graft] def markUpsertsPossible(s: SparkSession, dir: String): Unit =
+    readMeta(s, dir).foreach(m =>
+      if (m.appendOnly) writeMeta(s, dir, m.copy(appendOnly = false)))
 
   /** Fraction of live assignment rows that arrived by append (gen > 0)
     * — the drift signal a deployment compacts on. */
@@ -220,11 +274,26 @@ object AnnIndex {
     if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
   }
 
+  /** The meta as the READ-SIDE contract: a meta-less tree is partial or
+    * legacy and must not be silently served (a legacy multi-gen upsert
+    * history read "plain" would return superseded duplicates) — the
+    * same IllegalStateException the write side throws. */
+  private def metaOrThrow(s: SparkSession, dir: String): Meta =
+    readMeta(s, dir).getOrElse(throw new IllegalStateException(
+      s"no complete index at $dir (missing ${metaPath(dir)}): build it " +
+        "first — a legacy/partial tree must be rebuilt, not read"))
+
   /** Raw partitioned read; gen/cell are partition columns (discovered
     * as ints when small) — normalize to the long schema the flat
-    * layout had. */
-  private def rawAssignments(s: SparkSession, indexDir: String): DataFrame =
+    * layout had. The meta's gen counter is the COMMIT POINTER: only
+    * generations below it are visible, so an orphan gen directory from
+    * a crashed, never-replayed append (data landed, meta didn't) stays
+    * invisible instead of leaking stale duplicates into plain reads —
+    * the filter is on the partition column, so the orphan's files are
+    * statically pruned, not just filtered. */
+  private def rawAssignments(s: SparkSession, indexDir: String, committedGen: Long): DataFrame =
     s.read.parquet(assignPath(indexDir))
+      .filter(col("gen") < committedGen)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("gen").cast("long").as("gen"))
 
@@ -240,8 +309,9 @@ object AnnIndex {
     * unprobed cell and resurrect it. */
   def ivfAssignments(s: SparkSession, indexDir: String,
       cells: Option[Seq[Long]] = None): DataFrame = {
-    val appendOnly = readMeta(s, indexDir).forall(_.appendOnly)
-    val raw = rawAssignments(s, indexDir)
+    val meta = metaOrThrow(s, indexDir)
+    val appendOnly = meta.appendOnly
+    val raw = rawAssignments(s, indexDir, meta.gen)
     if (appendOnly)
       cells.fold(raw)(cs => raw.filter(col("cell").isin(cs: _*)))
     else {
@@ -371,8 +441,10 @@ object AnnIndex {
       .sortWithinPartitions("bucket", "band")
       .write.mode("overwrite").parquet(s"${bandedPath(indexDir)}/gen=$gen")
 
-  private def rawBanded(s: SparkSession, indexDir: String): DataFrame =
+  /** Same commit-pointer read as [[rawAssignments]]. */
+  private def rawBanded(s: SparkSession, indexDir: String, committedGen: Long): DataFrame =
     s.read.parquet(bandedPath(indexDir))
+      .filter(col("gen") < committedGen)
       .select(col("vec_id"), col("band"), col("bucket"),
         col("gen").cast("long").as("gen"))
 
@@ -388,9 +460,9 @@ object AnnIndex {
       case (bs, ks) =>
         df.filter(col("band").isin(bs: _*) && col("bucket").isin(ks: _*))
     }
-    val appendOnly = readMeta(s, indexDir).forall(_.appendOnly)
-    val raw = rawBanded(s, indexDir)
-    if (appendOnly) probeFilter(raw).select("vec_id", "band", "bucket")
+    val meta = metaOrThrow(s, indexDir)
+    val raw = rawBanded(s, indexDir, meta.gen)
+    if (meta.appendOnly) probeFilter(raw).select("vec_id", "band", "bucket")
     else {
       val live = raw.join(
           raw.groupBy("vec_id").agg(max("gen").as("gen")),

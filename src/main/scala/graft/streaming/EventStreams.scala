@@ -361,49 +361,45 @@ object EventStreams {
       idCol: String, vecCol: String, threshold: Double,
       nPlanes: Int = graft.dedup.DedupArtifacts.SemPlanes,
       bands: Int = graft.dedup.DedupArtifacts.SemBands,
-      seed: Long = graft.dedup.DedupArtifacts.SemSeed): DataFrame = {
-    val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
-    val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim, seed)
-    val d = graft.similarity.Ann.bandedRows(
-        batch.select(col(idCol).cast("long").as("new_id"), col(vecCol).as("vb")),
-        "new_id", "vb", planes, bands)
-      .withColumn("nb", graft.functions.Vectors.norm(col("vb")))
-    // prune FIRST (the artifact carries pb), join vectors after: the
-    // directory cut applies to the banded scan itself
-    val prunedBanded = graft.build.Layout.pruneToProbe(baseBanded, d)
-    val b = prunedBanded.join(
-        baseEmb.select(col("vec_id"), col("embedding").as("va"),
-          graft.functions.Vectors.norm(col("embedding")).as("na")),
-        "vec_id")
-      .select(col("vec_id").as("base_id"), col("va"), col("na"),
-        col("band"), col("bucket"))
-    d.join(b, Seq("band", "bucket"))
-      .filter(graft.functions.Vectors.cosineFromNorms(
-        col("va"), col("vb"), col("na"), col("nb")) >= threshold)
+      seed: Long = graft.dedup.DedupArtifacts.SemSeed,
+      dim: Int = -1): DataFrame =
+    semNearDupHits(batch, baseEmb, baseBanded, idCol, vecCol, threshold,
+      nPlanes, bands, seed, carryCols = Nil, dimHint = dim,
+      pruneBase = (base, probe) => graft.build.Layout.pruneToProbe(base, probe))
       .select("new_id", "base_id")
       .dropDuplicates("new_id", "base_id")
-  }
 
-  /** Shared un-deduped hit stream behind both overloads — one
-    * definition of "a qualifying (new, base) pair" so the plain and
-    * watermarked forms can never diverge in semantics, only in how the
-    * pair-key dedup state is bounded. */
+  /** Shared un-deduped hit stream behind ALL three forms (plain,
+    * watermarked, foreachBatch) — one definition of "a qualifying
+    * (new, base) pair" so the forms can never diverge in semantics,
+    * only in how state is bounded and what the base scan reads.
+    * `pruneBase` receives (baseBanded, probeBandedRows) and may cut the
+    * base scan (the foreachBatch form's per-batch directory pruning —
+    * a streaming probe must keep the identity default: pruning needs a
+    * collect). `dimHint > 0` skips the base-dimension lookup job —
+    * foreachBatch callers compute it once outside the loop. */
   private def semNearDupHits(
       vecs: DataFrame, baseEmb: DataFrame, baseBanded: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       nPlanes: Int, bands: Int, seed: Long,
-      carryCols: Seq[String]): DataFrame = {
+      carryCols: Seq[String],
+      dimHint: Int = -1,
+      pruneBase: (DataFrame, DataFrame) => DataFrame = (base, _) => base): DataFrame = {
     // dim comes from the STATIC base (one head() at plan construction —
     // the stream side must never need an action), so the stream bands
     // itself with exactly the base index's hyperplanes
-    val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
+    val dim =
+      if (dimHint > 0) dimHint
+      else baseEmb.select(size(col("embedding"))).head().getInt(0)
     val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim, seed)
     val d = graft.similarity.Ann.bandedRows(
         vecs.select(col(idCol).cast("long").as("new_id") +:
           col(vecCol).as("vb") +: carryCols.map(col): _*),
         "new_id", "vb", planes, bands, extraCols = carryCols)
       .withColumn("nb", graft.functions.Vectors.norm(col("vb")))
-    val b = baseBanded.join(
+    // prune FIRST (the artifact carries pb), join vectors after: the
+    // directory cut applies to the banded scan itself
+    val b = pruneBase(baseBanded, d).join(
         baseEmb.select(col("vec_id"), col("embedding").as("va"),
           graft.functions.Vectors.norm(col("embedding")).as("na")),
         "vec_id")

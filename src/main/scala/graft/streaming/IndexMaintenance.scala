@@ -71,11 +71,19 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
     * fraction) past the threshold, the index is retrained and rewritten
     * at gen 0 over the corpus as currently present in `vecDir` — the
     * drift-budget compaction FAISS deployments schedule out-of-band,
-    * here riding the same exactly-once batch bookkeeping (a crash
-    * mid-compact replays as a rebuild via the completion marker; a
-    * crash after it replays as a skipped batch). 0 (default) keeps
-    * compaction a batch-side decision (`AnnIndex.compactIvf`), exactly
-    * like postings compaction. */
+    * here riding the same exactly-once batch bookkeeping. Compaction is
+    * STAGED (`AnnIndex.compactIvf` builds beside the index and swaps):
+    * a crash mid-rebuild leaves the old index intact and its batch
+    * bookkeeping replays the trigger batch as a skip; the swap's
+    * delete→rename gap is adopted by `AnnIndex.recover`, which runs at
+    * the top of every micro-batch. Because the vecDir snapshot may
+    * include files of batches the checkpoint has not yet delivered —
+    * which will later re-append as duplicate content — an in-stream
+    * compact marks the index upsert-possible (reads resolve latest-gen;
+    * content-identical duplicates collapse), and plain reads return
+    * with the next BATCH-side compact once the stream is drained. 0
+    * (default) keeps compaction a batch-side decision, exactly like
+    * postings compaction. */
   def runIvfAvailableNow(
       spark: SparkSession,
       vecDir: String,
@@ -91,6 +99,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val AI = graft.similarity.AnnIndex
+        if (AI.recover(spark, indexDir))
+          logInfo(s"IndexMaintenance IVF batch $batchId: adopted staged compact")
         if (!AI.isComplete(spark, indexDir)) {
           AI.buildIvf(batch, indexDir, idCol, vecCol, nlist, batchId = batchId)
           logInfo(s"IndexMaintenance IVF batch $batchId: build")
@@ -101,13 +111,15 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance IVF batch $batchId: append")
           if (compactAt > 0 && AI.staleness(spark, indexDir) >= compactAt) {
-            // retrain over the corpus as present NOW; buildIvf stamps
-            // the same batchId so a crash right after still skips the
-            // replay, and a crash mid-compact replays as a rebuild
-            // (the marker is gone until the rewrite completes)
+            // staged rebuild over the corpus as present NOW, stamped
+            // with this batchId so a post-swap crash replays as a skip.
+            // The snapshot may cover undelivered batches (they'll
+            // re-append later), so flag upserts-possible: the reduce
+            // view collapses the content-identical duplicates.
             AI.compactIvf(spark.read.parquet(vecDir), indexDir,
               idCol, vecCol, nlist, batchId = batchId)
-            logInfo(s"IndexMaintenance IVF batch $batchId: compacted")
+            AI.markUpsertsPossible(spark, indexDir)
+            logInfo(s"IndexMaintenance IVF batch $batchId: compacted (staged)")
           }
         }
       }

@@ -138,6 +138,12 @@ class AnnIndexSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       AnnIndex.appendIvf(emb.filter(isDelta), idx)
     }
+    // reads refuse too: silently serving a meta-less tree could return
+    // superseded duplicates (a legacy multi-gen upsert history has no
+    // flag to say otherwise)
+    intercept[IllegalStateException] {
+      AnnIndex.ivfAssignments(spark, idx).count()
+    }
     // and a rebuild recovers cleanly over the partial state
     AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
     assert(AnnIndex.isComplete(spark, idx))
@@ -165,10 +171,46 @@ class AnnIndexSpec extends AnyFunSuite {
     val metaP = new org.apache.hadoop.fs.Path(s"$idx/_INDEX_META")
     val out = fs.create(metaP, true)
     out.write("gen=1;plain=true;batch=0".getBytes); out.close()
+    // COMMIT POINTER: with the meta rolled back to gen=1, the orphan
+    // gen=1 directory (data landed, meta didn't) must be invisible —
+    // readers see only committed generations
+    assert(AnnIndex.ivfAssignments(spark, idx).count() == 2,
+      "uncommitted generation must be invisible to readers")
     AnnIndex.appendIvf(delta, idx, newIds = true, batchId = 1L) // the replay
     assert(AnnIndex.ivfAssignments(spark, idx).count() == before,
       "replayed append must overwrite its gen dir, not duplicate rows")
     assert(AnnIndex.lastAppliedBatch(spark, idx) == 1L)
+  }
+
+  test("staged compaction: a crash between swap steps is adopted by recover, old index never half-deleted") {
+    val idx = s"$work/ivf_staged"
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+    AnnIndex.appendIvf(emb.filter(isDelta), idx)
+    // crash mid-rebuild: a PARTIAL tmp beside a complete index — the
+    // index stays complete and authoritative, recover is a no-op
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx.compact.tmp/centroids"))
+    assert(!AnnIndex.recover(spark, idx))
+    assert(AnnIndex.isComplete(spark, idx))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx.compact.tmp"), true)
+    // crash between the swap's delete and rename: complete tmp, missing
+    // index — recover adopts it and the content equals the compaction
+    AnnIndex.buildIvf(emb, s"$idx.compact.tmp", nlist = 16) // the staged rebuild
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)     // the crash point
+    assert(AnnIndex.recover(spark, idx), "recover must adopt the staged compact")
+    assert(AnnIndex.isComplete(spark, idx))
+    assert(AnnIndex.staleness(spark, idx) == 0.0)
+    val adopted = rows3(AnnIndex.ivfAssignments(spark, idx)
+      .select(col("vec_id"), col("cell"), lit(0L)))
+    val idx2 = s"$work/ivf_staged_cmp"
+    AnnIndex.buildIvf(emb, idx2, nlist = 16)
+    val fresh = rows3(AnnIndex.ivfAssignments(spark, idx2)
+      .select(col("vec_id"), col("cell"), lit(0L)))
+    assert(adopted == fresh)
+    // and a normal compactIvf over the recovered index still works
+    AnnIndex.compactIvf(emb, idx, nlist = 16)
+    assert(AnnIndex.staleness(spark, idx) == 0.0)
   }
 
   test("append-only live view is a PLAIN read (no shuffle) and equals the reduce view") {
