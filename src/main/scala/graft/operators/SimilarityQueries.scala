@@ -180,10 +180,15 @@ object SimilarityQueries extends QueryModule {
 
   /** ANN THROUGH THE MAINTAINED BANDED LSH INDEX — q30's probe served
     * from the persisted banded signature table (same seeded planes,
-    * same candidate set): the query-side (band, bucket) keys push into
-    * the range-clustered artifact as a superset filter, so the probe
-    * skips non-matching buckets' row groups, and the exact rerank keeps
-    * the recall bound (2 of 5, q30's) oracle-checkable. */
+    * same candidate set). The artifact history is APPEND-ONLY (base
+    * build + newIds delta append — exact, since banded rows are a
+    * per-vector property of seed/planes alone), so this query gates the
+    * PLAIN live-view read: no latest-gen shuffle, and the query-side
+    * (band, bucket) keys push below the view into the range-clustered
+    * artifact as a superset filter, skipping non-matching buckets' row
+    * groups. Exact rerank keeps the recall bound (2 of 5, q30's)
+    * oracle-checkable; q164 gates the upsert-RESOLUTION read path with
+    * the IVF twin. */
   private def q165AnnLshMaintained(s: SparkSession, dir: String): DataFrame = {
     graft.similarity.AnnArtifacts.ensure(s, dir)
     val emb = Tables.embeddings(s, dir)

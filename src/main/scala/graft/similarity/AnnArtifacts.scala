@@ -14,16 +14,20 @@ import org.apache.spark.sql.functions._
   * `AbstractBlockIndexingJob.java:122-152` — index at build time, every
   * query reads it).
   *
-  * The build is a genuine MAINTENANCE history, not a one-shot write:
-  * gen 0 indexes the full corpus, then the standard delta batch
-  * (id ≡ DeltaRem mod DeltaMod) is RE-INGESTED as a gen-1 upsert — the
-  * re-embedded-documents scenario. Assignment under a fixed model is a
-  * pure per-row function, so the resolved live view is bit-identical to
-  * the gen-0 build — which is exactly what lets DuckDB oracle-check the
-  * read path: the maintained index must reproduce the registered
-  * q45/q30 in-query builds' recall bounds with the SAME deterministic
-  * structure, while the engine side genuinely exercises multi-generation
-  * latest-gen resolution plus the partition/bucket-pruned probe reads.
+  * Both builds are genuine MAINTENANCE histories, not one-shot writes —
+  * and deliberately DIFFERENT histories, so the two live-view read
+  * paths are each under the oracle:
+  *  - IVF: gen 0 indexes the full corpus, then the standard delta batch
+  *    (id ≡ DeltaRem mod DeltaMod) is RE-INGESTED as a gen-1 UPSERT
+  *    (the re-embedded-documents scenario) — q164 reads through
+  *    latest-gen RESOLUTION. Assignment under a fixed model is a pure
+  *    per-row function, so the resolved view is bit-identical to the
+  *    gen-0 build and q45's recall bound holds deterministically.
+  *  - LSH: gen 0 indexes the BASE, the delta appends as gen 1 with
+  *    `newIds = true` (banded signatures are a per-vector property of
+  *    seed/planes alone — no training, so base∪delta ≡ full rebuild
+  *    exactly) — q165 reads the APPEND-ONLY PLAIN view with the probe's
+  *    bucket filters pushed below it, the common-case economics.
   *
   * Staleness: one meta file fingerprints the embeddings table
   * (`Layout.sourceFingerprint`) + params; mismatch or partial state
@@ -40,7 +44,9 @@ object AnnArtifacts {
   val LshPlanes = 16
   val LshBands = 8
 
-  private val Version = 1
+  /** v2: the LSH history becomes append-only (base build + newIds delta
+    * append), putting the plain-read probe path under the oracle. */
+  private val Version = 2
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
@@ -74,9 +80,10 @@ object AnnArtifacts {
     val delta = e.filter(isDelta)
     AnnIndex.buildIvf(e, ivfDir(sfDir), nlist = IvfNlist)
     AnnIndex.appendIvf(delta, ivfDir(sfDir)) // re-ingest upsert, gen 1
-    AnnIndex.buildBanded(e, lshDir(sfDir), nPlanes = LshPlanes, bands = LshBands)
-    AnnIndex.appendBanded(delta, lshDir(sfDir),
+    AnnIndex.buildBanded(e.filter(!isDelta), lshDir(sfDir),
       nPlanes = LshPlanes, bands = LshBands)
+    AnnIndex.appendBanded(delta, lshDir(sfDir),
+      nPlanes = LshPlanes, bands = LshBands, newIds = true)
     val out = fs.create(meta, true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
