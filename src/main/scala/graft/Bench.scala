@@ -358,10 +358,17 @@ object Bench {
     * per-session counter, so their names depend on how many HOF plans
     * the session built before this one — session-order-normalized to
     * the bare variable name (measured: 53 of 162 digests shifted
-    * between a clean session and the post-run bench context). */
-  private def planDigest(df: DataFrame): String = {
+    * between a clean session and the post-run bench context). Encoder
+    * `lambdavariable(name, type, nullable, ID)` expressions (printed by
+    * SerializeFromObject map/array converters in the typed-API queries)
+    * carry the SAME global counter as their last argument — r15 found
+    * q57–q60 oscillating between two digests depending on whether an
+    * artifact ensure() built earlier in the JVM (different upstream
+    * plan count → different counter); the ID argument is stripped. */
+  private[graft] def planDigest(df: DataFrame): String = {
     val s = df.queryExecution.analyzed.toString
       .replaceAll("lambda ([A-Za-z][A-Za-z0-9]*)_\\d+", "lambda $1")
+      .replaceAll("(lambdavariable\\([^()]*(?:\\([^()]*\\)[^()]*)*), \\d+\\)", "$1)")
       .replaceAll("#\\d+", "#")
       .replaceAll("Lambda\\$\\d+", "Lambda")
       .replaceAll("/0x[0-9a-fA-F]+", "")

@@ -19,14 +19,17 @@ object DigestAll {
     val out = new java.io.PrintWriter(args(0))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
-        val s = fn(spark, "/root/testdata/sf0.1").queryExecution.analyzed.toString
+        // the SAME normalizer the bench uses (shared, so this tool can
+        // never validate a different rule than the one floors run on)
+        val df = fn(spark, "/root/testdata/sf0.1")
+        val d = Bench.planDigest(df)
+        val s = df.queryExecution.analyzed.toString
           .replaceAll("lambda ([A-Za-z][A-Za-z0-9]*)_\\d+", "lambda $1")
+          .replaceAll("(lambdavariable\\([^()]*(?:\\([^()]*\\)[^()]*)*), \\d+\\)", "$1)")
           .replaceAll("#\\d+", "#")
           .replaceAll("Lambda\\$\\d+", "Lambda")
           .replaceAll("/0x[0-9a-fA-F]+", "")
           .replaceAll("@[0-9a-fA-F]+", "@")
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
         out.println(s"$n $d")
         // also dump the normalized plan for diffing
         val pw = new java.io.PrintWriter(s"${args(0)}.plans.$n")
