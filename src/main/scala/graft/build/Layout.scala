@@ -71,17 +71,13 @@ object Layout {
     val spark = df.sparkSession
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = new org.apache.hadoop.fs.Path(loc, "_GRAFT_LAYOUT")
     // the schema is part of the fingerprint: a changed projection with
     // an unchanged source must rewrite, not re-declare a mismatched DDL
     // over the old files
     val fp = s"v$LayoutVersion:$bucketCol:$buckets:${df.schema.toDDL}:$sourceFp"
-    val fresh = fs.exists(meta) && {
-      val in = fs.open(meta)
-      try scala.io.Source.fromInputStream(in).mkString.trim == fp
-      finally in.close()
-    }
+    val fresh = MetaIO.read(spark.sparkContext.hadoopConfiguration, meta)
+      .contains(fp)
     if (spark.catalog.tableExists(table)) {
       // same-session reuse — but only while the layout meta still
       // matches the CURRENT source fingerprint: a source that changed
@@ -100,9 +96,9 @@ object Layout {
            |LOCATION '${loc.toString}'""".stripMargin)
     } else {
       writeBucketed(df, table, bucketCol, buckets)
-      val out = fs.create(meta, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      // atomic (MetaIO): a crash mid-write must leave no truncated
+      // marker that could accidentally string-compare equal later
+      MetaIO.write(spark.sparkContext.hadoopConfiguration, meta, fp)
     }
   }
 
@@ -164,7 +160,11 @@ object Layout {
     import org.apache.spark.sql.functions.col
     if (!base.columns.contains("pb")) base
     else {
-      val rows = probe.select("bucket").limit(cap + 1).collect()
+      // null buckets cannot join (equi-join semantics), so dropping them
+      // from the collected key set is exact — and keeps the key mapping
+      // NPE-free if a probe ever carries one
+      val rows = probe.select("bucket")
+        .filter(col("bucket").isNotNull).limit(cap + 1).collect()
       if (rows.isEmpty || rows.length > cap) base
       else {
         val keys = rows.map(_.getLong(0)).distinct

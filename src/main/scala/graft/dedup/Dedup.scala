@@ -683,14 +683,19 @@ object Dedup {
     * (the documented O(n²/buckets) regime); the production budget
     * (maxHamming ≤ 3, q146/Manku et al.) gets 16-bit buckets and
     * near-linear candidates from the same code. */
-  private[graft] def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = simHashBands(fp, maxHamming)
+  private[graft] def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame =
+    candidatesFromSimhashBanded(simHashBands(fp, maxHamming))
+
+  /** The [[bandedCandidates]] self-join over a PRE-BUILT (possibly
+    * persisted) simhash band table — the seam that lets an ingest-time
+    * artifact (`DedupArtifacts.phashBanded`) serve the pair build
+    * without re-banding the fingerprints. */
+  private[graft] def candidatesFromSimhashBanded(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("a.simhash").as("a_sim"),
         col("b.doc_id").as("b_id"), col("b.simhash").as("b_sim"))
-  }
 
   /** The per-fingerprint band/bucket table behind [[bandedCandidates]]:
     * the 64 bits slice into `maxHamming + 1` bands, each as wide as the
@@ -730,8 +735,26 @@ object Dedup {
       fp: DataFrame, maxHamming: Int,
       isDelta: org.apache.spark.sql.Column): DataFrame = {
     val banded = simHashBands(fp, maxHamming)
+    crossCandidatesFromSimhashBanded(banded, banded.filter(isDelta))
+  }
+
+  /** [[bandedCrossCandidates]] over a PRE-BUILT base band table and an
+    * explicit probe band table — the artifact form: the base comes from
+    * the persisted `DedupArtifacts.phashBanded` (in the
+    * `Layout.writeBucketDirs` pb-directory layout), the probe is banded
+    * on the fly from the delta's fingerprints (per-row property —
+    * banding the delta subset equals filtering a full band table). A
+    * cap-bounded probe prunes the base SCAN to its bucket
+    * neighborhoods' `pb` directories (`Layout.pruneToProbe` — exact
+    * superset filter; a day-scale probe declines and scans all
+    * directories behind the join, the right plan there). The base side
+    * must CONTAIN the probe's rows (delta-delta pairs emerge in both
+    * orders and collapse in the caller's distinct). */
+  private[graft] def crossCandidatesFromSimhashBanded(
+      bandedBase: DataFrame, bandedProbe: DataFrame): DataFrame = {
+    val base = graft.build.Layout.pruneToProbe(bandedBase, bandedProbe)
     val aFirst = col("a.doc_id") < col("b.doc_id")
-    banded.filter(isDelta).as("a").join(banded.as("b"),
+    bandedProbe.as("a").join(base.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),

@@ -163,8 +163,18 @@ object DedupArtifacts {
     *     partitioned/bucketed" is now the on-disk truth, and a
     *     cap-bounded probe join reads only its matching directories'
     *     files (plan-asserted in DedupArtifactsSpec). Readers carry the
-    *     extra `pb` partition column. */
-  private[graft] val Version = 12
+    *     extra `pb` partition column.
+    * v13: + phash_banded (the media pigeonhole band table over the
+    *     persisted perceptual hashes, in the SAME `writeBucketDirs`
+    *     layout) — completing the v12 physical layout across all three
+    *     modalities: the media incremental path (q150/q154) now probes
+    *     a persisted banded table through `Layout.pruneToProbe` instead
+    *     of re-banding the full hash table per query, and a small media
+    *     delta prunes to its matching `pb` directories. phash_pairs is
+    *     built THROUGH the artifact (self-join of the persisted band
+    *     table), so the pair list and the probe path share one banding
+    *     by construction. */
+  private[graft] val Version = 13
 
   /** Artifact base directory — `SPARK_GRAFT_ARTIFACT_DIR` relocates all
     * persisted state (a production deployment points it next to the
@@ -203,6 +213,7 @@ object DedupArtifacts {
   private def hotShinglesPath(sfDir: String) = s"${root(sfDir)}/hot_shingles"
   private def sourceShinglesPath(sfDir: String) = s"${root(sfDir)}/source_shingles"
   private def phashesPath(sfDir: String) = s"${root(sfDir)}/phashes"
+  private def phashBandedPath(sfDir: String) = s"${root(sfDir)}/phash_banded"
   private def phashPairsPath(sfDir: String) = s"${root(sfDir)}/phash_pairs"
   private def mediaClustersPath(sfDir: String) = s"${root(sfDir)}/media_clusters"
   private def baseMediaClustersPath(sfDir: String) = s"${root(sfDir)}/base_media_clusters"
@@ -234,18 +245,10 @@ object DedupArtifacts {
   }
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem, meta: Path): Option[String] =
-    if (!fs.exists(meta)) None
-    else {
-      val in = fs.open(meta)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
-      finally in.close()
-    }
+    graft.build.MetaIO.read(fs.getConf, meta)
 
-  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, meta: Path, fp: String): Unit = {
-    val out = fs.create(meta, true)
-    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, meta: Path, fp: String): Unit =
+    graft.build.MetaIO.write(fs.getConf, meta, fp)
 
   /** Generic single-table artifact with its own meta: build `build`
     * once per (corpus fingerprint, params, Version), read thereafter —
@@ -354,7 +357,14 @@ object DedupArtifacts {
     // banded hamming join per report.
     val phs = s.read.parquet(phashesPath(sfDir))
       .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
-    Dedup.bandedCandidates(phs, PHashMaxHamming)
+    // v13: the media pigeonhole band table, persisted in the SAME
+    // pb-directory layout as the text/semantic banded tables — band
+    // rows are a per-fingerprint property, so one table serves the
+    // full self-join (the pair build right below) and the q150/q154
+    // delta probes (which prune to their buckets' directories)
+    graft.build.Layout.writeBucketDirs(
+      Dedup.simHashBands(phs, PHashMaxHamming), phashBandedPath(sfDir))
+    Dedup.candidatesFromSimhashBanded(s.read.parquet(phashBandedPath(sfDir)))
       .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= PHashMaxHamming)
       .select(col("a_id").as("media_i"), col("b_id").as("media_j"))
       .distinct()
@@ -631,6 +641,16 @@ object DedupArtifacts {
   def phashes(s: SparkSession, sfDir: String): DataFrame = {
     prepare(s, sfDir)
     s.read.parquet(phashesPath(sfDir))
+  }
+
+  /** The media pigeonhole band table (doc_id, simhash, band, bucket,
+    * pb) over [[phashes]], in the `Layout.writeBucketDirs` pb-directory
+    * layout — the persisted candidate index the q150/q154 delta probes
+    * and the phash_pairs build share (v13: one banding on disk, the
+    * media twin of [[banded]]/[[semBanded]]). */
+  def phashBanded(s: SparkSession, sfDir: String): DataFrame = {
+    prepare(s, sfDir)
+    s.read.parquet(phashBandedPath(sfDir))
   }
 
   /** Perceptual-hash near-dup media pairs (media_i, media_j), i < j,

@@ -384,12 +384,16 @@ object MultimodalQueries extends QueryModule {
     * DeltaMod/DeltaRem id split) into yesterday's persisted pair set.
     * Base-internal pairs are a pure FILTER of the persisted pair
     * artifact (pair membership is a per-pair property of its two
-    * endpoints); today's work is [[graft.dedup.Dedup.bandedCrossCandidates]]
-    * — the delta's band table probing the full band table, so base×base
+    * endpoints); today's work is
+    * [[graft.dedup.Dedup.crossCandidatesFromSimhashBanded]] — the
+    * delta's band rows probing the PERSISTED v13 band table
+    * (`DedupArtifacts.phashBanded`, pb-directory layout), so base×base
     * bucket pairs are never generated and the base corpus is never
-    * re-hashed (its hashes AND its pairs both come from the v7 artifact
-    * tree). The union must equal the full from-scratch recompute
-    * exactly — the oracle IS q143's O(n^2) hamming closure, unchanged.
+    * re-hashed OR re-banded (its hashes, bands AND pairs all come from
+    * the artifact tree; a cap-bounded probe additionally prunes the
+    * band scan to its buckets' directories). The union must equal the
+    * full from-scratch recompute exactly — the oracle IS q143's O(n^2)
+    * hamming closure, unchanged.
     *
     * Scale shape: today's candidate volume scales with the delta's
     * bucket neighborhoods; the persisted base pairs stream through a
@@ -398,11 +402,18 @@ object MultimodalQueries extends QueryModule {
     * one banded join against the persisted band-table-equivalent. */
   private def q150IncrPhashPairs(s: SparkSession, dir: String): DataFrame = {
     val DA = graft.dedup.DedupArtifacts
-    val isDeltaId = col("doc_id") % DA.DeltaMod === DA.DeltaRem
-    val fp = DA.phashes(s, dir)
-      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    // the probe is banded ON THE FLY from the delta's persisted hashes
+    // (delta-sized work — band rows are a per-fingerprint property);
+    // the base side is the PERSISTED v13 band table, so a cap-bounded
+    // probe prunes the scan to its buckets' pb directories and the base
+    // corpus is never re-banded (day-scale deltas decline the prune and
+    // scan all directories behind the join — the right plan there)
+    val deltaBands = graft.dedup.Dedup.simHashBands(
+      DA.phashes(s, dir).filter(col("media_id") % DA.DeltaMod === DA.DeltaRem)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      PHashMaxHamming)
     val cross = graft.dedup.Dedup
-      .bandedCrossCandidates(fp, PHashMaxHamming, isDeltaId)
+      .crossCandidatesFromSimhashBanded(DA.phashBanded(s, dir), deltaBands)
       .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= PHashMaxHamming)
       .select(col("a_id").as("media_i"), col("b_id").as("media_j"))
     val basePairs = graft.dedup.DedupArtifacts.phashPairs(s, dir)
@@ -502,9 +513,10 @@ object MultimodalQueries extends QueryModule {
     * media-agnostic because a cluster assignment whose labels are min
     * ids is a valid contraction base regardless of how the pairs were
     * found. Today's new pairs come from
-    * [[graft.dedup.Dedup.bandedCrossCandidates]] over the persisted
-    * phashes (delta probes the full band table; base×base bucket pairs
-    * are never generated, no binary is re-decoded). The oracle is
+    * [[graft.dedup.Dedup.crossCandidatesFromSimhashBanded]] — the
+    * delta's bands probing the persisted v13 band table (base×base
+    * bucket pairs are never generated, no binary is re-decoded, and
+    * the base is never re-banded). The oracle is
     * q151's FULL-RECOMPUTE recursive closure, unchanged — incremental
     * must hash-match from-scratch.
     *
@@ -520,11 +532,14 @@ object MultimodalQueries extends QueryModule {
     * contraction graph delta-sized (q146's measured shape). */
   private def q154IncrMediaClusters(s: SparkSession, dir: String): DataFrame = {
     val DA = graft.dedup.DedupArtifacts
-    val isDeltaId = col("doc_id") % DA.DeltaMod === DA.DeltaRem
     val fp = DA.phashes(s, dir)
       .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    // same probe shape as q150: delta banded on the fly, base = the
+    // persisted v13 band table (pb-layout, cap-bounded probe pruning)
+    val deltaBands = graft.dedup.Dedup.simHashBands(
+      fp.filter(col("doc_id") % DA.DeltaMod === DA.DeltaRem), PHashMaxHamming)
     val newPairs = graft.dedup.Dedup
-      .bandedCrossCandidates(fp, PHashMaxHamming, isDeltaId)
+      .crossCandidatesFromSimhashBanded(DA.phashBanded(s, dir), deltaBands)
       .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= PHashMaxHamming)
       .select(col("a_id").as("doc_i"), col("b_id").as("doc_j"))
       .distinct()

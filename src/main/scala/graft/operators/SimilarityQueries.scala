@@ -161,9 +161,11 @@ object SimilarityQueries extends QueryModule {
     * PERSISTED `AnnIndex` lifecycle instead of an in-query build: the
     * artifact (`AnnArtifacts`) carries a real maintenance history
     * (gen-0 full build + a gen-1 re-ingest upsert of the standard delta
-    * batch), and the read path resolves the live view, prunes the
-    * assignment scan to the probe cells' partitions, and exactly
-    * reranks. Assignment under a fixed model is a pure function, so the
+    * batch), and the read path serves the BOUNDED tracked-upsert live
+    * view (r16): untouched ids are a plain read with the probe cells'
+    * partition filters pushed into the scan behind a broadcast
+    * anti-join; only the recorded upsert generation is reduced.
+    * Assignment under a fixed model is a pure function, so the
     * resolved view is bit-identical to the from-scratch build and the
     * oracle's recall bound (4 of 5, q45's) holds with the same
     * determinism — this is what puts the maintained-index READ path
@@ -199,6 +201,29 @@ object SimilarityQueries extends QueryModule {
         nPlanes = graft.similarity.AnnArtifacts.LshPlanes,
         bands = graft.similarity.AnnArtifacts.LshBands),
       Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
+  /** ANN THROUGH THE COMPACTED MAINTAINED IVF INDEX — the third
+    * lifecycle stage under the oracle (q164 gates tracked-upsert
+    * resolution, q165 the append-only plain read, this the POST-COMPACT
+    * read): the artifact's `ivfc` history is base build + delta append
+    * + a full `compactIvf` retrain-and-staged-swap, so the probe reads
+    * one generation at staleness 0 — a plain, cell-partition-pruned
+    * scan. The compact retrains on the same corpus with the same
+    * trainer, so the read is bit-identical to the from-scratch q45
+    * build and its recall bound (4 of 5) holds deterministically.
+    * (The fourth regime — UNTRUSTED resolution after an in-stream
+    * compact — is streaming-side and spec-gated: DuckDB cannot play the
+    * stream.) */
+  private def q166AnnIvfCompacted(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.ivfTopKFromIndex(
+        s, graft.similarity.AnnArtifacts.ivfCompactDir(dir), emb, q, 5,
+        nprobe = 8),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 4)
   }
 
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
@@ -701,5 +726,6 @@ object SimilarityQueries extends QueryModule {
     Q("q45_ann_ivf", q45AnnIvf, Some(recallSql(4))),
     Q("q164_ann_ivf_maintained", q164AnnIvfMaintained, Some(recallSql(4))),
     Q("q165_ann_lsh_maintained", q165AnnLshMaintained, Some(recallSql(2))),
+    Q("q166_ann_ivf_compacted", q166AnnIvfCompacted, Some(recallSql(4))),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

@@ -1,38 +1,50 @@
 package graft.similarity
 
 import graft.Tables
+import graft.build.MetaIO
 import graft.dedup.DedupArtifacts
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The MAINTAINED ANN indexes as per-corpus ingest artifacts — the
-  * [[AnnIndex]] lifecycle (build → gen-stamped append → live-view read)
-  * persisted once per (corpus fingerprint, params) and read by the
-  * oracle-gated maintained-index queries (q164/q165), the same
-  * persist-once economics as `DedupArtifacts` (reference:
+  * [[AnnIndex]] lifecycle (build → gen-stamped append → live-view read
+  * → compact) persisted once per (corpus fingerprint, params) and read
+  * by the oracle-gated maintained-index queries (q164/q165/q166), the
+  * same persist-once economics as `DedupArtifacts` (reference:
   * `AbstractBlockIndexingJob.java:122-152` — index at build time, every
   * query reads it).
   *
-  * Both builds are genuine MAINTENANCE histories, not one-shot writes —
-  * and deliberately DIFFERENT histories, so the two live-view read
-  * paths are each under the oracle:
-  *  - IVF: gen 0 indexes the full corpus, then the standard delta batch
-  *    (id ≡ DeltaRem mod DeltaMod) is RE-INGESTED as a gen-1 UPSERT
-  *    (the re-embedded-documents scenario) — q164 reads through
-  *    latest-gen RESOLUTION. Assignment under a fixed model is a pure
-  *    per-row function, so the resolved view is bit-identical to the
-  *    gen-0 build and q45's recall bound holds deterministically.
-  *  - LSH: gen 0 indexes the BASE, the delta appends as gen 1 with
-  *    `newIds = true` (banded signatures are a per-vector property of
-  *    seed/planes alone — no training, so base∪delta ≡ full rebuild
+  * Three GENUINE maintenance histories — deliberately DIFFERENT, so
+  * each live-view read regime is under the oracle:
+  *  - IVF (`ivf`): gen 0 indexes the full corpus, then the standard
+  *    delta batch (id ≡ DeltaRem mod DeltaMod) is RE-INGESTED as a
+  *    gen-1 UPSERT (the re-embedded-documents scenario) — q164 reads
+  *    through the BOUNDED tracked-upsert resolution (the meta records
+  *    gen 1 as the upsert generation; untouched ids stay a pruned plain
+  *    read behind a broadcast anti-join, gen 1 alone is reduced).
+  *    Assignment under a fixed model is a pure per-row function, so the
+  *    resolved view is bit-identical to the gen-0 build and q45's
+  *    recall bound holds deterministically.
+  *  - LSH (`lsh`): gen 0 indexes the BASE, the delta appends as gen 1
+  *    with `newIds = true` (banded signatures are a per-vector property
+  *    of seed/planes alone — no training, so base∪delta ≡ full rebuild
   *    exactly) — q165 reads the APPEND-ONLY PLAIN view with the probe's
   *    bucket filters pushed below it, the common-case economics.
+  *  - COMPACTED IVF (`ivfc`): base build + delta append + a full
+  *    `compactIvf` retrain — q166 reads THROUGH the compacted index
+  *    (one generation, plain, staleness 0), gating the post-compact
+  *    read path that was previously only spec-pinned. The compact
+  *    retrains on the same corpus with the same trainer, so the result
+  *    is bit-identical to the from-scratch q45 build.
+  *  (The fourth regime — UNTRUSTED full resolution after an in-stream
+  *  compact — is inherently streaming-side and stays spec-gated:
+  *  DuckDB cannot play the stream.)
   *
   * Staleness: one meta file fingerprints the embeddings table
   * (`Layout.sourceFingerprint`) + params; mismatch or partial state
   * (missing meta, or an index tree whose own `_INDEX_META` marker is
-  * gone) rebuilds. Meta written LAST.
+  * gone) rebuilds. Meta written LAST, atomically ([[MetaIO]]).
   */
 object AnnArtifacts {
 
@@ -44,14 +56,17 @@ object AnnArtifacts {
   val LshPlanes = 16
   val LshBands = 8
 
-  /** v2: the LSH history becomes append-only (base build + newIds delta
-    * append), putting the plain-read probe path under the oracle. */
-  private val Version = 2
+  /** v3: + `ivfc` (the compacted history, q166) and the r16 meta
+    * protocol (tracked upsert generations, persisted banded model
+    * params) — both index trees carry new `_INDEX_META` keys, so the
+    * artifact epoch moves with them. */
+  private val Version = 3
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
   def ivfDir(sfDir: String): String = s"${root(sfDir)}/ivf"
   def lshDir(sfDir: String): String = s"${root(sfDir)}/lsh"
+  def ivfCompactDir(sfDir: String): String = s"${root(sfDir)}/ivfc"
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
 
   private def fingerprint(s: SparkSession, sfDir: String): String =
@@ -61,18 +76,18 @@ object AnnArtifacts {
   private def emb(s: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(s, sfDir).select("vec_id", "embedding")
 
-  /** Build-or-reuse both maintained indexes for `sfDir`'s embeddings. */
+  /** Build-or-reuse all three maintained indexes for `sfDir`'s
+    * embeddings. */
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
+    val conf = s.sparkContext.hadoopConfiguration
     val fp = fingerprint(s, sfDir)
     val rootP = new Path(root(sfDir))
-    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = rootP.getFileSystem(conf)
     val meta = new Path(metaPath(sfDir))
-    val fresh = fs.exists(meta) && {
-      val in = fs.open(meta)
-      (try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()) == fp
-    } && AnnIndex.isComplete(s, ivfDir(sfDir)) &&
-      AnnIndex.isComplete(s, lshDir(sfDir))
+    val fresh = MetaIO.read(conf, meta).contains(fp) &&
+      AnnIndex.isComplete(s, ivfDir(sfDir)) &&
+      AnnIndex.isComplete(s, lshDir(sfDir)) &&
+      AnnIndex.isComplete(s, ivfCompactDir(sfDir))
     if (fresh) return
     if (fs.exists(rootP)) fs.delete(rootP, true)
     val e = emb(s, sfDir)
@@ -84,8 +99,9 @@ object AnnArtifacts {
       nPlanes = LshPlanes, bands = LshBands)
     AnnIndex.appendBanded(delta, lshDir(sfDir),
       nPlanes = LshPlanes, bands = LshBands, newIds = true)
-    val out = fs.create(meta, true)
-    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    AnnIndex.buildIvf(e.filter(!isDelta), ivfCompactDir(sfDir), nlist = IvfNlist)
+    AnnIndex.appendIvf(delta, ivfCompactDir(sfDir), newIds = true)
+    AnnIndex.compactIvf(e, ivfCompactDir(sfDir), nlist = IvfNlist)
+    MetaIO.write(conf, meta, fp)
   }
 }

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.build.MetaIO
 import graft.functions.Vectors
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -31,7 +32,7 @@ import org.apache.spark.sql.functions._
   * it for both structures, and pins compact ≡ the registered q45/q30
   * from-scratch builds).
   *
-  * PHYSICAL LAYOUT (the plan a 100 TB probe wants, now on disk, not in
+  * PHYSICAL LAYOUT (the plan a 100 TB probe wants, on disk, not in
   * prose): IVF assignments are written `partitionBy(cell)` inside each
   * generation directory, so a query's `nprobe` cells prune statically to
   * their partitions' files — the reference's hash-partitioned index
@@ -46,30 +47,52 @@ import org.apache.spark.sql.functions._
   *
   * DURABILITY PROTOCOL: a small `_INDEX_META` file — written LAST on
   * build and after every append — carries the generation counter, the
-  * append-only flag, and the last applied streaming batch id. The meta
-  * is the completion marker: a crash between the centroid and
-  * assignment writes (or mid-append) leaves no meta update, and
-  * [[isComplete]] reports the index absent/unfinished so the next build
-  * deletes the partial state and rebuilds — never the permanent
-  * append-onto-missing-state failure a path-probe invited. Appends are
-  * additionally FILE-idempotent: each lands in its own `gen=N`
-  * directory with overwrite semantics, so a crashed-and-replayed append
-  * overwrites its own partial output instead of duplicating rows. The
-  * gen counter itself is a meta read — O(1), never an O(index) max-scan
-  * per delta batch, which is what keeps per-batch ingest cost
-  * O(|delta|) at any corpus size.
+  * history flags, the MODEL PARAMETERS, and the last applied streaming
+  * batch id. The meta is the completion marker: a crash between the
+  * centroid and assignment writes (or mid-append) leaves no meta
+  * update, and [[isComplete]] reports the index absent/unfinished so
+  * the next build deletes the partial state and rebuilds — never the
+  * permanent append-onto-missing-state failure a path-probe invited.
+  * Appends are additionally FILE-idempotent: each lands in its own
+  * `gen=N` directory with overwrite semantics, so a
+  * crashed-and-replayed append overwrites its own partial output
+  * instead of duplicating rows. The gen counter itself is a meta read —
+  * O(1), never an O(index) max-scan per delta batch, which is what
+  * keeps per-batch ingest cost O(|delta|) at any corpus size. The
+  * banded meta also carries (dim, nPlanes, bands, seed), so the read
+  * path never touches the corpus for the model and a caller passing
+  * parameters that disagree with the build's THROWS instead of silently
+  * banding queries under different planes and losing recall.
   *
-  * LIVE VIEWS: the per-id latest-gen reduce only matters for upserts.
-  * An append that declares `newIds = true` (a dated ingest batch whose
-  * ids are new by construction — the common case) keeps the index
-  * append-only, and the live views serve a PLAIN read: no shuffle, no
-  * self-join, and partition/bucket pruning can push below the view.
-  * One undeclared append flips the flag permanently until the next
-  * compact; the reduce path then resolves upserts, and probe filters
-  * apply only AFTER resolution (pruning a superseded id's old partition
-  * out from under the reduce would resurrect its stale row — the views
-  * order filter and reduce per flag, AnnIndexSpec pins the upsert
-  * case).
+  * LIVE VIEWS — three read regimes, decided by the meta:
+  *  - APPEND-ONLY (every append declared `newIds = true`, or the index
+  *    was just built/compacted): a PLAIN read — no shuffle, no
+  *    self-join, and partition/bucket probe filters push below the
+  *    view into the scan.
+  *  - TRACKED UPSERTS (some appends were undeclared, but the meta
+  *    records WHICH generations they were, `ugens`): resolution is
+  *    BOUNDED by the upsert generations instead of O(index). The
+  *    invariant that makes it exact: an upserted id's LATEST row lives
+  *    in its latest upsert generation (newIds appends never re-add an
+  *    existing id, by declaration), so the view is
+  *      plain rows of the non-upsert gens, probe filters pushed into
+  *        the scan, ANTI-JOINED against the (broadcast, delta-scale)
+  *        upserted-id set — removes superseded old rows;
+  *      ∪ latest-gen resolution over ONLY the upsert gens' rows —
+  *        partition-pruned to those few small directories, with probe
+  *        filters applied AFTER the reduce (pruning a superseded id's
+  *        old partition out from under the reduce would resurrect its
+  *        stale row — AnnIndexSpec pins the hazard).
+  *    One undeclared day-batch no longer costs every reader a
+  *    full-index shuffle until compact; it costs one broadcast
+  *    anti-join plus a delta-sized reduce.
+  *  - UNTRUSTED (an in-stream compact ran: its corpus snapshot may
+  *    cover batches the checkpoint has not delivered, which later
+  *    re-append as duplicate content UNDER `newIds = true` — so the
+  *    declarations themselves can no longer be trusted): full
+  *    latest-gen resolution over the whole index, probe filters after.
+  *    The flag rides the compact's OWN meta write (atomic under the
+  *    staged swap), and the next batch-side compact clears it.
   *
   * Single-writer assumption, like `DedupArtifacts`: build/append/compact
   * from one job at a time; a production deployment stages and renames.
@@ -83,47 +106,56 @@ object AnnIndex {
 
   // --------------------------------------------------- meta protocol
 
-  /** (next-append generation, append-only so far, last applied
-    * streaming batch). Written last: its presence IS index
-    * completeness. */
-  private final case class Meta(gen: Long, appendOnly: Boolean, batch: Long)
+  /** The index's durable control state (see class doc): `gen` is the
+    * next-append generation (commit pointer: only gens below it are
+    * visible), `appendOnly` keeps the plain live view, `trusted` says
+    * `newIds` declarations held for the whole history (false after an
+    * in-stream compact), `upsertGens` are the generations whose append
+    * was an upsert (bounded-resolution read path), `batch` is the last
+    * applied streaming batch, `params` the model parameters. */
+  private final case class Meta(
+      gen: Long, appendOnly: Boolean, batch: Long,
+      trusted: Boolean = true, upsertGens: Seq[Long] = Nil,
+      params: Map[String, String] = Map.empty)
+
+  private val ReservedKeys = Set("gen", "plain", "batch", "trust", "ugens")
 
   private def fsOf(s: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def readMeta(s: SparkSession, dir: String): Option[Meta] = {
-    val fs = fsOf(s, dir)
-    val p = new Path(metaPath(dir))
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val line = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-      val kv = line.split(';').flatMap { f =>
-        f.split('=') match { case Array(k, v) => Some(k -> v); case _ => None }
-      }.toMap
-      for (g <- kv.get("gen").flatMap(_.toLongOption))
-        yield Meta(g, kv.get("plain").forall(_ == "true"),
-          kv.get("batch").flatMap(_.toLongOption).getOrElse(-1L))
-    }
-  }
+  /** Missing keys default CONSERVATIVELY: an ambiguous or legacy meta
+    * must route readers through full upsert resolution (`plain` and
+    * `trust` default false — serving a truncated/foreign meta as a
+    * plain read could return superseded duplicate rows; resolving an
+    * actually-append-only history is merely slower, never wrong). */
+  private def readMeta(s: SparkSession, dir: String): Option[Meta] =
+    MetaIO.read(s.sparkContext.hadoopConfiguration, new Path(metaPath(dir)))
+      .flatMap { line =>
+        val kv = line.split(';').flatMap { f =>
+          f.split('=') match { case Array(k, v) => Some(k -> v); case _ => None }
+        }.toMap
+        for (g <- kv.get("gen").flatMap(_.toLongOption))
+          yield Meta(g,
+            kv.get("plain").exists(_ == "true"),
+            kv.get("batch").flatMap(_.toLongOption).getOrElse(-1L),
+            kv.get("trust").exists(_ == "true"),
+            kv.get("ugens").toSeq.flatMap(_.split(',').flatMap(_.toLongOption)),
+            kv -- ReservedKeys)
+      }
 
-  /** Meta writes are ATOMIC (temp file + overwrite-rename): an in-place
-    * create would truncate the old marker before the new bytes land, so
-    * a crash mid-write on an APPEND would destroy the completion marker
-    * of a perfectly intact index — and the next maintenance pass would
-    * treat it as partial and rebuild from one micro-batch. */
+  /** Meta writes are ATOMIC ([[MetaIO.write]]: temp file + overwrite-
+    * rename): an in-place create would truncate the old marker before
+    * the new bytes land, so a crash mid-write on an APPEND would
+    * destroy the completion marker of a perfectly intact index — and
+    * the next maintenance pass would treat it as partial and rebuild
+    * from one micro-batch. */
   private def writeMeta(s: SparkSession, dir: String, m: Meta): Unit = {
-    val fs = fsOf(s, dir)
-    val tmp = new Path(metaPath(dir) + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"gen=${m.gen};plain=${m.appendOnly};batch=${m.batch}"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(metaPath(dir)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val extra = m.params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+    val ugens =
+      if (m.upsertGens.isEmpty) Nil else Seq(s"ugens=${m.upsertGens.mkString(",")}")
+    MetaIO.write(s.sparkContext.hadoopConfiguration, new Path(metaPath(dir)),
+      (Seq(s"gen=${m.gen}", s"plain=${m.appendOnly}", s"batch=${m.batch}",
+        s"trust=${m.trusted}") ++ ugens ++ extra).mkString(";"))
   }
 
   /** Whether a COMPLETE index lives at `dir` — true only once the
@@ -143,19 +175,39 @@ object AnnIndex {
     readMeta(s, dir).map(_.batch).getOrElse(-1L)
 
   /** Next-append bookkeeping shared by both structures: reserve the
-    * generation from the meta (O(1)), and flip the append-only flag off
-    * forever if this append may upsert. A meta-less tree is a partial
-    * or legacy build — gen-dir layout and legacy flat layout cannot mix
-    * (conflicting partition discovery), so it must be rebuilt; we throw
-    * with that instruction instead of corrupting it. */
+    * generation from the meta (O(1)); an undeclared (possibly-upsert)
+    * append flips the plain flag off AND records its generation, which
+    * is what keeps the read-side resolution bounded — the upserted ids'
+    * latest rows live exactly in the recorded generations. A meta-less
+    * tree is a partial or legacy build — gen-dir layout and legacy flat
+    * layout cannot mix (conflicting partition discovery), so it must be
+    * rebuilt; we throw with that instruction instead of corrupting
+    * it. */
   private def reserveGen(s: SparkSession, dir: String, newIds: Boolean,
       batchId: Long): (Long, Meta) =
     readMeta(s, dir) match {
       case Some(m) => (m.gen,
-        Meta(m.gen + 1, m.appendOnly && newIds, math.max(m.batch, batchId)))
+        m.copy(gen = m.gen + 1, appendOnly = m.appendOnly && newIds,
+          batch = math.max(m.batch, batchId),
+          upsertGens = if (newIds) m.upsertGens else m.upsertGens :+ m.gen))
       case None => throw new IllegalStateException(
         s"no complete index at $dir (missing ${metaPath(dir)}): build it " +
           "first — a legacy/partial tree must be rebuilt, not appended to")
+    }
+
+  /** Validate caller-passed model parameters against the meta's — a
+    * mismatched append or read would silently band/assign under a
+    * DIFFERENT model and lose recall, the failure mode persisting the
+    * parameters exists to prevent. A meta without the parameter is a
+    * pre-params legacy tree: rebuilt, never guessed at. */
+  private def requireParam(m: Meta, dir: String, key: String, expected: Long): Unit =
+    m.params.get(key).flatMap(_.toLongOption) match {
+      case Some(v) if v == expected => ()
+      case Some(v) => throw new IllegalArgumentException(
+        s"index at $dir was built with $key=$v, caller passed $expected — " +
+          "parameters are fixed at build time; compact/rebuild to change them")
+      case None => throw new IllegalStateException(
+        s"index at $dir has no persisted $key (pre-params legacy tree): rebuild it")
     }
 
   // ------------------------------------------------------------- IVF
@@ -163,11 +215,16 @@ object AnnIndex {
   /** Train centroids on `corpus` (the [[Ann.trainCentroids]] bounded
     * deterministic sample) and write the full index: centroids
     * (cell, c), assignments under `gen=0` partitioned by cell, meta
-    * LAST. */
+    * LAST. `appendOnly = false` stamps the index upsert-possible-and-
+    * untrusted ATOMICALLY in that same meta write — the in-stream
+    * compact's flag (its corpus snapshot may cover undelivered batches
+    * that later re-append as `newIds` duplicates), with no second
+    * meta write for a crash to fall between. */
   def buildIvf(
       corpus: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, lloydIters: Int = 2, batchId: Long = -1L): Unit = {
+      nlist: Int = 16, lloydIters: Int = 2, batchId: Long = -1L,
+      appendOnly: Boolean = true): Unit = {
     val s = corpus.sparkSession
     val cs = Ann.trainCentroids(corpus, idCol, vecCol, nlist, lloydIters)
     val fs = fsOf(s, indexDir)
@@ -176,7 +233,9 @@ object AnnIndex {
     cs.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toDF("cell", "c").write.parquet(centroidsPath(indexDir))
     writeAssignGen(assignWith(corpus, cs, idCol, vecCol), indexDir, 0L)
-    writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = true, batch = batchId))
+    writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
+      batch = batchId, trusted = appendOnly,
+      params = Map("nlist" -> nlist.toString)))
   }
 
   /** Assign ONLY the delta under the persisted centroids and write it
@@ -184,10 +243,11 @@ object AnnIndex {
     * plan-time constant, the delta is the only thing read or written —
     * and the generation comes from the meta, so nothing of the base is
     * scanned either. `newIds = true` declares the batch's ids new by
-    * construction (dated ingest), keeping the plain-read live view;
-    * the default conservatively routes readers through upsert
-    * resolution. Overwrite of the reserved gen dir makes a replayed
-    * crash-append idempotent at the file level. */
+    * construction (dated ingest), keeping the plain-read live view; the
+    * default records the generation as an upsert, which routes readers
+    * through the BOUNDED resolution (see class doc). Overwrite of the
+    * reserved gen dir makes a replayed crash-append idempotent at the
+    * file level. */
   def appendIvf(
       delta: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -213,8 +273,14 @@ object AnnIndex {
 
   /** Retrain on the current corpus and rewrite the whole index at
     * gen 0 — the compaction step once [[staleness]] crosses the
-    * deployment's drift budget. Resets the append-only flag: a
-    * compacted index is one generation, trivially plain-readable.
+    * deployment's drift budget. A batch-side compact (default) resets
+    * the history flags: one generation, trivially plain-readable. An
+    * IN-STREAM compact passes `appendOnly = false`, and the
+    * untrusted-upserts flag lands IN the staged tree's own meta —
+    * atomic under the swap, so no crash window can adopt a compacted
+    * index whose flag is missing (the r15 advisor's exactly-once
+    * hole: the old two-step flag write could be skipped by a replay
+    * that saw the batch as already recorded).
     *
     * STAGED: the rebuild lands in a sibling `.compact.tmp` tree (meta
     * last), and only then swaps in (delete old, rename). A crash
@@ -227,11 +293,12 @@ object AnnIndex {
   def compactIvf(
       corpus: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nlist: Int = 16, lloydIters: Int = 2, batchId: Long = -1L): Unit = {
+      nlist: Int = 16, lloydIters: Int = 2, batchId: Long = -1L,
+      appendOnly: Boolean = true): Unit = {
     val s = corpus.sparkSession
     recover(s, indexDir)
     val tmp = compactTmp(indexDir)
-    buildIvf(corpus, tmp, idCol, vecCol, nlist, lloydIters, batchId)
+    buildIvf(corpus, tmp, idCol, vecCol, nlist, lloydIters, batchId, appendOnly)
     val fs = fsOf(s, indexDir)
     fs.delete(new Path(indexDir), true)
     if (!fs.rename(new Path(tmp), new Path(indexDir)))
@@ -254,15 +321,6 @@ object AnnIndex {
       fs.rename(new Path(tmp), new Path(indexDir))
     } else false
   }
-
-  /** Record that upserts are POSSIBLE from here on (plain reads off
-    * until the next compact) — used by in-stream compaction, whose
-    * corpus snapshot may include not-yet-processed batches that will
-    * later re-append as duplicate content; the latest-gen reduce
-    * resolves them, a plain read would not. */
-  private[graft] def markUpsertsPossible(s: SparkSession, dir: String): Unit =
-    readMeta(s, dir).foreach(m =>
-      if (m.appendOnly) writeMeta(s, dir, m.copy(appendOnly = false)))
 
   /** Fraction of live assignment rows that arrived by append (gen > 0)
     * — the drift signal a deployment compacts on. */
@@ -299,28 +357,34 @@ object AnnIndex {
 
   /** The LIVE assignment (vec_id, cell, gen): latest generation wins
     * per id, so a re-ingested vector supersedes its older rows — the
-    * postings `gen` convention. When the meta says the history is
-    * append-only (every append declared `newIds`, or the index was just
-    * built/compacted), the reduce is the identity and the view is a
-    * PLAIN read — no shuffle, and a `cells` probe filter prunes the
-    * scan to its partitions. With upserts in the history, the probe
-    * filter applies only AFTER latest-gen resolution: pruning first
-    * could read a superseded row whose newer generation lives in an
-    * unprobed cell and resurrect it. */
+    * postings `gen` convention. Three regimes per the meta (class doc):
+    * plain read (probe filter pushed into the scan) / BOUNDED
+    * resolution over the recorded upsert generations (probe filter
+    * pushed on the untouched branch, applied post-reduce on the upsert
+    * branch) / full resolution (probe filter strictly post-reduce —
+    * pruning first could read a superseded row whose newer generation
+    * lives in an unprobed cell and resurrect it). */
   def ivfAssignments(s: SparkSession, indexDir: String,
       cells: Option[Seq[Long]] = None): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
-    val appendOnly = meta.appendOnly
     val raw = rawAssignments(s, indexDir, meta.gen)
-    if (appendOnly)
-      cells.fold(raw)(cs => raw.filter(col("cell").isin(cs: _*)))
-    else {
-      val live = raw
-        .groupBy("vec_id")
-        .agg(max(struct(col("gen"), col("cell"))).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"), col("m.gen").as("gen"))
-      cells.fold(live)(cs => live.filter(col("cell").isin(cs: _*)))
-    }
+    def cellFilter(df: DataFrame): DataFrame =
+      cells.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
+    def resolve(rows: DataFrame): DataFrame = rows
+      .groupBy("vec_id")
+      .agg(max(struct(col("gen"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.gen").as("gen"))
+    if (meta.appendOnly) cellFilter(raw)
+    else if (meta.trusted && meta.upsertGens.nonEmpty) {
+      val ug = meta.upsertGens
+      // the upsert gens' directories are delta-scale: partition-pruned
+      // scans, a broadcast-small id set, a reduce bounded by them
+      val upRows = raw.filter(col("gen").isin(ug: _*))
+      val upIds = upRows.select("vec_id").distinct()
+      val untouched = cellFilter(raw.filter(!col("gen").isin(ug: _*)))
+        .join(broadcast(upIds), Seq("vec_id"), "left_anti")
+      untouched.unionByName(cellFilter(resolve(upRows)))
+    } else cellFilter(resolve(raw))
   }
 
   /** Persisted centroids as the driver-side array (cell-ordered),
@@ -352,10 +416,11 @@ object AnnIndex {
     * values of a broadcast-small query set) and pushed into the
     * assignment read, so an append-only index SCANS ONLY THE PROBE
     * CELLS' partitions — nprobe/nlist of the files, the reference's
-    * point-lookup-touches-one-part-file economics. With a
-    * freshly-compacted index this is bit-identical to the registered
-    * q45 build (same trainer, same assignment, same probe —
-    * AnnIndexSpec pins it). */
+    * point-lookup-touches-one-part-file economics — and a
+    * tracked-upsert index scans those partitions plus its (delta-scale)
+    * upsert generations. With a freshly-compacted index this is
+    * bit-identical to the registered q45 build (same trainer, same
+    * assignment, same probe — AnnIndexSpec pins it). */
   def ivfTopKFromIndex(
       s: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 8,
@@ -389,27 +454,40 @@ object AnnIndex {
 
   /** Write the banded signature index (vec_id, band, bucket) under
     * `gen=0` — the [[Ann.bandedSignatures]] table under maintenance.
-    * The model here is (nPlanes, bands, seed, dim): planes are
-    * seed-derived, so nothing beyond the parameters needs persisting.
-    * Meta written LAST (completion marker). */
+    * The model here is (dim, nPlanes, bands, seed): planes are
+    * seed-derived, so the meta persists exactly those four numbers and
+    * the read/append paths rebuild the planes WITHOUT touching the
+    * corpus — and refuse mismatched parameters instead of silently
+    * banding under a different model. Meta written LAST (completion
+    * marker). */
   def buildBanded(
       corpus: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): Unit = {
+      nPlanes: Int = 16, bands: Int = 8, seed: Long = 42L,
+      batchId: Long = -1L): Unit = {
     val s = corpus.sparkSession
     val fs = fsOf(s, indexDir)
     if (fs.exists(new Path(indexDir))) fs.delete(new Path(indexDir), true)
+    // one bounded action at BUILD time (first row's vector width) — the
+    // price of a read path that never needs a corpus action
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     writeBandedGen(
-      Ann.bandedSignatures(corpus, idCol, vecCol, nPlanes, bands, seed)
-        .withColumnRenamed(idCol, "vec_id"),
+      Ann.bandedRows(corpus.select(col(idCol).as("vec_id"), col(vecCol)),
+          "vec_id", vecCol, Ann.hyperplanes(nPlanes, dim, seed), bands)
+        .select("vec_id", "band", "bucket"),
       indexDir, 0L)
-    writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = true, batch = -1L))
+    writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = true, batch = batchId,
+      params = Map("dim" -> dim.toString, "np" -> nPlanes.toString,
+        "nb" -> bands.toString, "seed" -> seed.toString)))
   }
 
   /** Band ONLY the delta under the same seeded planes and write it into
-    * the next `gen=N` directory (gen from the meta — O(1)). Banded rows
-    * are per-vector, so append ≡ rebuild is exact by construction.
-    * `newIds` as in [[appendIvf]]. */
+    * the next `gen=N` directory (gen from the meta — O(1); planes from
+    * the meta's persisted (dim, nPlanes, bands, seed), validated
+    * against the caller's — a mismatch THROWS, it never silently bands
+    * a delta under different planes). Banded rows are per-vector, so
+    * append ≡ rebuild is exact by construction. `newIds` as in
+    * [[appendIvf]]. */
   def appendBanded(
       delta: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -417,29 +495,54 @@ object AnnIndex {
       newIds: Boolean = false, batchId: Long = -1L): Unit = {
     val s = delta.sparkSession
     val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
+    requireParam(next, indexDir, "np", nPlanes)
+    requireParam(next, indexDir, "nb", bands)
+    requireParam(next, indexDir, "seed", seed)
+    val dim = next.params("dim").toInt
+    // the delta's cardinality sizes the write fan-out (micro-batches
+    // land in one file, not numShufflePartitions shards) — one count
+    // over the delta, which is the batch being written anyway
+    val deltaRows = delta.count()
     writeBandedGen(
-      Ann.bandedSignatures(delta, idCol, vecCol, nPlanes, bands, seed)
-        .withColumnRenamed(idCol, "vec_id"),
-      indexDir, gen)
+      Ann.bandedRows(delta.select(col(idCol).as("vec_id"), col(vecCol)),
+          "vec_id", vecCol, Ann.hyperplanes(nPlanes, dim, seed), bands)
+        .select("vec_id", "band", "bucket"),
+      indexDir, gen, estimatedRows = deltaRows * bands)
     writeMeta(s, indexDir, next)
   }
+
+  /** Rows-per-file target for banded APPEND generations: small enough
+    * that local fixtures still fan out, large enough that a streaming
+    * micro-batch lands in ONE file instead of numShufflePartitions
+    * shards (the r15 advisor's small-file finding — per-gen file count
+    * must scale with the batch, or O(|delta|) ingest economics erode
+    * under file-count pressure until the next compact). */
+  private val BandedAppendRowsPerFile = 4096L
 
   /** One generation's banded files, RANGE-CLUSTERED by bucket
     * (repartitionByRange gives files disjoint bucket ranges;
     * sortWithinPartitions gives row groups tight min-max stats), so a
     * probe's bucket IN-list skips whole files/row groups at the parquet
     * layer — the (band, bucket)-keyed twin of the IVF cell
-    * partitioning. */
-  private def writeBandedGen(banded: DataFrame, indexDir: String, gen: Long): Unit =
+    * partitioning. Builds use the session's full shuffle width (the
+    * corpus-sized generation wants the fan-out); appends pass their
+    * batch cardinality and write ceil(rows/target) files, capped at the
+    * session width. */
+  private def writeBandedGen(banded: DataFrame, indexDir: String, gen: Long,
+      estimatedRows: Long = -1L): Unit = {
+    val sessionWidth = banded.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit partition count either way: an AQE-coalesced range
+    // shuffle would collapse small generations into one wide-range file
+    // and erase the min-max selectivity the probe prunes against
+    val parts =
+      if (estimatedRows < 0) sessionWidth
+      else math.max(1L, math.min(sessionWidth.toLong,
+        (estimatedRows + BandedAppendRowsPerFile - 1) / BandedAppendRowsPerFile)).toInt
     banded
-      // explicit partition count: an AQE-coalesced range shuffle would
-      // collapse small generations into one wide-range file and erase
-      // the min-max selectivity the probe prunes against
-      .repartitionByRange(
-        banded.sparkSession.sessionState.conf.numShufflePartitions,
-        col("bucket"))
+      .repartitionByRange(parts, col("bucket"))
       .sortWithinPartitions("bucket", "band")
       .write.mode("overwrite").parquet(s"${bandedPath(indexDir)}/gen=$gen")
+  }
 
   /** Same commit-pointer read as [[rawAssignments]]. */
   private def rawBanded(s: SparkSession, indexDir: String, committedGen: Long): DataFrame =
@@ -449,11 +552,12 @@ object AnnIndex {
         col("gen").cast("long").as("gen"))
 
   /** The LIVE banded rows (vec_id, band, bucket): a re-ingested id's
-    * latest generation supersedes its older band rows. Append-only
-    * history → plain read with an optional (band, bucket)-superset
-    * probe filter pushed into the scan; upserts in the history → the
-    * latest-gen join resolves FIRST, then the filter applies (same
-    * resurrect hazard as [[ivfAssignments]]). */
+    * latest generation supersedes its older band rows. Same three
+    * regimes as [[ivfAssignments]] (class doc): plain read with the
+    * optional (band, bucket)-superset probe filter pushed into the
+    * scan / BOUNDED resolution over the recorded upsert generations /
+    * full latest-gen resolution with the filter strictly after (the
+    * resurrect hazard). */
   def bandedRowsLive(s: SparkSession, indexDir: String,
       probe: Option[(Seq[Int], Seq[Long])] = None): DataFrame = {
     def probeFilter(df: DataFrame): DataFrame = probe.fold(df) {
@@ -462,30 +566,42 @@ object AnnIndex {
     }
     val meta = metaOrThrow(s, indexDir)
     val raw = rawBanded(s, indexDir, meta.gen)
+    def resolve(rows: DataFrame): DataFrame = rows.join(
+        rows.groupBy("vec_id").agg(max("gen").as("gen")), Seq("vec_id", "gen"))
+      .select("vec_id", "band", "bucket")
     if (meta.appendOnly) probeFilter(raw).select("vec_id", "band", "bucket")
-    else {
-      val live = raw.join(
-          raw.groupBy("vec_id").agg(max("gen").as("gen")),
-          Seq("vec_id", "gen"))
+    else if (meta.trusted && meta.upsertGens.nonEmpty) {
+      val ug = meta.upsertGens
+      val upRows = raw.filter(col("gen").isin(ug: _*))
+      val upIds = upRows.select("vec_id").distinct()
+      val untouched = probeFilter(raw.filter(!col("gen").isin(ug: _*)))
+        .join(broadcast(upIds), Seq("vec_id"), "left_anti")
         .select("vec_id", "band", "bucket")
-      probeFilter(live)
-    }
+      untouched.unionByName(probeFilter(resolve(upRows)))
+    } else probeFilter(resolve(raw))
   }
 
   /** [[Ann.lshTopK]] through the MAINTAINED banded index: corpus-side
     * bands from the persisted table (joined to the vectors by id),
-    * query-side bands on the fly under the same seeded planes. The
-    * query set's (band, bucket) keys are collected driver-side and
-    * pushed as a superset filter into the banded read — on the
-    * range-clustered layout an append-only index reads only matching
-    * buckets' row groups, never the whole table. Bit-identical to the
-    * registered q30 in-query build (same planes, same candidate set,
-    * same exact rerank; AnnIndexSpec pins it). */
+    * query-side bands on the fly under the same seeded planes — the
+    * MODEL comes from the index's own meta (dim included), so the read
+    * path touches no corpus action and a caller passing parameters that
+    * disagree with the build's gets an exception, never silently
+    * different planes. The query set's (band, bucket) keys are
+    * collected driver-side and pushed as a superset filter into the
+    * banded read — on the range-clustered layout an append-only index
+    * reads only matching buckets' row groups, never the whole table.
+    * Bit-identical to the registered q30 in-query build (same planes,
+    * same candidate set, same exact rerank; AnnIndexSpec pins it). */
   def lshTopKFromIndex(
       s: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       nPlanes: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val meta = metaOrThrow(s, indexDir)
+    requireParam(meta, indexDir, "np", nPlanes)
+    requireParam(meta, indexDir, "nb", bands)
+    requireParam(meta, indexDir, "seed", seed)
+    val dim = meta.params("dim").toInt
     val planes = Ann.hyperplanes(nPlanes, dim, seed)
     val qBand = Ann.bandedRows(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),

@@ -365,7 +365,8 @@ object EventStreams {
       dim: Int = -1): DataFrame =
     semNearDupHits(batch, baseEmb, baseBanded, idCol, vecCol, threshold,
       nPlanes, bands, seed, carryCols = Nil, dimHint = dim,
-      pruneBase = (base, probe) => graft.build.Layout.pruneToProbe(base, probe))
+      pruneBase = (base, probe) => graft.build.Layout.pruneToProbe(base, probe),
+      matProbe = true)
       .select("new_id", "base_id")
       .dropDuplicates("new_id", "base_id")
 
@@ -377,14 +378,20 @@ object EventStreams {
     * base scan (the foreachBatch form's per-batch directory pruning —
     * a streaming probe must keep the identity default: pruning needs a
     * collect). `dimHint > 0` skips the base-dimension lookup job —
-    * foreachBatch callers compute it once outside the loop. */
+    * foreachBatch callers compute it once outside the loop. `matProbe`
+    * localCheckpoints the (batch-sized) probe banding so the pruning
+    * collect and the candidate join execute it ONCE per trigger instead
+    * of re-banding the micro-batch for each (streaming-illegal, so only
+    * the foreachBatch form sets it; blocks are freed by the context
+    * cleaner when the batch plan is collected). */
   private def semNearDupHits(
       vecs: DataFrame, baseEmb: DataFrame, baseBanded: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       nPlanes: Int, bands: Int, seed: Long,
       carryCols: Seq[String],
       dimHint: Int = -1,
-      pruneBase: (DataFrame, DataFrame) => DataFrame = (base, _) => base): DataFrame = {
+      pruneBase: (DataFrame, DataFrame) => DataFrame = (base, _) => base,
+      matProbe: Boolean = false): DataFrame = {
     // dim comes from the STATIC base (one head() at plan construction —
     // the stream side must never need an action), so the stream bands
     // itself with exactly the base index's hyperplanes
@@ -392,11 +399,12 @@ object EventStreams {
       if (dimHint > 0) dimHint
       else baseEmb.select(size(col("embedding"))).head().getInt(0)
     val planes = graft.similarity.Ann.hyperplanes(nPlanes, dim, seed)
-    val d = graft.similarity.Ann.bandedRows(
+    val d0 = graft.similarity.Ann.bandedRows(
         vecs.select(col(idCol).cast("long").as("new_id") +:
           col(vecCol).as("vb") +: carryCols.map(col): _*),
         "new_id", "vb", planes, bands, extraCols = carryCols)
       .withColumn("nb", graft.functions.Vectors.norm(col("vb")))
+    val d = if (matProbe) d0.localCheckpoint(eager = false) else d0
     // prune FIRST (the artifact carries pb), join vectors after: the
     // directory cut applies to the banded scan itself
     val b = pruneBase(baseBanded, d).join(

@@ -114,11 +114,15 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             // staged rebuild over the corpus as present NOW, stamped
             // with this batchId so a post-swap crash replays as a skip.
             // The snapshot may cover undelivered batches (they'll
-            // re-append later), so flag upserts-possible: the reduce
-            // view collapses the content-identical duplicates.
+            // re-append later as `newIds` duplicates), so the compact
+            // stamps upserts-possible-and-untrusted IN ITS OWN meta
+            // (`appendOnly = false`), atomic under the staged swap —
+            // the reduce view collapses the content-identical
+            // duplicates. A separate post-swap flag write would leave
+            // a crash window where a replay sees the batch recorded,
+            // skips, and the flag never lands (the r15 advisor hole).
             AI.compactIvf(spark.read.parquet(vecDir), indexDir,
-              idCol, vecCol, nlist, batchId = batchId)
-            AI.markUpsertsPossible(spark, indexDir)
+              idCol, vecCol, nlist, batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance IVF batch $batchId: compacted (staged)")
           }
         }

@@ -300,6 +300,126 @@ class AnnIndexSpec extends AnyFunSuite {
       s"bucket probe must skip most row groups: $probedRows of $allRows rows scanned")
   }
 
+  // ------------------------------------------------ r16: bounded upserts
+
+  /** Rewrite the meta marker in place (test-only: simulate a legacy /
+    * untrusted meta to force the FULL-resolution read path). */
+  private def patchMeta(idx: String, from: String, to: String): Unit = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$idx/_INDEX_META")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaP)
+    val line = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    assert(line.contains(from), s"meta missing '$from': $line")
+    val out = fs.create(metaP, true)
+    out.write(line.replace(from, to).getBytes); out.close()
+  }
+
+  /** [[scanStats]] for plans with exchanges: AQE buries the scans under
+    * AdaptiveSparkPlan/QueryStage wrappers that `collectLeaves` treats
+    * as leaves — walk through them. */
+  private def deepScanFiles(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  test("tracked upsert: resolution is BOUNDED by the upsert generations — files measured, rows equal full resolution") {
+    val idx = s"$work/ivf_bounded"
+    AnnIndex.buildIvf(emb, idx, nlist = 16)
+    // a SMALL undeclared upsert batch (5 ids) — the shape that used to
+    // cost every reader a full-index shuffle until compact
+    AnnIndex.appendIvf(emb.filter(col("vec_id") < 5), idx)
+    def all3(df: DataFrame) = rows3(df.select(col("vec_id"), col("cell"), col("gen")))
+    val bounded = all3(AnnIndex.ivfAssignments(spark, idx))
+    val someCells = Seq(0L, 3L)
+    val boundedProbed = all3(AnnIndex.ivfAssignments(spark, idx, cells = Some(someCells)))
+    val boundedFiles = deepScanFiles(AnnIndex.ivfAssignments(spark, idx, cells = Some(someCells)))
+    // flip the trust flag: the same history served by FULL resolution
+    patchMeta(idx, "trust=true", "trust=false")
+    assert(bounded == all3(AnnIndex.ivfAssignments(spark, idx)),
+      "bounded tracked-upsert view diverged from full resolution")
+    assert(boundedProbed == all3(AnnIndex.ivfAssignments(spark, idx, cells = Some(someCells))),
+      "bounded probed view diverged from full-resolution probed view")
+    val fullFiles = deepScanFiles(AnnIndex.ivfAssignments(spark, idx, cells = Some(someCells)))
+    assert(boundedFiles < fullFiles,
+      s"bounded probe must prune the untouched branch to its cells and the reduce " +
+        s"to the upsert gens: read $boundedFiles of the full path's $fullFiles files")
+    // and the superseded-row hazard stays closed on the bounded path:
+    // every vec_id appears exactly once in the live view
+    patchMeta(idx, "trust=false", "trust=true")
+    val dupIds = AnnIndex.ivfAssignments(spark, idx)
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dupIds == 0, "bounded view must serve one live row per id")
+  }
+
+  test("banded tracked upsert: bounded view equals full resolution, probe pushes on the untouched branch") {
+    val idx = s"$work/lsh_bounded"
+    AnnIndex.buildBanded(emb, idx, nPlanes = 16, bands = 8)
+    AnnIndex.appendBanded(emb.filter(col("vec_id") < 5), idx,
+      nPlanes = 16, bands = 8) // undeclared upsert
+    def all3(df: DataFrame) = rows3(
+      df.select(col("vec_id"), col("band").cast("long"), col("bucket")))
+    val bounded = all3(AnnIndex.bandedRowsLive(spark, idx))
+    val someBuckets = AnnIndex.bandedRowsLive(spark, idx)
+      .filter(col("vec_id") === 0L).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    val probe = (someBuckets.map(_._1).toSeq.distinct,
+      someBuckets.map(_._2).toSeq.distinct)
+    val boundedProbed = all3(AnnIndex.bandedRowsLive(spark, idx, probe = Some(probe)))
+    patchMeta(idx, "trust=true", "trust=false")
+    assert(bounded == all3(AnnIndex.bandedRowsLive(spark, idx)))
+    assert(boundedProbed == all3(AnnIndex.bandedRowsLive(spark, idx, probe = Some(probe))))
+  }
+
+  test("model parameters are persisted in the meta and mismatches throw") {
+    val idx = s"$work/lsh_params"
+    AnnIndex.buildBanded(emb, idx, nPlanes = 16, bands = 8, seed = 42L)
+    val delta = emb.filter(col("vec_id") < 3)
+    // an append under different planes would silently corrupt recall —
+    // it must throw instead
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendBanded(delta, idx, nPlanes = 16, bands = 8, seed = 43L)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendBanded(delta, idx, nPlanes = 32, bands = 8)
+    }
+    // a read under different parameters loses recall silently — throws
+    intercept[IllegalArgumentException] {
+      AnnIndex.lshTopKFromIndex(spark, idx, emb, delta, 5, nPlanes = 16, bands = 4)
+    }
+    // matching parameters still work end-to-end
+    assert(AnnIndex.lshTopKFromIndex(
+      spark, idx, emb, delta, 5, nPlanes = 16, bands = 8).count() > 0)
+  }
+
+  test("micro-batch banded append writes files scaled to the batch, not the session width") {
+    val idx = s"$work/lsh_smallfiles"
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      AnnIndex.buildBanded(emb, idx, nPlanes = 16, bands = 8)
+      // a 3-vector micro-batch: 24 banded rows — far below one file's
+      // target, so the gen dir must hold ONE part file, not 32 shards
+      AnnIndex.appendBanded(emb.filter(col("vec_id") < 3), idx,
+        nPlanes = 16, bands = 8, newIds = true)
+      val genDir = new java.io.File(s"$idx/banded/gen=1")
+      val parts = genDir.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts == 1,
+        s"a tiny append must write one file (got $parts) — small-file " +
+          "proliferation erodes O(|delta|) ingest until compact")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("LSH: base-build + delta-append equals the full rebuild, and q30 reproduces exactly") {
     val idx = s"$work/lsh1"
     AnnIndex.buildBanded(emb.filter(!isDelta), idx, nPlanes = 16, bands = 8)

@@ -464,6 +464,37 @@ class DedupArtifactsSpec extends AnyFunSuite {
     assert(filesRead(uncapped) == allFiles)
   }
 
+  test("v13 layout: the media band table prunes to a small probe's pb directories, artifact ≡ in-query") {
+    import spark.implicits._
+    // the media twin of the v12 test: a small probe (3 media items'
+    // pigeonhole bands) against the persisted phash band table
+    val banded = DedupArtifacts.phashBanded(spark, sfDir)
+    val fp = DedupArtifacts.phashes(spark, sfDir)
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    val probeBands = Dedup.simHashBands(
+      fp.filter(col("doc_id") < 3), DedupArtifacts.PHashMaxHamming)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val allFiles = filesRead(banded)
+    val prunedFiles = filesRead(graft.build.Layout.pruneToProbe(banded, probeBands))
+    assert(prunedFiles < allFiles,
+      s"media probe must prune pb directories: read $prunedFiles of $allFiles files")
+    // exactness: candidates through the pruned persisted artifact equal
+    // the in-query re-banding path (q150/q154's pre-v13 shape)
+    val viaArtifact = Dedup.crossCandidatesFromSimhashBanded(banded, probeBands)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val inQuery = Dedup.bandedCrossCandidates(
+        fp, DedupArtifacts.PHashMaxHamming, col("doc_id") < 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(viaArtifact == inQuery,
+      "artifact-served media candidates diverged from the in-query banding")
+  }
+
   test("bandedCrossCandidates keeps (id, sim) correspondence after normalization") {
     import spark.implicits._
     val fp = DedupArtifacts.phashes(spark, sfDir)

@@ -155,6 +155,18 @@ class StreamingIndexSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(live(idx) == live(batchIdx),
       "in-stream compaction diverged from the from-scratch build")
+    // the r15 advisor's exactly-once hole, pinned closed: the
+    // upserts-possible flag rides the compact's OWN meta (atomic under
+    // the staged swap), so a later append that WRONGLY declares newIds
+    // — the undelivered-batch replay the in-stream compact's snapshot
+    // makes possible — is still resolved, never served as duplicates
+    val replayed = emb.filter(isDelta)
+    AnnIndex.appendIvf(replayed, idx, newIds = true)
+    val dups = AnnIndex.ivfAssignments(spark, idx)
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dups == 0,
+      "post-in-stream-compact reads must resolve duplicate re-appends " +
+        "even under a (wrong) newIds declaration")
   }
 
   test("AvailableNow IVF maintenance: stream-built index equals the batch build+append") {
