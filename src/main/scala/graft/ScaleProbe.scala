@@ -162,6 +162,26 @@ object ScaleProbe {
             graft.similarity.AnnIndex.appendIvf(emb.filter(isDelta), idx)
             graft.similarity.AnnIndex.ivfAssignments(s, idx)
           }
+        // `ann_upsert_read` / `ann_upsert_read_full` measure the r16
+        // BOUNDED tracked-upsert live view against the full-resolution
+        // audit plan at scale: one point-upsert batch (~0.1% of ids,
+        // tracked in the meta's ugens) on top of a full build, then a
+        // 2-cell probed read. The bounded plan reads the probe cells'
+        // partitions + the upsert gen; the `_full` twin forces
+        // resolve-everything (`resolveAll`) — its cost grows with the
+        // index, the bounded one with the probe + delta.
+        else if (name == "ann_upsert_read" || name == "ann_upsert_read_full")
+          (s, d) => {
+            val AI = graft.similarity.AnnIndex
+            val idx = s"$d/ivf_upsert_idx"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            if (!AI.isComplete(s, idx)) {
+              AI.buildIvf(emb, idx, nlist = 16)
+              AI.appendIvf(emb.filter(col("vec_id") % 997 === 0), idx)
+            }
+            AI.ivfAssignments(s, idx, cells = Some(Seq(0L, 3L)),
+              resolveAll = name.endsWith("_full"))
+          }
         // `sem_cand_probe` measures the BANDED CANDIDATE VOLUME of the
         // q161/q163 delta probe (rows = candidate stream size, the cost
         // driver of the banded incremental path) — the denominator is

@@ -363,9 +363,12 @@ object AnnIndex {
     * pushed on the untouched branch, applied post-reduce on the upsert
     * branch) / full resolution (probe filter strictly post-reduce —
     * pruning first could read a superseded row whose newer generation
-    * lives in an unprobed cell and resurrect it). */
+    * lives in an unprobed cell and resurrect it). `resolveAll` forces
+    * the full-resolution plan regardless of the flags — the audit path
+    * (verify the fast regimes against the one that trusts nothing; the
+    * scale probes time both). */
   def ivfAssignments(s: SparkSession, indexDir: String,
-      cells: Option[Seq[Long]] = None): DataFrame = {
+      cells: Option[Seq[Long]] = None, resolveAll: Boolean = false): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
     val raw = rawAssignments(s, indexDir, meta.gen)
     def cellFilter(df: DataFrame): DataFrame =
@@ -374,7 +377,8 @@ object AnnIndex {
       .groupBy("vec_id")
       .agg(max(struct(col("gen"), col("cell"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"), col("m.gen").as("gen"))
-    if (meta.appendOnly) cellFilter(raw)
+    if (resolveAll) cellFilter(resolve(raw))
+    else if (meta.appendOnly) cellFilter(raw)
     else if (meta.trusted && meta.upsertGens.nonEmpty) {
       val ug = meta.upsertGens
       // the upsert gens' directories are delta-scale: partition-pruned
