@@ -294,11 +294,36 @@ object AnnIndex {
       corpus: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = 16, lloydIters: Int = 2, batchId: Long = -1L,
-      appendOnly: Boolean = true): Unit = {
-    val s = corpus.sparkSession
+      appendOnly: Boolean = true): Unit =
+    stagedCompact(corpus.sparkSession, indexDir)(tmp =>
+      buildIvf(corpus, tmp, idCol, vecCol, nlist, lloydIters, batchId, appendOnly))
+
+  /** [[compactIvf]]'s banded twin: re-band the current corpus under the
+    * same (or retuned) parameters and rewrite the whole index at gen 0
+    * via the SAME staged-swap/recover protocol — the compaction step
+    * once [[bandedStaleness]] (or small-file pressure from many append
+    * generations) crosses the deployment's budget. Resets the history
+    * flags: a compacted index is one generation, trivially
+    * plain-readable. */
+  def compactBanded(
+      corpus: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nPlanes: Int = 16, bands: Int = 8, seed: Long = 42L,
+      batchId: Long = -1L, appendOnly: Boolean = true): Unit =
+    stagedCompact(corpus.sparkSession, indexDir)(tmp =>
+      buildBanded(corpus, tmp, idCol, vecCol, nPlanes, bands, seed,
+        batchId, appendOnly))
+
+  /** The shared staged-swap protocol behind both compacts: the rebuild
+    * lands in a sibling `.compact.tmp` tree (meta last), and only then
+    * swaps in (delete old, rename). A crash mid-rebuild leaves the OLD
+    * index fully intact and complete; the delete→rename gap is covered
+    * by [[recover]]. */
+  private def stagedCompact(s: SparkSession, indexDir: String)
+      (build: String => Unit): Unit = {
     recover(s, indexDir)
     val tmp = compactTmp(indexDir)
-    buildIvf(corpus, tmp, idCol, vecCol, nlist, lloydIters, batchId, appendOnly)
+    build(tmp)
     val fs = fsOf(s, indexDir)
     fs.delete(new Path(indexDir), true)
     if (!fs.rename(new Path(tmp), new Path(indexDir)))
@@ -468,7 +493,7 @@ object AnnIndex {
       corpus: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nPlanes: Int = 16, bands: Int = 8, seed: Long = 42L,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L, appendOnly: Boolean = true): Unit = {
     val s = corpus.sparkSession
     val fs = fsOf(s, indexDir)
     if (fs.exists(new Path(indexDir))) fs.delete(new Path(indexDir), true)
@@ -480,7 +505,8 @@ object AnnIndex {
           "vec_id", vecCol, Ann.hyperplanes(nPlanes, dim, seed), bands)
         .select("vec_id", "band", "bucket"),
       indexDir, 0L)
-    writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = true, batch = batchId,
+    writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
+      batch = batchId, trusted = appendOnly,
       params = Map("dim" -> dim.toString, "np" -> nPlanes.toString,
         "nb" -> bands.toString, "seed" -> seed.toString)))
   }
@@ -546,6 +572,21 @@ object AnnIndex {
       .repartitionByRange(parts, col("bucket"))
       .sortWithinPartitions("bucket", "band")
       .write.mode("overwrite").parquet(s"${bandedPath(indexDir)}/gen=$gen")
+  }
+
+  /** [[staleness]]'s banded twin: the fraction of LIVE banded rows that
+    * arrived by append (gen > 0) — the drift/small-file signal a
+    * deployment runs [[compactBanded]] on. (Banded rows never drift
+    * geometrically — planes are fixed by seed — so the pressure here is
+    * append-generation fan-out and upsert-history cost, not recall.) */
+  def bandedStaleness(s: SparkSession, indexDir: String): Double = {
+    val meta = metaOrThrow(s, indexDir)
+    val raw = rawBanded(s, indexDir, meta.gen)
+    val live = raw.join(
+      raw.groupBy("vec_id").agg(max("gen").as("gen")), Seq("vec_id", "gen"))
+    val r = live.agg(count(lit(1)).as("n"),
+      sum(when(col("gen") > 0, 1L).otherwise(0L)).as("d")).head()
+    if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
   }
 
   /** Same commit-pointer read as [[rawAssignments]]. */

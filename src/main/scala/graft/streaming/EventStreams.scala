@@ -232,20 +232,61 @@ object EventStreams {
     *
     * At 100 TB the static band table is the persisted phash artifact
     * re-banded per micro-batch (11 cheap projections of an 8-byte
-    * column) — or persisted banded once, the q142 pattern; and the
-    * budget knob is the same q155 story: h <= 3 keeps the stream's
-    * bucket neighborhoods sparse. */
+    * column) — or, since v13, the PERSISTED band table itself
+    * (`DedupArtifacts.phashBanded`): pass it to [[mediaNearDupBatch]]
+    * inside `foreachBatch` and each micro-batch's bucket neighborhoods
+    * prune the artifact scan to matching `pb` directories, the media
+    * twin of [[semNearDupBatch]]. The budget knob is the same q155
+    * story: h <= 3 keeps the stream's bucket neighborhoods sparse. */
   def mediaNearDupAgainstBase(
       media: DataFrame, basePhashes: DataFrame,
       idCol: String, payloadCol: String, kind: String,
+      maxHamming: Int): DataFrame =
+    mediaHits(
+      graft.dedup.Dedup.simHashBands(
+        mediaFingerprints(media, idCol, payloadCol, kind), maxHamming),
+      graft.dedup.Dedup.simHashBands(
+        basePhashes.select(col("media_id").as("doc_id"),
+          col("phash").as("simhash")), maxHamming),
+      maxHamming)
+      .dropDuplicates("new_id", "base_id")
+
+  /** The foreachBatch FORM of the media near-dup probe over the
+    * PERSISTED v13 band table (`DedupArtifacts.phashBanded`, the
+    * `Layout.writeBucketDirs` pb layout): the micro-batch is a plain
+    * DataFrame here, so its bucket neighborhoods CAN be collected and
+    * `Layout.pruneToProbe` cuts the artifact scan to matching
+    * directories before the join — the media twin of
+    * [[semNearDupBatch]], same kernel as [[mediaNearDupAgainstBase]]
+    * (StreamingOpsSpec pins foreachBatch ≡ stateless ≡ brute-force and
+    * measures the files-read drop). The batch's banding is
+    * localCheckpointed so the pruning collect and the join execute it
+    * once. */
+  def mediaNearDupBatch(
+      batch: DataFrame, baseBanded: DataFrame,
+      idCol: String, payloadCol: String, kind: String,
       maxHamming: Int): DataFrame = {
+    val streamBands = graft.dedup.Dedup.simHashBands(
+        mediaFingerprints(batch, idCol, payloadCol, kind), maxHamming)
+      .localCheckpoint(eager = false)
+    mediaHits(streamBands,
+        graft.build.Layout.pruneToProbe(baseBanded, streamBands), maxHamming)
+      .dropDuplicates("new_id", "base_id")
+  }
+
+  /** Map-only per-payload 64-bit aHash (real ImageIO path for decodable
+    * images, the deterministic stub otherwise — the same dispatch the
+    * batch phash artifact uses for `kind`). Null/empty payloads are
+    * excluded BEFORE the typed map — the batch phash artifact is built
+    * from docs.filter(length > 0), so an empty item must not hash
+    * (aHashStub would give it 0L and pair it with any near-zero base
+    * phash, breaking stream ≡ batch), and a null payload would NPE the
+    * whole streaming query inside aHashImage. */
+  private def mediaFingerprints(
+      media: DataFrame, idCol: String, payloadCol: String,
+      kind: String): DataFrame = {
     import media.sparkSession.implicits._
-    // null/empty payloads are excluded BEFORE the typed map — the batch
-    // phash artifact is built from docs.filter(length > 0), so an empty
-    // item must not hash (aHashStub would give it 0L and pair it with
-    // any near-zero base phash, breaking stream ≡ batch), and a null
-    // payload would NPE the whole streaming query inside aHashImage
-    val fp = media
+    media
       .select(col(idCol).cast("long").as("id"),
         col(payloadCol).cast("binary").as("p"))
       .filter(col("id").isNotNull && col("p").isNotNull && length(col("p")) > 0)
@@ -255,10 +296,16 @@ object EventStreams {
           else None).getOrElse(graft.multimodal.Multimodal.aHashStub(p))
         (id, h)
       }.toDF("doc_id", "simhash")
-    val streamBands = graft.dedup.Dedup.simHashBands(fp, maxHamming)
-    val baseBands = graft.dedup.Dedup.simHashBands(
-      basePhashes.select(col("media_id").as("doc_id"),
-        col("phash").as("simhash")), maxHamming)
+  }
+
+  /** Shared un-deduped media hit stream behind both forms — ONE
+    * definition of "a qualifying (new, base) pair" (the semNearDupHits
+    * rule): join on (band, bucket), codegen `bit_count` verify —
+    * hamming IS the definition here, no second set join. The base side
+    * may carry extra columns (the artifact's `pb`); only the four the
+    * join needs are selected. */
+  private def mediaHits(streamBands: DataFrame, baseBands: DataFrame,
+      maxHamming: Int): DataFrame =
     streamBands
       .join(baseBands.select(col("doc_id").as("base_id"),
         col("simhash").as("base_sim"), col("band"), col("bucket")),
@@ -266,8 +313,6 @@ object EventStreams {
       .filter(col("base_id") =!= col("doc_id"))
       .filter(bit_count(col("simhash").bitwiseXOR(col("base_sim"))) <= maxHamming)
       .select(col("doc_id").as("new_id"), col("base_id"))
-      .dropDuplicates("new_id", "base_id")
-  }
 
   /** Streaming EMBEDDING-COSINE near-dup detection against a persisted
     * base embedding table — the semantic twin of [[nearDupAgainstBase]]

@@ -131,4 +131,70 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming maintenance of the BANDED (sign-LSH) ANN index — the
+    * banded twin of [[runIvfAvailableNow]], completing the streaming
+    * lifecycle for both persisted vector-index structures: new
+    * embedding files stream in, each micro-batch bands its vectors
+    * under the index's PERSISTED model (dim/planes/bands/seed from the
+    * meta — `AnnIndex.appendBanded` validates the caller's parameters
+    * against it and throws on mismatch, so a drifted job config cannot
+    * silently band a delta under different planes) and appends them
+    * gen-stamped. The first batch against a missing index builds it.
+    *
+    * Exactly-once composition is IDENTICAL to the IVF twin (same meta
+    * protocol, same crash cases: completion marker decides
+    * build-vs-append, recorded batches replay as skips, a crashed
+    * append replays into the same overwritten gen dir, a staged
+    * compact is adopted by `recover` at the top of every batch).
+    * Append generations size their file fan-out to the batch, so a
+    * micro-batch writes one file — `compactAt > 0` then bounds the
+    * long-run generation/file count via [[graft.similarity.AnnIndex
+    * .bandedStaleness]] + `compactBanded` (banded rows never drift
+    * geometrically — planes are seed-fixed — so the pressure compacted
+    * away here is append fan-out and upsert-history read cost, not
+    * recall). An in-stream compact marks the result
+    * upsert-possible-and-untrusted in its own staged meta, exactly like
+    * the IVF twin and for the same undelivered-batch reason. */
+  def runBandedAvailableNow(
+      spark: SparkSession,
+      vecDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nPlanes: Int = 16,
+      bands: Int = 8,
+      seed: Long = 42L,
+      assumeNewIds: Boolean = false,
+      compactAt: Double = 0.0): StreamingQuery = {
+    val schema = spark.read.parquet(vecDir).schema
+    val stream = spark.readStream.schema(schema).parquet(vecDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val AI = graft.similarity.AnnIndex
+        if (AI.recover(spark, indexDir))
+          logInfo(s"IndexMaintenance banded batch $batchId: adopted staged compact")
+        if (!AI.isComplete(spark, indexDir)) {
+          AI.buildBanded(batch, indexDir, idCol, vecCol, nPlanes, bands, seed,
+            batchId = batchId)
+          logInfo(s"IndexMaintenance banded batch $batchId: build")
+        } else if (batchId <= AI.lastAppliedBatch(spark, indexDir)) {
+          logInfo(s"IndexMaintenance banded batch $batchId: replay, skipped")
+        } else {
+          AI.appendBanded(batch, indexDir, idCol, vecCol, nPlanes, bands, seed,
+            newIds = assumeNewIds, batchId = batchId)
+          logInfo(s"IndexMaintenance banded batch $batchId: append")
+          if (compactAt > 0 && AI.bandedStaleness(spark, indexDir) >= compactAt) {
+            AI.compactBanded(spark.read.parquet(vecDir), indexDir,
+              idCol, vecCol, nPlanes, bands, seed, batchId = batchId,
+              appendOnly = false)
+            logInfo(s"IndexMaintenance banded batch $batchId: compacted (staged)")
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

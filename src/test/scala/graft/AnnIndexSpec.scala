@@ -420,6 +420,29 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("banded compact reproduces the from-scratch build bit-for-bit and resets staleness") {
+    val idx = s"$work/lsh_compact"
+    AnnIndex.buildBanded(emb.filter(!isDelta), idx, nPlanes = 16, bands = 8)
+    AnnIndex.appendBanded(emb.filter(isDelta), idx, nPlanes = 16, bands = 8)
+    assert(AnnIndex.bandedStaleness(spark, idx) > 0.0,
+      "append must register as banded staleness")
+    AnnIndex.compactBanded(emb, idx, nPlanes = 16, bands = 8)
+    assert(AnnIndex.bandedStaleness(spark, idx) == 0.0,
+      "compacted banded index must be one generation")
+    val compacted = rows3(AnnIndex.bandedRowsLive(spark, idx)
+      .select(col("vec_id"), col("band").cast("long"), col("bucket")))
+    val fresh = rows3(Ann.bandedSignatures(emb, "vec_id", "embedding",
+        nPlanes = 16, bands = 8, seed = 42L)
+      .select(col("vec_id"), col("band").cast("long"), col("bucket")))
+    assert(compacted == fresh,
+      "banded compact diverged from the from-scratch signature table")
+    // and q30 through the compacted index reproduces the registered build
+    val q = emb.filter(col("vec_id") < 3)
+    assert(topk(AnnIndex.lshTopKFromIndex(
+        spark, idx, emb, q, 5, nPlanes = 16, bands = 8)) ==
+      topk(Ann.lshTopK(emb, q, 5, nPlanes = 16, bands = 8)))
+  }
+
   test("LSH: base-build + delta-append equals the full rebuild, and q30 reproduces exactly") {
     val idx = s"$work/lsh1"
     AnnIndex.buildBanded(emb.filter(!isDelta), idx, nPlanes = 16, bands = 8)

@@ -169,6 +169,44 @@ class StreamingIndexSpec extends AnyFunSuite {
         "even under a (wrong) newIds declaration")
   }
 
+  test("AvailableNow BANDED maintenance: stream-built equals batch; in-stream compact at budget") {
+    import graft.similarity.AnnIndex
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val isDelta = col("vec_id") % 7 === 6
+    val vecDir = s"$work/lshm_vecs"
+    emb.filter(!isDelta).coalesce(1).write.parquet(vecDir)
+    val idx = s"$work/lshm_idx"
+    // base batch builds; the delta batch appends and (staleness ~1/7 >
+    // 0.1) triggers the in-stream banded compact
+    IndexMaintenance.runBandedAvailableNow(
+      spark, vecDir, idx, s"$work/lshm_ckpt", compactAt = 0.1)
+      .awaitTermination()
+    assert(AnnIndex.bandedStaleness(spark, idx) == 0.0)
+    emb.filter(isDelta).coalesce(1).write.mode("append").parquet(vecDir)
+    IndexMaintenance.runBandedAvailableNow(
+      spark, vecDir, idx, s"$work/lshm_ckpt", compactAt = 0.1)
+      .awaitTermination()
+    assert(AnnIndex.bandedStaleness(spark, idx) == 0.0,
+      "post-compact banded index must be one generation")
+    def live(d: String): Set[(Long, Long, Long)] =
+      AnnIndex.bandedRowsLive(spark, d)
+        .select(col("vec_id"), col("band").cast("long"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchIdx = s"$work/lshm_full"
+    AnnIndex.buildBanded(emb, batchIdx)
+    assert(live(idx) == live(batchIdx),
+      "in-stream banded compaction diverged from the from-scratch build")
+    // same replay-duplicate pin as the IVF twin: the in-stream compact's
+    // own meta marks the index untrusted, so a wrong newIds re-append
+    // of content the compact snapshot already covered is still resolved
+    AnnIndex.appendBanded(emb.filter(isDelta), idx, newIds = true)
+    val dups = AnnIndex.bandedRowsLive(spark, idx)
+      .groupBy("vec_id", "band").count().filter(col("count") > 1).count()
+    assert(dups == 0,
+      "post-in-stream-compact banded reads must resolve duplicate re-appends")
+  }
+
   test("AvailableNow IVF maintenance: stream-built index equals the batch build+append") {
     import graft.similarity.AnnIndex
     val sfDir = "/root/testdata/sf0.001"

@@ -318,6 +318,63 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "the sf0.001 delta has media near-dups in the base")
   }
 
+  test("foreachBatch media kernel prunes the v13 band table per batch and equals the brute-force set") {
+    import graft.dedup.DedupArtifacts
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val h = DedupArtifacts.PHashMaxHamming
+    val d = DedupArtifacts.DeltaMod
+    val r = DedupArtifacts.DeltaRem
+    val baseBanded = DedupArtifacts.phashBanded(spark, sfDir)
+      .filter(col("doc_id") % d =!= r)
+    // a SMALL micro-batch's bucket neighborhoods must cut the artifact
+    // scan to a strict subset of the pb directories
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.toString.contains("phash_banded") =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val allFiles = filesRead(baseBanded)
+    val smallProbe = graft.dedup.Dedup.simHashBands(
+      DedupArtifacts.phashes(spark, sfDir)
+        .filter(col("media_id") % d === r).limit(3)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")), h)
+    val prunedFiles = filesRead(
+      graft.build.Layout.pruneToProbe(baseBanded, smallProbe))
+    assert(prunedFiles < allFiles,
+      s"media batch probe must prune pb dirs: $prunedFiles of $allFiles")
+    // the full-delta foreachBatch run equals the brute-force hamming set
+    val src = s"$work/media_fb_docs"
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % d === r && length(col("text")) > 0)
+      .select("doc_id", "text").write.parquet(src)
+    val outDir = s"$work/media_fb_out"
+    val q = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStreams.mediaNearDupBatch(b, baseBanded, "doc_id", "text", "image", h)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", s"$work/media_fb_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir).as[(Long, Long)].collect().toSet
+    val all = DedupArtifacts.phashes(spark, sfDir).as[(Long, Long)].collect()
+    val expected = (for {
+      (i, hi) <- all if i % d == r
+      (j, hj) <- all if j % d != r
+      if java.lang.Long.bitCount(hi ^ hj) <= h
+    } yield (i, j)).toSet
+    assert(streamed == expected,
+      s"foreachBatch/brute diverged: only_stream=${(streamed -- expected).take(3)} " +
+        s"only_brute=${(expected -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming banded semantic near-dup vs persisted base equals the exact batch cross-pair set") {
     import graft.dedup.DedupArtifacts
     import spark.implicits._
