@@ -183,13 +183,27 @@ object AnnIndex {
     * layout cannot mix (conflicting partition discovery), so it must be
     * rebuilt; we throw with that instruction instead of corrupting
     * it. */
+  /** Upsert generations tracked for bounded resolution before the
+    * history degrades to untrusted full resolution: past this many
+    * undeclared appends the per-read isin/anti-join machinery stops
+    * paying relative to one resolve (and staleness should have
+    * compacted long before) — so tracking more buys nothing, and the
+    * meta line stays bounded. */
+  private val MaxTrackedUpsertGens = 64
+
   private def reserveGen(s: SparkSession, dir: String, newIds: Boolean,
       batchId: Long): (Long, Meta) =
     readMeta(s, dir) match {
-      case Some(m) => (m.gen,
-        m.copy(gen = m.gen + 1, appendOnly = m.appendOnly && newIds,
-          batch = math.max(m.batch, batchId),
-          upsertGens = if (newIds) m.upsertGens else m.upsertGens :+ m.gen))
+      case Some(m) =>
+        val ugens = if (newIds) m.upsertGens else m.upsertGens :+ m.gen
+        val next =
+          if (ugens.size > MaxTrackedUpsertGens)
+            m.copy(gen = m.gen + 1, appendOnly = false,
+              batch = math.max(m.batch, batchId),
+              trusted = false, upsertGens = Nil)
+          else m.copy(gen = m.gen + 1, appendOnly = m.appendOnly && newIds,
+            batch = math.max(m.batch, batchId), upsertGens = ugens)
+        (m.gen, next)
       case None => throw new IllegalStateException(
         s"no complete index at $dir (missing ${metaPath(dir)}): build it " +
           "first — a legacy/partial tree must be rebuilt, not appended to")

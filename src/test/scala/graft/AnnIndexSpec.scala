@@ -345,6 +345,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val someCells = Seq(0L, 3L)
     val boundedProbed = all3(AnnIndex.ivfAssignments(spark, idx, cells = Some(someCells)))
     val boundedFiles = deepScanFiles(AnnIndex.ivfAssignments(spark, idx, cells = Some(someCells)))
+    // the resolveAll audit path must agree without touching the meta
+    assert(bounded == all3(AnnIndex.ivfAssignments(spark, idx, resolveAll = true)),
+      "bounded view diverged from the resolveAll audit plan")
     // flip the trust flag: the same history served by FULL resolution
     patchMeta(idx, "trust=true", "trust=false")
     assert(bounded == all3(AnnIndex.ivfAssignments(spark, idx)),
