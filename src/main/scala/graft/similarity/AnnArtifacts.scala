@@ -59,8 +59,11 @@ object AnnArtifacts {
   /** v3: + `ivfc` (the compacted history, q166) and the r16 meta
     * protocol (tracked upsert generations, persisted banded model
     * params) — both index trees carry new `_INDEX_META` keys, so the
-    * artifact epoch moves with them. */
-  private val Version = 3
+    * artifact epoch moves with them.
+    * v4: IVF generations carry the vector (the FAISS inverted-list
+    * trade) — the probe path reads vectors from the index partitions
+    * and never joins the corpus. */
+  private val Version = 4
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"

@@ -247,9 +247,13 @@ object AnnIndex {
     cs.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toDF("cell", "c").write.parquet(centroidsPath(indexDir))
     writeAssignGen(assignWith(corpus, cs, idCol, vecCol), indexDir, 0L)
+    // "vecs" marks a vector-carrying index (every gen stores v): the
+    // probe path may serve vectors from the index partitions instead of
+    // joining the corpus. Legacy trees lack the key and keep the
+    // corpus-join read; appends must match the build's schema either way.
     writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
       batch = batchId, trusted = appendOnly,
-      params = Map("nlist" -> nlist.toString)))
+      params = Map("nlist" -> nlist.toString, "vecs" -> "1")))
   }
 
   /** Assign ONLY the delta under the persisted centroids and write it
@@ -268,8 +272,13 @@ object AnnIndex {
       newIds: Boolean = false, batchId: Long = -1L): Unit = {
     val s = delta.sparkSession
     val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
+    val assigned = assignWith(delta, centroidArray(s, indexDir), idCol, vecCol)
+    // a generation must match the BUILD's row schema: a legacy
+    // (pre-vector-carrying) tree gets plain (vec_id, cell) appends —
+    // mixing schemas across gen dirs would break the partitioned read
     writeAssignGen(
-      assignWith(delta, centroidArray(s, indexDir), idCol, vecCol),
+      if (next.params.contains("vecs")) assigned
+      else assigned.select("vec_id", "cell"),
       indexDir, gen)
     writeMeta(s, indexDir, next)
   }
@@ -388,11 +397,14 @@ object AnnIndex {
     * invisible instead of leaking stale duplicates into plain reads —
     * the filter is on the partition column, so the orphan's files are
     * statically pruned, not just filtered. */
-  private def rawAssignments(s: SparkSession, indexDir: String, committedGen: Long): DataFrame =
-    s.read.parquet(assignPath(indexDir))
+  private def rawAssignments(s: SparkSession, indexDir: String, committedGen: Long,
+      withVec: Boolean = false): DataFrame = {
+    val base = s.read.parquet(assignPath(indexDir))
       .filter(col("gen") < committedGen)
-      .select(col("vec_id"), col("cell").cast("long").as("cell"),
-        col("gen").cast("long").as("gen"))
+    val cols = Seq(col("vec_id")) ++ (if (withVec) Seq(col("v")) else Nil) ++
+      Seq(col("cell").cast("long").as("cell"), col("gen").cast("long").as("gen"))
+    base.select(cols: _*)
+  }
 
   /** The LIVE assignment (vec_id, cell, gen): latest generation wins
     * per id, so a re-ingested vector supersedes its older rows — the
@@ -407,15 +419,28 @@ object AnnIndex {
     * (verify the fast regimes against the one that trusts nothing; the
     * scale probes time both). */
   def ivfAssignments(s: SparkSession, indexDir: String,
-      cells: Option[Seq[Long]] = None, resolveAll: Boolean = false): DataFrame = {
+      cells: Option[Seq[Long]] = None, resolveAll: Boolean = false): DataFrame =
+    assignmentsView(s, indexDir, cells, resolveAll, withVec = false)
+
+  /** The three-regime live view over the assignment rows, optionally
+    * CARRYING the stored vector (`withVec` — only for vector-carrying
+    * indexes; the probe path's self-contained read). One definition of
+    * the regimes for both schemas, so they cannot diverge. */
+  private def assignmentsView(s: SparkSession, indexDir: String,
+      cells: Option[Seq[Long]], resolveAll: Boolean,
+      withVec: Boolean): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
-    val raw = rawAssignments(s, indexDir, meta.gen)
+    val raw = rawAssignments(s, indexDir, meta.gen, withVec)
+    val dataCols = if (withVec) Seq("v", "cell") else Seq("cell")
     def cellFilter(df: DataFrame): DataFrame =
       cells.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
+    // latest-gen-wins reduce: gen leads the ordering struct, so the
+    // trailing payload columns never decide (they only ride along)
     def resolve(rows: DataFrame): DataFrame = rows
       .groupBy("vec_id")
-      .agg(max(struct(col("gen"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"), col("m.gen").as("gen"))
+      .agg(max(struct(col("gen") +: dataCols.map(col): _*)).as("m"))
+      .select(col("vec_id") +: dataCols.map(c => col(s"m.$c").as(c)) :+
+        col("m.gen").as("gen"): _*)
     if (resolveAll) cellFilter(resolve(raw))
     else if (meta.appendOnly) cellFilter(raw)
     else if (meta.trusted && meta.upsertGens.nonEmpty) {
@@ -439,7 +464,10 @@ object AnnIndex {
   }
 
   /** Map-only nearest-cell assignment under a fixed centroid model
-    * ([[Ann.cellScoresFor]]'s constant-folded projection). */
+    * ([[Ann.cellScoresFor]]'s constant-folded projection). The VECTOR
+    * rides into the index row (FAISS's inverted-list trade: the index
+    * stores what the probe needs, so the read path never joins the
+    * corpus — storage ∝ corpus, probe I/O ∝ nprobe/nlist). */
   private def assignWith(
       df: DataFrame, cs: Array[Array[Double]],
       idCol: String, vecCol: String): DataFrame = {
@@ -449,25 +477,30 @@ object AnnIndex {
       .withColumn("cell",
         array_min(cellScores(struct(col("v").as("v"), col("n").as("n"))))
           .getField("cell"))
-      .select("vec_id", "cell")
+      .select("vec_id", "v", "cell")
   }
 
   /** [[Ann.ivfTopK]] through the MAINTAINED index: probe cells from the
-    * persisted centroids, corpus cells from the persisted assignment
-    * (one id-keyed join to fetch the vectors), exact rerank. The probe
-    * cell set is collected driver-side (it is `nprobe` × |queries|
-    * values of a broadcast-small query set) and pushed into the
-    * assignment read, so an append-only index SCANS ONLY THE PROBE
-    * CELLS' partitions — nprobe/nlist of the files, the reference's
-    * point-lookup-touches-one-part-file economics — and a
+    * persisted centroids, corpus vectors FROM THE INDEX ITSELF (the
+    * inverted lists store what the probe needs — FAISS's trade), exact
+    * rerank. The probe cell set is collected driver-side (it is
+    * `nprobe` × |queries| values of a broadcast-small query set) and
+    * pushed into the assignment read, so an append-only index SCANS
+    * ONLY THE PROBE CELLS' partitions — nprobe/nlist of the files, the
+    * reference's point-lookup-touches-one-part-file economics — and a
     * tracked-upsert index scans those partitions plus its (delta-scale)
-    * upsert generations. With a freshly-compacted index this is
-    * bit-identical to the registered q45 build (same trainer, same
-    * assignment, same probe — AnnIndexSpec pins it). */
+    * upsert generations. Because the vectors ride in the index rows,
+    * the probe plan NEVER scans or shuffles the corpus: at 100 TB the
+    * read is nprobe/nlist of the index, not a corpus-wide id-keyed
+    * join (the pre-r16 plan, kept as the fallback for legacy
+    * vector-less trees via `corpus`). With a freshly-compacted index
+    * this is bit-identical to the registered q45 build (same trainer,
+    * same assignment, same probe — AnnIndexSpec pins it). */
   def ivfTopKFromIndex(
       s: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val meta = metaOrThrow(s, indexDir)
     val cellScores = Ann.cellScoresFor(centroidArray(s, indexDir))
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -478,11 +511,17 @@ object AnnIndex {
           .getField("cell")))
     val probeCells = queryCells.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val corpusCells = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        Vectors.norm(col(vecCol)).as("cn"))
-      .join(ivfAssignments(s, indexDir, cells = Some(probeCells))
-        .select(col("vec_id").as("neighbor_id"), col("cell")), "neighbor_id")
+    val corpusCells =
+      if (meta.params.contains("vecs"))
+        assignmentsView(s, indexDir, cells = Some(probeCells),
+            resolveAll = false, withVec = true)
+          .select(col("vec_id").as("neighbor_id"), col("cell"),
+            col("v").as("cv"), Vectors.norm(col("v")).as("cn"))
+      else corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          Vectors.norm(col(vecCol)).as("cn"))
+        .join(ivfAssignments(s, indexDir, cells = Some(probeCells))
+          .select(col("vec_id").as("neighbor_id"), col("cell")), "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     corpusCells.join(broadcast(queryCells), Seq("cell"))

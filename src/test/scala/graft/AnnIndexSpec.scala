@@ -423,6 +423,41 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("vector-carrying index: the probe serves vectors from the index partitions, never the corpus") {
+    val idx = s"$work/ivf_selfserve"
+    AnnIndex.buildIvf(emb, idx, nlist = 16)
+    val q = emb.filter(col("vec_id") < 3)
+    val fromIndex = AnnIndex.ivfTopKFromIndex(spark, idx, emb, q, 5, nprobe = 8)
+    fromIndex.collect()
+    // the ONLY embeddings scan in the probe plan is the broadcast-small
+    // query side; the corpus side reads its vectors from the index's
+    // probed partitions (pre-r16: a second corpus scan + id-keyed join)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      // a ReusedExchange re-executes nothing — counting its subtree
+      // would double-count the original exchange's scan
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Nil
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val all = scans(fromIndex.queryExecution.executedPlan)
+    def path(f: org.apache.spark.sql.execution.FileSourceScanExec): String =
+      f.relation.location.rootPaths.mkString(",")
+    val embScans = all.count(path(_).contains("embeddings.parquet"))
+    val idxScans = all.count(path(_).contains("ivf_selfserve"))
+    assert(embScans == 1,
+      s"probe must scan the corpus ONCE (the query side), got $embScans:\n" +
+        all.map(path).mkString("\n"))
+    assert(idxScans >= 1, "probe must read vectors from the index partitions")
+    // and the self-served probe equals the registered q45 in-query build
+    assert(topk(fromIndex) == topk(Ann.ivfTopK(emb, q, 5, nlist = 16, nprobe = 8)),
+      "index-served vectors diverged from the registered build")
+  }
+
   test("banded compact reproduces the from-scratch build bit-for-bit and resets staleness") {
     val idx = s"$work/lsh_compact"
     AnnIndex.buildBanded(emb.filter(!isDelta), idx, nPlanes = 16, bands = 8)
