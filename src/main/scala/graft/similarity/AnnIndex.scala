@@ -536,6 +536,12 @@ object AnnIndex {
 
   /** Write the banded signature index (vec_id, band, bucket) under
     * `gen=0` — the [[Ann.bandedSignatures]] table under maintenance.
+    * Deliberately NOT vector-carrying (unlike the IVF assignments): a
+    * banded index stores `bands` rows per vector, so riding the vector
+    * along would multiply vector storage ×bands — the IVF trade (one
+    * row per vector) doesn't transfer, and the banded probe's candidate
+    * set is bucket-bounded anyway, so its id-keyed vector fetch joins a
+    * small set, not the corpus.
     * The model here is (dim, nPlanes, bands, seed): planes are
     * seed-derived, so the meta persists exactly those four numbers and
     * the read/append paths rebuild the planes WITHOUT touching the
