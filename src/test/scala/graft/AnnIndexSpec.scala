@@ -385,6 +385,87 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(boundedProbed == all3(AnnIndex.bandedRowsLive(spark, idx, probe = Some(probe))))
   }
 
+  test("history fuzz (IVF): random append sequences serve one live row per id at its max generation, ≡ resolveAll, probes never resurrect") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val idx = s"$work/ivf_fuzz"
+    def rv() = Array.fill(4)(rnd.nextFloat() * 2 - 1)
+    var nextFresh = 100L
+    val liveGen = scala.collection.mutable.Map[Long, Long]()
+    val base = (0L until 20L).map(i => (i, rv())).toDF("vec_id", "embedding")
+    AnnIndex.buildIvf(base, idx, nlist = 4, lloydIters = 0)
+    (0L until 20L).foreach(liveGen(_) = 0L)
+    for (step <- 1 to 6) {
+      // three batch shapes, all contract-legal: declared-new ids
+      // (newIds = true), pure upserts, and MIXED new+existing under an
+      // undeclared append (the conservative default)
+      val fresh = rnd.nextInt(3)
+      val existing = () => liveGen.keys.toSeq(rnd.nextInt(liveGen.size))
+      val (ids, newIds) = fresh match {
+        case 0 => val s = (nextFresh until nextFresh + 4).toSeq; nextFresh += 4
+          (s, true)
+        case 1 => (Seq.fill(4)(existing()).distinct, false)
+        case _ => val s = (nextFresh until nextFresh + 2).toSeq; nextFresh += 2
+          ((s ++ Seq.fill(2)(existing())).distinct, false)
+      }
+      AnnIndex.appendIvf(
+        ids.map(i => (i, rv())).toDF("vec_id", "embedding"), idx, newIds = newIds)
+      ids.foreach(liveGen(_) = step.toLong)
+      val view = AnnIndex.ivfAssignments(spark, idx).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(view == liveGen.toMap,
+        s"step $step (newIds=$newIds): live gens diverged from the history")
+      val full = rows3(AnnIndex.ivfAssignments(spark, idx))
+      assert(full == rows3(AnnIndex.ivfAssignments(spark, idx, resolveAll = true)),
+        s"step $step: fast-regime view diverged from the resolveAll audit plan")
+      // probed reads are exactly the unprobed view filtered by cell —
+      // a superseded row leaking through pruning would break ⊆ here
+      val cells = Seq(0L, 2L)
+      val probed = rows3(AnnIndex.ivfAssignments(spark, idx, cells = Some(cells)))
+      assert(probed == full.filter(r => cells.contains(r._2)),
+        s"step $step: probed view is not the cell-filter of the live view")
+    }
+  }
+
+  test("history fuzz (banded): the live view always equals the pure banding of each id's latest content") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val idx = s"$work/lsh_fuzz"
+    def rv() = Array.fill(4)(rnd.nextFloat() * 2 - 1)
+    var nextFresh = 100L
+    val content = scala.collection.mutable.Map[Long, Array[Float]]()
+    (0L until 20L).foreach(i => content(i) = rv())
+    AnnIndex.buildBanded(content.toSeq.toDF("vec_id", "embedding"), idx,
+      nPlanes = 8, bands = 4, seed = 1L)
+    for (step <- 1 to 6) {
+      val fresh = rnd.nextInt(3)
+      val existing = () => content.keys.toSeq(rnd.nextInt(content.size))
+      val (ids, newIds) = fresh match {
+        case 0 => val s = (nextFresh until nextFresh + 4).toSeq; nextFresh += 4
+          (s, true)
+        case 1 => (Seq.fill(4)(existing()).distinct, false)
+        case _ => val s = (nextFresh until nextFresh + 2).toSeq; nextFresh += 2
+          ((s ++ Seq.fill(2)(existing())).distinct, false)
+      }
+      val delta = ids.map(i => (i, rv()))
+      AnnIndex.appendBanded(delta.toDF("vec_id", "embedding"), idx,
+        nPlanes = 8, bands = 4, seed = 1L, newIds = newIds)
+      delta.foreach { case (i, v) => content(i) = v }
+      // banding is a pure per-vector function of (planes, content), so
+      // the maintained view must equal banding the CURRENT content from
+      // scratch — whatever mix of plain/bounded/full regimes the
+      // history put the meta in
+      val expected = rows3(Ann.bandedSignatures(
+          content.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          nPlanes = 8, bands = 4, seed = 1L)
+        .select(col("vec_id"), col("band").cast("long"), col("bucket")))
+      val view = rows3(AnnIndex.bandedRowsLive(spark, idx)
+        .select(col("vec_id"), col("band").cast("long"), col("bucket")))
+      assert(view == expected,
+        s"step $step (newIds=$newIds): banded view diverged from pure banding")
+    }
+  }
+
   test("model parameters are persisted in the meta and mismatches throw") {
     val idx = s"$work/lsh_params"
     AnnIndex.buildBanded(emb, idx, nPlanes = 16, bands = 8, seed = 42L)
