@@ -226,6 +226,30 @@ object SimilarityQueries extends QueryModule {
       Ann.bruteForceTopK(emb, q, 5), minHits = 4)
   }
 
+  /** ANN THROUGH THE MAINTAINED BANDED INDEX UNDER AN UNDECLARED
+    * APPEND — the BOUNDED tracked-upsert BANDED read regime under the
+    * oracle (completing the batch-reachable matrix: q164 = bounded IVF,
+    * q165 = plain banded, q166 = post-compact IVF, this = bounded
+    * banded; the untrusted fourth regime is streaming-side and
+    * spec-gated). Same base/delta history as q165 but the append takes
+    * the conservative default, so the meta records gen 1 as an upsert
+    * generation and the live view serves the base as a probe-filtered
+    * plain read behind the broadcast anti-join with only gen 1 reduced.
+    * Banded rows are per-vector, so the resolved view is exactly
+    * base∪delta and q30's recall bound (2 of 5) holds with q165's
+    * determinism. */
+  private def q167AnnLshUpsert(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.lshTopKFromIndex(
+        s, graft.similarity.AnnArtifacts.lshUpsertDir(dir), emb, q, 5,
+        nPlanes = graft.similarity.AnnArtifacts.LshPlanes,
+        bands = graft.similarity.AnnArtifacts.LshBands),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
     * engine clusters the q51 planted-near-dup corpus with
     * [[Ann.semanticDedup]] (IVF cells, within-cell drop of close
@@ -727,5 +751,6 @@ object SimilarityQueries extends QueryModule {
     Q("q164_ann_ivf_maintained", q164AnnIvfMaintained, Some(recallSql(4))),
     Q("q165_ann_lsh_maintained", q165AnnLshMaintained, Some(recallSql(2))),
     Q("q166_ann_ivf_compacted", q166AnnIvfCompacted, Some(recallSql(4))),
+    Q("q167_ann_lsh_upsert", q167AnnLshUpsert, Some(recallSql(2))),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

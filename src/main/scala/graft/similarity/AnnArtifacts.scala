@@ -62,14 +62,17 @@ object AnnArtifacts {
     * artifact epoch moves with them.
     * v4: IVF generations carry the vector (the FAISS inverted-list
     * trade) — the probe path reads vectors from the index partitions
-    * and never joins the corpus. */
-  private val Version = 4
+    * and never joins the corpus.
+    * v5: + `lshu` (the UNDECLARED-append banded history, q167) — the
+    * bounded tracked-upsert BANDED read regime joins the oracle gate. */
+  private val Version = 5
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
   def ivfDir(sfDir: String): String = s"${root(sfDir)}/ivf"
   def lshDir(sfDir: String): String = s"${root(sfDir)}/lsh"
   def ivfCompactDir(sfDir: String): String = s"${root(sfDir)}/ivfc"
+  def lshUpsertDir(sfDir: String): String = s"${root(sfDir)}/lshu"
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
 
   private def fingerprint(s: SparkSession, sfDir: String): String =
@@ -90,7 +93,8 @@ object AnnArtifacts {
     val fresh = MetaIO.read(conf, meta).contains(fp) &&
       AnnIndex.isComplete(s, ivfDir(sfDir)) &&
       AnnIndex.isComplete(s, lshDir(sfDir)) &&
-      AnnIndex.isComplete(s, ivfCompactDir(sfDir))
+      AnnIndex.isComplete(s, ivfCompactDir(sfDir)) &&
+      AnnIndex.isComplete(s, lshUpsertDir(sfDir))
     if (fresh) return
     if (fs.exists(rootP)) fs.delete(rootP, true)
     val e = emb(s, sfDir)
@@ -105,6 +109,15 @@ object AnnArtifacts {
     AnnIndex.buildIvf(e.filter(!isDelta), ivfCompactDir(sfDir), nlist = IvfNlist)
     AnnIndex.appendIvf(delta, ivfCompactDir(sfDir), newIds = true)
     AnnIndex.compactIvf(e, ivfCompactDir(sfDir), nlist = IvfNlist)
+    // the UNDECLARED banded append (same base/delta split as `lsh`, but
+    // the conservative default): the meta records gen 1 as an upsert
+    // generation and q167 reads through the BOUNDED banded resolution —
+    // banded rows are per-vector, so the resolved view is still exactly
+    // base∪delta and q30's recall bound holds deterministically
+    AnnIndex.buildBanded(e.filter(!isDelta), lshUpsertDir(sfDir),
+      nPlanes = LshPlanes, bands = LshBands)
+    AnnIndex.appendBanded(delta, lshUpsertDir(sfDir),
+      nPlanes = LshPlanes, bands = LshBands)
     MetaIO.write(conf, meta, fp)
   }
 }
