@@ -211,10 +211,7 @@ object SimilarityQueries extends QueryModule {
     * one generation at staleness 0 — a plain, cell-partition-pruned
     * scan. The compact retrains on the same corpus with the same
     * trainer, so the read is bit-identical to the from-scratch q45
-    * build and its recall bound (4 of 5) holds deterministically.
-    * (The fourth regime — UNTRUSTED resolution after an in-stream
-    * compact — is streaming-side and spec-gated: DuckDB cannot play the
-    * stream.) */
+    * build and its recall bound (4 of 5) holds deterministically. */
   private def q166AnnIvfCompacted(s: SparkSession, dir: String): DataFrame = {
     graft.similarity.AnnArtifacts.ensure(s, dir)
     val emb = Tables.embeddings(s, dir)
@@ -228,10 +225,10 @@ object SimilarityQueries extends QueryModule {
 
   /** ANN THROUGH THE MAINTAINED BANDED INDEX UNDER AN UNDECLARED
     * APPEND — the BOUNDED tracked-upsert BANDED read regime under the
-    * oracle (completing the batch-reachable matrix: q164 = bounded IVF,
-    * q165 = plain banded, q166 = post-compact IVF, this = bounded
-    * banded; the untrusted fourth regime is streaming-side and
-    * spec-gated). Same base/delta history as q165 but the append takes
+    * oracle (the regime matrix: q164 = bounded IVF, q165 = plain
+    * banded, q166 = post-compact IVF, this = bounded banded, q168 =
+    * untrusted full resolution). Same base/delta history as q165 but
+    * the append takes
     * the conservative default, so the meta records gen 1 as an upsert
     * generation and the live view serves the base as a probe-filtered
     * plain read behind the broadcast anti-join with only gen 1 reduced.
@@ -248,6 +245,34 @@ object SimilarityQueries extends QueryModule {
         nPlanes = graft.similarity.AnnArtifacts.LshPlanes,
         bands = graft.similarity.AnnArtifacts.LshBands),
       Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
+  /** ANN THROUGH THE UNTRUSTED MAINTAINED IVF INDEX — the FOURTH and
+    * last read regime under the oracle, completing the matrix (q164 =
+    * bounded tracked-upsert, q165 = plain append-only, q166 =
+    * post-compact, q167 = bounded banded, this = UNTRUSTED full
+    * resolution). The artifact's `ivfu` history replays the in-stream
+    * compact hazard batch-side: a `compactIvf(appendOnly = false)`
+    * whose corpus snapshot already covered a batch the checkpoint had
+    * not delivered, followed by that batch's `newIds = true` re-append
+    * — truthful from the stream's view, duplicate content in fact,
+    * which is exactly why the compact's own staged meta stamped the
+    * declarations untrusted. The read therefore takes the
+    * full-latest-gen-resolution plan (probe filters strictly
+    * post-reduce — the resurrect hazard); assignment under a fixed
+    * model is a pure function, so the content-identical duplicates
+    * collapse to the corpus assignment and q45's recall bound (4 of 5)
+    * holds deterministically. StreamingIndexSpec pins the duplicate
+    * collapse row-for-row; this puts it under DuckDB. */
+  private def q168AnnIvfUntrusted(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.ivfTopKFromIndex(
+        s, graft.similarity.AnnArtifacts.ivfUntrustedDir(dir), emb, q, 5,
+        nprobe = 8),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 4)
   }
 
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
@@ -752,5 +777,6 @@ object SimilarityQueries extends QueryModule {
     Q("q165_ann_lsh_maintained", q165AnnLshMaintained, Some(recallSql(2))),
     Q("q166_ann_ivf_compacted", q166AnnIvfCompacted, Some(recallSql(4))),
     Q("q167_ann_lsh_upsert", q167AnnLshUpsert, Some(recallSql(2))),
+    Q("q168_ann_ivf_untrusted", q168AnnIvfUntrusted, Some(recallSql(4))),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

@@ -37,9 +37,17 @@ import org.apache.spark.sql.functions._
   *    read path that was previously only spec-pinned. The compact
   *    retrains on the same corpus with the same trainer, so the result
   *    is bit-identical to the from-scratch q45 build.
-  *  (The fourth regime — UNTRUSTED full resolution after an in-stream
-  *  compact — is inherently streaming-side and stays spec-gated:
-  *  DuckDB cannot play the stream.)
+  *  - UNTRUSTED IVF (`ivfu`): the in-stream-compact hazard REPLAYED
+  *    BATCH-SIDE, so even the fourth regime is under the oracle — base
+  *    build, then `compactIvf(appendOnly = false)` over the FULL corpus
+  *    (the compact's snapshot covered a batch the checkpoint had not
+  *    delivered), then that batch re-appends declaring `newIds = true`
+  *    (truthfully, from the stream's view — but the content is already
+  *    in gen 0, which is exactly why the compact stamped the
+  *    declarations untrusted). q168 reads through the FULL latest-gen
+  *    resolution this meta forces; assignment is a pure function, so
+  *    the content-identical duplicates collapse to the corpus
+  *    assignment and q45's recall bound holds deterministically.
   *
   * Staleness: one meta file fingerprints the embeddings table
   * (`Layout.sourceFingerprint`) + params; mismatch or partial state
@@ -64,8 +72,11 @@ object AnnArtifacts {
     * trade) — the probe path reads vectors from the index partitions
     * and never joins the corpus.
     * v5: + `lshu` (the UNDECLARED-append banded history, q167) — the
-    * bounded tracked-upsert BANDED read regime joins the oracle gate. */
-  private val Version = 5
+    * bounded tracked-upsert BANDED read regime joins the oracle gate.
+    * v6: + `ivfu` (the untrusted history, q168) — the in-stream-compact
+    * hazard replayed batch-side, putting the FULL-resolution read
+    * regime under the oracle and completing the matrix. */
+  private val Version = 6
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
@@ -73,6 +84,7 @@ object AnnArtifacts {
   def lshDir(sfDir: String): String = s"${root(sfDir)}/lsh"
   def ivfCompactDir(sfDir: String): String = s"${root(sfDir)}/ivfc"
   def lshUpsertDir(sfDir: String): String = s"${root(sfDir)}/lshu"
+  def ivfUntrustedDir(sfDir: String): String = s"${root(sfDir)}/ivfu"
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
 
   private def fingerprint(s: SparkSession, sfDir: String): String =
@@ -94,7 +106,8 @@ object AnnArtifacts {
       AnnIndex.isComplete(s, ivfDir(sfDir)) &&
       AnnIndex.isComplete(s, lshDir(sfDir)) &&
       AnnIndex.isComplete(s, ivfCompactDir(sfDir)) &&
-      AnnIndex.isComplete(s, lshUpsertDir(sfDir))
+      AnnIndex.isComplete(s, lshUpsertDir(sfDir)) &&
+      AnnIndex.isComplete(s, ivfUntrustedDir(sfDir))
     if (fresh) return
     if (fs.exists(rootP)) fs.delete(rootP, true)
     val e = emb(s, sfDir)
@@ -118,6 +131,18 @@ object AnnArtifacts {
       nPlanes = LshPlanes, bands = LshBands)
     AnnIndex.appendBanded(delta, lshUpsertDir(sfDir),
       nPlanes = LshPlanes, bands = LshBands)
+    // the untrusted history (q168): the in-stream-compact hazard,
+    // batch-replayed — the compact's corpus snapshot already contains
+    // the delta batch the checkpoint has not delivered, and its
+    // `appendOnly = false` meta stamps the index untrusted IN the
+    // staged swap; the late delivery then re-appends the same content
+    // under `newIds = true` (truthful from the stream's view), and the
+    // untrusted meta routes every read through full latest-gen
+    // resolution, collapsing the content-identical duplicates
+    AnnIndex.buildIvf(e.filter(!isDelta), ivfUntrustedDir(sfDir), nlist = IvfNlist)
+    AnnIndex.compactIvf(e, ivfUntrustedDir(sfDir), nlist = IvfNlist,
+      appendOnly = false)
+    AnnIndex.appendIvf(delta, ivfUntrustedDir(sfDir), newIds = true)
     MetaIO.write(conf, meta, fp)
   }
 }

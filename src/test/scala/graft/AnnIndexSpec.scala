@@ -385,6 +385,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(boundedProbed == all3(AnnIndex.bandedRowsLive(spark, idx, probe = Some(probe))))
   }
 
+  test("untrusted history (q168's ivfu shape): in-stream-compact hazard replayed batch-side collapses the duplicate re-append") {
+    // base build, then an appendOnly=false compact whose corpus snapshot
+    // ALREADY contains the delta (the undelivered-batch hazard), then the
+    // late delivery re-appends the same content declaring newIds=true —
+    // truthful from the stream's view, duplicate in fact
+    val idx = s"$work/ivf_untrusted"
+    AnnIndex.buildIvf(emb.filter(!isDelta), idx, nlist = 16)
+    AnnIndex.compactIvf(emb, idx, nlist = 16, appendOnly = false)
+    AnnIndex.appendIvf(emb.filter(isDelta), idx, newIds = true)
+    // the untrusted meta must override the lying declaration: every id
+    // serves exactly one live row, and the view equals the from-scratch
+    // corpus assignment under the same (compact-trained) model
+    val live = AnnIndex.ivfAssignments(spark, idx)
+    val dup = live.groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "untrusted view must collapse the duplicate re-append")
+    val resolved = rows3(live.select(col("vec_id"), col("cell"), lit(0L)))
+    val audit = rows3(AnnIndex.ivfAssignments(spark, idx, resolveAll = true)
+      .select(col("vec_id"), col("cell"), lit(0L)))
+    assert(resolved == audit, "untrusted view must equal the resolveAll audit plan")
+    assert(live.count() == emb.count(), "one live row per corpus id")
+    // and the probed read (q168's plan) filters post-reduce yet agrees
+    val cells = Seq(0L, 5L)
+    val probed = rows3(AnnIndex.ivfAssignments(spark, idx, cells = Some(cells))
+      .select(col("vec_id"), col("cell"), lit(0L)))
+    assert(probed == resolved.filter(r => cells.contains(r._2)),
+      "probed untrusted view must equal the filtered resolved view")
+  }
+
   test("history fuzz (IVF): random append sequences serve one live row per id at its max generation, ≡ resolveAll, probes never resurrect") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
