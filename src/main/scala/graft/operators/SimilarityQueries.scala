@@ -275,6 +275,32 @@ object SimilarityQueries extends QueryModule {
       Ann.bruteForceTopK(emb, q, 5), minHits = 4)
   }
 
+  /** ANN THROUGH THE MAINTAINED IVF-PQ INDEX — q124's ADC+refine served
+    * from the persisted CODE-CARRYING index (FAISS IVFADC): the probe
+    * reads nprobe/nlist of the index's code files (8 small ints per
+    * vector — ~2% of the raw-vector bytes, the layout that stays
+    * cache-resident at 100 TB where float inverted lists cannot), ADC-
+    * scores them against the persisted codebook's distance table, and
+    * exact-reranks only the broadcast-small shortlist from the corpus.
+    * The artifact's `ivfpq` history is base build + declared delta
+    * append under the PERSISTED models (append ≡ rebuild exact —
+    * AnnIndexSpec pins it bit-for-bit against the in-query q124 build
+    * at nprobe = nlist). Floor 2 of 5, q124's bound: the coarse
+    * quantizer only restricts the candidate set q124 scores in full.
+    * MEASURED at nprobe 8 (floor-bisection at all three scales): every
+    * query scores >= 3 of 5, and 4 is not cleared at sf0.001 — so the
+    * registered floor keeps one full hit of margin. */
+  private def q169AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.ivfPqTopKFromIndex(
+        s, graft.similarity.AnnArtifacts.ivfPqDir(dir), emb, q, 5,
+        nprobe = 8, shortlist = 50),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
     * engine clusters the q51 planted-near-dup corpus with
     * [[Ann.semanticDedup]] (IVF cells, within-cell drop of close
@@ -778,5 +804,6 @@ object SimilarityQueries extends QueryModule {
     Q("q166_ann_ivf_compacted", q166AnnIvfCompacted, Some(recallSql(4))),
     Q("q167_ann_lsh_upsert", q167AnnLshUpsert, Some(recallSql(2))),
     Q("q168_ann_ivf_untrusted", q168AnnIvfUntrusted, Some(recallSql(4))),
+    Q("q169_ann_ivfpq", q169AnnIvfPq, Some(recallSql(2))),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

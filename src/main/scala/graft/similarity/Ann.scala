@@ -556,12 +556,33 @@ object Ann {
   def pqCodes(
       corpus: DataFrame, nSub: Int, subDim: Int, nCent: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCodesWith(corpus, pqCodebook(corpus, nSub, subDim, nCent, idCol, vecCol),
+      nSub, subDim, idCol, vecCol)
+
+  /** [[pqCodes]] under a caller-supplied codebook (cid, sub, cv) — the
+    * maintained-index paths assign appends under the PERSISTED codebook
+    * rather than re-deriving one, which is what makes append ≡ rebuild
+    * exact (assignment under a fixed codebook is a pure function). */
+  private[similarity] def pqCodesWith(
+      corpus: DataFrame, codebook: DataFrame, nSub: Int, subDim: Int,
+      idCol: String, vecCol: String): DataFrame =
     subVectors(corpus, idCol, vecCol, nSub, subDim, idCol, "x")
-      .join(broadcast(pqCodebook(corpus, nSub, subDim, nCent, idCol, vecCol)), "sub")
+      .join(broadcast(codebook), "sub")
       .select(col(idCol), col("sub"), col("cid"), l2sq(col("x"), col("cv")).as("d2"))
       .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col(idCol), col("sub"), col("m.cid").as("code"))
+
+  /** The query side of ADC under a caller-supplied codebook: per query,
+    * the `nSub·nCent` table of subspace distances to every centroid —
+    * (query_id, sub, code, d2), broadcast-small by construction. */
+  private[similarity] def pqDistTable(
+      queries: DataFrame, codebook: DataFrame, nSub: Int, subDim: Int,
+      idCol: String, vecCol: String): DataFrame =
+    subVectors(queries, idCol, vecCol, nSub, subDim, "query_id", "qv")
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        l2sq(col("qv"), col("cv")).as("d2"))
 
   /** PQ-ADC ANN (asymmetric distance computation + exact rerank): the
     * query builds a `nSub·nCent` lookup table of subspace distances to
@@ -583,10 +604,9 @@ object Ann {
       shortlist: Int = 50, nSub: Int = 8, subDim: Int = 8, nCent: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val codes = pqCodes(corpus, nSub, subDim, nCent, idCol, vecCol)
-    val table = subVectors(queries, idCol, vecCol, nSub, subDim, "query_id", "qv")
-      .join(broadcast(pqCodebook(corpus, nSub, subDim, nCent, idCol, vecCol)), "sub")
-      .select(col("query_id"), col("sub"), col("cid").as("code"),
-        l2sq(col("qv"), col("cv")).as("d2"))
+    val table = pqDistTable(queries,
+      pqCodebook(corpus, nSub, subDim, nCent, idCol, vecCol),
+      nSub, subDim, idCol, vecCol)
     val aw = Window.partitionBy("query_id").orderBy(col("adist").asc, col(idCol).asc)
     val cand = codes.join(broadcast(table), Seq("sub", "code"))
       .groupBy(col("query_id"), col(idCol))

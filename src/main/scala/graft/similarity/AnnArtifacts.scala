@@ -48,6 +48,13 @@ import org.apache.spark.sql.functions._
   *    resolution this meta forces; assignment is a pure function, so
   *    the content-identical duplicates collapse to the corpus
   *    assignment and q45's recall bound holds deterministically.
+  *  - IVF-PQ (`ivfpq`): the CODE-CARRYING index (FAISS IVFADC — codes
+  *    are ~2% of the raw-vector bytes, the layout that stays
+  *    cache-resident at 100 TB where inverted lists of floats cannot) —
+  *    base build, delta appended `newIds = true` under the PERSISTED
+  *    codebook/centroids. q169 reads ADC over the probed cells' codes +
+  *    exact rerank of the shortlist, gating the two-stage read under
+  *    the oracle's recall bound.
   *
   * Staleness: one meta file fingerprints the embeddings table
   * (`Layout.sourceFingerprint`) + params; mismatch or partial state
@@ -64,6 +71,14 @@ object AnnArtifacts {
   val LshPlanes = 16
   val LshBands = 8
 
+  /** PQ model — MUST mirror the registered q123/q124 parameters
+    * (`SimilarityQueries`: 8 subspaces × 8 dims, 16 centroids per
+    * subspace, deterministic first-ids codebook) for the same
+    * comparability reason. */
+  val PqNSub = 8
+  val PqSubDim = 8
+  val PqNCent = 16
+
   /** v3: + `ivfc` (the compacted history, q166) and the r16 meta
     * protocol (tracked upsert generations, persisted banded model
     * params) — both index trees carry new `_INDEX_META` keys, so the
@@ -75,8 +90,10 @@ object AnnArtifacts {
     * bounded tracked-upsert BANDED read regime joins the oracle gate.
     * v6: + `ivfu` (the untrusted history, q168) — the in-stream-compact
     * hazard replayed batch-side, putting the FULL-resolution read
-    * regime under the oracle and completing the matrix. */
-  private val Version = 6
+    * regime under the oracle and completing the matrix.
+    * v7: + `ivfpq` (the code-carrying IVFADC index, q169) — the
+    * storage-bounded trade joins the oracle gate. */
+  private val Version = 7
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
@@ -85,6 +102,7 @@ object AnnArtifacts {
   def ivfCompactDir(sfDir: String): String = s"${root(sfDir)}/ivfc"
   def lshUpsertDir(sfDir: String): String = s"${root(sfDir)}/lshu"
   def ivfUntrustedDir(sfDir: String): String = s"${root(sfDir)}/ivfu"
+  def ivfPqDir(sfDir: String): String = s"${root(sfDir)}/ivfpq"
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
 
   private def fingerprint(s: SparkSession, sfDir: String): String =
@@ -94,7 +112,7 @@ object AnnArtifacts {
   private def emb(s: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(s, sfDir).select("vec_id", "embedding")
 
-  /** Build-or-reuse all three maintained indexes for `sfDir`'s
+  /** Build-or-reuse all the maintained index histories for `sfDir`'s
     * embeddings. */
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val conf = s.sparkContext.hadoopConfiguration
@@ -107,7 +125,8 @@ object AnnArtifacts {
       AnnIndex.isComplete(s, lshDir(sfDir)) &&
       AnnIndex.isComplete(s, ivfCompactDir(sfDir)) &&
       AnnIndex.isComplete(s, lshUpsertDir(sfDir)) &&
-      AnnIndex.isComplete(s, ivfUntrustedDir(sfDir))
+      AnnIndex.isComplete(s, ivfUntrustedDir(sfDir)) &&
+      AnnIndex.isComplete(s, ivfPqDir(sfDir))
     if (fresh) return
     if (fs.exists(rootP)) fs.delete(rootP, true)
     val e = emb(s, sfDir)
@@ -143,6 +162,13 @@ object AnnArtifacts {
     AnnIndex.compactIvf(e, ivfUntrustedDir(sfDir), nlist = IvfNlist,
       appendOnly = false)
     AnnIndex.appendIvf(delta, ivfUntrustedDir(sfDir), newIds = true)
+    // the code-carrying IVFADC history (q169): base build trains both
+    // models, the delta appends declared under the PERSISTED
+    // codebook/centroids — the plain two-stage read (ADC over probed
+    // cells' codes, exact rerank of the shortlist)
+    AnnIndex.buildIvfPq(e.filter(!isDelta), ivfPqDir(sfDir),
+      nlist = IvfNlist, nSub = PqNSub, subDim = PqSubDim, nCent = PqNCent)
+    AnnIndex.appendIvfPq(delta, ivfPqDir(sfDir), newIds = true)
     MetaIO.write(conf, meta, fp)
   }
 }

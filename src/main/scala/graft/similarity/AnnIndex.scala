@@ -272,6 +272,10 @@ object AnnIndex {
       newIds: Boolean = false, batchId: Long = -1L): Unit = {
     val s = delta.sparkSession
     val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
+    if (next.params.contains("pq")) throw new IllegalArgumentException(
+      s"index at $indexDir is a PQ index (code-carrying rows): append " +
+        "with appendIvfPq — a raw-vector generation would break the " +
+        "partitioned read's schema")
     val assigned = assignWith(delta, centroidArray(s, indexDir), idCol, vecCol)
     // a generation must match the BUILD's row schema: a legacy
     // (pre-vector-carrying) tree gets plain (vec_id, cell) appends —
@@ -398,10 +402,10 @@ object AnnIndex {
     * the filter is on the partition column, so the orphan's files are
     * statically pruned, not just filtered. */
   private def rawAssignments(s: SparkSession, indexDir: String, committedGen: Long,
-      withVec: Boolean = false): DataFrame = {
+      payload: Seq[String] = Nil): DataFrame = {
     val base = s.read.parquet(assignPath(indexDir))
       .filter(col("gen") < committedGen)
-    val cols = Seq(col("vec_id")) ++ (if (withVec) Seq(col("v")) else Nil) ++
+    val cols = Seq(col("vec_id")) ++ payload.map(col) ++
       Seq(col("cell").cast("long").as("cell"), col("gen").cast("long").as("gen"))
     base.select(cols: _*)
   }
@@ -420,18 +424,19 @@ object AnnIndex {
     * scale probes time both). */
   def ivfAssignments(s: SparkSession, indexDir: String,
       cells: Option[Seq[Long]] = None, resolveAll: Boolean = false): DataFrame =
-    assignmentsView(s, indexDir, cells, resolveAll, withVec = false)
+    assignmentsView(s, indexDir, cells, resolveAll, payload = Nil)
 
   /** The three-regime live view over the assignment rows, optionally
-    * CARRYING the stored vector (`withVec` — only for vector-carrying
-    * indexes; the probe path's self-contained read). One definition of
-    * the regimes for both schemas, so they cannot diverge. */
+    * CARRYING stored payload columns (the vector `v` for
+    * vector-carrying indexes, the PQ `codes` for code-carrying ones —
+    * the probe path's self-contained read). One definition of the
+    * regimes for every schema, so they cannot diverge. */
   private def assignmentsView(s: SparkSession, indexDir: String,
       cells: Option[Seq[Long]], resolveAll: Boolean,
-      withVec: Boolean): DataFrame = {
+      payload: Seq[String]): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
-    val raw = rawAssignments(s, indexDir, meta.gen, withVec)
-    val dataCols = if (withVec) Seq("v", "cell") else Seq("cell")
+    val raw = rawAssignments(s, indexDir, meta.gen, payload)
+    val dataCols = payload :+ "cell"
     def cellFilter(df: DataFrame): DataFrame =
       cells.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
     // latest-gen-wins reduce: gen leads the ordering struct, so the
@@ -514,7 +519,7 @@ object AnnIndex {
     val corpusCells =
       if (meta.params.contains("vecs"))
         assignmentsView(s, indexDir, cells = Some(probeCells),
-            resolveAll = false, withVec = true)
+            resolveAll = false, payload = Seq("v"))
           .select(col("vec_id").as("neighbor_id"), col("cell"),
             col("v").as("cv"), Vectors.norm(col("v")).as("cn"))
       else corpus
@@ -528,6 +533,167 @@ object AnnIndex {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", Vectors.cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  // ---------------------------------------------------------- IVF-PQ
+
+  /** [[buildIvf]]'s code-carrying twin — the FAISS IVFADC layout
+    * (Jégou et al. 2011), which is what the trade actually looks like
+    * at 100 TB: the vector-carrying index stores the corpus floats a
+    * second time (storage ×2), while a PQ generation stores `nSub`
+    * small ints per vector (~2% of the float bytes at 64-dim/8-sub),
+    * so the index stays cache-resident at corpus sizes where raw
+    * inverted lists cannot. The probe pays for it with a two-stage
+    * read: ADC over the probed cells' CODES (index-only, nprobe/nlist
+    * of the files), then an exact rerank that fetches ONLY the
+    * shortlist's raw vectors from the corpus.
+    *
+    * Persists centroids + the PQ CODEBOOK (cid, sub, cv) + gen-0 rows
+    * (vec_id, codes, cell) partitioned by cell, meta LAST with the PQ
+    * model parameters — appends assign under the PERSISTED codebook
+    * (a pure function, so append ≡ rebuild stays exact), and reads
+    * validate against the meta instead of trusting the caller. */
+  def buildIvfPq(
+      corpus: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, nSub: Int = 8, subDim: Int = 8, nCent: Int = 16,
+      lloydIters: Int = 2, batchId: Long = -1L,
+      appendOnly: Boolean = true): Unit = {
+    val s = corpus.sparkSession
+    val cs = Ann.trainCentroids(corpus, idCol, vecCol, nlist, lloydIters)
+    val fs = fsOf(s, indexDir)
+    if (fs.exists(new Path(indexDir))) fs.delete(new Path(indexDir), true)
+    import s.implicits._
+    cs.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cell", "c").write.parquet(centroidsPath(indexDir))
+    Ann.pqCodebook(corpus, nSub, subDim, nCent, idCol, vecCol)
+      .write.parquet(codebookPath(indexDir))
+    // gen 0 assigns under the PERSISTED codebook (read back), the same
+    // table every append will read — not the in-memory derivation
+    writeAssignGen(
+      assignPqWith(corpus, cs, s.read.parquet(codebookPath(indexDir)),
+        idCol, vecCol, nSub, subDim),
+      indexDir, 0L)
+    writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
+      batch = batchId, trusted = appendOnly,
+      params = Map("nlist" -> nlist.toString, "pq" -> "1",
+        "pq_nsub" -> nSub.toString, "pq_subdim" -> subDim.toString,
+        "pq_ncent" -> nCent.toString)))
+  }
+
+  /** [[appendIvf]]'s PQ twin: assign the delta's cells under the
+    * persisted centroids and its codes under the persisted codebook —
+    * both pure per-row functions of delta rows only, so ingest stays
+    * O(|delta|) and append ≡ rebuild exact. The PQ model parameters
+    * come FROM the meta (there is nothing for a caller to mis-pass). */
+  def appendIvfPq(
+      delta: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      newIds: Boolean = false, batchId: Long = -1L): Unit = {
+    val s = delta.sparkSession
+    val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
+    val (nSub, subDim) = pqParamsOrThrow(next, indexDir)
+    writeAssignGen(
+      assignPqWith(delta, centroidArray(s, indexDir),
+        s.read.parquet(codebookPath(indexDir)), idCol, vecCol, nSub, subDim),
+      indexDir, gen)
+    writeMeta(s, indexDir, next)
+  }
+
+  /** [[compactIvf]]'s PQ twin: retrain centroids AND codebook on the
+    * current corpus and rewrite at gen 0 under the same staged-swap /
+    * recover protocol (the codebook rides inside the staged tree, so
+    * codes and model can never be adopted separately). */
+  def compactIvfPq(
+      corpus: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 16, nSub: Int = 8, subDim: Int = 8, nCent: Int = 16,
+      lloydIters: Int = 2, batchId: Long = -1L,
+      appendOnly: Boolean = true): Unit =
+    stagedCompact(corpus.sparkSession, indexDir)(tmp =>
+      buildIvfPq(corpus, tmp, idCol, vecCol, nlist, nSub, subDim, nCent,
+        lloydIters, batchId, appendOnly))
+
+  private def codebookPath(dir: String) = s"$dir/codebook"
+
+  private def pqParamsOrThrow(m: Meta, dir: String): (Int, Int) =
+    (for {
+      nSub <- m.params.get("pq_nsub").flatMap(_.toIntOption)
+      subDim <- m.params.get("pq_subdim").flatMap(_.toIntOption)
+    } yield (nSub, subDim)).getOrElse(throw new IllegalStateException(
+      s"index at $dir is not a PQ index (no pq_nsub/pq_subdim in its " +
+        "meta): build it with buildIvfPq, or read it with the " +
+        "raw-vector/corpus-join paths"))
+
+  /** Cells under the fixed centroids + packed codes under the fixed
+    * codebook, one row per delta id: (vec_id, codes array<int>, cell).
+    * The codes pack via a delta-scale groupBy (nSub rows per id in,
+    * one out); the cell join is delta ⋈ delta on the id. */
+  private def assignPqWith(
+      df: DataFrame, cs: Array[Array[Double]], codebook: DataFrame,
+      idCol: String, vecCol: String, nSub: Int, subDim: Int): DataFrame = {
+    val cells = assignWith(df, cs, idCol, vecCol).select("vec_id", "cell")
+    val codes = Ann.pqCodesWith(
+        df.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        codebook, nSub, subDim, "vec_id", "v")
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), x => x.getField("code").cast("int")).as("codes"))
+    codes.join(cells, "vec_id")
+  }
+
+  /** [[Ann.pqAdcTopK]] through the MAINTAINED index — IVF-PQ + refine:
+    * probe cells from the persisted centroids; ADC over the probed
+    * cells' CODES under the persisted codebook (the scan reads
+    * nprobe/nlist of the index's code files — never a raw vector, never
+    * the corpus); exact cosine rerank of the broadcast-small shortlist
+    * only, fetched from the corpus by id (the refine fetch is a
+    * broadcast map-side semi-join — with an id-bucketed corpus layout
+    * it is also exchange-free). Every live-view regime (plain /
+    * bounded tracked-upsert / untrusted) applies to the code rows via
+    * the same [[assignmentsView]] the other readers use. */
+  def ivfPqTopKFromIndex(
+      s: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 8, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val meta = metaOrThrow(s, indexDir)
+    val (nSub, subDim) = pqParamsOrThrow(meta, indexDir)
+    val cellScores = Ann.cellScoresFor(centroidArray(s, indexDir))
+    val probeCells = queries
+      .select(explode(slice(array_sort(cellScores(struct(
+          col(vecCol).as("v"), Vectors.norm(col(vecCol)).as("n")))),
+        1, nprobe).getField("cell")).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val table = Ann.pqDistTable(queries,
+        s.read.parquet(codebookPath(indexDir)), nSub, subDim, idCol, vecCol)
+      .select(col("query_id"), col("sub").cast("int").as("sub"),
+        col("code").cast("int").as("code"), col("d2"))
+    val aw = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val cand = assignmentsView(s, indexDir, cells = Some(probeCells),
+        resolveAll = false, payload = Seq("codes"))
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("sub", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum("d2").as("adist"))
+      .withColumn("r", row_number().over(aw))
+      .filter(col("r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm(col(vecCol)).as("qn"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("cn"))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cv.join(broadcast(cand), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        Vectors.cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }

@@ -132,6 +132,63 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       .start()
   }
 
+  /** Streaming maintenance of the CODE-CARRYING IVF-PQ index — the
+    * storage-bounded twin of [[runIvfAvailableNow]] (FAISS IVFADC:
+    * generations store `nSub` small ints per vector, ~2% of the float
+    * bytes). Each micro-batch assigns its vectors' cells under the
+    * persisted centroids AND their codes under the persisted CODEBOOK
+    * (`AnnIndex.appendIvfPq` — both pure per-row functions, the PQ
+    * parameters come from the index's own meta so a drifted job config
+    * cannot mis-code a delta). The first batch trains both models and
+    * builds. Exactly-once composition is IDENTICAL to the IVF twin
+    * (same meta protocol, same crash cases); an in-stream compact
+    * retrains BOTH models inside the staged tree — codes and codebook
+    * can never be adopted separately — and stamps
+    * upserts-possible-and-untrusted in its own meta, exactly like the
+    * other twins and for the same undelivered-batch reason. */
+  def runIvfPqAvailableNow(
+      spark: SparkSession,
+      vecDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      nSub: Int = 8,
+      subDim: Int = 8,
+      nCent: Int = 16,
+      assumeNewIds: Boolean = false,
+      compactAt: Double = 0.0): StreamingQuery = {
+    val schema = spark.read.parquet(vecDir).schema
+    val stream = spark.readStream.schema(schema).parquet(vecDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val AI = graft.similarity.AnnIndex
+        if (AI.recover(spark, indexDir))
+          logInfo(s"IndexMaintenance IVF-PQ batch $batchId: adopted staged compact")
+        if (!AI.isComplete(spark, indexDir)) {
+          AI.buildIvfPq(batch, indexDir, idCol, vecCol, nlist, nSub, subDim,
+            nCent, batchId = batchId)
+          logInfo(s"IndexMaintenance IVF-PQ batch $batchId: build")
+        } else if (batchId <= AI.lastAppliedBatch(spark, indexDir)) {
+          logInfo(s"IndexMaintenance IVF-PQ batch $batchId: replay, skipped")
+        } else {
+          AI.appendIvfPq(batch, indexDir, idCol, vecCol,
+            newIds = assumeNewIds, batchId = batchId)
+          logInfo(s"IndexMaintenance IVF-PQ batch $batchId: append")
+          if (compactAt > 0 && AI.staleness(spark, indexDir) >= compactAt) {
+            AI.compactIvfPq(spark.read.parquet(vecDir), indexDir,
+              idCol, vecCol, nlist, nSub, subDim, nCent,
+              batchId = batchId, appendOnly = false)
+            logInfo(s"IndexMaintenance IVF-PQ batch $batchId: compacted (staged)")
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming maintenance of the BANDED (sign-LSH) ANN index — the
     * banded twin of [[runIvfAvailableNow]], completing the streaming
     * lifecycle for both persisted vector-index structures: new

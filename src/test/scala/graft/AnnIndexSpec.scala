@@ -413,6 +413,80 @@ class AnnIndexSpec extends AnyFunSuite {
       "probed untrusted view must equal the filtered resolved view")
   }
 
+  test("IVF-PQ: probe with nprobe=nlist reproduces the in-query pqAdcTopK bit-for-bit") {
+    val idx = s"$work/ivfpq_full"
+    AnnIndex.buildIvfPq(emb, idx, nlist = 16, nSub = 8, subDim = 8, nCent = 16)
+    val q = emb.filter(col("vec_id") < 3)
+    // all cells probed → the candidate set is the whole corpus, so the
+    // ADC table, shortlist, and exact rerank must match the registered
+    // q124 computation exactly (same deterministic codebook)
+    val viaIndex = topk(AnnIndex.ivfPqTopKFromIndex(
+      spark, idx, emb, q, 5, nprobe = 16, shortlist = 50))
+    val inQuery = topk(Ann.pqAdcTopK(emb, q, 5, shortlist = 50,
+      nSub = 8, subDim = 8, nCent = 16))
+    assert(viaIndex == inQuery,
+      s"index-served ADC diverged from the in-query build: ${viaIndex -- inQuery} / ${inQuery -- viaIndex}")
+  }
+
+  test("IVF-PQ: append under the persisted models ≡ re-assigning the union; bounded and plain regimes read identically") {
+    // idxA: plain regime (the delta's ids are genuinely new, declared)
+    val idxA = s"$work/ivfpq_app"
+    AnnIndex.buildIvfPq(emb.filter(!isDelta), idxA, nlist = 16)
+    AnnIndex.appendIvfPq(emb.filter(isDelta), idxA, newIds = true)
+    // idxB: same persisted models (same base build), every id re-appended
+    // UNDECLARED — the tracked-upsert regime must resolve to the same
+    // live content (codes included: a diverged code array would change
+    // ADC distances and the shortlist)
+    val idxB = s"$work/ivfpq_reb"
+    AnnIndex.buildIvfPq(emb.filter(!isDelta), idxB, nlist = 16)
+    AnnIndex.appendIvfPq(emb, idxB)
+    val q = emb.filter(col("vec_id") < 3)
+    val a = topk(AnnIndex.ivfPqTopKFromIndex(spark, idxA, emb, q, 5, nprobe = 8))
+    val b = topk(AnnIndex.ivfPqTopKFromIndex(spark, idxB, emb, q, 5, nprobe = 8))
+    assert(a == b, "plain append-only and upsert-resolved reads must agree")
+    // the upsert history serves one live row per id
+    val live = AnnIndex.ivfAssignments(spark, idxB)
+    assert(live.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    assert(live.count() == emb.count())
+  }
+
+  test("IVF-PQ: staged compact retrains both models; probed read reproduces the from-scratch build; probe prunes to the probed cells' files") {
+    val idx = s"$work/ivfpq_cmp"
+    AnnIndex.buildIvfPq(emb.filter(!isDelta), idx, nlist = 16)
+    AnnIndex.appendIvfPq(emb.filter(isDelta), idx) // undeclared upsert history
+    AnnIndex.compactIvfPq(emb, idx, nlist = 16)
+    assert(AnnIndex.staleness(spark, idx) == 0.0, "compact must reset staleness")
+    val q = emb.filter(col("vec_id") < 3)
+    val viaIndex = AnnIndex.ivfPqTopKFromIndex(
+      spark, idx, emb, q, 5, nprobe = 16, shortlist = 50)
+    assert(topk(viaIndex) == topk(Ann.pqAdcTopK(emb, q, 5, shortlist = 50,
+      nSub = 8, subDim = 8, nCent = 16)),
+      "compacted PQ index must reproduce the in-query build")
+    // file pruning: a small-nprobe probe reads fewer index files than
+    // the all-cells probe (cell partition filters push into the scan)
+    val fullFiles = deepScanFiles(AnnIndex.ivfPqTopKFromIndex(
+      spark, idx, emb, q, 5, nprobe = 16))
+    val prunedFiles = deepScanFiles(AnnIndex.ivfPqTopKFromIndex(
+      spark, idx, emb, q, 5, nprobe = 2))
+    assert(prunedFiles < fullFiles,
+      s"nprobe=2 must read fewer files than nprobe=16: $prunedFiles vs $fullFiles")
+  }
+
+  test("IVF-PQ: schema guards — a raw-vector append on a PQ tree and a PQ append on a raw tree both throw, with the tree unchanged") {
+    val pq = s"$work/ivfpq_guard"
+    AnnIndex.buildIvfPq(emb.filter(!isDelta), pq, nlist = 16)
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendIvf(emb.filter(isDelta), pq)
+    }
+    val before = AnnIndex.ivfAssignments(spark, pq).count()
+    assert(AnnIndex.ivfAssignments(spark, pq).count() == before)
+    val raw = s"$work/ivf_guard2"
+    AnnIndex.buildIvf(emb.filter(!isDelta), raw, nlist = 16)
+    intercept[IllegalStateException] {
+      AnnIndex.appendIvfPq(emb.filter(isDelta), raw)
+    }
+  }
+
   test("history fuzz (IVF): random append sequences serve one live row per id at its max generation, ≡ resolveAll, probes never resurrect") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

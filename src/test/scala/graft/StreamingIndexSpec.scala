@@ -239,4 +239,40 @@ class StreamingIndexSpec extends AnyFunSuite {
       s"stream/batch index diverged: ${(s1 -- s2).take(3)} / ${(s2 -- s1).take(3)}")
     assert(s1.size == emb.count(), "every vector assigned exactly once")
   }
+
+  test("AvailableNow IVF-PQ maintenance: stream-built code index probes identically to the batch build+append") {
+    import graft.similarity.AnnIndex
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val isDelta = col("vec_id") % 7 === 6
+    // same two-arrival shape as the IVF twin: base file → build batch
+    // (trains centroids AND codebook), delta file → append batch (codes
+    // under the PERSISTED models)
+    val vecDir = s"$work/ivfpq_vecs"
+    emb.filter(!isDelta).coalesce(1).write.parquet(vecDir)
+    val streamIdx = s"$work/ivfpq_stream_idx"
+    val q1 = IndexMaintenance.runIvfPqAvailableNow(
+      spark, vecDir, streamIdx, s"$work/ivfpq_ckpt", assumeNewIds = true)
+    q1.awaitTermination()
+    emb.filter(isDelta).coalesce(1).write.mode("append").parquet(vecDir)
+    val q2 = IndexMaintenance.runIvfPqAvailableNow(
+      spark, vecDir, streamIdx, s"$work/ivfpq_ckpt", assumeNewIds = true)
+    q2.awaitTermination()
+    val batchIdx = s"$work/ivfpq_batch_idx"
+    AnnIndex.buildIvfPq(emb.filter(!isDelta), batchIdx)
+    AnnIndex.appendIvfPq(emb.filter(isDelta), batchIdx, newIds = true)
+    // cell-level equality AND the full two-stage probe (ADC over codes +
+    // exact rerank) — a diverged code array would shift ADC distances
+    // and the shortlist even where cells agree
+    def live(idx: String): Set[(Long, Long)] =
+      AnnIndex.ivfAssignments(spark, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live(streamIdx) == live(batchIdx), "stream/batch cells diverged")
+    val qs = emb.filter(col("vec_id") < 3)
+    def probe(idx: String): Set[(Long, Long, Int)] =
+      AnnIndex.ivfPqTopKFromIndex(spark, idx, emb, qs, 5, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probe(streamIdx) == probe(batchIdx),
+      "stream-maintained PQ probe diverged from the batch-maintained one")
+  }
 }
