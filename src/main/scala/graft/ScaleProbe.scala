@@ -182,6 +182,48 @@ object ScaleProbe {
             AI.ivfAssignments(s, idx, cells = Some(Seq(0L, 3L)),
               resolveAll = name.endsWith("_full"))
           }
+        // `ann_pq_incr` probes the CODE-CARRYING (IVFADC) index's
+        // maintenance economics — ann_ivf_incr's twin: cold pays the
+        // base build (train centroids + codebook + code the corpus),
+        // warm pays one delta append (cells + codes under the PERSISTED
+        // models, both pure per-row functions) + the live view.
+        else if (name == "ann_pq_incr")
+          (s, d) => {
+            val AI = graft.similarity.AnnIndex
+            val idx = s"$d/ivfpq_index"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            val isDelta = col("vec_id") % 7 === 6
+            if (!AI.isComplete(s, idx))
+              AI.buildIvfPq(emb.filter(!isDelta), idx, nlist = 16)
+            AI.appendIvfPq(emb.filter(isDelta), idx)
+            AI.ivfAssignments(s, idx)
+          }
+        // `ann_pq_read` times the TWO-STAGE maintained read (ADC over
+        // the probed cells' code files + exact rerank of the shortlist)
+        // on a full-corpus plain-regime index, and prints the on-disk
+        // BYTES of its code generations beside the vector-carrying
+        // twin's (ann_upsert_read's full-corpus build in the same dir) —
+        // the storage trade measured at scale, not asserted at
+        // parquet-overhead-dominated fixture sizes.
+        else if (name == "ann_pq_read")
+          (s, d) => {
+            val AI = graft.similarity.AnnIndex
+            val idx = s"$d/ivfpq_read_idx"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            if (!AI.isComplete(s, idx))
+              AI.buildIvfPq(emb, idx, nlist = 16)
+            val fsys = new org.apache.hadoop.fs.Path(idx)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            def bytes(p: String): Long =
+              try fsys.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+              catch { case _: java.io.FileNotFoundException => -1L }
+            val pqB = bytes(s"$idx/assignments")
+            val vecB = bytes(s"$d/ivf_upsert_idx/assignments")
+            if (vecB > 0)
+              println(f"[scale] ann_pq_read bytes: codes $pqB%d vs vectors $vecB%d (${pqB.toDouble / vecB}%.3f)")
+            AI.ivfPqTopKFromIndex(s, idx, emb,
+              emb.filter(col("vec_id") < 3), 5, nprobe = 4)
+          }
         // `sem_cand_probe` measures the BANDED CANDIDATE VOLUME of the
         // q161/q163 delta probe (rows = candidate stream size, the cost
         // driver of the banded incremental path) — the denominator is

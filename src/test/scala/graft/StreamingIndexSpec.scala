@@ -169,6 +169,48 @@ class StreamingIndexSpec extends AnyFunSuite {
         "even under a (wrong) newIds declaration")
   }
 
+  test("AvailableNow IVF-PQ maintenance compacts in-stream at budget; replay-duplicate pin holds for code rows") {
+    import graft.similarity.AnnIndex
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val isDelta = col("vec_id") % 7 === 6
+    val vecDir = s"$work/pqc_vecs"
+    emb.filter(!isDelta).coalesce(1).write.parquet(vecDir)
+    val idx = s"$work/pqc_idx"
+    IndexMaintenance.runIvfPqAvailableNow(
+      spark, vecDir, idx, s"$work/pqc_ckpt", compactAt = 0.1)
+      .awaitTermination()
+    assert(AnnIndex.staleness(spark, idx) == 0.0)
+    emb.filter(isDelta).coalesce(1).write.mode("append").parquet(vecDir)
+    IndexMaintenance.runIvfPqAvailableNow(
+      spark, vecDir, idx, s"$work/pqc_ckpt", compactAt = 0.1)
+      .awaitTermination()
+    assert(AnnIndex.staleness(spark, idx) == 0.0,
+      "post-compact PQ index must be one generation")
+    // the compact retrained BOTH models (centroids + codebook) on the
+    // full corpus inside the staged tree, so the probed read reproduces
+    // a from-scratch full build exactly
+    val batchIdx = s"$work/pqc_full"
+    AnnIndex.buildIvfPq(emb, batchIdx)
+    val qs = emb.filter(col("vec_id") < 3)
+    def probe(d: String): Set[(Long, Long, Int)] =
+      AnnIndex.ivfPqTopKFromIndex(spark, d, emb, qs, 5, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probe(idx) == probe(batchIdx),
+      "in-stream PQ compaction diverged from the from-scratch build")
+    // replay-duplicate pin, code-row edition: the compact's own meta is
+    // untrusted, so a wrong newIds re-append of covered content is
+    // resolved — a duplicate code row would DOUBLE a vector's summed
+    // ADC distance, not just duplicate an output row
+    AnnIndex.appendIvfPq(emb.filter(isDelta), idx, newIds = true)
+    val dups = AnnIndex.ivfAssignments(spark, idx)
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dups == 0,
+      "post-in-stream-compact PQ reads must resolve duplicate re-appends")
+    assert(probe(idx) == probe(batchIdx),
+      "resolved duplicate re-append must not shift ADC rankings")
+  }
+
   test("AvailableNow BANDED maintenance: stream-built equals batch; in-stream compact at budget") {
     import graft.similarity.AnnIndex
     val sfDir = "/root/testdata/sf0.001"
