@@ -301,6 +301,31 @@ object SimilarityQueries extends QueryModule {
       Ann.bruteForceTopK(emb, q, 5), minHits = 2)
   }
 
+  /** ANN THROUGH THE MAINTAINED IVF-PQ INDEX UNDER AN UNDECLARED APPEND
+    * — the BOUNDED tracked-upsert CODED read regime under the oracle,
+    * extending the regime matrix to the third persisted structure
+    * (q164 = bounded raw-IVF, q167 = bounded banded, this = bounded
+    * coded). Same base/delta history as q169 but the append takes the
+    * conservative default, so the meta records gen 1 as an upsert
+    * generation and the ADC stage reads untouched ids as a
+    * cell-pruned plain scan behind the broadcast anti-join with only
+    * gen 1 reduced. The hazard this regime guards is SHARPER for codes
+    * than for assignments: a duplicate or resurrected code row does not
+    * just duplicate an output row — it DOUBLES that vector's summed ADC
+    * distance and shifts the shortlist. The delta's ids are genuinely
+    * new, so the resolved view is exactly base∪delta and q169's bound
+    * (floor 2, measured ≥ 3) holds deterministically. */
+  private def q170AnnIvfPqUpsert(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.ivfPqTopKFromIndex(
+        s, graft.similarity.AnnArtifacts.ivfPqUpsertDir(dir), emb, q, 5,
+        nprobe = 8, shortlist = 50),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
     * engine clusters the q51 planted-near-dup corpus with
     * [[Ann.semanticDedup]] (IVF cells, within-cell drop of close
@@ -805,5 +830,6 @@ object SimilarityQueries extends QueryModule {
     Q("q167_ann_lsh_upsert", q167AnnLshUpsert, Some(recallSql(2))),
     Q("q168_ann_ivf_untrusted", q168AnnIvfUntrusted, Some(recallSql(4))),
     Q("q169_ann_ivfpq", q169AnnIvfPq, Some(recallSql(2))),
+    Q("q170_ann_ivfpq_upsert", q170AnnIvfPqUpsert, Some(recallSql(2))),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

@@ -55,6 +55,14 @@ import org.apache.spark.sql.functions._
   *    codebook/centroids. q169 reads ADC over the probed cells' codes +
   *    exact rerank of the shortlist, gating the two-stage read under
   *    the oracle's recall bound.
+  *  - IVF-PQ UPSERT (`ivfpqu`): the same base/delta split appended
+  *    UNDECLARED, so the meta tracks gen 1 as an upsert generation and
+  *    q170 reads the codes through the BOUNDED tracked-upsert
+  *    resolution — with this, the regime machinery is oracle-gated on
+  *    ALL THREE persisted structures (raw-IVF, banded, coded). A
+  *    duplicate or resurrected code row would DOUBLE a vector's summed
+  *    ADC distance and shift the shortlist, so the recall gate
+  *    exercises exactly the hazard the bounded view must avoid.
   *
   * Staleness: one meta file fingerprints the embeddings table
   * (`Layout.sourceFingerprint`) + params; mismatch or partial state
@@ -92,8 +100,10 @@ object AnnArtifacts {
     * hazard replayed batch-side, putting the FULL-resolution read
     * regime under the oracle and completing the matrix.
     * v7: + `ivfpq` (the code-carrying IVFADC index, q169) — the
-    * storage-bounded trade joins the oracle gate. */
-  private val Version = 7
+    * storage-bounded trade joins the oracle gate.
+    * v8: + `ivfpqu` (the undeclared-append PQ history, q170) — the
+    * bounded tracked-upsert CODED read regime joins the gate. */
+  private val Version = 8
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
@@ -103,6 +113,7 @@ object AnnArtifacts {
   def lshUpsertDir(sfDir: String): String = s"${root(sfDir)}/lshu"
   def ivfUntrustedDir(sfDir: String): String = s"${root(sfDir)}/ivfu"
   def ivfPqDir(sfDir: String): String = s"${root(sfDir)}/ivfpq"
+  def ivfPqUpsertDir(sfDir: String): String = s"${root(sfDir)}/ivfpqu"
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
 
   private def fingerprint(s: SparkSession, sfDir: String): String =
@@ -126,7 +137,8 @@ object AnnArtifacts {
       AnnIndex.isComplete(s, ivfCompactDir(sfDir)) &&
       AnnIndex.isComplete(s, lshUpsertDir(sfDir)) &&
       AnnIndex.isComplete(s, ivfUntrustedDir(sfDir)) &&
-      AnnIndex.isComplete(s, ivfPqDir(sfDir))
+      AnnIndex.isComplete(s, ivfPqDir(sfDir)) &&
+      AnnIndex.isComplete(s, ivfPqUpsertDir(sfDir))
     if (fresh) return
     if (fs.exists(rootP)) fs.delete(rootP, true)
     val e = emb(s, sfDir)
@@ -169,6 +181,12 @@ object AnnArtifacts {
     AnnIndex.buildIvfPq(e.filter(!isDelta), ivfPqDir(sfDir),
       nlist = IvfNlist, nSub = PqNSub, subDim = PqSubDim, nCent = PqNCent)
     AnnIndex.appendIvfPq(delta, ivfPqDir(sfDir), newIds = true)
+    // the undeclared PQ append (q170): same base/delta split, the
+    // conservative default — gen 1 is tracked as an upsert generation
+    // and the coded read goes through the bounded resolution
+    AnnIndex.buildIvfPq(e.filter(!isDelta), ivfPqUpsertDir(sfDir),
+      nlist = IvfNlist, nSub = PqNSub, subDim = PqSubDim, nCent = PqNCent)
+    AnnIndex.appendIvfPq(delta, ivfPqUpsertDir(sfDir))
     MetaIO.write(conf, meta, fp)
   }
 }
