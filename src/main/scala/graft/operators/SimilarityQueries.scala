@@ -326,6 +326,29 @@ object SimilarityQueries extends QueryModule {
       Ann.bruteForceTopK(emb, q, 5), minHits = 2)
   }
 
+  /** ANN THROUGH THE MAINTAINED IVF-PQ INDEX WITH A POINT-LOOKUP
+    * REFINE FETCH — the fully index-served two-stage read: ADC over the
+    * probed cells' codes (nprobe/nlist of the CODE files), then the
+    * exact rerank fetches ONLY the shortlist ids' vectors from the
+    * id-bucketed `vecs` artifact (pb-directory pruning + exact id set —
+    * the reference's point-lookup economics applied to the rerank). At
+    * 100 TB this is the difference between "the rerank scans the
+    * corpus" and "the rerank reads ≤ |shortlist| id-buckets"; at every
+    * scale it is bit-identical to q169's broadcast-corpus rerank
+    * (AnnIndexSpec pins equality and measures the files-read drop), so
+    * q169's recall bound gates it deterministically. */
+  private def q171AnnIvfPqPointFetch(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.ivfPqTopKPointFetch(
+        s, graft.similarity.AnnArtifacts.ivfPqDir(dir),
+        graft.similarity.AnnArtifacts.vecsDir(dir), q, 5,
+        nprobe = 8, shortlist = 50),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
     * engine clusters the q51 planted-near-dup corpus with
     * [[Ann.semanticDedup]] (IVF cells, within-cell drop of close
@@ -831,5 +854,6 @@ object SimilarityQueries extends QueryModule {
     Q("q168_ann_ivf_untrusted", q168AnnIvfUntrusted, Some(recallSql(4))),
     Q("q169_ann_ivfpq", q169AnnIvfPq, Some(recallSql(2))),
     Q("q170_ann_ivfpq_upsert", q170AnnIvfPqUpsert, Some(recallSql(2))),
+    Q("q171_ann_ivfpq_lookup", q171AnnIvfPqPointFetch, Some(recallSql(2))),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

@@ -102,8 +102,10 @@ object AnnArtifacts {
     * v7: + `ivfpq` (the code-carrying IVFADC index, q169) — the
     * storage-bounded trade joins the oracle gate.
     * v8: + `ivfpqu` (the undeclared-append PQ history, q170) — the
-    * bounded tracked-upsert CODED read regime joins the gate. */
-  private val Version = 8
+    * bounded tracked-upsert CODED read regime joins the gate.
+    * v9: + `vecs` (the id-bucketed vectors table, q171) — the PQ
+    * refine fetch becomes a point lookup instead of a corpus scan. */
+  private val Version = 9
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
@@ -114,6 +116,16 @@ object AnnArtifacts {
   def ivfUntrustedDir(sfDir: String): String = s"${root(sfDir)}/ivfu"
   def ivfPqDir(sfDir: String): String = s"${root(sfDir)}/ivfpq"
   def ivfPqUpsertDir(sfDir: String): String = s"${root(sfDir)}/ivfpqu"
+
+  /** The corpus vectors in `Layout.writeBucketDirs` form over
+    * `bucket = vec_id` (pmod(vec_id, 64) directories, id-sorted files):
+    * the REFINE-FETCH layout — a driver-bounded shortlist prunes its
+    * vector reads to matching directories + exact ids (the reference's
+    * MapFile point-lookup economics, `BlockIndexedFileInputFormat
+    * .java:419-431`), so the PQ two-stage read never scans the corpus:
+    * ADC reads nprobe/nlist of the CODES, rerank reads ≤ |shortlist|
+    * id-buckets of the VECTORS. */
+  def vecsDir(sfDir: String): String = s"${root(sfDir)}/vecs"
   private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
 
   private def fingerprint(s: SparkSession, sfDir: String): String =
@@ -138,7 +150,8 @@ object AnnArtifacts {
       AnnIndex.isComplete(s, lshUpsertDir(sfDir)) &&
       AnnIndex.isComplete(s, ivfUntrustedDir(sfDir)) &&
       AnnIndex.isComplete(s, ivfPqDir(sfDir)) &&
-      AnnIndex.isComplete(s, ivfPqUpsertDir(sfDir))
+      AnnIndex.isComplete(s, ivfPqUpsertDir(sfDir)) &&
+      fs.exists(new Path(vecsDir(sfDir)))
     if (fresh) return
     if (fs.exists(rootP)) fs.delete(rootP, true)
     val e = emb(s, sfDir)
@@ -187,6 +200,11 @@ object AnnArtifacts {
     AnnIndex.buildIvfPq(e.filter(!isDelta), ivfPqUpsertDir(sfDir),
       nlist = IvfNlist, nSub = PqNSub, subDim = PqSubDim, nCent = PqNCent)
     AnnIndex.appendIvfPq(delta, ivfPqUpsertDir(sfDir))
+    // the refine-fetch layout (q171): vectors keyed by id into pb
+    // directories, so a shortlist's vector reads prune to its buckets
+    graft.build.Layout.writeBucketDirs(
+      e.select(col("vec_id").as("bucket"), col("embedding")),
+      vecsDir(sfDir))
     MetaIO.write(conf, meta, fp)
   }
 }

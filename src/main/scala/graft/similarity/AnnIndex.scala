@@ -659,6 +659,52 @@ object AnnIndex {
       s: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 8, shortlist: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = pqAdcShortlist(s, indexDir, queries, nprobe, shortlist,
+      idCol, vecCol)
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("cn"))
+    pqExactRerank(queries, cv, broadcast(cand), k, idCol, vecCol)
+  }
+
+  /** [[ivfPqTopKFromIndex]] with the refine fetch served by POINT
+    * LOOKUPS against an id-bucketed vectors table (a
+    * [[graft.build.Layout.writeBucketDirs]] layout over
+    * `bucket = vec_id`) instead of a full corpus scan. The ADC
+    * shortlist is driver-bounded by construction (|queries| ×
+    * `shortlist` rows — queries are broadcast-small by the same
+    * contract every probe path here assumes), so it collects ONCE and
+    * the vector fetch prunes to the shortlist ids' `pb` directories
+    * plus the exact id set — the reference's
+    * point-lookup-touches-one-part-file economics
+    * (`BlockIndexedFileInputFormat.java:419-431`) applied to the
+    * rerank, which at 100 TB is otherwise the one read that scans
+    * everything the code layout saved. Results are identical to
+    * [[ivfPqTopKFromIndex]] over the same corpus (AnnIndexSpec pins
+    * it, plus the measured files-read drop). */
+  def ivfPqTopKPointFetch(
+      s: SparkSession, indexDir: String, vecsDir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 8, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import s.implicits._
+    val candRows = pqAdcShortlist(s, indexDir, queries, nprobe, shortlist,
+        idCol, vecCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cand = candRows.toDF("query_id", "neighbor_id")
+    val fetch = graft.build.Layout.pruneToProbe(
+        s.read.parquet(vecsDir),
+        candRows.map(_._2).distinct.toDF("bucket"))
+      .select(col("bucket").as("neighbor_id"), col("embedding").as("cv"),
+        Vectors.norm(col("embedding")).as("cn"))
+    pqExactRerank(queries, fetch, broadcast(cand), k, idCol, vecCol)
+  }
+
+  /** The ADC stage shared by both PQ probe paths: probe cells from the
+    * persisted centroids, code rows of ONLY those cells through the
+    * live view, distances by broadcast table lookup, top-`shortlist`
+    * per query — (query_id, neighbor_id). */
+  private def pqAdcShortlist(
+      s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int, shortlist: Int, idCol: String, vecCol: String): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
     val (nSub, subDim) = pqParamsOrThrow(meta, indexDir)
     val cellScores = Ann.cellScoresFor(centroidArray(s, indexDir))
@@ -673,7 +719,7 @@ object AnnIndex {
         col("code").cast("int").as("code"), col("d2"))
     val aw = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    val cand = assignmentsView(s, indexDir, cells = Some(probeCells),
+    assignmentsView(s, indexDir, cells = Some(probeCells),
         resolveAll = false, payload = Seq("codes"))
       .select(col("vec_id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
@@ -682,13 +728,19 @@ object AnnIndex {
       .withColumn("r", row_number().over(aw))
       .filter(col("r") <= shortlist)
       .select("query_id", "neighbor_id")
+  }
+
+  /** The exact-rerank stage shared by both PQ probe paths: attach the
+    * raw vectors (`cv` — full corpus projection or pruned point fetch)
+    * to the broadcast shortlist, exact cosine, top-k. */
+  private def pqExactRerank(
+      queries: DataFrame, cv: DataFrame, cand: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Vectors.norm(col(vecCol)).as("qn"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      Vectors.norm(col(vecCol)).as("cn"))
     val rw = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cv.join(broadcast(cand), "neighbor_id")
+    cv.join(cand, "neighbor_id")
       .join(broadcast(qv), "query_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",

@@ -487,6 +487,47 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ point-fetch rerank: identical to the corpus-scan rerank, with the vector fetch pruned to the shortlist's id-buckets") {
+    val idx = s"$work/ivfpq_pf"
+    AnnIndex.buildIvfPq(emb, idx, nlist = 16)
+    // the refine-fetch layout: vectors keyed by id into pb directories
+    val vecs = s"$work/ivfpq_pf_vecs"
+    graft.build.Layout.writeBucketDirs(
+      emb.select(col("vec_id").as("bucket"), col("embedding")), vecs)
+    val q = emb.filter(col("vec_id") < 3)
+    val pointFetch = AnnIndex.ivfPqTopKPointFetch(
+      spark, idx, vecs, q, 5, nprobe = 8, shortlist = 50)
+    val corpusScan = AnnIndex.ivfPqTopKFromIndex(
+      spark, idx, emb, q, 5, nprobe = 8, shortlist = 50)
+    assert(topk(pointFetch) == topk(corpusScan),
+      "point-fetch rerank must be bit-identical to the corpus-scan rerank")
+    // the fetch reads FEWER vector files than the table holds: the
+    // shortlist's id-buckets prune at the directory level (the codes
+    // side reads only probed cells either way — measured in the compact
+    // test; here the claim under test is the REFINE fetch)
+    val totalVecFiles = deepScanFiles(spark.read.parquet(vecs))
+    def vecScans(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(qs.plan)
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Nil
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.mkString(",").contains("pf_vecs"))
+        .map(_.metrics("numFiles").value).sum
+    }
+    val fetched = vecScans(AnnIndex.ivfPqTopKPointFetch(
+      spark, idx, vecs, q, 5, nprobe = 2, shortlist = 10))
+    assert(fetched > 0 && fetched < totalVecFiles,
+      s"refine fetch must prune vector files: read $fetched of $totalVecFiles")
+  }
+
   test("history fuzz (IVF): random append sequences serve one live row per id at its max generation, ≡ resolveAll, probes never resurrect") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
