@@ -224,6 +224,28 @@ object ScaleProbe {
             AI.ivfPqTopKFromIndex(s, idx, emb,
               emb.filter(col("vec_id") < 3), 5, nprobe = 4)
           }
+        // `ann_pq_lookup` is ann_pq_read's POINT-FETCH twin: same index,
+        // same two-stage probe, but the rerank reads only the shortlist
+        // ids' pb-bucketed vector directories (the q171 path) instead of
+        // scanning the corpus — at growing factors the corpus-scan
+        // rerank's cost grows with the table while this one's stays
+        // bounded by the shortlist.
+        else if (name == "ann_pq_lookup")
+          (s, d) => {
+            val AI = graft.similarity.AnnIndex
+            val idx = s"$d/ivfpq_read_idx"
+            val vecs = s"$d/ivfpq_vecs_pb"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            if (!AI.isComplete(s, idx))
+              AI.buildIvfPq(emb, idx, nlist = 16)
+            val fsys = new org.apache.hadoop.fs.Path(vecs)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (!fsys.exists(new org.apache.hadoop.fs.Path(vecs)))
+              graft.build.Layout.writeBucketDirs(
+                emb.select(col("vec_id").as("bucket"), col("embedding")), vecs)
+            AI.ivfPqTopKPointFetch(s, idx, vecs,
+              emb.filter(col("vec_id") < 3), 5, nprobe = 4)
+          }
         // `sem_cand_probe` measures the BANDED CANDIDATE VOLUME of the
         // q161/q163 delta probe (rows = candidate stream size, the cost
         // driver of the banded incremental path) — the denominator is
