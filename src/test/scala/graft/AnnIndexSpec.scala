@@ -472,6 +472,46 @@ class AnnIndexSpec extends AnyFunSuite {
       s"nprobe=2 must read fewer files than nprobe=16: $prunedFiles vs $fullFiles")
   }
 
+  test("IVF-PQ: a re-ingested id's changed vector supersedes at the CODE level — stale codes cannot leak into ADC") {
+    import spark.implicits._
+    val idx = s"$work/ivfpq_upsert_content"
+    // 4 axis-aligned vectors; codebook = the first 2 ids' subvectors
+    val base = Seq(
+      (0L, Array.tabulate(16)(i => if (i < 8) 1f else 0f)),
+      (1L, Array.tabulate(16)(i => if (i >= 8) 1f else 0f)),
+      (2L, Array.tabulate(16)(i => if (i < 8) 0.9f else 0.1f)),
+      (3L, Array.tabulate(16)(i => if (i >= 8) 0.9f else 0.1f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.buildIvfPq(base, idx, nlist = 2, nSub = 2, subDim = 8,
+      nCent = 2, lloydIters = 0)
+    // id 3 re-ingested pointing at id 0's direction (an upsert)
+    val moved = Seq((3L, Array.tabulate(16)(i => if (i < 8) 0.95f else 0.05f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.appendIvfPq(moved, idx)
+    val updated = base.filter(col("vec_id") =!= 3).unionByName(moved)
+    // probe from id 0's direction: with all cells probed and the full
+    // shortlist, the index-served result must equal the same two-stage
+    // computation over the UPDATED corpus under the same persisted
+    // models (pin via the append≡rebuild comparator: a second index
+    // with the same base build whose gen 1 re-assigns the whole updated
+    // corpus) — a stale gen-0 code row for id 3 would shift its summed
+    // ADC distance and diverge
+    val idx2 = s"$work/ivfpq_upsert_content_cmp"
+    AnnIndex.buildIvfPq(base, idx2, nlist = 2, nSub = 2, subDim = 8,
+      nCent = 2, lloydIters = 0)
+    AnnIndex.appendIvfPq(updated, idx2)
+    val q = updated.filter(col("vec_id") === 0)
+    def probe(d: String) = topk(AnnIndex.ivfPqTopKFromIndex(
+      spark, d, updated, q, 3, nprobe = 2, shortlist = 4))
+    assert(probe(idx) == probe(idx2),
+      "upserted codes must supersede: stale gen-0 codes leaked into ADC")
+    // and the live view serves exactly one row for the upserted id
+    val live = AnnIndex.ivfAssignments(spark, idx)
+      .filter(col("vec_id") === 3).collect()
+    assert(live.length == 1 && live.head.getLong(2) == 1L,
+      s"id 3 must be served from gen 1 alone, got ${live.toSeq}")
+  }
+
   test("IVF-PQ: schema guards — a raw-vector append on a PQ tree and a PQ append on a raw tree both throw, with the tree unchanged") {
     val pq = s"$work/ivfpq_guard"
     AnnIndex.buildIvfPq(emb.filter(!isDelta), pq, nlist = 16)
