@@ -287,9 +287,10 @@ object SimilarityQueries extends QueryModule {
     * AnnIndexSpec pins it bit-for-bit against the in-query q124 build
     * at nprobe = nlist). Floor 2 of 5, q124's bound: the coarse
     * quantizer only restricts the candidate set q124 scores in full.
-    * MEASURED at nprobe 8 (floor-bisection at all three scales): every
-    * query scores >= 3 of 5, and 4 is not cleared at sf0.001 — so the
-    * registered floor keeps one full hit of margin. */
+    * MEASURED at nprobe 8 (floor-bisection at all three scales, v10
+    * codebook): >= 3 of 5 at sf0.01 and sf0.1; exactly the floor at
+    * sf0.001 (3 not cleared there) — deterministic either way, the
+    * gate is seeded structure on fixed data. */
   private def q169AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     graft.similarity.AnnArtifacts.ensure(s, dir)
     val emb = Tables.embeddings(s, dir)
@@ -314,7 +315,7 @@ object SimilarityQueries extends QueryModule {
     * just duplicate an output row — it DOUBLES that vector's summed ADC
     * distance and shifts the shortlist. The delta's ids are genuinely
     * new, so the resolved view is exactly base∪delta and q169's bound
-    * (floor 2, measured ≥ 3) holds deterministically. */
+    * (floor 2) holds deterministically. */
   private def q170AnnIvfPqUpsert(s: SparkSession, dir: String): DataFrame = {
     graft.similarity.AnnArtifacts.ensure(s, dir)
     val emb = Tables.embeddings(s, dir)

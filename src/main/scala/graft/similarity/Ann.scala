@@ -546,6 +546,20 @@ object Ann {
     subVectors(corpus.filter(col(idCol) < nCent), idCol, vecCol,
       nSub, subDim, "cid", "cv")
 
+  /** [[pqCodebook]] robust to arbitrary id ranges: the lowest `nCent`
+    * ids PRESENT (a TakeOrdered — no global sort), not `id < nCent`.
+    * On a corpus whose ids start at 0 the two are identical (which is
+    * why the maintained index's ≡-q124 pin holds), but a delta-keyed
+    * or re-keyed corpus — or a streaming first batch that does not
+    * carry the low ids — would hand the literal filter an EMPTY or
+    * partial training set and silently degrade every code. The
+    * maintained builds use this form. */
+  private[similarity] def pqCodebookPresent(
+      corpus: DataFrame, nSub: Int, subDim: Int, nCent: Int,
+      idCol: String, vecCol: String): DataFrame =
+    subVectors(corpus.orderBy(col(idCol)).limit(nCent), idCol, vecCol,
+      nSub, subDim, "cid", "cv")
+
   /** PQ code assignment (Jégou et al. 2011): snap every subvector to its
     * nearest codebook centroid — (id, sub, code), `nSub` codes per
     * vector. Scale shape: the `nCent·nSub`-row codebook broadcasts, the

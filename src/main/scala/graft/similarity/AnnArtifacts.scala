@@ -104,8 +104,12 @@ object AnnArtifacts {
     * v8: + `ivfpqu` (the undeclared-append PQ history, q170) — the
     * bounded tracked-upsert CODED read regime joins the gate.
     * v9: + `vecs` (the id-bucketed vectors table, q171) — the PQ
-    * refine fetch becomes a point lookup instead of a corpus scan. */
-  private val Version = 9
+    * refine fetch becomes a point lookup instead of a corpus scan.
+    * v10: PQ codebooks train on the lowest nCent ids PRESENT
+    * (`pqCodebookPresent`) — the base corpus excludes the delta ids, so
+    * the literal `id < nCent` filter was persisting a 14-of-16-centroid
+    * codebook; the review fix changes the codes, so the epoch moves. */
+  private val Version = 10
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
@@ -130,6 +134,7 @@ object AnnArtifacts {
 
   private def fingerprint(s: SparkSession, sfDir: String): String =
     s"v$Version:ivf$IvfNlist:lsh$LshPlanes/$LshBands:" +
+      s"pq$PqNSub/$PqSubDim/$PqNCent:" +
       graft.build.Layout.sourceFingerprint(s, s"$sfDir/embeddings.parquet")
 
   private def emb(s: SparkSession, sfDir: String): DataFrame =
@@ -191,14 +196,20 @@ object AnnArtifacts {
     // models, the delta appends declared under the PERSISTED
     // codebook/centroids — the plain two-stage read (ADC over probed
     // cells' codes, exact rerank of the shortlist)
+    // ONE base build for both PQ histories: the build is deterministic
+    // (that determinism is what the append≡rebuild spec pins), and the
+    // two histories share the identical gen-0 tree — copy the completed
+    // base BEFORE the divergent appends instead of paying the heaviest
+    // stage (train both models + code the whole base corpus) twice
     AnnIndex.buildIvfPq(e.filter(!isDelta), ivfPqDir(sfDir),
       nlist = IvfNlist, nSub = PqNSub, subDim = PqSubDim, nCent = PqNCent)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(ivfPqDir(sfDir)), fs, new Path(ivfPqUpsertDir(sfDir)),
+      false, conf)
     AnnIndex.appendIvfPq(delta, ivfPqDir(sfDir), newIds = true)
     // the undeclared PQ append (q170): same base/delta split, the
     // conservative default — gen 1 is tracked as an upsert generation
     // and the coded read goes through the bounded resolution
-    AnnIndex.buildIvfPq(e.filter(!isDelta), ivfPqUpsertDir(sfDir),
-      nlist = IvfNlist, nSub = PqNSub, subDim = PqSubDim, nCent = PqNCent)
     AnnIndex.appendIvfPq(delta, ivfPqUpsertDir(sfDir))
     // the refine-fetch layout (q171): vectors keyed by id into pb
     // directories, so a shortlist's vector reads prune to its buckets

@@ -568,13 +568,19 @@ object AnnIndex {
     import s.implicits._
     cs.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toDF("cell", "c").write.parquet(centroidsPath(indexDir))
-    Ann.pqCodebook(corpus, nSub, subDim, nCent, idCol, vecCol)
+    // the lowest nCent ids PRESENT (pqCodebookPresent), not `id < nCent`
+    // — a build whose corpus lacks the low ids (delta-keyed ingest, a
+    // streaming first batch) would otherwise persist an EMPTY or
+    // partial codebook and the inner join would silently code nothing
+    Ann.pqCodebookPresent(corpus, nSub, subDim, nCent, idCol, vecCol)
       .write.parquet(codebookPath(indexDir))
+    val cb = s.read.parquet(codebookPath(indexDir))
+    if (cb.isEmpty) throw new IllegalArgumentException(
+      s"PQ build at $indexDir trained an empty codebook — the corpus is empty")
     // gen 0 assigns under the PERSISTED codebook (read back), the same
     // table every append will read — not the in-memory derivation
     writeAssignGen(
-      assignPqWith(corpus, cs, s.read.parquet(codebookPath(indexDir)),
-        idCol, vecCol, nSub, subDim),
+      assignPqWith(corpus, cs, cb, idCol, vecCol, nSub, subDim),
       indexDir, 0L)
     writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
       batch = batchId, trusted = appendOnly,
@@ -669,7 +675,8 @@ object AnnIndex {
   /** [[ivfPqTopKFromIndex]] with the refine fetch served by POINT
     * LOOKUPS against an id-bucketed vectors table (a
     * [[graft.build.Layout.writeBucketDirs]] layout over
-    * `bucket = vec_id`) instead of a full corpus scan. The ADC
+    * `bucket = vec_id`, schema `(bucket, <vecCol>)`) instead of a full
+    * corpus scan. The ADC
     * shortlist is driver-bounded by construction (|queries| ×
     * `shortlist` rows — queries are broadcast-small by the same
     * contract every probe path here assumes), so it collects ONCE and
@@ -693,8 +700,8 @@ object AnnIndex {
     val fetch = graft.build.Layout.pruneToProbe(
         s.read.parquet(vecsDir),
         candRows.map(_._2).distinct.toDF("bucket"))
-      .select(col("bucket").as("neighbor_id"), col("embedding").as("cv"),
-        Vectors.norm(col("embedding")).as("cn"))
+      .select(col("bucket").as("neighbor_id"), col(vecCol).as("cv"),
+        Vectors.norm(col(vecCol)).as("cn"))
     pqExactRerank(queries, fetch, broadcast(cand), k, idCol, vecCol)
   }
 
