@@ -454,12 +454,27 @@ object Bench {
         if (i < 0) "" else {
           val start = i + tag.length
           val end = s.indexOf('}', start)
-          if (end < 0) "" else s.substring(start, end)
+          val body = if (end < 0) "" else s.substring(start, end)
+          // the artifact is machine-written FLAT; truncating at the
+          // first '}' is only correct then. A nested value would leave
+          // a '{' in the cut — warn instead of silently yielding empty
+          // floors (which would quietly reintroduce the cold-reset
+          // problem this seed exists to fix).
+          if (body.contains("{")) {
+            System.err.println(
+              s"[bench-warn] floors artifact section '$key' is not the " +
+                "expected flat shape — seed section skipped")
+            ""
+          } else body
         }
       }
       val floors = "\"([^\"]+)\":([0-9.eE+-]+)".r
         .findAllMatchIn(section("floors"))
         .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+      if (floors.isEmpty && s.contains("\"floors\""))
+        System.err.println(
+          s"[bench-warn] floors artifact $p present but parsed to zero " +
+            "floors — seeding skipped, check its shape")
       val digs = "\"([^\"]+)\":\"([0-9a-f]+)\"".r
         .findAllMatchIn(section("plan_digests"))
         .map(m => m.group(1) -> m.group(2)).toMap

@@ -224,6 +224,23 @@ object ScaleProbe {
             AI.ivfPqTopKFromIndex(s, idx, emb,
               emb.filter(col("vec_id") < 3), 5, nprobe = 4)
           }
+        // `vecs_incr` probes the point-fetch VECTOR STORE's maintenance
+        // economics (r17 — the last structure to join the lifecycle):
+        // cold pays the base store build (full-corpus pb write), warm
+        // pays one delta append (the batch's rows into their known pb
+        // dirs of a new generation — O(|delta|), nothing of the base
+        // read or written) + the live-view count.
+        else if (name == "vecs_incr")
+          (s, d) => {
+            val AI = graft.similarity.AnnIndex
+            val dir = s"$d/vecs_store"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            val isDelta = col("vec_id") % 7 === 6
+            if (!AI.isComplete(s, dir))
+              AI.buildVecs(emb.filter(!isDelta), dir)
+            AI.appendVecs(emb.filter(isDelta), dir)
+            AI.vecsLive(s, dir)
+          }
         // `ann_pq_lookup` is ann_pq_read's POINT-FETCH twin: same index,
         // same two-stage probe, but the rerank reads only the shortlist
         // ids' pb-bucketed vector directories (the q171 path) instead of

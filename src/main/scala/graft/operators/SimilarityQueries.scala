@@ -337,7 +337,11 @@ object SimilarityQueries extends QueryModule {
     * corpus" and "the rerank reads ≤ |shortlist| id-buckets"; at every
     * scale it is bit-identical to q169's broadcast-corpus rerank
     * (AnnIndexSpec pins equality and measures the files-read drop), so
-    * q169's recall bound gates it deterministically. */
+    * q169's recall bound gates it deterministically. Since r17 the
+    * `vecs` table is itself a MAINTAINED store (build → gen-append →
+    * compact, base + declared delta append here), so this also gates
+    * the store's plain live-view read — the last persisted structure
+    * to join the lifecycle. */
   private def q171AnnIvfPqPointFetch(s: SparkSession, dir: String): DataFrame = {
     graft.similarity.AnnArtifacts.ensure(s, dir)
     val emb = Tables.embeddings(s, dir)
@@ -346,6 +350,32 @@ object SimilarityQueries extends QueryModule {
       graft.similarity.AnnIndex.ivfPqTopKPointFetch(
         s, graft.similarity.AnnArtifacts.ivfPqDir(dir),
         graft.similarity.AnnArtifacts.vecsDir(dir), q, 5,
+        nprobe = 8, shortlist = 50),
+      Ann.bruteForceTopK(emb, q, 5), minHits = 2)
+  }
+
+  /** THE POINT-LOOKUP REFINE FETCH THROUGH THE UPSERT REGIMES — the
+    * regime-matrix column the r16 verdict flagged as the gap: q171's
+    * two-stage read with BOTH sides under undeclared-append histories.
+    * The ADC shortlist reads the `ivfpqu` codes through the BOUNDED
+    * tracked-upsert resolution (q170's plan), and the rerank fetches
+    * the shortlist ids' vectors from the `vecsu` MAINTAINED store's
+    * bounded live view — where the id filter COMMUTES with the
+    * latest-gen reduce (bucket = id), so even the upsert regime's
+    * fetch stays a pruned point read: pb-directory pruning + the exact
+    * id set push into the scan in every regime. The delta's ids are
+    * genuinely new, so both resolved views are exactly base∪delta and
+    * q169's bound (floor 2) holds deterministically; AnnIndexSpec pins
+    * bit-identity against the corpus-scan rerank over the same
+    * histories. */
+  private def q172AnnIvfPqLookupUpsert(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    recallCheck(
+      graft.similarity.AnnIndex.ivfPqTopKPointFetch(
+        s, graft.similarity.AnnArtifacts.ivfPqUpsertDir(dir),
+        graft.similarity.AnnArtifacts.vecsUpsertDir(dir), q, 5,
         nprobe = 8, shortlist = 50),
       Ann.bruteForceTopK(emb, q, 5), minHits = 2)
   }
@@ -856,5 +886,6 @@ object SimilarityQueries extends QueryModule {
     Q("q169_ann_ivfpq", q169AnnIvfPq, Some(recallSql(2))),
     Q("q170_ann_ivfpq_upsert", q170AnnIvfPqUpsert, Some(recallSql(2))),
     Q("q171_ann_ivfpq_lookup", q171AnnIvfPqPointFetch, Some(recallSql(2))),
+    Q("q172_ann_ivfpq_lookup_upsert", q172AnnIvfPqLookupUpsert, Some(recallSql(2))),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

@@ -553,12 +553,25 @@ object Ann {
     * or re-keyed corpus — or a streaming first batch that does not
     * carry the low ids — would hand the literal filter an EMPTY or
     * partial training set and silently degrade every code. The
-    * maintained builds use this form. */
+    * maintained builds use this form.
+    *
+    * Centroid ids are REMAPPED to a dense 0..nCent-1 range (rank order
+    * of the training ids — order-preserving, so the argmin's
+    * lower-cid tie-break picks the same centroid as under raw ids): the
+    * persisted codes must be small ints independent of the id domain,
+    * because the read paths cast them to int for the packed code arrays
+    * — raw vec_ids past 2^31 would wrap, and two training ids congruent
+    * mod 2^32 would silently merge centroids and corrupt ADC. The
+    * window runs over the already-TakeOrdered `nCent` rows, never the
+    * corpus. */
   private[similarity] def pqCodebookPresent(
       corpus: DataFrame, nSub: Int, subDim: Int, nCent: Int,
-      idCol: String, vecCol: String): DataFrame =
-    subVectors(corpus.orderBy(col(idCol)).limit(nCent), idCol, vecCol,
-      nSub, subDim, "cid", "cv")
+      idCol: String, vecCol: String): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    val train = corpus.orderBy(col(idCol)).limit(nCent)
+      .withColumn("__cid", row_number().over(w).cast("long") - 1)
+    subVectors(train, "__cid", vecCol, nSub, subDim, "cid", "cv")
+  }
 
   /** PQ code assignment (Jégou et al. 2011): snap every subvector to its
     * nearest codebook centroid — (id, sub, code), `nSub` codes per

@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
 /** The MAINTAINED ANN indexes as per-corpus ingest artifacts — the
   * [[AnnIndex]] lifecycle (build → gen-stamped append → live-view read
   * → compact) persisted once per (corpus fingerprint, params) and read
-  * by the oracle-gated maintained-index queries (q164/q165/q166), the
+  * by the oracle-gated maintained-index queries (q164–q172), the
   * same persist-once economics as `DedupArtifacts` (reference:
   * `AbstractBlockIndexingJob.java:122-152` — index at build time, every
   * query reads it).
   *
-  * Three GENUINE maintenance histories — deliberately DIFFERENT, so
+  * Nine GENUINE maintenance histories — deliberately DIFFERENT, so
   * each live-view read regime is under the oracle:
   *  - IVF (`ivf`): gen 0 indexes the full corpus, then the standard
   *    delta batch (id ≡ DeltaRem mod DeltaMod) is RE-INGESTED as a
@@ -34,40 +34,55 @@ import org.apache.spark.sql.functions._
   *  - COMPACTED IVF (`ivfc`): base build + delta append + a full
   *    `compactIvf` retrain — q166 reads THROUGH the compacted index
   *    (one generation, plain, staleness 0), gating the post-compact
-  *    read path that was previously only spec-pinned. The compact
-  *    retrains on the same corpus with the same trainer, so the result
-  *    is bit-identical to the from-scratch q45 build.
+  *    read path. The compact retrains on the same corpus with the same
+  *    trainer, so the result is bit-identical to the from-scratch q45
+  *    build.
+  *  - LSH UPSERT (`lshu`): the same base/delta split as `lsh` but the
+  *    append takes the conservative default — q167 reads through the
+  *    BOUNDED banded resolution (banded rows are per-vector, so the
+  *    resolved view is still exactly base∪delta).
   *  - UNTRUSTED IVF (`ivfu`): the in-stream-compact hazard REPLAYED
-  *    BATCH-SIDE, so even the fourth regime is under the oracle — base
-  *    build, then `compactIvf(appendOnly = false)` over the FULL corpus
-  *    (the compact's snapshot covered a batch the checkpoint had not
-  *    delivered), then that batch re-appends declaring `newIds = true`
-  *    (truthfully, from the stream's view — but the content is already
-  *    in gen 0, which is exactly why the compact stamped the
-  *    declarations untrusted). q168 reads through the FULL latest-gen
-  *    resolution this meta forces; assignment is a pure function, so
-  *    the content-identical duplicates collapse to the corpus
-  *    assignment and q45's recall bound holds deterministically.
+  *    BATCH-SIDE — base build, then `compactIvf(appendOnly = false)`
+  *    over the FULL corpus (the compact's snapshot covered a batch the
+  *    checkpoint had not delivered), then that batch re-appends
+  *    declaring `newIds = true` (truthfully, from the stream's view —
+  *    but the content is already in gen 0, which is exactly why the
+  *    compact stamped the declarations untrusted). q168 reads through
+  *    the FULL latest-gen resolution this meta forces; the
+  *    content-identical duplicates collapse and q45's bound holds.
   *  - IVF-PQ (`ivfpq`): the CODE-CARRYING index (FAISS IVFADC — codes
-  *    are ~2% of the raw-vector bytes, the layout that stays
+  *    ~2-3% of the raw-vector bytes, the layout that stays
   *    cache-resident at 100 TB where inverted lists of floats cannot) —
   *    base build, delta appended `newIds = true` under the PERSISTED
   *    codebook/centroids. q169 reads ADC over the probed cells' codes +
-  *    exact rerank of the shortlist, gating the two-stage read under
-  *    the oracle's recall bound.
+  *    exact rerank of the shortlist.
   *  - IVF-PQ UPSERT (`ivfpqu`): the same base/delta split appended
-  *    UNDECLARED, so the meta tracks gen 1 as an upsert generation and
-  *    q170 reads the codes through the BOUNDED tracked-upsert
-  *    resolution — with this, the regime machinery is oracle-gated on
-  *    ALL THREE persisted structures (raw-IVF, banded, coded). A
-  *    duplicate or resurrected code row would DOUBLE a vector's summed
-  *    ADC distance and shift the shortlist, so the recall gate
-  *    exercises exactly the hazard the bounded view must avoid.
+  *    UNDECLARED — q170 reads the codes through the BOUNDED
+  *    tracked-upsert resolution (a duplicate or resurrected code row
+  *    would DOUBLE a vector's summed ADC distance and shift the
+  *    shortlist — the regime matrix's sharpest hazard).
+  *  - VECS (`vecs`, NEW r17): the point-fetch VECTOR STORE under the
+  *    SAME lifecycle — base `buildVecs` + declared delta append — so
+  *    q171's refine fetch reads a MAINTAINED id-bucketed table's plain
+  *    live view instead of a write-once artifact (pre-r17, the one
+  *    persisted structure rebuilt wholesale per corpus change).
+  *  - VECS UPSERT (`vecsu`, NEW r17): the undeclared-append store —
+  *    q172 routes the point-lookup rerank through the bounded-upsert
+  *    PQ index (`ivfpqu`) AND the bounded-upsert vector store, the
+  *    regime-matrix column the r16 verdict flagged as missing. The id
+  *    filter commutes with the latest-gen reduce (bucket = id), so the
+  *    fetch stays a pruned point read in every regime.
   *
-  * Staleness: one meta file fingerprints the embeddings table
-  * (`Layout.sourceFingerprint`) + params; mismatch or partial state
-  * (missing meta, or an index tree whose own `_INDEX_META` marker is
-  * gone) rebuilds. Meta written LAST, atomically ([[MetaIO]]).
+  * STALENESS is PER HISTORY (r17): each tree pairs with its own
+  * `_META_<name>` marker carrying `h<version>:<params>:<sourceFp>` —
+  * a single history's version bump (or a param change scoped to its
+  * family) rebuilds ONLY that tree, where the pre-r17 single
+  * fingerprint rebuilt all nine (the r16 verdict's stretch item). The
+  * old single-epoch lineage v1–v10 is recorded in git history; the
+  * per-history versions below start at 1 in the relocated `h/` root.
+  * Meta written LAST per tree, atomically ([[MetaIO]]); partial state
+  * (missing tree meta, or an index tree whose own `_INDEX_META` is
+  * gone) rebuilds that history alone.
   */
 object AnnArtifacts {
 
@@ -81,38 +96,22 @@ object AnnArtifacts {
 
   /** PQ model — MUST mirror the registered q123/q124 parameters
     * (`SimilarityQueries`: 8 subspaces × 8 dims, 16 centroids per
-    * subspace, deterministic first-ids codebook) for the same
+    * subspace, deterministic lowest-present-ids codebook) for the same
     * comparability reason. */
   val PqNSub = 8
   val PqSubDim = 8
   val PqNCent = 16
 
-  /** v3: + `ivfc` (the compacted history, q166) and the r16 meta
-    * protocol (tracked upsert generations, persisted banded model
-    * params) — both index trees carry new `_INDEX_META` keys, so the
-    * artifact epoch moves with them.
-    * v4: IVF generations carry the vector (the FAISS inverted-list
-    * trade) — the probe path reads vectors from the index partitions
-    * and never joins the corpus.
-    * v5: + `lshu` (the UNDECLARED-append banded history, q167) — the
-    * bounded tracked-upsert BANDED read regime joins the oracle gate.
-    * v6: + `ivfu` (the untrusted history, q168) — the in-stream-compact
-    * hazard replayed batch-side, putting the FULL-resolution read
-    * regime under the oracle and completing the matrix.
-    * v7: + `ivfpq` (the code-carrying IVFADC index, q169) — the
-    * storage-bounded trade joins the oracle gate.
-    * v8: + `ivfpqu` (the undeclared-append PQ history, q170) — the
-    * bounded tracked-upsert CODED read regime joins the gate.
-    * v9: + `vecs` (the id-bucketed vectors table, q171) — the PQ
-    * refine fetch becomes a point lookup instead of a corpus scan.
-    * v10: PQ codebooks train on the lowest nCent ids PRESENT
-    * (`pqCodebookPresent`) — the base corpus excludes the delta ids, so
-    * the literal `id < nCent` filter was persisting a 14-of-16-centroid
-    * codebook; the review fix changes the codes, so the epoch moves. */
-  private val Version = 10
+  /** Per-history epoch versions: bump ONE to rebuild ONE tree. (The
+    * relocation into the `h/` root plus the r17 dense-cid codebook fix
+    * and the maintained vecs store reset every history once — recorded
+    * here as the common epoch 1.) */
+  private val HistoryVersions: Map[String, Int] = Map(
+    "ivf" -> 1, "lsh" -> 1, "ivfc" -> 1, "lshu" -> 1, "ivfu" -> 1,
+    "ivfpq" -> 1, "ivfpqu" -> 1, "vecs" -> 1, "vecsu" -> 1)
 
   private def root(sfDir: String): String =
-    s"${DedupArtifacts.artifactBase}/graft_ann/v$Version/${DedupArtifacts.corpusKey(sfDir)}"
+    s"${DedupArtifacts.artifactBase}/graft_ann/h/${DedupArtifacts.corpusKey(sfDir)}"
   def ivfDir(sfDir: String): String = s"${root(sfDir)}/ivf"
   def lshDir(sfDir: String): String = s"${root(sfDir)}/lsh"
   def ivfCompactDir(sfDir: String): String = s"${root(sfDir)}/ivfc"
@@ -121,65 +120,83 @@ object AnnArtifacts {
   def ivfPqDir(sfDir: String): String = s"${root(sfDir)}/ivfpq"
   def ivfPqUpsertDir(sfDir: String): String = s"${root(sfDir)}/ivfpqu"
 
-  /** The corpus vectors in `Layout.writeBucketDirs` form over
-    * `bucket = vec_id` (pmod(vec_id, 64) directories, id-sorted files):
-    * the REFINE-FETCH layout — a driver-bounded shortlist prunes its
-    * vector reads to matching directories + exact ids (the reference's
-    * MapFile point-lookup economics, `BlockIndexedFileInputFormat
+  /** The corpus vectors as a MAINTAINED point-fetch store
+    * ([[AnnIndex.buildVecs]]'s gen-stamped pb layout): the REFINE-FETCH
+    * table — a driver-bounded shortlist prunes its vector reads to
+    * matching directories + exact ids (the reference's MapFile
+    * point-lookup economics, `BlockIndexedFileInputFormat
     * .java:419-431`), so the PQ two-stage read never scans the corpus:
     * ADC reads nprobe/nlist of the CODES, rerank reads ≤ |shortlist|
     * id-buckets of the VECTORS. */
   def vecsDir(sfDir: String): String = s"${root(sfDir)}/vecs"
-  private def metaPath(sfDir: String) = s"${root(sfDir)}/_META"
 
-  private def fingerprint(s: SparkSession, sfDir: String): String =
-    s"v$Version:ivf$IvfNlist:lsh$LshPlanes/$LshBands:" +
-      s"pq$PqNSub/$PqSubDim/$PqNCent:" +
-      graft.build.Layout.sourceFingerprint(s, s"$sfDir/embeddings.parquet")
+  /** [[vecsDir]]'s undeclared-append twin (q172's fetch side). */
+  def vecsUpsertDir(sfDir: String): String = s"${root(sfDir)}/vecsu"
+
+  /** Per-family parameter fingerprints: a change rebuilds only the
+    * histories it affects. */
+  private def ivfParams = s"ivf$IvfNlist"
+  private def lshParams = s"lsh$LshPlanes/$LshBands"
+  private def pqParams = s"ivf$IvfNlist:pq$PqNSub/$PqSubDim/$PqNCent"
+  private def vecsParams = s"pb${graft.build.Layout.ProbePartitions}"
 
   private def emb(s: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(s, sfDir).select("vec_id", "embedding")
 
-  /** Build-or-reuse all the maintained index histories for `sfDir`'s
-    * embeddings. */
+  /** Build-or-reuse the maintained index histories for `sfDir`'s
+    * embeddings — each history independently (per-history staleness). */
   def ensure(s: SparkSession, sfDir: String): Unit = synchronized {
     val conf = s.sparkContext.hadoopConfiguration
-    val fp = fingerprint(s, sfDir)
-    val rootP = new Path(root(sfDir))
-    val fs = rootP.getFileSystem(conf)
-    val meta = new Path(metaPath(sfDir))
-    val fresh = MetaIO.read(conf, meta).contains(fp) &&
-      AnnIndex.isComplete(s, ivfDir(sfDir)) &&
-      AnnIndex.isComplete(s, lshDir(sfDir)) &&
-      AnnIndex.isComplete(s, ivfCompactDir(sfDir)) &&
-      AnnIndex.isComplete(s, lshUpsertDir(sfDir)) &&
-      AnnIndex.isComplete(s, ivfUntrustedDir(sfDir)) &&
-      AnnIndex.isComplete(s, ivfPqDir(sfDir)) &&
-      AnnIndex.isComplete(s, ivfPqUpsertDir(sfDir)) &&
-      fs.exists(new Path(vecsDir(sfDir)))
-    if (fresh) return
-    if (fs.exists(rootP)) fs.delete(rootP, true)
-    val e = emb(s, sfDir)
-    val isDelta = col("vec_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
-    val delta = e.filter(isDelta)
-    AnnIndex.buildIvf(e, ivfDir(sfDir), nlist = IvfNlist)
-    AnnIndex.appendIvf(delta, ivfDir(sfDir)) // re-ingest upsert, gen 1
-    AnnIndex.buildBanded(e.filter(!isDelta), lshDir(sfDir),
-      nPlanes = LshPlanes, bands = LshBands)
-    AnnIndex.appendBanded(delta, lshDir(sfDir),
-      nPlanes = LshPlanes, bands = LshBands, newIds = true)
-    AnnIndex.buildIvf(e.filter(!isDelta), ivfCompactDir(sfDir), nlist = IvfNlist)
-    AnnIndex.appendIvf(delta, ivfCompactDir(sfDir), newIds = true)
-    AnnIndex.compactIvf(e, ivfCompactDir(sfDir), nlist = IvfNlist)
+    val srcFp = graft.build.Layout.sourceFingerprint(
+      s, s"$sfDir/embeddings.parquet")
+    def fp(name: String, params: String) =
+      s"h${HistoryVersions(name)}:$params:$srcFp"
+    def histMeta(name: String) = new Path(s"${root(sfDir)}/_META_$name")
+    def dirOf(name: String) = s"${root(sfDir)}/$name"
+    def fresh(name: String, params: String): Boolean =
+      MetaIO.read(conf, histMeta(name)).contains(fp(name, params)) &&
+        AnnIndex.isComplete(s, dirOf(name))
+    // wipe-then-build-then-mark: the stale tree AND its marker go
+    // before the rebuild (a crash mid-build must not leave a
+    // fresh-looking marker over a partial tree); the marker lands LAST
+    def rebuild(name: String, params: String)(body: String => Unit): Unit = {
+      val d = dirOf(name)
+      val fs = new Path(d).getFileSystem(conf)
+      if (fs.exists(histMeta(name))) fs.delete(histMeta(name), false)
+      if (fs.exists(new Path(d))) fs.delete(new Path(d), true)
+      body(d)
+      MetaIO.write(conf, histMeta(name), fp(name, params))
+    }
+    def build(name: String, params: String)(body: String => Unit): Unit =
+      if (!fresh(name, params)) rebuild(name, params)(body)
+
+    lazy val e = emb(s, sfDir)
+    lazy val isDelta =
+      col("vec_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    lazy val delta = e.filter(isDelta)
+    lazy val base = e.filter(!isDelta)
+
+    build("ivf", ivfParams) { d =>
+      AnnIndex.buildIvf(e, d, nlist = IvfNlist)
+      AnnIndex.appendIvf(delta, d) // re-ingest upsert, gen 1
+    }
+    build("lsh", lshParams) { d =>
+      AnnIndex.buildBanded(base, d, nPlanes = LshPlanes, bands = LshBands)
+      AnnIndex.appendBanded(delta, d,
+        nPlanes = LshPlanes, bands = LshBands, newIds = true)
+    }
+    build("ivfc", ivfParams) { d =>
+      AnnIndex.buildIvf(base, d, nlist = IvfNlist)
+      AnnIndex.appendIvf(delta, d, newIds = true)
+      AnnIndex.compactIvf(e, d, nlist = IvfNlist)
+    }
     // the UNDECLARED banded append (same base/delta split as `lsh`, but
     // the conservative default): the meta records gen 1 as an upsert
-    // generation and q167 reads through the BOUNDED banded resolution —
-    // banded rows are per-vector, so the resolved view is still exactly
-    // base∪delta and q30's recall bound holds deterministically
-    AnnIndex.buildBanded(e.filter(!isDelta), lshUpsertDir(sfDir),
-      nPlanes = LshPlanes, bands = LshBands)
-    AnnIndex.appendBanded(delta, lshUpsertDir(sfDir),
-      nPlanes = LshPlanes, bands = LshBands)
+    // generation and q167 reads through the BOUNDED banded resolution
+    build("lshu", lshParams) { d =>
+      AnnIndex.buildBanded(base, d, nPlanes = LshPlanes, bands = LshBands)
+      AnnIndex.appendBanded(delta, d, nPlanes = LshPlanes, bands = LshBands)
+    }
     // the untrusted history (q168): the in-stream-compact hazard,
     // batch-replayed — the compact's corpus snapshot already contains
     // the delta batch the checkpoint has not delivered, and its
@@ -188,34 +205,50 @@ object AnnArtifacts {
     // under `newIds = true` (truthful from the stream's view), and the
     // untrusted meta routes every read through full latest-gen
     // resolution, collapsing the content-identical duplicates
-    AnnIndex.buildIvf(e.filter(!isDelta), ivfUntrustedDir(sfDir), nlist = IvfNlist)
-    AnnIndex.compactIvf(e, ivfUntrustedDir(sfDir), nlist = IvfNlist,
-      appendOnly = false)
-    AnnIndex.appendIvf(delta, ivfUntrustedDir(sfDir), newIds = true)
-    // the code-carrying IVFADC history (q169): base build trains both
-    // models, the delta appends declared under the PERSISTED
-    // codebook/centroids — the plain two-stage read (ADC over probed
-    // cells' codes, exact rerank of the shortlist)
-    // ONE base build for both PQ histories: the build is deterministic
-    // (that determinism is what the append≡rebuild spec pins), and the
-    // two histories share the identical gen-0 tree — copy the completed
-    // base BEFORE the divergent appends instead of paying the heaviest
-    // stage (train both models + code the whole base corpus) twice
-    AnnIndex.buildIvfPq(e.filter(!isDelta), ivfPqDir(sfDir),
+    build("ivfu", ivfParams) { d =>
+      AnnIndex.buildIvf(base, d, nlist = IvfNlist)
+      AnnIndex.compactIvf(e, d, nlist = IvfNlist, appendOnly = false)
+      AnnIndex.appendIvf(delta, d, newIds = true)
+    }
+    // the two PQ histories share an identical deterministic gen-0 tree
+    // (the append≡rebuild spec pins that determinism): when BOTH are
+    // stale, build the base once and copy it before the divergent
+    // appends, instead of paying the heaviest stage (train both models
+    // + code the whole base corpus) twice; when only one is stale, it
+    // rebuilds independently
+    val pqBase = (d: String) => AnnIndex.buildIvfPq(base, d,
       nlist = IvfNlist, nSub = PqNSub, subDim = PqSubDim, nCent = PqNCent)
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new Path(ivfPqDir(sfDir)), fs, new Path(ivfPqUpsertDir(sfDir)),
-      false, conf)
-    AnnIndex.appendIvfPq(delta, ivfPqDir(sfDir), newIds = true)
-    // the undeclared PQ append (q170): same base/delta split, the
-    // conservative default — gen 1 is tracked as an upsert generation
-    // and the coded read goes through the bounded resolution
-    AnnIndex.appendIvfPq(delta, ivfPqUpsertDir(sfDir))
-    // the refine-fetch layout (q171): vectors keyed by id into pb
-    // directories, so a shortlist's vector reads prune to its buckets
-    graft.build.Layout.writeBucketDirs(
-      e.select(col("vec_id").as("bucket"), col("embedding")),
-      vecsDir(sfDir))
-    MetaIO.write(conf, meta, fp)
+    if (!fresh("ivfpq", pqParams) && !fresh("ivfpqu", pqParams)) {
+      val fs = new Path(root(sfDir)).getFileSystem(conf)
+      for (n <- Seq("ivfpq", "ivfpqu")) {
+        if (fs.exists(histMeta(n))) fs.delete(histMeta(n), false)
+        if (fs.exists(new Path(dirOf(n)))) fs.delete(new Path(dirOf(n)), true)
+      }
+      pqBase(dirOf("ivfpq"))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(dirOf("ivfpq")), fs, new Path(dirOf("ivfpqu")),
+        false, conf)
+      AnnIndex.appendIvfPq(delta, dirOf("ivfpq"), newIds = true)
+      AnnIndex.appendIvfPq(delta, dirOf("ivfpqu")) // undeclared: bounded
+      MetaIO.write(conf, histMeta("ivfpq"), fp("ivfpq", pqParams))
+      MetaIO.write(conf, histMeta("ivfpqu"), fp("ivfpqu", pqParams))
+    } else {
+      build("ivfpq", pqParams) { d =>
+        pqBase(d); AnnIndex.appendIvfPq(delta, d, newIds = true)
+      }
+      build("ivfpqu", pqParams) { d =>
+        pqBase(d); AnnIndex.appendIvfPq(delta, d)
+      }
+    }
+    // the refine-fetch stores (q171/q172): maintained id-bucketed
+    // vector tables — declared append-only and undeclared-upsert twins
+    build("vecs", vecsParams) { d =>
+      AnnIndex.buildVecs(base, d)
+      AnnIndex.appendVecs(delta, d, newIds = true)
+    }
+    build("vecsu", vecsParams) { d =>
+      AnnIndex.buildVecs(base, d)
+      AnnIndex.appendVecs(delta, d) // undeclared: bounded fetch regime
+    }
   }
 }

@@ -112,13 +112,23 @@ object AnnIndex {
     * `newIds` declarations held for the whole history (false after an
     * in-stream compact), `upsertGens` are the generations whose append
     * was an upsert (bounded-resolution read path), `batch` is the last
-    * applied streaming batch, `params` the model parameters. */
+    * applied streaming batch, `params` the model parameters.
+    *
+    * `baseRows`/`appendRows` are the O(1) STALENESS COUNTERS: rows
+    * written at build (gen 0) and by all appends since, counted from
+    * the just-written generation's parquet footers (a zero-column
+    * count — never an index scan) and carried in the meta, so the
+    * per-micro-batch compaction decision reads two numbers instead of
+    * aggregating the live view. -1 = legacy tree without counters
+    * ([[staleness]] falls back to the scan). */
   private final case class Meta(
       gen: Long, appendOnly: Boolean, batch: Long,
       trusted: Boolean = true, upsertGens: Seq[Long] = Nil,
+      baseRows: Long = -1L, appendRows: Long = -1L,
       params: Map[String, String] = Map.empty)
 
-  private val ReservedKeys = Set("gen", "plain", "batch", "trust", "ugens")
+  private val ReservedKeys =
+    Set("gen", "plain", "batch", "trust", "ugens", "rows0", "rowsa")
 
   private def fsOf(s: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -140,6 +150,8 @@ object AnnIndex {
             kv.get("batch").flatMap(_.toLongOption).getOrElse(-1L),
             kv.get("trust").exists(_ == "true"),
             kv.get("ugens").toSeq.flatMap(_.split(',').flatMap(_.toLongOption)),
+            kv.get("rows0").flatMap(_.toLongOption).getOrElse(-1L),
+            kv.get("rowsa").flatMap(_.toLongOption).getOrElse(-1L),
             kv -- ReservedKeys)
       }
 
@@ -153,9 +165,12 @@ object AnnIndex {
     val extra = m.params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
     val ugens =
       if (m.upsertGens.isEmpty) Nil else Seq(s"ugens=${m.upsertGens.mkString(",")}")
+    val rows =
+      if (m.baseRows < 0 || m.appendRows < 0) Nil
+      else Seq(s"rows0=${m.baseRows}", s"rowsa=${m.appendRows}")
     MetaIO.write(s.sparkContext.hadoopConfiguration, new Path(metaPath(dir)),
       (Seq(s"gen=${m.gen}", s"plain=${m.appendOnly}", s"batch=${m.batch}",
-        s"trust=${m.trusted}") ++ ugens ++ extra).mkString(";"))
+        s"trust=${m.trusted}") ++ ugens ++ rows ++ extra).mkString(";"))
   }
 
   /** Whether a COMPLETE index lives at `dir` — true only once the
@@ -246,13 +261,13 @@ object AnnIndex {
     import s.implicits._
     cs.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toDF("cell", "c").write.parquet(centroidsPath(indexDir))
-    writeAssignGen(assignWith(corpus, cs, idCol, vecCol), indexDir, 0L)
+    val n0 = writeAssignGen(assignWith(corpus, cs, idCol, vecCol), indexDir, 0L)
     // "vecs" marks a vector-carrying index (every gen stores v): the
     // probe path may serve vectors from the index partitions instead of
     // joining the corpus. Legacy trees lack the key and keep the
     // corpus-join read; appends must match the build's schema either way.
     writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
-      batch = batchId, trusted = appendOnly,
+      batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
       params = Map("nlist" -> nlist.toString, "vecs" -> "1")))
   }
 
@@ -276,27 +291,42 @@ object AnnIndex {
       s"index at $indexDir is a PQ index (code-carrying rows): append " +
         "with appendIvfPq — a raw-vector generation would break the " +
         "partitioned read's schema")
+    if (next.params.contains("pfetch")) throw new IllegalArgumentException(
+      s"tree at $indexDir is a point-fetch vector store: append with " +
+        "appendVecs")
     val assigned = assignWith(delta, centroidArray(s, indexDir), idCol, vecCol)
     // a generation must match the BUILD's row schema: a legacy
     // (pre-vector-carrying) tree gets plain (vec_id, cell) appends —
     // mixing schemas across gen dirs would break the partitioned read
-    writeAssignGen(
+    val na = writeAssignGen(
       if (next.params.contains("vecs")) assigned
       else assigned.select("vec_id", "cell"),
       indexDir, gen)
-    writeMeta(s, indexDir, next)
+    writeMeta(s, indexDir, addAppendRows(next, na))
   }
 
   /** One generation's assignment files: `gen=N/cell=C/part-*` —
     * repartitioned by cell first so each cell's rows land in few files
     * (at 100 TB the repartition width scales with the batch; the
     * per-cell file grouping is what the probe-side partition pruning
-    * skips against). */
-  private def writeAssignGen(assigned: DataFrame, indexDir: String, gen: Long): Unit =
+    * skips against). Returns the written row count (a zero-column
+    * footer read of the just-written generation, O(gen files) — the
+    * meta's staleness counters). */
+  private def writeAssignGen(assigned: DataFrame, indexDir: String, gen: Long): Long = {
+    val out = s"${assignPath(indexDir)}/gen=$gen"
     assigned
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"${assignPath(indexDir)}/gen=$gen")
+      .parquet(out)
+    assigned.sparkSession.read.parquet(out).count()
+  }
+
+  /** Accumulate a just-written append generation's rows into the meta's
+    * staleness counters; a legacy tree without counters stays legacy
+    * (the scan fallback keeps serving it). */
+  private def addAppendRows(m: Meta, n: Long): Meta =
+    if (m.baseRows < 0 || m.appendRows < 0) m
+    else m.copy(appendRows = m.appendRows + n)
 
   /** Retrain on the current corpus and rewrite the whole index at
     * gen 0 — the compaction step once [[staleness]] crosses the
@@ -374,15 +404,34 @@ object AnnIndex {
     } else false
   }
 
-  /** Fraction of live assignment rows that arrived by append (gen > 0)
-    * — the drift signal a deployment compacts on. */
-  def staleness(s: SparkSession, indexDir: String): Double = {
-    val r = ivfAssignments(s, indexDir)
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("gen") > 0, 1L).otherwise(0L)).as("d"))
-      .head()
-    if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
-  }
+  /** Fraction of index rows that arrived by append — the drift signal a
+    * deployment compacts on. O(1): read from the meta's row counters
+    * (maintained at build/append time from the written generation's
+    * footers), so the per-micro-batch compaction decision in
+    * `IndexMaintenance` never scans the index. On an append-only
+    * history this IS the live-row fraction exactly; on an upsert
+    * history the superseded rows stay in the denominator (and their
+    * superseding rows in the numerator), making the signal a slight
+    * overestimate of drift — conservative for a compaction trigger. A
+    * legacy meta without counters falls back to aggregating the live
+    * view (the pre-r17 plan). */
+  def staleness(s: SparkSession, indexDir: String): Double =
+    metaStaleness(metaOrThrow(s, indexDir)).getOrElse {
+      val r = ivfAssignments(s, indexDir)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("gen") > 0, 1L).otherwise(0L)).as("d"))
+        .head()
+      if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+    }
+
+  /** The counter-derived drift fraction, when the meta carries the
+    * counters. */
+  private def metaStaleness(m: Meta): Option[Double] =
+    if (m.baseRows < 0 || m.appendRows < 0) None
+    else {
+      val total = m.baseRows + m.appendRows
+      Some(if (total == 0) 0.0 else m.appendRows.toDouble / total)
+    }
 
   /** The meta as the READ-SIDE contract: a meta-less tree is partial or
     * legacy and must not be silently served (a legacy multi-gen upsert
@@ -436,28 +485,43 @@ object AnnIndex {
       payload: Seq[String]): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
     val raw = rawAssignments(s, indexDir, meta.gen, payload)
-    val dataCols = payload :+ "cell"
     def cellFilter(df: DataFrame): DataFrame =
       cells.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
-    // latest-gen-wins reduce: gen leads the ordering struct, so the
-    // trailing payload columns never decide (they only ride along)
-    def resolve(rows: DataFrame): DataFrame = rows
-      .groupBy("vec_id")
+    liveView(meta, raw, "vec_id", payload :+ "cell", cellFilter, resolveAll)
+  }
+
+  /** The three-regime latest-gen-wins machinery itself, shared by every
+    * ONE-ROW-PER-KEY gen-stamped structure (raw/coded assignments and
+    * the point-fetch vector store — the multi-row banded table keeps
+    * its join-based twin in [[bandedRowsLive]]): plain read /
+    * BOUNDED resolution over the recorded upsert generations / full
+    * resolution, per the meta. `postFilter` follows the class-doc
+    * discipline — pushed into the plain and untouched branches, applied
+    * AFTER the reduce on resolving branches (the resurrect hazard); a
+    * caller whose filter is on the REDUCE KEY itself (it then commutes
+    * with the reduce) prefilters `rows` and passes identity. The reduce
+    * orders by struct(gen, dataCols...): gen leads, so the trailing
+    * payload columns never decide — they only ride along. */
+  private def liveView(meta: Meta, rows: DataFrame, keyCol: String,
+      dataCols: Seq[String], postFilter: DataFrame => DataFrame,
+      resolveAll: Boolean): DataFrame = {
+    def resolve(r: DataFrame): DataFrame = r
+      .groupBy(keyCol)
       .agg(max(struct(col("gen") +: dataCols.map(col): _*)).as("m"))
-      .select(col("vec_id") +: dataCols.map(c => col(s"m.$c").as(c)) :+
+      .select(col(keyCol) +: dataCols.map(c => col(s"m.$c").as(c)) :+
         col("m.gen").as("gen"): _*)
-    if (resolveAll) cellFilter(resolve(raw))
-    else if (meta.appendOnly) cellFilter(raw)
+    if (resolveAll) postFilter(resolve(rows))
+    else if (meta.appendOnly) postFilter(rows)
     else if (meta.trusted && meta.upsertGens.nonEmpty) {
       val ug = meta.upsertGens
       // the upsert gens' directories are delta-scale: partition-pruned
       // scans, a broadcast-small id set, a reduce bounded by them
-      val upRows = raw.filter(col("gen").isin(ug: _*))
-      val upIds = upRows.select("vec_id").distinct()
-      val untouched = cellFilter(raw.filter(!col("gen").isin(ug: _*)))
-        .join(broadcast(upIds), Seq("vec_id"), "left_anti")
-      untouched.unionByName(cellFilter(resolve(upRows)))
-    } else cellFilter(resolve(raw))
+      val upRows = rows.filter(col("gen").isin(ug: _*))
+      val upIds = upRows.select(keyCol).distinct()
+      val untouched = postFilter(rows.filter(!col("gen").isin(ug: _*)))
+        .join(broadcast(upIds), Seq(keyCol), "left_anti")
+      untouched.unionByName(postFilter(resolve(upRows)))
+    } else postFilter(resolve(rows))
   }
 
   /** Persisted centroids as the driver-side array (cell-ordered),
@@ -579,11 +643,11 @@ object AnnIndex {
       s"PQ build at $indexDir trained an empty codebook — the corpus is empty")
     // gen 0 assigns under the PERSISTED codebook (read back), the same
     // table every append will read — not the in-memory derivation
-    writeAssignGen(
+    val n0 = writeAssignGen(
       assignPqWith(corpus, cs, cb, idCol, vecCol, nSub, subDim),
       indexDir, 0L)
     writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
-      batch = batchId, trusted = appendOnly,
+      batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
       params = Map("nlist" -> nlist.toString, "pq" -> "1",
         "pq_nsub" -> nSub.toString, "pq_subdim" -> subDim.toString,
         "pq_ncent" -> nCent.toString)))
@@ -601,11 +665,11 @@ object AnnIndex {
     val s = delta.sparkSession
     val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
     val (nSub, subDim) = pqParamsOrThrow(next, indexDir)
-    writeAssignGen(
+    val na = writeAssignGen(
       assignPqWith(delta, centroidArray(s, indexDir),
         s.read.parquet(codebookPath(indexDir)), idCol, vecCol, nSub, subDim),
       indexDir, gen)
-    writeMeta(s, indexDir, next)
+    writeMeta(s, indexDir, addAppendRows(next, na))
   }
 
   /** [[compactIvf]]'s PQ twin: retrain centroids AND codebook on the
@@ -636,13 +700,24 @@ object AnnIndex {
   /** Cells under the fixed centroids + packed codes under the fixed
     * codebook, one row per delta id: (vec_id, codes array<int>, cell).
     * The codes pack via a delta-scale groupBy (nSub rows per id in,
-    * one out); the cell join is delta ⋈ delta on the id. */
+    * one out); the cell join is delta ⋈ delta on the id.
+    *
+    * Duplicate ids WITHIN one batch are first resolved to ONE row per
+    * id (deterministic whole-row max-struct pick — the same
+    * whole-struct discipline the raw twin's live view resolves with):
+    * without it, the codes groupBy's per-subspace min would MIX codes
+    * from both rows into a code vector belonging to neither version,
+    * and the cells join would then duplicate it across both assigned
+    * cells. The dedup is one batch-scale shuffle on the id — the key
+    * the cells join shuffles on anyway. */
   private def assignPqWith(
       df: DataFrame, cs: Array[Array[Double]], codebook: DataFrame,
       idCol: String, vecCol: String, nSub: Int, subDim: Int): DataFrame = {
-    val cells = assignWith(df, cs, idCol, vecCol).select("vec_id", "cell")
-    val codes = Ann.pqCodesWith(
-        df.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+    val one = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .groupBy("vec_id").agg(max(struct(col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"))
+    val cells = assignWith(one, cs, "vec_id", "v").select("vec_id", "cell")
+    val codes = Ann.pqCodesWith(one,
         codebook, nSub, subDim, "vec_id", "v")
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
@@ -688,6 +763,15 @@ object AnnIndex {
     * everything the code layout saved. Results are identical to
     * [[ivfPqTopKFromIndex]] over the same corpus (AnnIndexSpec pins
     * it, plus the measured files-read drop). */
+  /** Hard ceiling on the driver-collected shortlist rows of
+    * [[ivfPqTopKPointFetch]] (|queries| × `shortlist`): the
+    * broadcast-small-queries contract, ENFORCED instead of assumed — a
+    * day-scale query set would otherwise OOM the driver instead of
+    * degrading. At 50-row shortlists this admits ~5k queries; past it
+    * the right plan is [[ivfPqTopKFromIndex]]'s corpus-scan rerank
+    * (distributed end to end), and the error says so. */
+  private val PointFetchMaxRows = 1 << 18
+
   def ivfPqTopKPointFetch(
       s: SparkSession, indexDir: String, vecsDir: String, queries: DataFrame,
       k: Int, nprobe: Int = 8, shortlist: Int = 50,
@@ -695,11 +779,27 @@ object AnnIndex {
     import s.implicits._
     val candRows = pqAdcShortlist(s, indexDir, queries, nprobe, shortlist,
         idCol, vecCol)
+      .limit(PointFetchMaxRows + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    require(candRows.length <= PointFetchMaxRows,
+      s"point-fetch shortlist exceeds $PointFetchMaxRows driver-collected " +
+        "rows (|queries| × shortlist) — the broadcast-small-queries " +
+        "contract does not hold for this query set; use " +
+        "ivfPqTopKFromIndex (distributed corpus-scan rerank) instead")
     val cand = candRows.toDF("query_id", "neighbor_id")
-    val fetch = graft.build.Layout.pruneToProbe(
-        s.read.parquet(vecsDir),
-        candRows.map(_._2).distinct.toDF("bucket"))
+    val ids = candRows.map(_._2).distinct
+    // a MAINTAINED store (meta present) serves the fetch through its
+    // live view — the shortlist's id filter commutes with the
+    // latest-gen reduce (see [[vecsLive]]), so every regime (plain /
+    // bounded upsert / untrusted) stays a pruned point read; a legacy
+    // write-once pb table keeps the plain pruneToProbe read
+    val vecRows =
+      if (readMeta(s, vecsDir).exists(_.params.contains("pfetch")))
+        vecsLive(s, vecsDir, ids = Some(ids.toSeq))
+          .select(col("bucket"), col("v").as(vecCol))
+      else graft.build.Layout.pruneToProbe(
+        s.read.parquet(vecsDir), ids.toDF("bucket"))
+    val fetch = vecRows
       .select(col("bucket").as("neighbor_id"), col(vecCol).as("cv"),
         Vectors.norm(col(vecCol)).as("cn"))
     pqExactRerank(queries, fetch, broadcast(cand), k, idCol, vecCol)
@@ -757,6 +857,121 @@ object AnnIndex {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  // ------------------------------------------- point-fetch vector store
+
+  private def vecsDataPath(dir: String) = s"$dir/data"
+
+  /** Build the id-bucketed POINT-FETCH VECTOR STORE — the refine-fetch
+    * table behind [[ivfPqTopKPointFetch]] — under the SAME
+    * build → gen-append → compact lifecycle and meta protocol as the
+    * index structures. Layout per generation: `gen=N/pb=M/part-*` with
+    * `pb = pmod(id, ProbePartitions)` directories and id-sorted rows
+    * (the [[graft.build.Layout.writeBucketDirs]] geometry, gen-stamped)
+    * — a shortlist's vector reads prune to its ids' directories, the
+    * reference's MapFile point-lookup economics
+    * (`BlockIndexedFileInputFormat.java:419-431`).
+    *
+    * This closes the last lifecycle asymmetry: pre-r17 the vectors
+    * table was written once from the whole corpus, so at 100 TB every
+    * ingest day would have paid a full-corpus rewrite to keep point
+    * lookups fresh — exactly the cost the gen-append protocol exists to
+    * avoid (reference analog: the index is maintained per new file,
+    * never rebuilt over the corpus, `AbstractBlockIndexingJob
+    * .java:359-364`). A batch's vectors land in their known `pb` dirs
+    * of its own generation; reads resolve through the same three
+    * regimes as every other structure. */
+  def buildVecs(
+      corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchId: Long = -1L, appendOnly: Boolean = true): Unit = {
+    val s = corpus.sparkSession
+    val fs = fsOf(s, dir)
+    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    val n0 = writeVecsGen(
+      corpus.select(col(idCol).as("bucket"), col(vecCol).as("v")), dir, 0L)
+    writeMeta(s, dir, Meta(gen = 1L, appendOnly = appendOnly,
+      batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
+      params = Map("pfetch" -> "1",
+        "pbmod" -> graft.build.Layout.ProbePartitions.toString)))
+  }
+
+  /** Write ONLY the delta batch's vectors into the next `gen=N`
+    * directory — O(|delta|): the id→pb mapping is a pure per-row
+    * function, nothing of the base is read or written. `newIds`/replay
+    * semantics exactly as [[appendIvf]]. */
+  def appendVecs(
+      delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      newIds: Boolean = false, batchId: Long = -1L): Unit = {
+    val s = delta.sparkSession
+    val (gen, next) = reserveGen(s, dir, newIds, batchId)
+    if (!next.params.contains("pfetch")) throw new IllegalArgumentException(
+      s"tree at $dir is not a point-fetch vector store (no pfetch in its " +
+        "meta): append with the matching index append, or build it with " +
+        "buildVecs")
+    requireParam(next, dir, "pbmod", graft.build.Layout.ProbePartitions.toLong)
+    val na = writeVecsGen(
+      delta.select(col(idCol).as("bucket"), col(vecCol).as("v")), dir, gen)
+    writeMeta(s, dir, addAppendRows(next, na))
+  }
+
+  /** Rewrite the store at gen 0 from the current corpus under the
+    * shared staged-swap/recover protocol — the compaction step once
+    * [[staleness]] (the same meta counters) or upsert-history read cost
+    * crosses the budget. */
+  def compactVecs(
+      corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchId: Long = -1L, appendOnly: Boolean = true): Unit =
+    stagedCompact(corpus.sparkSession, dir)(tmp =>
+      buildVecs(corpus, tmp, idCol, vecCol, batchId, appendOnly))
+
+  /** One generation of the store: pb-partitioned, id-sorted files. File
+    * fan-out self-scales with the batch: rows hash to their pb value,
+    * so a generation holds one file per pb directory PRESENT in the
+    * batch — a micro-batch of k ids writes ≤ k files, a corpus build
+    * fans out to all [[graft.build.Layout.ProbePartitions]] dirs.
+    * Returns the written row count (footer read — the staleness
+    * counters). */
+  private def writeVecsGen(rows: DataFrame, dir: String, gen: Long): Long = {
+    val pp = graft.build.Layout.ProbePartitions
+    val out = s"${vecsDataPath(dir)}/gen=$gen"
+    rows
+      .withColumn("pb", pmod(col("bucket"), lit(pp)).cast("int"))
+      .repartition(pp, col("pb"))
+      .sortWithinPartitions("bucket")
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(out)
+    rows.sparkSession.read.parquet(out).count()
+  }
+
+  /** The LIVE vectors (bucket, v, gen), latest generation per id — the
+    * same three regimes as [[ivfAssignments]] via the shared
+    * [[liveView]], with ONE structural advantage: the probe filter is
+    * on `bucket = id`, the REDUCE KEY itself, so it COMMUTES with
+    * latest-gen resolution (an upserted id's newer generation lives in
+    * the same bucket — prefiltering can never resurrect a superseded
+    * row). The `ids` filter therefore pushes into the scan as `pb`
+    * directory pruning + an exact bucket IN-list in EVERY regime —
+    * even an untrusted history's point fetch reads and reduces only
+    * the probed ids' rows, never the corpus. */
+  def vecsLive(s: SparkSession, dir: String,
+      ids: Option[Seq[Long]] = None, resolveAll: Boolean = false): DataFrame = {
+    val meta = metaOrThrow(s, dir)
+    if (!meta.params.contains("pfetch")) throw new IllegalArgumentException(
+      s"tree at $dir is not a point-fetch vector store (no pfetch in its " +
+        "meta): read it with the matching index reader")
+    val pp = graft.build.Layout.ProbePartitions
+    val all = s.read.parquet(vecsDataPath(dir)).filter(col("gen") < meta.gen)
+    val probed = ids.fold(all) { is =>
+      val pbs = is.map(b => (((b % pp) + pp) % pp).toInt).distinct
+      all.filter(col("pb").isin(pbs: _*) && col("bucket").isin(is: _*))
+    }
+    val raw = probed.select(col("bucket"), col("v"),
+      col("gen").cast("long").as("gen"))
+    liveView(meta, raw, "bucket", Seq("v"), identity, resolveAll)
+  }
+
   // ------------------------------------------------------ sign-LSH
 
   /** Write the banded signature index (vec_id, band, bucket) under
@@ -784,13 +999,13 @@ object AnnIndex {
     // one bounded action at BUILD time (first row's vector width) — the
     // price of a read path that never needs a corpus action
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    writeBandedGen(
+    val n0 = writeBandedGen(
       Ann.bandedRows(corpus.select(col(idCol).as("vec_id"), col(vecCol)),
           "vec_id", vecCol, Ann.hyperplanes(nPlanes, dim, seed), bands)
         .select("vec_id", "band", "bucket"),
       indexDir, 0L)
     writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
-      batch = batchId, trusted = appendOnly,
+      batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
       params = Map("dim" -> dim.toString, "np" -> nPlanes.toString,
         "nb" -> bands.toString, "seed" -> seed.toString)))
   }
@@ -817,12 +1032,12 @@ object AnnIndex {
     // land in one file, not numShufflePartitions shards) — one count
     // over the delta, which is the batch being written anyway
     val deltaRows = delta.count()
-    writeBandedGen(
+    val na = writeBandedGen(
       Ann.bandedRows(delta.select(col(idCol).as("vec_id"), col(vecCol)),
           "vec_id", vecCol, Ann.hyperplanes(nPlanes, dim, seed), bands)
         .select("vec_id", "band", "bucket"),
       indexDir, gen, estimatedRows = deltaRows * bands)
-    writeMeta(s, indexDir, next)
+    writeMeta(s, indexDir, addAppendRows(next, na))
   }
 
   /** Rows-per-file target for banded APPEND generations: small enough
@@ -843,7 +1058,7 @@ object AnnIndex {
     * batch cardinality and write ceil(rows/target) files, capped at the
     * session width. */
   private def writeBandedGen(banded: DataFrame, indexDir: String, gen: Long,
-      estimatedRows: Long = -1L): Unit = {
+      estimatedRows: Long = -1L): Long = {
     val sessionWidth = banded.sparkSession.sessionState.conf.numShufflePartitions
     // explicit partition count either way: an AQE-coalesced range
     // shuffle would collapse small generations into one wide-range file
@@ -852,25 +1067,33 @@ object AnnIndex {
       if (estimatedRows < 0) sessionWidth
       else math.max(1L, math.min(sessionWidth.toLong,
         (estimatedRows + BandedAppendRowsPerFile - 1) / BandedAppendRowsPerFile)).toInt
+    val out = s"${bandedPath(indexDir)}/gen=$gen"
     banded
       .repartitionByRange(parts, col("bucket"))
       .sortWithinPartitions("bucket", "band")
-      .write.mode("overwrite").parquet(s"${bandedPath(indexDir)}/gen=$gen")
+      .write.mode("overwrite").parquet(out)
+    banded.sparkSession.read.parquet(out).count()
   }
 
-  /** [[staleness]]'s banded twin: the fraction of LIVE banded rows that
-    * arrived by append (gen > 0) — the drift/small-file signal a
-    * deployment runs [[compactBanded]] on. (Banded rows never drift
-    * geometrically — planes are fixed by seed — so the pressure here is
-    * append-generation fan-out and upsert-history cost, not recall.) */
+  /** [[staleness]]'s banded twin: the fraction of banded rows that
+    * arrived by append — the drift/small-file signal a deployment runs
+    * [[compactBanded]] on. (Banded rows never drift geometrically —
+    * planes are fixed by seed — so the pressure here is
+    * append-generation fan-out and upsert-history cost, not recall.)
+    * O(1) from the meta's row counters, same contract as [[staleness]];
+    * only a legacy counter-less meta pays the index scan. */
   def bandedStaleness(s: SparkSession, indexDir: String): Double = {
     val meta = metaOrThrow(s, indexDir)
-    val raw = rawBanded(s, indexDir, meta.gen)
-    val live = raw.join(
-      raw.groupBy("vec_id").agg(max("gen").as("gen")), Seq("vec_id", "gen"))
-    val r = live.agg(count(lit(1)).as("n"),
-      sum(when(col("gen") > 0, 1L).otherwise(0L)).as("d")).head()
-    if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+    metaStaleness(meta).getOrElse {
+      // legacy meta without row counters: the pre-r17 O(index) signal
+      // (an index scan plus a groupBy-max self-join per call)
+      val raw = rawBanded(s, indexDir, meta.gen)
+      val live = raw.join(
+        raw.groupBy("vec_id").agg(max("gen").as("gen")), Seq("vec_id", "gen"))
+      val r = live.agg(count(lit(1)).as("n"),
+        sum(when(col("gen") > 0, 1L).otherwise(0L)).as("d")).head()
+      if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+    }
   }
 
   /** Same commit-pointer read as [[rawAssignments]]. */

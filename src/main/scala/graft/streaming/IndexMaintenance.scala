@@ -67,8 +67,10 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
     * conservatively routes readers through upsert resolution.
     *
     * `compactAt > 0` closes the lifecycle in-stream: after an append
-    * pushes [[graft.similarity.AnnIndex.staleness]] (the gen>0 live
-    * fraction) past the threshold, the index is retrained and rewritten
+    * pushes [[graft.similarity.AnnIndex.staleness]] (the append-row
+    * fraction — O(1) from the meta's row counters since r17, so the
+    * per-batch decision never scans the index) past the threshold, the
+    * index is retrained and rewritten
     * at gen 0 over the corpus as currently present in `vecDir` — the
     * drift-budget compaction FAISS deployments schedule out-of-band,
     * here riding the same exactly-once batch bookkeeping. Compaction is
