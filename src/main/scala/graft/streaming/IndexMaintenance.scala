@@ -191,6 +191,60 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       .start()
   }
 
+  /** Streaming maintenance of the POINT-FETCH VECTOR STORE — the r17
+    * twin completing the set: every persisted structure (postings,
+    * raw-IVF, banded, IVF-PQ, vecs) now has batch AND streaming
+    * maintenance. Each micro-batch writes its vectors into their known
+    * `pb` directories of a new generation (`AnnIndex.appendVecs` — the
+    * id→pb mapping is a pure per-row function, O(|delta|), nothing of
+    * the base read or written); the first batch against a missing store
+    * builds it. Exactly-once composition is IDENTICAL to the index
+    * twins (same meta protocol, same crash cases: completion marker
+    * decides build-vs-append, recorded batches replay as skips, a
+    * crashed append replays into the same overwritten gen dir, a
+    * staged compact is adopted by `recover`). `compactAt > 0` bounds
+    * the long-run generation/file fan-out via the same O(1) staleness
+    * counters; an in-stream compact stamps
+    * upserts-possible-and-untrusted in its own staged meta — and the
+    * untrusted fetch regime stays a pruned point read, because the id
+    * filter commutes with the latest-gen reduce (`AnnIndex.vecsLive`). */
+  def runVecsAvailableNow(
+      spark: SparkSession,
+      vecDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      assumeNewIds: Boolean = false,
+      compactAt: Double = 0.0): StreamingQuery = {
+    val schema = spark.read.parquet(vecDir).schema
+    val stream = spark.readStream.schema(schema).parquet(vecDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val AI = graft.similarity.AnnIndex
+        if (AI.recover(spark, storeDir))
+          logInfo(s"IndexMaintenance vecs batch $batchId: adopted staged compact")
+        if (!AI.isComplete(spark, storeDir)) {
+          AI.buildVecs(batch, storeDir, idCol, vecCol, batchId = batchId)
+          logInfo(s"IndexMaintenance vecs batch $batchId: build")
+        } else if (batchId <= AI.lastAppliedBatch(spark, storeDir)) {
+          logInfo(s"IndexMaintenance vecs batch $batchId: replay, skipped")
+        } else {
+          AI.appendVecs(batch, storeDir, idCol, vecCol,
+            newIds = assumeNewIds, batchId = batchId)
+          logInfo(s"IndexMaintenance vecs batch $batchId: append")
+          if (compactAt > 0 && AI.staleness(spark, storeDir) >= compactAt) {
+            AI.compactVecs(spark.read.parquet(vecDir), storeDir,
+              idCol, vecCol, batchId = batchId, appendOnly = false)
+            logInfo(s"IndexMaintenance vecs batch $batchId: compacted (staged)")
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming maintenance of the BANDED (sign-LSH) ANN index — the
     * banded twin of [[runIvfAvailableNow]], completing the streaming
     * lifecycle for both persisted vector-index structures: new

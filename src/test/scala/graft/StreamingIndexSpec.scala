@@ -249,6 +249,56 @@ class StreamingIndexSpec extends AnyFunSuite {
       "post-in-stream-compact banded reads must resolve duplicate re-appends")
   }
 
+  test("AvailableNow VECS maintenance: stream-built store equals batch; in-stream compact at budget; point fetch stays exact") {
+    import graft.similarity.AnnIndex
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val isDelta = col("vec_id") % 7 === 6
+    val vecDir = s"$work/vstore_vecs"
+    emb.filter(!isDelta).coalesce(1).write.parquet(vecDir)
+    val store = s"$work/vstore_idx"
+    // base batch builds (staleness 0); delta batch appends ~1/7 and
+    // (past the 0.1 budget, read O(1) from the meta counters) triggers
+    // the in-stream staged compact back to one generation
+    IndexMaintenance.runVecsAvailableNow(
+      spark, vecDir, store, s"$work/vstore_ckpt", compactAt = 0.1)
+      .awaitTermination()
+    assert(AnnIndex.staleness(spark, store) == 0.0)
+    emb.filter(isDelta).coalesce(1).write.mode("append").parquet(vecDir)
+    IndexMaintenance.runVecsAvailableNow(
+      spark, vecDir, store, s"$work/vstore_ckpt", compactAt = 0.1)
+      .awaitTermination()
+    assert(AnnIndex.staleness(spark, store) == 0.0,
+      "post-compact store must be one generation")
+    // the compacted store equals a from-scratch full build, content-wise
+    val batchStore = s"$work/vstore_full"
+    AnnIndex.buildVecs(emb, batchStore)
+    def live(d: String): Map[Long, Seq[Float]] =
+      AnnIndex.vecsLive(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(live(store) == live(batchStore),
+      "in-stream vecs compaction diverged from the from-scratch build")
+    // replay-duplicate pin: the compact's own meta is untrusted, so a
+    // wrong newIds re-append of covered content is still resolved — and
+    // the PQ point fetch through the untrusted store stays bit-identical
+    // to the corpus-scan rerank (the id filter commutes with the reduce,
+    // so even this regime is a pruned point read)
+    AnnIndex.appendVecs(emb.filter(isDelta), store, newIds = true)
+    val dups = AnnIndex.vecsLive(spark, store)
+      .groupBy("bucket").count().filter(col("count") > 1).count()
+    assert(dups == 0, "untrusted vecs view must resolve duplicate re-appends")
+    val idx = s"$work/vstore_pq_idx"
+    AnnIndex.buildIvfPq(emb, idx, nlist = 16)
+    val qs = emb.filter(col("vec_id") < 3)
+    def tk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(tk(AnnIndex.ivfPqTopKPointFetch(
+        spark, idx, store, qs, 5, nprobe = 8, shortlist = 50)) ==
+      tk(AnnIndex.ivfPqTopKFromIndex(
+        spark, idx, emb, qs, 5, nprobe = 8, shortlist = 50)),
+      "point fetch through the untrusted maintained store diverged")
+  }
+
   test("AvailableNow IVF maintenance: stream-built index equals the batch build+append") {
     import graft.similarity.AnnIndex
     val sfDir = "/root/testdata/sf0.001"
