@@ -735,7 +735,14 @@ object AnnIndex {
     * broadcast map-side semi-join — with an id-bucketed corpus layout
     * it is also exchange-free). Every live-view regime (plain /
     * bounded tracked-upsert / untrusted) applies to the code rows via
-    * the same [[assignmentsView]] the other readers use. */
+    * the same [[assignmentsView]] the other readers use.
+    *
+    * ROLE (r17): with the vector store maintained ([[buildVecs]]), the
+    * I/O-minimal read is [[ivfPqTopKPointFetch]] — this corpus-scan
+    * rerank is the fallback for corpora without a store, for query
+    * sets past the point fetch's driver cap, and for sandbox-scale
+    * corpora where one scan beats the extra shortlist action in
+    * wall-clock (the measured crossover note in README/BASELINE). */
   def ivfPqTopKFromIndex(
       s: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 8, shortlist: Int = 50,
