@@ -1031,6 +1031,10 @@ object AnnIndex {
       newIds: Boolean = false, batchId: Long = -1L): Unit = {
     val s = delta.sparkSession
     val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
+    if (next.params.contains("pq") || next.params.contains("pfetch"))
+      throw new IllegalArgumentException(
+        s"tree at $indexDir is not a banded index: append with the " +
+          "matching appendIvfPq/appendVecs")
     requireParam(next, indexDir, "np", nPlanes)
     requireParam(next, indexDir, "nb", bands)
     requireParam(next, indexDir, "seed", seed)
