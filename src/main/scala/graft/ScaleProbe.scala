@@ -241,6 +241,32 @@ object ScaleProbe {
             AI.appendVecs(emb.filter(isDelta), dir)
             AI.vecsLive(s, dir)
           }
+        // `vecs_lookup_upsert` is the q172 read at scale: the PQ
+        // two-stage probe with BOTH sides maintained under UNDECLARED
+        // appends — the ADC shortlist through the bounded coded
+        // resolution, the rerank through the bounded store view. The
+        // claim measured: the upsert-regime point read stays
+        // nprobe/shortlist-bounded as the corpus grows (the id filter
+        // commutes with the reduce, so even this regime prunes to the
+        // probed ids' rows).
+        else if (name == "vecs_lookup_upsert")
+          (s, d) => {
+            val AI = graft.similarity.AnnIndex
+            val idx = s"$d/ivfpq_upsert_probe_idx"
+            val store = s"$d/vecs_upsert_store"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            val isDelta = col("vec_id") % 7 === 6
+            if (!AI.isComplete(s, idx)) {
+              AI.buildIvfPq(emb.filter(!isDelta), idx, nlist = 16)
+              AI.appendIvfPq(emb.filter(isDelta), idx) // undeclared
+            }
+            if (!AI.isComplete(s, store)) {
+              AI.buildVecs(emb.filter(!isDelta), store)
+              AI.appendVecs(emb.filter(isDelta), store) // undeclared
+            }
+            AI.ivfPqTopKPointFetch(s, idx, store,
+              emb.filter(col("vec_id") < 3), 5, nprobe = 4)
+          }
         // `ann_pq_lookup` is ann_pq_read's POINT-FETCH twin: same index,
         // same two-stage probe, but the rerank reads only the shortlist
         // ids' pb-bucketed vector directories (the q171 path) instead of
