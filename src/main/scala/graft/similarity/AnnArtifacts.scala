@@ -156,19 +156,36 @@ object AnnArtifacts {
     def fresh(name: String, params: String): Boolean =
       MetaIO.read(conf, histMeta(name)).contains(fp(name, params)) &&
         AnnIndex.isComplete(s, dirOf(name))
-    // wipe-then-build-then-mark: the stale tree AND its marker go
-    // before the rebuild (a crash mid-build must not leave a
-    // fresh-looking marker over a partial tree); the marker lands LAST
-    def rebuild(name: String, params: String)(body: String => Unit): Unit = {
+    // wipe-then-build-then-mark, ONE copy of the crash discipline: the
+    // stale tree AND its marker go before the rebuild (a crash
+    // mid-build must not leave a fresh-looking marker over a partial
+    // tree); the marker lands LAST. The shared-base PQ branch composes
+    // these same three steps, never re-implements them.
+    def wipe(name: String): Unit = {
       val d = dirOf(name)
       val fs = new Path(d).getFileSystem(conf)
       if (fs.exists(histMeta(name))) fs.delete(histMeta(name), false)
       if (fs.exists(new Path(d))) fs.delete(new Path(d), true)
-      body(d)
-      MetaIO.write(conf, histMeta(name), fp(name, params))
     }
+    def mark(name: String, params: String): Unit =
+      MetaIO.write(conf, histMeta(name), fp(name, params))
     def build(name: String, params: String)(body: String => Unit): Unit =
-      if (!fresh(name, params)) rebuild(name, params)(body)
+      if (!fresh(name, params)) {
+        wipe(name); body(dirOf(name)); mark(name, params)
+      }
+    // one-time legacy cleanup: pre-r17 roots lived under versioned
+    // graft_ann/v<N>/ paths the per-history scheme never reads again —
+    // reclaim them instead of leaving dead full-corpus trees behind on
+    // deployments whose artifact dir outlives a round
+    try {
+      val annBase = new Path(s"${DedupArtifacts.artifactBase}/graft_ann")
+      val fs = annBase.getFileSystem(conf)
+      if (fs.exists(annBase))
+        fs.listStatus(annBase).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.matches("v[0-9]+"))
+            fs.delete(st.getPath, true)
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     lazy val e = emb(s, sfDir)
     lazy val isDelta =
@@ -220,18 +237,15 @@ object AnnArtifacts {
       nlist = IvfNlist, nSub = PqNSub, subDim = PqSubDim, nCent = PqNCent)
     if (!fresh("ivfpq", pqParams) && !fresh("ivfpqu", pqParams)) {
       val fs = new Path(root(sfDir)).getFileSystem(conf)
-      for (n <- Seq("ivfpq", "ivfpqu")) {
-        if (fs.exists(histMeta(n))) fs.delete(histMeta(n), false)
-        if (fs.exists(new Path(dirOf(n)))) fs.delete(new Path(dirOf(n)), true)
-      }
+      Seq("ivfpq", "ivfpqu").foreach(wipe)
       pqBase(dirOf("ivfpq"))
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new Path(dirOf("ivfpq")), fs, new Path(dirOf("ivfpqu")),
         false, conf)
       AnnIndex.appendIvfPq(delta, dirOf("ivfpq"), newIds = true)
       AnnIndex.appendIvfPq(delta, dirOf("ivfpqu")) // undeclared: bounded
-      MetaIO.write(conf, histMeta("ivfpq"), fp("ivfpq", pqParams))
-      MetaIO.write(conf, histMeta("ivfpqu"), fp("ivfpqu", pqParams))
+      mark("ivfpq", pqParams)
+      mark("ivfpqu", pqParams)
     } else {
       build("ivfpq", pqParams) { d =>
         pqBase(d); AnnIndex.appendIvfPq(delta, d, newIds = true)

@@ -294,7 +294,8 @@ object AnnIndex {
     if (next.params.contains("pfetch")) throw new IllegalArgumentException(
       s"tree at $indexDir is a point-fetch vector store: append with " +
         "appendVecs")
-    val assigned = assignWith(delta, centroidArray(s, indexDir), idCol, vecCol)
+    val assigned = assignWith(onePerId(delta, idCol, vecCol),
+      centroidArray(s, indexDir), "vec_id", "v")
     // a generation must match the BUILD's row schema: a legacy
     // (pre-vector-carrying) tree gets plain (vec_id, cell) appends —
     // mixing schemas across gen dirs would break the partitioned read
@@ -318,8 +319,32 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(out)
-    assigned.sparkSession.read.parquet(out).count()
+    countWritten(assigned.sparkSession, out)
   }
+
+  /** Footer-only row count of a just-written generation directory. An
+    * EMPTY partitioned write leaves only _SUCCESS (no schema to infer),
+    * which must count as 0 — not crash the append: a zero-row streaming
+    * micro-batch would otherwise wedge the maintenance loop forever
+    * (the meta never advances, so the batch replays into the same
+    * failure). */
+  private def countWritten(s: SparkSession, out: String): Long =
+    try s.read.parquet(out).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+
+  /** One coherent row (vec_id, v) per id — the at-least-once batch
+    * surface: a delta carrying the same id twice (a replayed or
+    * coalesced ingest) must append ONE row, picked deterministically
+    * (whole-row max-struct), or the plain append-only regime would
+    * serve both copies to every probe (and the PQ packing would mix
+    * per-subspace codes across the two rows). Applied on the APPEND
+    * paths only — batch-scale; BUILD corpora are curated tables assumed
+    * id-unique (the PQ build pays it anyway, inside [[assignPqWith]],
+    * because code packing needs it for coherence). */
+  private def onePerId(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .groupBy("vec_id").agg(max(struct(col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"))
 
   /** Accumulate a just-written append generation's rows into the meta's
     * staleness counters; a legacy tree without counters stays legacy
@@ -409,12 +434,17 @@ object AnnIndex {
     * (maintained at build/append time from the written generation's
     * footers), so the per-micro-batch compaction decision in
     * `IndexMaintenance` never scans the index. On an append-only
-    * history this IS the live-row fraction exactly; on an upsert
-    * history the superseded rows stay in the denominator (and their
-    * superseding rows in the numerator), making the signal a slight
-    * overestimate of drift — conservative for a compaction trigger. A
-    * legacy meta without counters falls back to aggregating the live
-    * view (the pre-r17 plan). */
+    * history this IS the live-row fraction exactly. On an UPSERT
+    * history the two signals diverge within a bounded band: superseded
+    * base rows stay in the denominator, so a single full-corpus
+    * re-ingest reads 0.5 where the live fraction is 1.0 (an
+    * UNDERestimate, bounded by 2× — each upsert row supersedes at most
+    * one base row), while repeated re-appends of the same id inflate
+    * the numerator (an overestimate). Deployments that expect whole-
+    * corpus undeclared re-ingests should halve their `compactAt`
+    * budget accordingly; the trade buys an O(1) signal in the hot
+    * append path. A legacy meta without counters falls back to
+    * aggregating the live view (the pre-r17 O(index) plan). */
   def staleness(s: SparkSession, indexDir: String): Double =
     metaStaleness(metaOrThrow(s, indexDir)).getOrElse {
       val r = ivfAssignments(s, indexDir)
@@ -713,9 +743,7 @@ object AnnIndex {
   private def assignPqWith(
       df: DataFrame, cs: Array[Array[Double]], codebook: DataFrame,
       idCol: String, vecCol: String, nSub: Int, subDim: Int): DataFrame = {
-    val one = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .groupBy("vec_id").agg(max(struct(col("v"))).as("m"))
-      .select(col("vec_id"), col("m.v").as("v"))
+    val one = onePerId(df, idCol, vecCol)
     val cells = assignWith(one, cs, "vec_id", "v").select("vec_id", "cell")
     val codes = Ann.pqCodesWith(one,
         codebook, nSub, subDim, "vec_id", "v")
@@ -917,8 +945,12 @@ object AnnIndex {
         "meta): append with the matching index append, or build it with " +
         "buildVecs")
     requireParam(next, dir, "pbmod", graft.build.Layout.ProbePartitions.toLong)
+    // same within-batch dedup as every other append: two rows for one
+    // id in a declared batch would BOTH survive the plain regime and
+    // the point-fetch rerank would rank that neighbor twice
     val na = writeVecsGen(
-      delta.select(col(idCol).as("bucket"), col(vecCol).as("v")), dir, gen)
+      onePerId(delta, idCol, vecCol)
+        .select(col("vec_id").as("bucket"), col("v")), dir, gen)
     writeMeta(s, dir, addAppendRows(next, na))
   }
 
@@ -949,7 +981,7 @@ object AnnIndex {
       .sortWithinPartitions("bucket")
       .write.mode("overwrite").partitionBy("pb")
       .parquet(out)
-    rows.sparkSession.read.parquet(out).count()
+    countWritten(rows.sparkSession, out)
   }
 
   /** The LIVE vectors (bucket, v, gen), latest generation per id — the
@@ -972,7 +1004,20 @@ object AnnIndex {
     val all = s.read.parquet(vecsDataPath(dir)).filter(col("gen") < meta.gen)
     val probed = ids.fold(all) { is =>
       val pbs = is.map(b => (((b % pp) + pp) % pp).toInt).distinct
-      all.filter(col("pb").isin(pbs: _*) && col("bucket").isin(is: _*))
+      val dirPruned = all.filter(col("pb").isin(pbs: _*))
+      // small id sets push an exact IN-list into the scan (row-group
+      // min-max skipping on the id-sorted files); a large set — the
+      // point-fetch cap admits up to 2^18 ids — would make a
+      // multi-megabyte literal expression, so past the probe-key cap
+      // the exact filter becomes a broadcast semi-join behind the
+      // ≤ ProbePartitions-value directory filter instead (the same
+      // decline rationale as Layout.pruneToProbe)
+      if (is.size <= graft.build.Layout.ProbeKeyCap)
+        dirPruned.filter(col("bucket").isin(is: _*))
+      else {
+        import s.implicits._
+        dirPruned.join(broadcast(is.toDF("bucket")), Seq("bucket"), "left_semi")
+      }
     }
     val raw = probed.select(col("bucket"), col("v"),
       col("gen").cast("long").as("gen"))
@@ -1039,13 +1084,16 @@ object AnnIndex {
     requireParam(next, indexDir, "nb", bands)
     requireParam(next, indexDir, "seed", seed)
     val dim = next.params("dim").toInt
-    // the delta's cardinality sizes the write fan-out (micro-batches
-    // land in one file, not numShufflePartitions shards) — one count
-    // over the delta, which is the batch being written anyway
-    val deltaRows = delta.count()
+    // one coherent row per id first (the at-least-once batch surface —
+    // a same-id/different-content duplicate would band BOTH versions);
+    // then the deduped cardinality sizes the write fan-out
+    // (micro-batches land in one file, not numShufflePartitions shards)
+    // — one count over the batch being written anyway
+    val one = onePerId(delta, idCol, vecCol)
+    val deltaRows = one.count()
     val na = writeBandedGen(
-      Ann.bandedRows(delta.select(col(idCol).as("vec_id"), col(vecCol)),
-          "vec_id", vecCol, Ann.hyperplanes(nPlanes, dim, seed), bands)
+      Ann.bandedRows(one, "vec_id", "v",
+          Ann.hyperplanes(nPlanes, dim, seed), bands)
         .select("vec_id", "band", "bucket"),
       indexDir, gen, estimatedRows = deltaRows * bands)
     writeMeta(s, indexDir, addAppendRows(next, na))

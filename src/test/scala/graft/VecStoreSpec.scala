@@ -202,6 +202,56 @@ class VecStoreSpec extends AnyFunSuite {
         nSub = 8, subDim = 8, nCent = 16)))
   }
 
+  test("zero-row and duplicate-id appends: empty batches are safe no-ops, same-id duplicates append one deterministic row (all structures)") {
+    import spark.implicits._
+    // vecs store
+    val vdir = s"$work/vecs_edge"
+    val base = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.buildVecs(base, vdir)
+    // a zero-row micro-batch (an empty ingest file) must append an
+    // empty generation and advance the meta — not crash the streaming
+    // maintenance loop into a permanent replay (the r17 review finding:
+    // an empty partitioned write has no schema to read back for the
+    // staleness counters)
+    AnnIndex.appendVecs(base.filter(col("vec_id") < 0), vdir, newIds = true)
+    assert(AnnIndex.vecsLive(spark, vdir).count() == 2)
+    assert(AnnIndex.staleness(spark, vdir) == 0.0,
+      "zero appended rows must not register as drift")
+    // duplicate id within ONE declared batch: exactly one row survives,
+    // picked deterministically (max-struct: 0.9 > 0.1 at index 0)
+    AnnIndex.appendVecs(
+      Seq((7L, Array(0.9f, 0f)), (7L, Array(0.1f, 0f)))
+        .toDF("vec_id", "embedding"), vdir, newIds = true)
+    val rows7 = AnnIndex.vecsLive(spark, vdir)
+      .filter(col("bucket") === 7L).collect()
+    assert(rows7.length == 1 && rows7.head.getSeq[Float](1) == Seq(0.9f, 0f),
+      s"duplicate-id batch must append one deterministic row: ${rows7.toSeq}")
+    // raw IVF
+    val idir = s"$work/ivf_edge"
+    AnnIndex.buildIvf(base, idir, nlist = 2, lloydIters = 0)
+    AnnIndex.appendIvf(base.filter(col("vec_id") < 0), idir, newIds = true)
+    assert(AnnIndex.ivfAssignments(spark, idir).count() == 2)
+    AnnIndex.appendIvf(
+      Seq((7L, Array(0.9f, 0f)), (7L, Array(0.1f, 0f)))
+        .toDF("vec_id", "embedding"), idir, newIds = true)
+    assert(AnnIndex.ivfAssignments(spark, idir)
+      .filter(col("vec_id") === 7L).count() == 1,
+      "duplicate-id IVF batch must serve one live row even on the plain regime")
+    // banded
+    val bdir = s"$work/lsh_edge"
+    AnnIndex.buildBanded(base, bdir, nPlanes = 8, bands = 4)
+    AnnIndex.appendBanded(base.filter(col("vec_id") < 0), bdir,
+      nPlanes = 8, bands = 4, newIds = true)
+    AnnIndex.appendBanded(
+      Seq((7L, Array(0.9f, 0f)), (7L, Array(0.1f, 0f)))
+        .toDF("vec_id", "embedding"), bdir,
+      nPlanes = 8, bands = 4, newIds = true)
+    assert(AnnIndex.bandedRowsLive(spark, bdir)
+      .filter(col("vec_id") === 7L).count() == 4,
+      "duplicate-id banded batch must band exactly one version (bands rows)")
+  }
+
   test("duplicate ids within one PQ batch code coherently (ADVICE: mixed-subspace codes)") {
     import spark.implicits._
     val idx = s"$work/pq_dup"
