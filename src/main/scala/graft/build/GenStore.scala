@@ -1,0 +1,364 @@
+package graft.build
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE gen-stamped-store lifecycle protocol, shared by every
+  * persisted maintained structure in the engine — the vector indexes
+  * (`graft.similarity.AnnIndex`: raw-IVF, IVF-PQ, banded LSH, the
+  * point-fetch vector store) and the text postings store
+  * (`graft.text.PostingsStore`). Extracted in r18 so the regimes cannot
+  * drift between structures (the r17 verdict's unification item): one
+  * definition of the meta, the generation reservation, the staged
+  * compact/recover swap, the three read regimes, and the staleness
+  * counters.
+  *
+  * PROTOCOL (see `AnnIndex`'s class doc for the full economics):
+  *  - BUILD writes the corpus as `gen=0` and the `_INDEX_META` marker
+  *    LAST (completion marker; a crash mid-build leaves no meta and the
+  *    next build deletes the partial tree);
+  *  - APPEND reserves the next generation from the meta (O(1)), writes
+  *    ONLY the delta into its own `gen=N` directory with overwrite
+  *    semantics (file-idempotent replays), and commits by rewriting the
+  *    meta — gen counter, history flags, staleness counters, last
+  *    applied streaming batch — atomically ([[MetaIO.write]]);
+  *  - READS resolve through three regimes decided by the meta: PLAIN
+  *    (append-only history — no shuffle, probe filters push into the
+  *    scan), BOUNDED tracked-upsert (resolution bounded by the recorded
+  *    upsert generations), UNTRUSTED (full latest-gen resolution);
+  *  - COMPACT rebuilds at gen 0 in a sibling `.compact.tmp` tree and
+  *    swaps (delete + rename); the delete→rename crash gap is adopted
+  *    by [[recover]].
+  *
+  * STALENESS COUNTERS (exact since r18): `rows0`/`rowsa` are LIVE row
+  * counters — rows of gen 0 / of append generations that a full
+  * latest-gen resolution would return. Declared (`newIds = true`)
+  * appends on trusted histories add their written rows to `rowsa` and
+  * touch nothing else (the declaration guarantees no supersession — the
+  * common case pays zero extra work). An UNDECLARED append (or any
+  * append onto an untrusted history) additionally counts the live rows
+  * its ids supersede with one broadcast semi-join of the (delta-scale)
+  * id set against the committed generations' (key, gen) columns — a
+  * column-pruned thin scan, output O(|delta|) — and moves them out of
+  * the counters, so `appendRows / (baseRows + appendRows)` IS the live
+  * append-row fraction exactly, on every history shape (the r17 ≤2×
+  * upsert band is gone). Metas from before the counters (`-1`) stay
+  * legacy: [[metaStaleness]] returns None and the structure's reader
+  * falls back to its O(index) scan.
+  */
+private[graft] object GenStore {
+
+  /** The store's durable control state: `gen` is the next-append
+    * generation (commit pointer: only gens below it are visible),
+    * `appendOnly` keeps the plain live view, `trusted` says `newIds`
+    * declarations held for the whole history (false after an in-stream
+    * compact), `upsertGens` are the generations whose append was an
+    * upsert (bounded-resolution read path), `batch` is the last applied
+    * streaming batch, `params` the model parameters.
+    *
+    * `baseRows`/`appendRows` are the O(1) exact staleness counters (see
+    * class doc); -1 = legacy meta without counters. */
+  final case class Meta(
+      gen: Long, appendOnly: Boolean, batch: Long,
+      trusted: Boolean = true, upsertGens: Seq[Long] = Nil,
+      baseRows: Long = -1L, appendRows: Long = -1L,
+      params: Map[String, String] = Map.empty)
+
+  private val ReservedKeys =
+    Set("gen", "plain", "batch", "trust", "ugens", "rows0", "rowsa")
+
+  def metaPath(dir: String): String = s"$dir/_INDEX_META"
+
+  private def fsOf(s: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Missing keys default CONSERVATIVELY: an ambiguous or legacy meta
+    * must route readers through full upsert resolution (`plain` and
+    * `trust` default false — serving a truncated/foreign meta as a
+    * plain read could return superseded duplicate rows; resolving an
+    * actually-append-only history is merely slower, never wrong). */
+  def readMeta(s: SparkSession, dir: String): Option[Meta] =
+    MetaIO.read(s.sparkContext.hadoopConfiguration, new Path(metaPath(dir)))
+      .flatMap { line =>
+        val kv = line.split(';').flatMap { f =>
+          f.split('=') match { case Array(k, v) => Some(k -> v); case _ => None }
+        }.toMap
+        for (g <- kv.get("gen").flatMap(_.toLongOption))
+          yield Meta(g,
+            kv.get("plain").exists(_ == "true"),
+            kv.get("batch").flatMap(_.toLongOption).getOrElse(-1L),
+            kv.get("trust").exists(_ == "true"),
+            kv.get("ugens").toSeq.flatMap(_.split(',').flatMap(_.toLongOption)),
+            kv.get("rows0").flatMap(_.toLongOption).getOrElse(-1L),
+            kv.get("rowsa").flatMap(_.toLongOption).getOrElse(-1L),
+            kv -- ReservedKeys)
+      }
+
+  /** Meta writes are ATOMIC ([[MetaIO.write]]: temp file + overwrite-
+    * rename): an in-place create would truncate the old marker before
+    * the new bytes land, so a crash mid-write on an APPEND would
+    * destroy the completion marker of a perfectly intact index — and
+    * the next maintenance pass would treat it as partial and rebuild
+    * from one micro-batch. */
+  def writeMeta(s: SparkSession, dir: String, m: Meta): Unit = {
+    val extra = m.params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+    val ugens =
+      if (m.upsertGens.isEmpty) Nil else Seq(s"ugens=${m.upsertGens.mkString(",")}")
+    val rows =
+      if (m.baseRows < 0 || m.appendRows < 0) Nil
+      else Seq(s"rows0=${m.baseRows}", s"rowsa=${m.appendRows}")
+    MetaIO.write(s.sparkContext.hadoopConfiguration, new Path(metaPath(dir)),
+      (Seq(s"gen=${m.gen}", s"plain=${m.appendOnly}", s"batch=${m.batch}",
+        s"trust=${m.trusted}") ++ ugens ++ rows ++ extra).mkString(";"))
+  }
+
+  /** Whether a COMPLETE store lives at `dir` — true only once the
+    * build's meta (written after every data file) landed. */
+  def isComplete(s: SparkSession, dir: String): Boolean =
+    readMeta(s, dir).isDefined
+
+  /** The last streaming batch id applied (-1 when none) — the replay
+    * guard for exactly-once foreachBatch maintenance. The batch id
+    * rides the SAME meta write as the append's gen/flag/counter update,
+    * so "recorded" always means "fully applied". */
+  def lastAppliedBatch(s: SparkSession, dir: String): Long =
+    readMeta(s, dir).map(_.batch).getOrElse(-1L)
+
+  /** Upsert generations tracked for bounded resolution before the
+    * history degrades to untrusted full resolution: past this many
+    * undeclared appends the per-read isin/anti-join machinery stops
+    * paying relative to one resolve (and staleness should have
+    * compacted long before). */
+  val MaxTrackedUpsertGens = 64
+
+  /** Next-append bookkeeping shared by every structure: reserve the
+    * generation from the meta (O(1)); an undeclared (possibly-upsert)
+    * append flips the plain flag off AND records its generation, which
+    * is what keeps the read-side resolution bounded. Returns
+    * (reserved gen, the meta to commit after the write, the PREVIOUS
+    * meta — the appender needs its flags to decide whether the exact
+    * dead-row count must run). A meta-less tree is a partial or legacy
+    * build and must be rebuilt, not appended to — throws. */
+  def reserveGen(s: SparkSession, dir: String, newIds: Boolean,
+      batchId: Long): (Long, Meta, Meta) =
+    readMeta(s, dir) match {
+      case Some(m) =>
+        val ugens = if (newIds) m.upsertGens else m.upsertGens :+ m.gen
+        val next =
+          if (ugens.size > MaxTrackedUpsertGens)
+            m.copy(gen = m.gen + 1, appendOnly = false,
+              batch = math.max(m.batch, batchId),
+              trusted = false, upsertGens = Nil)
+          else m.copy(gen = m.gen + 1, appendOnly = m.appendOnly && newIds,
+            batch = math.max(m.batch, batchId), upsertGens = ugens)
+        (m.gen, next, m)
+      case None => throw new IllegalStateException(
+        s"no complete index at $dir (missing ${metaPath(dir)}): build it " +
+          "first — a legacy/partial tree must be rebuilt, not appended to")
+    }
+
+  /** Validate caller-passed model parameters against the meta's — a
+    * mismatched append or read would silently operate under a DIFFERENT
+    * model, the failure mode persisting the parameters exists to
+    * prevent. A meta without the parameter is a pre-params legacy tree:
+    * rebuilt, never guessed at. */
+  def requireParam(m: Meta, dir: String, key: String, expected: Long): Unit =
+    m.params.get(key).flatMap(_.toLongOption) match {
+      case Some(v) if v == expected => ()
+      case Some(v) => throw new IllegalArgumentException(
+        s"index at $dir was built with $key=$v, caller passed $expected — " +
+          "parameters are fixed at build time; compact/rebuild to change them")
+      case None => throw new IllegalStateException(
+        s"index at $dir has no persisted $key (pre-params legacy tree): rebuild it")
+    }
+
+  /** The meta as the READ-SIDE contract: a meta-less tree is partial or
+    * legacy and must not be silently served. */
+  def metaOrThrow(s: SparkSession, dir: String): Meta =
+    readMeta(s, dir).getOrElse(throw new IllegalStateException(
+      s"no complete index at $dir (missing ${metaPath(dir)}): build it " +
+        "first — a legacy/partial tree must be rebuilt, not read"))
+
+  /** Footer-only row count of a just-written generation directory. An
+    * EMPTY partitioned write leaves only _SUCCESS (no schema to infer),
+    * which must count as 0 — not crash the append: a zero-row streaming
+    * micro-batch would otherwise wedge the maintenance loop forever
+    * (the meta never advances, so the batch replays into the same
+    * failure). */
+  def countWritten(s: SparkSession, out: String): Long =
+    try s.read.parquet(out).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+
+  /** The counter-derived EXACT live append-row fraction, when the meta
+    * carries the counters (see class doc; None = legacy meta, the
+    * caller falls back to its O(index) scan). */
+  def metaStaleness(m: Meta): Option[Double] =
+    if (m.baseRows < 0 || m.appendRows < 0) None
+    else {
+      val total = m.baseRows + m.appendRows
+      Some(if (total == 0) 0.0 else m.appendRows.toDouble / total)
+    }
+
+  /** Commit an append's counters: the written generation's rows join
+    * the live append set; the superseded live rows (`dead` = base,
+    * append split) leave theirs. Legacy counter-less metas stay
+    * legacy. */
+  def appendCounters(m: Meta, written: Long, dead: (Long, Long)): Meta =
+    if (m.baseRows < 0 || m.appendRows < 0) m
+    else m.copy(baseRows = m.baseRows - dead._1,
+      appendRows = m.appendRows - dead._2 + written)
+
+  /** The EXACT superseded-live-row count behind [[appendCounters]]:
+    * among the committed generations' rows (`raw` — only the `keyCol`
+    * and `gen` columns are read, a column-pruned thin scan), the live
+    * rows whose key appears in the (broadcast, delta-scale) `ids` set,
+    * split (gen-0 rows, append-gen rows). Exactness rests on one
+    * invariant that holds in EVERY regime: a key's live generation is
+    * its MAX generation over the raw rows (declared appends never
+    * re-add an existing id on trusted histories; untrusted histories
+    * resolve by global max-gen by definition). `multiRow` structures
+    * (banded, postings) count every row of the live generation; one-row
+    * structures count one per key. */
+  def deadCounts(raw: DataFrame, keyCol: String, ids: DataFrame,
+      multiRow: Boolean): (Long, Long) = {
+    val matched = raw.select(col(keyCol), col("gen").cast("long").as("gen"))
+      .join(broadcast(ids.select(col(keyCol))), Seq(keyCol), "left_semi")
+    val liveGen = matched.groupBy(keyCol).agg(max("gen").as("gen"))
+    val liveRows = if (multiRow) matched.join(liveGen, Seq(keyCol, "gen")) else liveGen
+    val r = liveRows.agg(
+      coalesce(sum(when(col("gen") === 0L, 1L)), lit(0L)).as("d0"),
+      coalesce(sum(when(col("gen") > 0L, 1L)), lit(0L)).as("da")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Whether an append must pay the [[deadCounts]] job: undeclared
+    * appends always (their ids may supersede); declared appends only on
+    * UNTRUSTED histories (the declarations themselves are unreliable
+    * there — content-identical re-appends after an in-stream compact).
+    * Declared appends on trusted histories — the common streaming case —
+    * pay nothing. */
+  def needsDeadCount(prev: Meta, newIds: Boolean): Boolean =
+    !newIds || !prev.trusted
+
+  // ------------------------------------------------------ staged compact
+
+  private def compactTmp(dir: String) = s"${dir.stripSuffix("/")}.compact.tmp"
+
+  /** The shared staged-swap protocol behind every compact: the rebuild
+    * lands in a sibling `.compact.tmp` tree (meta last), and only then
+    * swaps in (delete old, rename). A crash mid-rebuild leaves the OLD
+    * store fully intact and complete; the delete→rename gap is covered
+    * by [[recover]]. */
+  def stagedCompact(s: SparkSession, dir: String)(build: String => Unit): Unit = {
+    recover(s, dir)
+    val tmp = compactTmp(dir)
+    build(tmp)
+    val fs = fsOf(s, dir)
+    fs.delete(new Path(dir), true)
+    if (!fs.rename(new Path(tmp), new Path(dir)))
+      throw new java.io.IOException(
+        s"compact swap failed: could not rename $tmp over $dir")
+  }
+
+  /** Adopt a completed-but-unswapped compaction: if the store tree is
+    * missing/partial while a COMPLETE `.compact.tmp` sits beside it
+    * (crash between the swap's delete and rename), rename it in.
+    * Returns whether a recovery happened. Safe to call any time —
+    * no-op unless exactly that state is found. */
+  def recover(s: SparkSession, dir: String): Boolean = {
+    val tmp = compactTmp(dir)
+    if (!isComplete(s, dir) && isComplete(s, tmp)) {
+      val fs = fsOf(s, dir)
+      fs.delete(new Path(dir), true)
+      fs.rename(new Path(tmp), new Path(dir))
+    } else false
+  }
+
+  // ------------------------------------------------------- live views
+
+  /** The three-regime latest-gen-wins machinery for ONE-ROW-PER-KEY
+    * structures (IVF assignments, PQ code rows, the point-fetch vector
+    * store): plain read / BOUNDED resolution over the recorded upsert
+    * generations / full resolution, per the meta. `postFilter` follows
+    * the regime discipline — pushed into the plain and untouched
+    * branches, applied AFTER the reduce on resolving branches (pruning
+    * a superseded key's old partition out from under the reduce would
+    * resurrect its stale row); a caller whose filter is on the REDUCE
+    * KEY itself (it then commutes with the reduce) prefilters `rows`
+    * and passes identity. The reduce orders by struct(gen, dataCols):
+    * gen leads, so the trailing payload columns never decide. */
+  def liveView(meta: Meta, rows: DataFrame, keyCol: String,
+      dataCols: Seq[String], postFilter: DataFrame => DataFrame,
+      resolveAll: Boolean): DataFrame = {
+    def resolve(r: DataFrame): DataFrame = r
+      .groupBy(keyCol)
+      .agg(max(struct(col("gen") +: dataCols.map(col): _*)).as("m"))
+      .select(col(keyCol) +: dataCols.map(c => col(s"m.$c").as(c)) :+
+        col("m.gen").as("gen"): _*)
+    if (resolveAll) postFilter(resolve(rows))
+    else if (meta.appendOnly) postFilter(rows)
+    else if (meta.trusted && meta.upsertGens.nonEmpty) {
+      val ug = meta.upsertGens
+      // the upsert gens' directories are delta-scale: partition-pruned
+      // scans, a broadcast-small id set, a reduce bounded by them
+      val upRows = rows.filter(col("gen").isin(ug: _*))
+      val upIds = upRows.select(keyCol).distinct()
+      val untouched = postFilter(rows.filter(!col("gen").isin(ug: _*)))
+        .join(broadcast(upIds), Seq(keyCol), "left_anti")
+      untouched.unionByName(postFilter(resolve(upRows)))
+    } else postFilter(resolve(rows))
+  }
+
+  /** [[liveView]]'s MULTI-ROW-PER-KEY twin (banded signatures: `bands`
+    * rows per vector; text postings: one row per (term, doc)): the
+    * latest generation PER KEY wins and every row of that generation
+    * survives — resolution is a join against the per-key max-gen
+    * instead of a one-row struct reduce. Same three regimes, same
+    * postFilter discipline. Output keeps all of `rows`' columns
+    * (including gen); callers project. */
+  def keyedLiveView(meta: Meta, rows: DataFrame, keyCol: String,
+      postFilter: DataFrame => DataFrame, resolveAll: Boolean): DataFrame = {
+    def resolve(r: DataFrame): DataFrame =
+      r.join(r.groupBy(keyCol).agg(max("gen").as("gen")), Seq(keyCol, "gen"))
+    if (resolveAll) postFilter(resolve(rows))
+    else if (meta.appendOnly) postFilter(rows)
+    else if (meta.trusted && meta.upsertGens.nonEmpty) {
+      val ug = meta.upsertGens
+      val upRows = rows.filter(col("gen").isin(ug: _*))
+      val upIds = upRows.select(keyCol).distinct()
+      val untouched = postFilter(rows.filter(!col("gen").isin(ug: _*)))
+        .join(broadcast(upIds), Seq(keyCol), "left_anti")
+      untouched.unionByName(postFilter(resolve(upRows)))
+    } else postFilter(resolve(rows))
+  }
+
+  // ------------------------------------------------ artifact discipline
+
+  /** Build-or-reuse a persisted store as a FINGERPRINTED ingest
+    * artifact: rebuild iff the marker at `markerPath` doesn't carry
+    * `fingerprint` (source fingerprint + params + epoch — the caller
+    * composes it) or the tree at `treeDir` is incomplete. Wipe-then-
+    * build-then-mark, the one crash discipline (`AnnArtifacts`' — the
+    * stale tree AND its marker go before the rebuild, the marker lands
+    * LAST and atomically). This is the freshness rule every persisted
+    * artifact must carry: a bare `fs.exists` probe would silently serve
+    * stale results after an in-place source rewrite (the r17 verdict's
+    * text-postings hazard). Returns whether a rebuild ran. */
+  def ensureArtifact(s: SparkSession, markerPath: Path, fingerprint: String,
+      treeDir: String)(build: => Unit): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fresh = MetaIO.read(conf, markerPath).contains(fingerprint) &&
+      isComplete(s, treeDir)
+    if (fresh) false
+    else {
+      val fs = markerPath.getFileSystem(conf)
+      if (fs.exists(markerPath)) fs.delete(markerPath, false)
+      val d = new Path(treeDir)
+      if (fs.exists(d)) fs.delete(d, true)
+      build
+      MetaIO.write(conf, markerPath, fingerprint)
+      true
+    }
+  }
+}

@@ -176,15 +176,22 @@ object AnnArtifacts {
     // one-time legacy cleanup: pre-r17 roots lived under versioned
     // graft_ann/v<N>/ paths the per-history scheme never reads again —
     // reclaim them instead of leaving dead full-corpus trees behind on
-    // deployments whose artifact dir outlives a round
+    // deployments whose artifact dir outlives a round. GATED behind a
+    // marker so the destructive sweep (and its listStatus) runs ONCE,
+    // not on every ensure() — an unguarded sweep would repeatedly
+    // delete shared artifact state out from under any concurrently
+    // running pre-r17 process (the r17 advisor's finding)
     try {
       val annBase = new Path(s"${DedupArtifacts.artifactBase}/graft_ann")
       val fs = annBase.getFileSystem(conf)
-      if (fs.exists(annBase))
+      val swept = new Path(annBase, "_LEGACY_V_SWEPT")
+      if (fs.exists(annBase) && !fs.exists(swept)) {
         fs.listStatus(annBase).foreach { st =>
           if (st.isDirectory && st.getPath.getName.matches("v[0-9]+"))
             fs.delete(st.getPath, true)
         }
+        MetaIO.write(conf, swept, "1")
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
     lazy val e = emb(s, sfDir)

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.build.MetaIO
+import graft.build.GenStore
 import graft.functions.Vectors
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -102,83 +102,30 @@ object AnnIndex {
   private def centroidsPath(dir: String) = s"$dir/centroids"
   private def assignPath(dir: String) = s"$dir/assignments"
   private def bandedPath(dir: String) = s"$dir/banded"
-  private def metaPath(dir: String) = s"$dir/_INDEX_META"
 
-  // --------------------------------------------------- meta protocol
+  // ------------------------------------------------------ meta protocol
+  // One protocol for every gen-stamped structure in the engine —
+  // extracted to graft.build.GenStore in r18 (shared with the text
+  // postings store) so the meta, the reservation bookkeeping, the
+  // staged compact, and the read regimes have exactly one definition.
 
-  /** The index's durable control state (see class doc): `gen` is the
-    * next-append generation (commit pointer: only gens below it are
-    * visible), `appendOnly` keeps the plain live view, `trusted` says
-    * `newIds` declarations held for the whole history (false after an
-    * in-stream compact), `upsertGens` are the generations whose append
-    * was an upsert (bounded-resolution read path), `batch` is the last
-    * applied streaming batch, `params` the model parameters.
-    *
-    * `baseRows`/`appendRows` are the O(1) STALENESS COUNTERS: rows
-    * written at build (gen 0) and by all appends since, counted from
-    * the just-written generation's parquet footers (a zero-column
-    * count — never an index scan) and carried in the meta, so the
-    * per-micro-batch compaction decision reads two numbers instead of
-    * aggregating the live view. -1 = legacy tree without counters
-    * ([[staleness]] falls back to the scan). */
-  private final case class Meta(
-      gen: Long, appendOnly: Boolean, batch: Long,
-      trusted: Boolean = true, upsertGens: Seq[Long] = Nil,
-      baseRows: Long = -1L, appendRows: Long = -1L,
-      params: Map[String, String] = Map.empty)
-
-  private val ReservedKeys =
-    Set("gen", "plain", "batch", "trust", "ugens", "rows0", "rowsa")
+  private type Meta = GenStore.Meta
+  private def Meta = GenStore.Meta
 
   private def fsOf(s: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Missing keys default CONSERVATIVELY: an ambiguous or legacy meta
-    * must route readers through full upsert resolution (`plain` and
-    * `trust` default false — serving a truncated/foreign meta as a
-    * plain read could return superseded duplicate rows; resolving an
-    * actually-append-only history is merely slower, never wrong). */
   private def readMeta(s: SparkSession, dir: String): Option[Meta] =
-    MetaIO.read(s.sparkContext.hadoopConfiguration, new Path(metaPath(dir)))
-      .flatMap { line =>
-        val kv = line.split(';').flatMap { f =>
-          f.split('=') match { case Array(k, v) => Some(k -> v); case _ => None }
-        }.toMap
-        for (g <- kv.get("gen").flatMap(_.toLongOption))
-          yield Meta(g,
-            kv.get("plain").exists(_ == "true"),
-            kv.get("batch").flatMap(_.toLongOption).getOrElse(-1L),
-            kv.get("trust").exists(_ == "true"),
-            kv.get("ugens").toSeq.flatMap(_.split(',').flatMap(_.toLongOption)),
-            kv.get("rows0").flatMap(_.toLongOption).getOrElse(-1L),
-            kv.get("rowsa").flatMap(_.toLongOption).getOrElse(-1L),
-            kv -- ReservedKeys)
-      }
-
-  /** Meta writes are ATOMIC ([[MetaIO.write]]: temp file + overwrite-
-    * rename): an in-place create would truncate the old marker before
-    * the new bytes land, so a crash mid-write on an APPEND would
-    * destroy the completion marker of a perfectly intact index — and
-    * the next maintenance pass would treat it as partial and rebuild
-    * from one micro-batch. */
-  private def writeMeta(s: SparkSession, dir: String, m: Meta): Unit = {
-    val extra = m.params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
-    val ugens =
-      if (m.upsertGens.isEmpty) Nil else Seq(s"ugens=${m.upsertGens.mkString(",")}")
-    val rows =
-      if (m.baseRows < 0 || m.appendRows < 0) Nil
-      else Seq(s"rows0=${m.baseRows}", s"rowsa=${m.appendRows}")
-    MetaIO.write(s.sparkContext.hadoopConfiguration, new Path(metaPath(dir)),
-      (Seq(s"gen=${m.gen}", s"plain=${m.appendOnly}", s"batch=${m.batch}",
-        s"trust=${m.trusted}") ++ ugens ++ rows ++ extra).mkString(";"))
-  }
+    GenStore.readMeta(s, dir)
+  private def writeMeta(s: SparkSession, dir: String, m: Meta): Unit =
+    GenStore.writeMeta(s, dir, m)
 
   /** Whether a COMPLETE index lives at `dir` — true only once the
     * build's meta (written after every data file) landed. A partially
     * built tree (crash between writes) reports false, and the next
     * build deletes and rebuilds it. */
   def isComplete(s: SparkSession, dir: String): Boolean =
-    readMeta(s, dir).isDefined
+    GenStore.isComplete(s, dir)
 
   /** The last streaming batch id applied to the index (-1 when none) —
     * the replay guard for exactly-once foreachBatch maintenance. The
@@ -187,57 +134,14 @@ object AnnIndex {
     * "fully applied": there is no window where the data landed but a
     * replay would re-append it under a new generation. */
   def lastAppliedBatch(s: SparkSession, dir: String): Long =
-    readMeta(s, dir).map(_.batch).getOrElse(-1L)
-
-  /** Next-append bookkeeping shared by both structures: reserve the
-    * generation from the meta (O(1)); an undeclared (possibly-upsert)
-    * append flips the plain flag off AND records its generation, which
-    * is what keeps the read-side resolution bounded — the upserted ids'
-    * latest rows live exactly in the recorded generations. A meta-less
-    * tree is a partial or legacy build — gen-dir layout and legacy flat
-    * layout cannot mix (conflicting partition discovery), so it must be
-    * rebuilt; we throw with that instruction instead of corrupting
-    * it. */
-  /** Upsert generations tracked for bounded resolution before the
-    * history degrades to untrusted full resolution: past this many
-    * undeclared appends the per-read isin/anti-join machinery stops
-    * paying relative to one resolve (and staleness should have
-    * compacted long before) — so tracking more buys nothing, and the
-    * meta line stays bounded. */
-  private val MaxTrackedUpsertGens = 64
+    GenStore.lastAppliedBatch(s, dir)
 
   private def reserveGen(s: SparkSession, dir: String, newIds: Boolean,
-      batchId: Long): (Long, Meta) =
-    readMeta(s, dir) match {
-      case Some(m) =>
-        val ugens = if (newIds) m.upsertGens else m.upsertGens :+ m.gen
-        val next =
-          if (ugens.size > MaxTrackedUpsertGens)
-            m.copy(gen = m.gen + 1, appendOnly = false,
-              batch = math.max(m.batch, batchId),
-              trusted = false, upsertGens = Nil)
-          else m.copy(gen = m.gen + 1, appendOnly = m.appendOnly && newIds,
-            batch = math.max(m.batch, batchId), upsertGens = ugens)
-        (m.gen, next)
-      case None => throw new IllegalStateException(
-        s"no complete index at $dir (missing ${metaPath(dir)}): build it " +
-          "first — a legacy/partial tree must be rebuilt, not appended to")
-    }
+      batchId: Long): (Long, Meta, Meta) =
+    GenStore.reserveGen(s, dir, newIds, batchId)
 
-  /** Validate caller-passed model parameters against the meta's — a
-    * mismatched append or read would silently band/assign under a
-    * DIFFERENT model and lose recall, the failure mode persisting the
-    * parameters exists to prevent. A meta without the parameter is a
-    * pre-params legacy tree: rebuilt, never guessed at. */
   private def requireParam(m: Meta, dir: String, key: String, expected: Long): Unit =
-    m.params.get(key).flatMap(_.toLongOption) match {
-      case Some(v) if v == expected => ()
-      case Some(v) => throw new IllegalArgumentException(
-        s"index at $dir was built with $key=$v, caller passed $expected — " +
-          "parameters are fixed at build time; compact/rebuild to change them")
-      case None => throw new IllegalStateException(
-        s"index at $dir has no persisted $key (pre-params legacy tree): rebuild it")
-    }
+    GenStore.requireParam(m, dir, key, expected)
 
   // ------------------------------------------------------------- IVF
 
@@ -261,7 +165,9 @@ object AnnIndex {
     import s.implicits._
     cs.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
       .toDF("cell", "c").write.parquet(centroidsPath(indexDir))
-    val n0 = writeAssignGen(assignWith(corpus, cs, idCol, vecCol), indexDir, 0L)
+    val n0 = writeAssignGen(
+      assignWith(buildRows(corpus, idCol, vecCol, batchId), cs, "vec_id", "v"),
+      indexDir, 0L)
     // "vecs" marks a vector-carrying index (every gen stores v): the
     // probe path may serve vectors from the index partitions instead of
     // joining the corpus. Legacy trees lack the key and keep the
@@ -286,7 +192,7 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       newIds: Boolean = false, batchId: Long = -1L): Unit = {
     val s = delta.sparkSession
-    val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
+    val (gen, next, prev) = reserveGen(s, indexDir, newIds, batchId)
     if (next.params.contains("pq")) throw new IllegalArgumentException(
       s"index at $indexDir is a PQ index (code-carrying rows): append " +
         "with appendIvfPq — a raw-vector generation would break the " +
@@ -294,8 +200,10 @@ object AnnIndex {
     if (next.params.contains("pfetch")) throw new IllegalArgumentException(
       s"tree at $indexDir is a point-fetch vector store: append with " +
         "appendVecs")
-    val assigned = assignWith(onePerId(delta, idCol, vecCol),
-      centroidArray(s, indexDir), "vec_id", "v")
+    val one = onePerId(delta, idCol, vecCol)
+    val dead = deadFor(prev, newIds,
+      rawAssignments(s, indexDir, prev.gen), "vec_id", one, multiRow = false)
+    val assigned = assignWith(one, centroidArray(s, indexDir), "vec_id", "v")
     // a generation must match the BUILD's row schema: a legacy
     // (pre-vector-carrying) tree gets plain (vec_id, cell) appends —
     // mixing schemas across gen dirs would break the partitioned read
@@ -303,7 +211,7 @@ object AnnIndex {
       if (next.params.contains("vecs")) assigned
       else assigned.select("vec_id", "cell"),
       indexDir, gen)
-    writeMeta(s, indexDir, addAppendRows(next, na))
+    writeMeta(s, indexDir, GenStore.appendCounters(next, na, dead))
   }
 
   /** One generation's assignment files: `gen=N/cell=C/part-*` —
@@ -322,15 +230,11 @@ object AnnIndex {
     countWritten(assigned.sparkSession, out)
   }
 
-  /** Footer-only row count of a just-written generation directory. An
-    * EMPTY partitioned write leaves only _SUCCESS (no schema to infer),
-    * which must count as 0 — not crash the append: a zero-row streaming
-    * micro-batch would otherwise wedge the maintenance loop forever
-    * (the meta never advances, so the batch replays into the same
-    * failure). */
+  /** Footer-only row count of a just-written generation directory —
+    * [[GenStore.countWritten]] (zero-row micro-batches count 0, never
+    * throw and wedge the maintenance loop). */
   private def countWritten(s: SparkSession, out: String): Long =
-    try s.read.parquet(out).count()
-    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    GenStore.countWritten(s, out)
 
   /** One coherent row (vec_id, v) per id — the at-least-once batch
     * surface: a delta carrying the same id twice (a replayed or
@@ -346,12 +250,31 @@ object AnnIndex {
       .groupBy("vec_id").agg(max(struct(col("v"))).as("m"))
       .select(col("vec_id"), col("m.v").as("v"))
 
-  /** Accumulate a just-written append generation's rows into the meta's
-    * staleness counters; a legacy tree without counters stays legacy
-    * (the scan fallback keeps serving it). */
-  private def addAppendRows(m: Meta, n: Long): Meta =
-    if (m.baseRows < 0 || m.appendRows < 0) m
-    else m.copy(appendRows = m.appendRows + n)
+  /** The BUILD paths' normalized (vec_id, v) rows: a STREAM-invoked
+    * build (`batchId >= 0` — a first micro-batch standing up the index)
+    * is the same at-least-once surface the appends dedup, so it gets
+    * [[onePerId]] too — without it, a duplicate-id first batch builds a
+    * gen 0 serving two rows per id on the plain regime (the r17 advisor's
+    * stream-built-store hole). Batch builds (`batchId < 0`) read curated,
+    * id-unique corpora and skip the extra shuffle. */
+  private def buildRows(corpus: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): DataFrame =
+    if (batchId >= 0) onePerId(corpus, idCol, vecCol)
+    else corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+
+  /** The EXACT superseded-row count for an append, when the history
+    * requires one ([[GenStore.needsDeadCount]]: undeclared appends
+    * always, declared appends only on untrusted histories): one
+    * broadcast semi-join of the deduped batch's ids against the
+    * committed generations' (key, gen) columns — a column-pruned thin
+    * scan with O(|delta|) output, paid only on the upsert path.
+    * Declared appends on trusted histories (the common streaming case)
+    * and legacy counter-less metas pay nothing. */
+  private def deadFor(prev: Meta, newIds: Boolean, raw: => DataFrame,
+      keyCol: String, ids: DataFrame, multiRow: Boolean): (Long, Long) =
+    if (prev.baseRows >= 0 && GenStore.needsDeadCount(prev, newIds))
+      GenStore.deadCounts(raw, keyCol, ids, multiRow)
+    else (0L, 0L)
 
   /** Retrain on the current corpus and rewrite the whole index at
     * gen 0 — the compaction step once [[staleness]] crosses the
@@ -396,57 +319,33 @@ object AnnIndex {
       buildBanded(corpus, tmp, idCol, vecCol, nPlanes, bands, seed,
         batchId, appendOnly))
 
-  /** The shared staged-swap protocol behind both compacts: the rebuild
-    * lands in a sibling `.compact.tmp` tree (meta last), and only then
-    * swaps in (delete old, rename). A crash mid-rebuild leaves the OLD
-    * index fully intact and complete; the delete→rename gap is covered
-    * by [[recover]]. */
+  /** The shared staged-swap protocol behind both compacts
+    * ([[GenStore.stagedCompact]]): rebuild in a sibling `.compact.tmp`
+    * tree (meta last), then swap. */
   private def stagedCompact(s: SparkSession, indexDir: String)
-      (build: String => Unit): Unit = {
-    recover(s, indexDir)
-    val tmp = compactTmp(indexDir)
-    build(tmp)
-    val fs = fsOf(s, indexDir)
-    fs.delete(new Path(indexDir), true)
-    if (!fs.rename(new Path(tmp), new Path(indexDir)))
-      throw new java.io.IOException(
-        s"compact swap failed: could not rename $tmp over $indexDir")
-  }
+      (build: String => Unit): Unit =
+    GenStore.stagedCompact(s, indexDir)(build)
 
-  private def compactTmp(dir: String) = s"${dir.stripSuffix("/")}.compact.tmp"
+  /** Adopt a completed-but-unswapped compaction ([[GenStore.recover]]):
+    * if the index tree is missing/partial while a COMPLETE
+    * `.compact.tmp` sits beside it (crash between the swap's delete and
+    * rename), rename it in. Returns whether a recovery happened. Safe
+    * to call any time — no-op unless exactly that state is found. */
+  def recover(s: SparkSession, indexDir: String): Boolean =
+    GenStore.recover(s, indexDir)
 
-  /** Adopt a completed-but-unswapped compaction: if the index tree is
-    * missing/partial while a COMPLETE `.compact.tmp` sits beside it
-    * (crash between the swap's delete and rename), rename it in.
-    * Returns whether a recovery happened. Safe to call any time —
-    * no-op unless exactly that state is found. */
-  def recover(s: SparkSession, indexDir: String): Boolean = {
-    val tmp = compactTmp(indexDir)
-    if (!isComplete(s, indexDir) && isComplete(s, tmp)) {
-      val fs = fsOf(s, indexDir)
-      fs.delete(new Path(indexDir), true)
-      fs.rename(new Path(tmp), new Path(indexDir))
-    } else false
-  }
-
-  /** Fraction of index rows that arrived by append — the drift signal a
-    * deployment compacts on. O(1): read from the meta's row counters
-    * (maintained at build/append time from the written generation's
-    * footers), so the per-micro-batch compaction decision in
-    * `IndexMaintenance` never scans the index. On an append-only
-    * history this IS the live-row fraction exactly. On an UPSERT
-    * history the two signals diverge within a bounded band: superseded
-    * base rows stay in the denominator, so a single full-corpus
-    * re-ingest reads 0.5 where the live fraction is 1.0 (an
-    * UNDERestimate, bounded by 2× — each upsert row supersedes at most
-    * one base row), while repeated re-appends of the same id inflate
-    * the numerator (an overestimate). Deployments that expect whole-
-    * corpus undeclared re-ingests should halve their `compactAt`
-    * budget accordingly; the trade buys an O(1) signal in the hot
-    * append path. A legacy meta without counters falls back to
+  /** Fraction of LIVE index rows that arrived by append — the drift
+    * signal a deployment compacts on. O(1): read from the meta's
+    * live-row counters, so the per-micro-batch compaction decision in
+    * `IndexMaintenance` never scans the index. EXACT on every history
+    * shape since r18 (the r17 ≤2× upsert band is gone): undeclared
+    * appends move the rows they supersede out of the counters at
+    * append time via one delta-bounded semi-join count
+    * ([[GenStore]] class doc), so a full-corpus undeclared re-ingest
+    * reads 1.0, not 0.5. A legacy meta without counters falls back to
     * aggregating the live view (the pre-r17 O(index) plan). */
   def staleness(s: SparkSession, indexDir: String): Double =
-    metaStaleness(metaOrThrow(s, indexDir)).getOrElse {
+    GenStore.metaStaleness(metaOrThrow(s, indexDir)).getOrElse {
       val r = ivfAssignments(s, indexDir)
         .agg(count(lit(1)).as("n"),
           sum(when(col("gen") > 0, 1L).otherwise(0L)).as("d"))
@@ -454,23 +353,12 @@ object AnnIndex {
       if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
     }
 
-  /** The counter-derived drift fraction, when the meta carries the
-    * counters. */
-  private def metaStaleness(m: Meta): Option[Double] =
-    if (m.baseRows < 0 || m.appendRows < 0) None
-    else {
-      val total = m.baseRows + m.appendRows
-      Some(if (total == 0) 0.0 else m.appendRows.toDouble / total)
-    }
-
-  /** The meta as the READ-SIDE contract: a meta-less tree is partial or
-    * legacy and must not be silently served (a legacy multi-gen upsert
-    * history read "plain" would return superseded duplicates) — the
-    * same IllegalStateException the write side throws. */
+  /** The meta as the READ-SIDE contract ([[GenStore.metaOrThrow]]): a
+    * meta-less tree is partial or legacy and must not be silently
+    * served (a legacy multi-gen upsert history read "plain" would
+    * return superseded duplicates). */
   private def metaOrThrow(s: SparkSession, dir: String): Meta =
-    readMeta(s, dir).getOrElse(throw new IllegalStateException(
-      s"no complete index at $dir (missing ${metaPath(dir)}): build it " +
-        "first — a legacy/partial tree must be rebuilt, not read"))
+    GenStore.metaOrThrow(s, dir)
 
   /** Raw partitioned read; gen/cell are partition columns (discovered
     * as ints when small) — normalize to the long schema the flat
@@ -520,39 +408,16 @@ object AnnIndex {
     liveView(meta, raw, "vec_id", payload :+ "cell", cellFilter, resolveAll)
   }
 
-  /** The three-regime latest-gen-wins machinery itself, shared by every
-    * ONE-ROW-PER-KEY gen-stamped structure (raw/coded assignments and
-    * the point-fetch vector store — the multi-row banded table keeps
-    * its join-based twin in [[bandedRowsLive]]): plain read /
-    * BOUNDED resolution over the recorded upsert generations / full
-    * resolution, per the meta. `postFilter` follows the class-doc
-    * discipline — pushed into the plain and untouched branches, applied
-    * AFTER the reduce on resolving branches (the resurrect hazard); a
-    * caller whose filter is on the REDUCE KEY itself (it then commutes
-    * with the reduce) prefilters `rows` and passes identity. The reduce
-    * orders by struct(gen, dataCols...): gen leads, so the trailing
-    * payload columns never decide — they only ride along. */
+  /** The three-regime latest-gen-wins machinery for ONE-ROW-PER-KEY
+    * structures — [[GenStore.liveView]] (raw/coded assignments and the
+    * point-fetch vector store; the multi-row banded table reads through
+    * [[GenStore.keyedLiveView]] in [[bandedRowsLive]], and the text
+    * postings store shares that same definition). See GenStore for the
+    * postFilter discipline. */
   private def liveView(meta: Meta, rows: DataFrame, keyCol: String,
       dataCols: Seq[String], postFilter: DataFrame => DataFrame,
-      resolveAll: Boolean): DataFrame = {
-    def resolve(r: DataFrame): DataFrame = r
-      .groupBy(keyCol)
-      .agg(max(struct(col("gen") +: dataCols.map(col): _*)).as("m"))
-      .select(col(keyCol) +: dataCols.map(c => col(s"m.$c").as(c)) :+
-        col("m.gen").as("gen"): _*)
-    if (resolveAll) postFilter(resolve(rows))
-    else if (meta.appendOnly) postFilter(rows)
-    else if (meta.trusted && meta.upsertGens.nonEmpty) {
-      val ug = meta.upsertGens
-      // the upsert gens' directories are delta-scale: partition-pruned
-      // scans, a broadcast-small id set, a reduce bounded by them
-      val upRows = rows.filter(col("gen").isin(ug: _*))
-      val upIds = upRows.select(keyCol).distinct()
-      val untouched = postFilter(rows.filter(!col("gen").isin(ug: _*)))
-        .join(broadcast(upIds), Seq(keyCol), "left_anti")
-      untouched.unionByName(postFilter(resolve(upRows)))
-    } else postFilter(resolve(rows))
-  }
+      resolveAll: Boolean): DataFrame =
+    GenStore.liveView(meta, rows, keyCol, dataCols, postFilter, resolveAll)
 
   /** Persisted centroids as the driver-side array (cell-ordered),
     * shared by append-time assignment and query-time probing. */
@@ -672,9 +537,11 @@ object AnnIndex {
     if (cb.isEmpty) throw new IllegalArgumentException(
       s"PQ build at $indexDir trained an empty codebook — the corpus is empty")
     // gen 0 assigns under the PERSISTED codebook (read back), the same
-    // table every append will read — not the in-memory derivation
+    // table every append will read — not the in-memory derivation.
+    // The PQ build pays onePerId unconditionally (code packing needs
+    // id-coherent rows even on curated corpora)
     val n0 = writeAssignGen(
-      assignPqWith(corpus, cs, cb, idCol, vecCol, nSub, subDim),
+      assignPqWith(onePerId(corpus, idCol, vecCol), cs, cb, nSub, subDim),
       indexDir, 0L)
     writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
       batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
@@ -693,13 +560,16 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       newIds: Boolean = false, batchId: Long = -1L): Unit = {
     val s = delta.sparkSession
-    val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
+    val (gen, next, prev) = reserveGen(s, indexDir, newIds, batchId)
     val (nSub, subDim) = pqParamsOrThrow(next, indexDir)
+    val one = onePerId(delta, idCol, vecCol)
+    val dead = deadFor(prev, newIds,
+      rawAssignments(s, indexDir, prev.gen), "vec_id", one, multiRow = false)
     val na = writeAssignGen(
-      assignPqWith(delta, centroidArray(s, indexDir),
-        s.read.parquet(codebookPath(indexDir)), idCol, vecCol, nSub, subDim),
+      assignPqWith(one, centroidArray(s, indexDir),
+        s.read.parquet(codebookPath(indexDir)), nSub, subDim),
       indexDir, gen)
-    writeMeta(s, indexDir, addAppendRows(next, na))
+    writeMeta(s, indexDir, GenStore.appendCounters(next, na, dead))
   }
 
   /** [[compactIvf]]'s PQ twin: retrain centroids AND codebook on the
@@ -732,18 +602,14 @@ object AnnIndex {
     * The codes pack via a delta-scale groupBy (nSub rows per id in,
     * one out); the cell join is delta ⋈ delta on the id.
     *
-    * Duplicate ids WITHIN one batch are first resolved to ONE row per
-    * id (deterministic whole-row max-struct pick — the same
-    * whole-struct discipline the raw twin's live view resolves with):
-    * without it, the codes groupBy's per-subspace min would MIX codes
-    * from both rows into a code vector belonging to neither version,
-    * and the cells join would then duplicate it across both assigned
-    * cells. The dedup is one batch-scale shuffle on the id — the key
-    * the cells join shuffles on anyway. */
+    * Expects ONE coherent row per id (callers pass [[onePerId]]'d
+    * rows — build and append both): without that dedup, the codes
+    * groupBy's per-subspace pick would MIX codes from duplicate rows
+    * into a code vector belonging to neither version, and the cells
+    * join would then duplicate it across both assigned cells. */
   private def assignPqWith(
-      df: DataFrame, cs: Array[Array[Double]], codebook: DataFrame,
-      idCol: String, vecCol: String, nSub: Int, subDim: Int): DataFrame = {
-    val one = onePerId(df, idCol, vecCol)
+      one: DataFrame, cs: Array[Array[Double]], codebook: DataFrame,
+      nSub: Int, subDim: Int): DataFrame = {
     val cells = assignWith(one, cs, "vec_id", "v").select("vec_id", "cell")
     val codes = Ann.pqCodesWith(one,
         codebook, nSub, subDim, "vec_id", "v")
@@ -923,7 +789,8 @@ object AnnIndex {
     val fs = fsOf(s, dir)
     if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
     val n0 = writeVecsGen(
-      corpus.select(col(idCol).as("bucket"), col(vecCol).as("v")), dir, 0L)
+      buildRows(corpus, idCol, vecCol, batchId)
+        .select(col("vec_id").as("bucket"), col("v")), dir, 0L)
     writeMeta(s, dir, Meta(gen = 1L, appendOnly = appendOnly,
       batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
       params = Map("pfetch" -> "1",
@@ -939,7 +806,7 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       newIds: Boolean = false, batchId: Long = -1L): Unit = {
     val s = delta.sparkSession
-    val (gen, next) = reserveGen(s, dir, newIds, batchId)
+    val (gen, next, prev) = reserveGen(s, dir, newIds, batchId)
     if (!next.params.contains("pfetch")) throw new IllegalArgumentException(
       s"tree at $dir is not a point-fetch vector store (no pfetch in its " +
         "meta): append with the matching index append, or build it with " +
@@ -948,10 +815,21 @@ object AnnIndex {
     // same within-batch dedup as every other append: two rows for one
     // id in a declared batch would BOTH survive the plain regime and
     // the point-fetch rerank would rank that neighbor twice
-    val na = writeVecsGen(
-      onePerId(delta, idCol, vecCol)
-        .select(col("vec_id").as("bucket"), col("v")), dir, gen)
-    writeMeta(s, dir, addAppendRows(next, na))
+    val one = onePerId(delta, idCol, vecCol)
+      .select(col("vec_id").as("bucket"), col("v"))
+    // the dead-row count on the store prunes by the delta's pb
+    // directories first (≤ ProbePartitions values — a tiny driver
+    // collect), so an upsert micro-batch reads only its ids' buckets
+    val dead = deadFor(prev, newIds, {
+      val pp = graft.build.Layout.ProbePartitions
+      val pbs = one.select(pmod(col("bucket"), lit(pp)).cast("int").as("pb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      s.read.parquet(vecsDataPath(dir))
+        .filter(col("gen") < prev.gen && col("pb").isin(pbs: _*))
+        .select(col("bucket"), col("gen"))
+    }, "bucket", one, multiRow = false)
+    val na = writeVecsGen(one, dir, gen)
+    writeMeta(s, dir, GenStore.appendCounters(next, na, dead))
   }
 
   /** Rewrite the store at gen 0 from the current corpus under the
@@ -1052,8 +930,8 @@ object AnnIndex {
     // price of a read path that never needs a corpus action
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val n0 = writeBandedGen(
-      Ann.bandedRows(corpus.select(col(idCol).as("vec_id"), col(vecCol)),
-          "vec_id", vecCol, Ann.hyperplanes(nPlanes, dim, seed), bands)
+      Ann.bandedRows(buildRows(corpus, idCol, vecCol, batchId),
+          "vec_id", "v", Ann.hyperplanes(nPlanes, dim, seed), bands)
         .select("vec_id", "band", "bucket"),
       indexDir, 0L)
     writeMeta(s, indexDir, Meta(gen = 1L, appendOnly = appendOnly,
@@ -1075,7 +953,7 @@ object AnnIndex {
       nPlanes: Int = 16, bands: Int = 8, seed: Long = 42L,
       newIds: Boolean = false, batchId: Long = -1L): Unit = {
     val s = delta.sparkSession
-    val (gen, next) = reserveGen(s, indexDir, newIds, batchId)
+    val (gen, next, prev) = reserveGen(s, indexDir, newIds, batchId)
     if (next.params.contains("pq") || next.params.contains("pfetch"))
       throw new IllegalArgumentException(
         s"tree at $indexDir is not a banded index: append with the " +
@@ -1091,12 +969,14 @@ object AnnIndex {
     // — one count over the batch being written anyway
     val one = onePerId(delta, idCol, vecCol)
     val deltaRows = one.count()
+    val dead = deadFor(prev, newIds,
+      rawBanded(s, indexDir, prev.gen), "vec_id", one, multiRow = true)
     val na = writeBandedGen(
       Ann.bandedRows(one, "vec_id", "v",
           Ann.hyperplanes(nPlanes, dim, seed), bands)
         .select("vec_id", "band", "bucket"),
       indexDir, gen, estimatedRows = deltaRows * bands)
-    writeMeta(s, indexDir, addAppendRows(next, na))
+    writeMeta(s, indexDir, GenStore.appendCounters(next, na, dead))
   }
 
   /** Rows-per-file target for banded APPEND generations: small enough
@@ -1131,19 +1011,25 @@ object AnnIndex {
       .repartitionByRange(parts, col("bucket"))
       .sortWithinPartitions("bucket", "band")
       .write.mode("overwrite").parquet(out)
-    banded.sparkSession.read.parquet(out).count()
+    // countWritten (not a bare read.count): a zero-row banded append
+    // currently happens to leave a schema-bearing empty file, but that
+    // is a layout accident — the guarded count is the contract every
+    // other generation writer follows (empty batch = 0, never a throw
+    // that wedges the streaming loop)
+    countWritten(banded.sparkSession, out)
   }
 
-  /** [[staleness]]'s banded twin: the fraction of banded rows that
+  /** [[staleness]]'s banded twin: the fraction of LIVE banded rows that
     * arrived by append — the drift/small-file signal a deployment runs
     * [[compactBanded]] on. (Banded rows never drift geometrically —
     * planes are fixed by seed — so the pressure here is
     * append-generation fan-out and upsert-history cost, not recall.)
-    * O(1) from the meta's row counters, same contract as [[staleness]];
-    * only a legacy counter-less meta pays the index scan. */
+    * O(1) from the meta's live-row counters and EXACT on every history
+    * shape, same contract as [[staleness]]; only a legacy counter-less
+    * meta pays the index scan. */
   def bandedStaleness(s: SparkSession, indexDir: String): Double = {
     val meta = metaOrThrow(s, indexDir)
-    metaStaleness(meta).getOrElse {
+    GenStore.metaStaleness(meta).getOrElse {
       // legacy meta without row counters: the pre-r17 O(index) signal
       // (an index scan plus a groupBy-max self-join per call)
       val raw = rawBanded(s, indexDir, meta.gen)
@@ -1164,11 +1050,13 @@ object AnnIndex {
 
   /** The LIVE banded rows (vec_id, band, bucket): a re-ingested id's
     * latest generation supersedes its older band rows. Same three
-    * regimes as [[ivfAssignments]] (class doc): plain read with the
-    * optional (band, bucket)-superset probe filter pushed into the
-    * scan / BOUNDED resolution over the recorded upsert generations /
-    * full latest-gen resolution with the filter strictly after (the
-    * resurrect hazard). */
+    * regimes as [[ivfAssignments]] via the shared MULTI-ROW-PER-KEY
+    * machinery ([[GenStore.keyedLiveView]] — one definition with the
+    * text postings store, the r17 verdict's unification item): plain
+    * read with the optional (band, bucket)-superset probe filter pushed
+    * into the scan / BOUNDED resolution over the recorded upsert
+    * generations / full latest-gen resolution with the filter strictly
+    * after (the resurrect hazard). */
   def bandedRowsLive(s: SparkSession, indexDir: String,
       probe: Option[(Seq[Int], Seq[Long])] = None): DataFrame = {
     def probeFilter(df: DataFrame): DataFrame = probe.fold(df) {
@@ -1177,19 +1065,8 @@ object AnnIndex {
     }
     val meta = metaOrThrow(s, indexDir)
     val raw = rawBanded(s, indexDir, meta.gen)
-    def resolve(rows: DataFrame): DataFrame = rows.join(
-        rows.groupBy("vec_id").agg(max("gen").as("gen")), Seq("vec_id", "gen"))
+    GenStore.keyedLiveView(meta, raw, "vec_id", probeFilter, resolveAll = false)
       .select("vec_id", "band", "bucket")
-    if (meta.appendOnly) probeFilter(raw).select("vec_id", "band", "bucket")
-    else if (meta.trusted && meta.upsertGens.nonEmpty) {
-      val ug = meta.upsertGens
-      val upRows = raw.filter(col("gen").isin(ug: _*))
-      val upIds = upRows.select("vec_id").distinct()
-      val untouched = probeFilter(raw.filter(!col("gen").isin(ug: _*)))
-        .join(broadcast(upIds), Seq("vec_id"), "left_anti")
-        .select("vec_id", "band", "bucket")
-      untouched.unionByName(probeFilter(resolve(upRows)))
-    } else probeFilter(resolve(raw))
   }
 
   /** [[Ann.lshTopK]] through the MAINTAINED banded index: corpus-side

@@ -607,6 +607,14 @@ class AnnIndexSpec extends AnyFunSuite {
       val probed = rows3(AnnIndex.ivfAssignments(spark, idx, cells = Some(cells)))
       assert(probed == full.filter(r => cells.contains(r._2)),
         s"step $step: probed view is not the cell-filter of the live view")
+      // the staleness counters are EXACT on this arbitrary upsert
+      // history (r18): undeclared appends move the rows they supersede
+      // out of the live counters, so the signal equals the true live
+      // append-row fraction at every step — no ≤2x band
+      val st = AnnIndex.staleness(spark, idx)
+      val expSt = liveGen.count(_._2 > 0L).toDouble / liveGen.size
+      assert(math.abs(st - expSt) < 1e-9,
+        s"step $step: staleness $st != exact live append fraction $expSt")
     }
   }
 
@@ -617,7 +625,8 @@ class AnnIndexSpec extends AnyFunSuite {
     def rv() = Array.fill(4)(rnd.nextFloat() * 2 - 1)
     var nextFresh = 100L
     val content = scala.collection.mutable.Map[Long, Array[Float]]()
-    (0L until 20L).foreach(i => content(i) = rv())
+    val liveGen = scala.collection.mutable.Map[Long, Long]()
+    (0L until 20L).foreach { i => content(i) = rv(); liveGen(i) = 0L }
     AnnIndex.buildBanded(content.toSeq.toDF("vec_id", "embedding"), idx,
       nPlanes = 8, bands = 4, seed = 1L)
     for (step <- 1 to 6) {
@@ -646,6 +655,14 @@ class AnnIndexSpec extends AnyFunSuite {
         .select(col("vec_id"), col("band").cast("long"), col("bucket")))
       assert(view == expected,
         s"step $step (newIds=$newIds): banded view diverged from pure banding")
+      // exact staleness on the multi-row structure too: every id
+      // carries `bands` rows per generation, so the live append-row
+      // fraction is the live append-ID fraction
+      delta.foreach { case (i, _) => liveGen(i) = step.toLong }
+      val st = AnnIndex.bandedStaleness(spark, idx)
+      val expSt = liveGen.count(_._2 > 0L).toDouble / liveGen.size
+      assert(math.abs(st - expSt) < 1e-9,
+        s"step $step: banded staleness $st != exact live append fraction $expSt")
     }
   }
 
