@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.Tables
-import graft.text.TextIndex
+import graft.build.GenStore
+import graft.dedup.DedupArtifacts
+import graft.text.{PostingsStore, TextIndex}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,25 +13,59 @@ import org.apache.spark.sql.functions._
   * Oracles recompute the same scores from raw text in DuckDB — index
   * path vs full-tokenization path, the text analog of the index-scan ≡
   * full-scan differential.
+  *
+  * The postings artifacts are MAINTAINED stores under the full
+  * [[GenStore]] discipline since r18 (the last write-once,
+  * fingerprint-less cache in the engine — an in-place corpus rewrite
+  * used to silently serve stale search results): each carries a
+  * source-fingerprinted marker (rebuild iff the corpus or params
+  * changed), and is built as a genuine base + delta-append HISTORY —
+  * gen 0 indexes the base documents, the standard delta batch appends
+  * as gen 1 (declared new, truthfully: the split is by doc id), the
+  * reference's day-partitioned Lucene ingest reshaped
+  * (`StatusesIndexManager.java:42-144`). Every search below therefore
+  * reads through a maintained (base + append) postings history.
   */
 object TextQueries extends QueryModule {
 
-  private def postingsDir(sfDir: String): String = {
+  private def root(sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
-    s"/root/repo/target/graft_demo/v${IndexedQueries.DemoLayoutVersion}/$sfName/text_postings"
+    s"/root/repo/target/graft_demo/v${IndexedQueries.DemoLayoutVersion}/$sfName"
   }
 
-  /** Build + persist postings once per scale factor. */
-  private def postings(s: SparkSession, sfDir: String): DataFrame = synchronized {
-    val dir = postingsDir(sfDir)
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      TextIndex.writePostings(
-        TextIndex.buildPostings(Tables.documents(s, sfDir), "doc_id", "text"), dir)
+  /** Artifact epoch: bump to rebuild the postings stores alone. */
+  private val PostingsEpoch = 1
+
+  private def isDelta =
+    col("doc_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+
+  /** Build-or-reuse a fingerprinted maintained postings store: gen 0 =
+    * base docs, gen 1 = the delta batch appended (`newIds` per the
+    * caller — true models the dated-ingest day, false the re-ingest
+    * upsert). One definition for all three text artifacts. */
+  private def ensurePostings(s: SparkSession, sfDir: String, name: String,
+      fields: Seq[(String, String)], deltaNewIds: Boolean,
+      baseAll: Boolean = false): String = synchronized {
+    val dir = s"${root(sfDir)}/$name"
+    val marker = new Path(s"${root(sfDir)}/_META_$name")
+    val fp = s"e$PostingsEpoch:${fields.map(_._1).mkString(",")}:" +
+      graft.build.Layout.sourceFingerprint(s, s"$sfDir/documents.parquet")
+    GenStore.ensureArtifact(s, marker, fp, dir) {
+      val docs = Tables.documents(s, sfDir)
+      PostingsStore.build(
+        if (baseAll) docs else docs.filter(!isDelta), dir, "doc_id", fields)
+      PostingsStore.append(docs.filter(isDelta), dir, "doc_id", fields,
+        newIds = deltaNewIds)
     }
-    s.read.parquet(dir)
+    dir
   }
+
+  /** The flagship single-field postings history (base + declared delta
+    * append — plain-regime reads, the common-case economics). */
+  private def postings(s: SparkSession, sfDir: String): DataFrame =
+    PostingsStore.live(s,
+      ensurePostings(s, sfDir, "text_postings_m",
+        Seq("text" -> "text"), deltaNewIds = true))
 
   /** Top-10 docs for an OR query, with doc fetch (source field) —
     * search + fetchDoc in one plan; the doc join is broadcast (top-k is
@@ -142,24 +178,12 @@ object TextQueries extends QueryModule {
       |CROSS JOIN stats s
       |GROUP BY t.doc_id""".stripMargin
 
-  private def fieldedPostingsDir(sfDir: String): String = {
-    val sfName = new java.io.File(sfDir).getName
-    s"/root/repo/target/graft_demo/v${IndexedQueries.DemoLayoutVersion}/$sfName/fielded_postings"
-  }
-
-  /** Build + persist the multi-field postings (text + source) once per
-    * scale factor — the index behind the query-language queries. */
-  private def fieldedPostings(s: SparkSession, sfDir: String): DataFrame = synchronized {
-    val dir = fieldedPostingsDir(sfDir)
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      TextIndex.writeFieldedPostings(
-        TextIndex.buildFieldedPostings(Tables.documents(s, sfDir), "doc_id",
-          Seq("text" -> "text", "source" -> "source")), dir)
-    }
-    s.read.parquet(dir)
-  }
+  /** The multi-field postings history (text + source) behind the
+    * query-language queries — same maintained-store discipline. */
+  private def fieldedPostings(s: SparkSession, sfDir: String): DataFrame =
+    PostingsStore.live(s,
+      ensurePostings(s, sfDir, "fielded_postings_m",
+        Seq("text" -> "text", "source" -> "source"), deltaNewIds = true))
 
   /** The QUERY LANGUAGE end-to-end: boolean operators, a phrase, and a
     * MUST_NOT clause in one parsed string, compiled to an index-only
@@ -316,8 +340,57 @@ object TextQueries extends QueryModule {
        |FROM q CROSS JOIN vocab v
        |WHERE LEVENSHTEIN(q.query, v.term) <= 1""".stripMargin
 
+  /** TOP-K SEARCH THROUGH AN UPSERT-MAINTAINED POSTINGS HISTORY
+    * (r18 — the oracle gate on the new text lifecycle's resolution-
+    * bearing regime): gen 0 indexes the FULL corpus, then the delta
+    * batch is RE-INGESTED WITH CHANGED CONTENT (each delta doc gains a
+    * trailing `graftmark` token) as an UNDECLARED append — the
+    * re-crawled-documents scenario. The live read resolves at the
+    * document level through the bounded tracked-upsert regime: the
+    * delta docs' gen-0 rows are superseded ENTIRELY (their old token
+    * counts must not leak into scores), the new `graftmark` rows rank,
+    * and untouched docs stay a plain pruned read behind the broadcast
+    * anti-join. The oracle recomputes top-k from the CURRENT corpus
+    * (raw text with the delta docs' modification applied in SQL) — the
+    * maintained index path must equal the from-scratch scan of the
+    * corpus as it now stands. */
+  private def q173TextMaintainedUpsert(s: SparkSession, dir: String): DataFrame = {
+    val d = s"${root(dir)}/text_postings_u"
+    val marker = new Path(s"${root(dir)}/_META_text_postings_u")
+    val fp = s"e$PostingsEpoch:u:" +
+      graft.build.Layout.sourceFingerprint(s, s"$dir/documents.parquet")
+    synchronized {
+      GenStore.ensureArtifact(s, marker, fp, d) {
+        val docs = Tables.documents(s, dir)
+        PostingsStore.build(docs, d)
+        PostingsStore.append(
+          docs.filter(isDelta)
+            .withColumn("text", concat(col("text"), lit(" graftmark"))),
+          d) // undeclared: the bounded doc-level resolution regime
+      }
+    }
+    TextIndex.searchTopK(
+      PostingsStore.live(s, d, terms = Some(Seq("merge", "graftmark"))),
+      Seq("merge", "graftmark"), 10)
+  }
+
+  private val q173Sql =
+    """WITH cur AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 6 THEN text || ' graftmark' ELSE text END AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+      |  FROM cur),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS score FROM toks
+      |  WHERE tok IN ('merge', 'graftmark') GROUP BY doc_id)
+      |SELECT doc_id, score FROM hits
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q21_text_topk", q21TextTopK, Some(q21Sql)),
+    Q("q173_text_maintained_upsert", q173TextMaintainedUpsert, Some(q173Sql)),
     Q("q126_fuzzy_terms", q126FuzzyTerms, Some(q126Sql)),
     Q("q22_text_count", q22TextCount, Some(q22Sql)),
     Q("q23_text_sample", q23TextSample, Some(q23Sql)),

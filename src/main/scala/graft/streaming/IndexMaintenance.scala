@@ -245,6 +245,60 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       .start()
   }
 
+  /** Streaming maintenance of the TEXT POSTINGS STORE — the r18 twin
+    * completing the set again after `PostingsStore` brought the text
+    * index under the gen lifecycle: every persisted structure
+    * (postings, bloom, raw-IVF, banded, IVF-PQ, vecs, TEXT) now has
+    * batch AND streaming maintenance. Each micro-batch tokenizes its
+    * documents and appends their postings rows into a new generation
+    * (`PostingsStore.append` — tokenization is a pure per-document
+    * function, O(|delta|), nothing of the base re-read); the first
+    * batch against a missing store builds it. This IS the reference's
+    * daily Lucene indexing workload re-expressed as a stream
+    * (`StatusesIndexManager.java:42-144`: a new day of statuses → a new
+    * index increment, never a corpus rebuild). Exactly-once composition
+    * is IDENTICAL to the vector twins (same meta protocol, same crash
+    * cases); `compactAt > 0` bounds generation fan-out via the same
+    * O(1) exact staleness counters, and an in-stream compact stamps
+    * upserts-possible-and-untrusted in its own staged meta. */
+  def runTextAvailableNow(
+      spark: SparkSession,
+      docsDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      assumeNewIds: Boolean = false,
+      compactAt: Double = 0.0): StreamingQuery = {
+    val PS = graft.text.PostingsStore
+    val fields = Seq("text" -> textCol)
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (PS.recover(spark, storeDir))
+          logInfo(s"IndexMaintenance text batch $batchId: adopted staged compact")
+        if (!PS.isComplete(spark, storeDir)) {
+          PS.build(batch, storeDir, idCol, fields, batchId = batchId)
+          logInfo(s"IndexMaintenance text batch $batchId: build")
+        } else if (batchId <= PS.lastAppliedBatch(spark, storeDir)) {
+          logInfo(s"IndexMaintenance text batch $batchId: replay, skipped")
+        } else {
+          PS.append(batch, storeDir, idCol, fields,
+            newIds = assumeNewIds, batchId = batchId)
+          logInfo(s"IndexMaintenance text batch $batchId: append")
+          if (compactAt > 0 && PS.staleness(spark, storeDir) >= compactAt) {
+            PS.compact(spark.read.parquet(docsDir), storeDir, idCol, fields,
+              batchId = batchId, appendOnly = false)
+            logInfo(s"IndexMaintenance text batch $batchId: compacted (staged)")
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming maintenance of the BANDED (sign-LSH) ANN index — the
     * banded twin of [[runIvfAvailableNow]], completing the streaming
     * lifecycle for both persisted vector-index structures: new

@@ -1,0 +1,232 @@
+package graft.text
+
+import graft.build.GenStore
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The document-level TEXT POSTINGS table under the SAME maintained
+  * lifecycle as every other persisted structure ([[graft.build
+  * .GenStore]]): build → gen-stamped append → three-regime live read →
+  * staged compact. This closes the last artifact-discipline exception
+  * (r17 verdict #1): the postings table was a write-once,
+  * fingerprint-less cache — the one persisted artifact that would
+  * silently serve stale search results after an in-place corpus
+  * rewrite, and the one index with no O(|delta|) maintenance path.
+  *
+  * Reference analog: the Lucene module's whole operating model is
+  * per-day index construction over NEW data, never a corpus rebuild
+  * (`indexing/StatusesIndexManager.java:42-144` — day-partitioned index
+  * collections; `AbstractLuceneIndexingJob.run:92-150`). Here a day's
+  * new documents are one postings append: tokenize the delta, write its
+  * (field, term, doc_id, tf, positions) rows into their own `gen=N`
+  * directory — O(|delta|), nothing of the base re-read or rewritten.
+  *
+  * APPEND ≡ REBUILD is exact for declared-new batches by construction:
+  * postings rows are per-(field, term, doc), and tokenization under the
+  * fixed analyzer is a pure per-document function — the banded table's
+  * argument. RE-INGESTED documents resolve at the DOCUMENT level (the
+  * multi-row [[GenStore.keyedLiveView]], key = doc_id): every postings
+  * row of the doc's latest generation wins, so a term the new version
+  * DROPPED disappears (its row simply doesn't exist in the winning
+  * generation — no tombstones needed). Documents whose re-ingest has NO
+  * tokens at all leave a zero-cost SENTINEL row (term = "", tf = 0) in
+  * their generation, so the doc still occupies the generation for
+  * supersession — without it an emptied doc would vanish from the
+  * upsert-id set and its stale rows would survive the anti-join. The
+  * sentinel never matches a query term (the analyzer drops empties) and
+  * [[live]] filters it out after resolution.
+  *
+  * PHYSICAL LAYOUT: each generation's rows are range-clustered by
+  * (field, term) with (field, term, doc_id)-sorted row groups, so a
+  * term lookup (or a prefix's [lo, hi) range) skips whole files and row
+  * groups by parquet min-max stats — the same probe economics as the
+  * banded index, keyed by term. Append generations size their file
+  * fan-out to the batch (a micro-batch lands in one file).
+  *
+  * The probe filter here is on `term`/`field`, NOT the reduce key, so
+  * it follows the standard regime discipline (pushed into plain and
+  * untouched branches, applied after the reduce on resolving branches —
+  * filtering a doc's rows by term BEFORE doc-level resolution would
+  * resurrect a dropped term's old row, the same hazard the banded probe
+  * has).
+  */
+object PostingsStore {
+
+  private def dataPath(dir: String) = s"$dir/data"
+
+  /** Analyzer/layout epoch persisted in the meta: bump when the
+    * tokenizer or row schema changes, so appends under a different
+    * analyzer THROW instead of silently mixing token models across
+    * generations (the text twin of the banded seed/planes check). */
+  private val TokenizerEpoch = 1L
+
+  private def fieldsKey(fields: Seq[(String, String)]): String =
+    fields.map { case (n, c) => s"$n:$c" }.mkString(",")
+
+  /** One coherent (doc_id, columns...) row per doc id — the
+    * at-least-once batch surface, same deterministic whole-struct pick
+    * as the vector appends. `dedup = false` skips the shuffle for
+    * curated batch corpora. */
+  private def normalized(docs: DataFrame, idCol: String,
+      fields: Seq[(String, String)], dedup: Boolean): DataFrame = {
+    val cols = fields.map(_._2).distinct
+    val base = docs.select(col(idCol).as("doc_id") +: cols.map(col): _*)
+    if (!dedup) base
+    else base.groupBy("doc_id").agg(max(struct(cols.map(col): _*)).as("m"))
+      .select(col("doc_id") +: cols.map(c => col(s"m.$c").as(c)): _*)
+  }
+
+  /** The batch's postings rows + the empty-doc sentinels (class doc). */
+  private def postingsRows(docs: DataFrame,
+      fields: Seq[(String, String)]): DataFrame = {
+    val p = TextIndex.buildFieldedPostings(docs, "doc_id", fields)
+    val sentinels = docs.select(col("doc_id"))
+      .join(p.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(lit("").as("term"), col("doc_id"), lit(0L).as("tf"),
+        typedLit(Seq.empty[Int]).as("positions"), lit("").as("field"))
+    p.unionByName(sentinels)
+  }
+
+  /** Rows-per-file scaling for append generations (the banded writer's
+    * discipline): a micro-batch of docs lands in few files, a corpus
+    * build fans out to the session width. Postings rows per doc vary,
+    * so the proxy is docs-per-file. */
+  private val AppendDocsPerFile = 256L
+
+  private def writeGen(rows: DataFrame, dir: String, gen: Long,
+      estDocs: Long = -1L): Long = {
+    val width = rows.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit partition count: an AQE-coalesced range shuffle would
+    // collapse small generations into one wide-range file and erase the
+    // min-max selectivity term probes prune against
+    val parts =
+      if (estDocs < 0) width
+      else math.max(1L, math.min(width.toLong,
+        (estDocs + AppendDocsPerFile - 1) / AppendDocsPerFile)).toInt
+    val out = s"${dataPath(dir)}/gen=$gen"
+    rows
+      .repartitionByRange(parts, col("field"), col("term"))
+      .sortWithinPartitions("field", "term", "doc_id")
+      .write.mode("overwrite").parquet(out)
+    GenStore.countWritten(rows.sparkSession, out)
+  }
+
+  /** Build the postings store from a corpus: gen 0, meta LAST
+    * (completion marker — the [[GenStore]] protocol, crash cases
+    * included). A stream-invoked build (`batchId >= 0`) dedups
+    * duplicate-id first batches like every other structure. */
+  def build(docs: DataFrame, dir: String,
+      idCol: String = "doc_id",
+      fields: Seq[(String, String)] = Seq("text" -> "text"),
+      batchId: Long = -1L, appendOnly: Boolean = true): Unit = {
+    require(fields.nonEmpty, "at least one (fieldName, column) pair")
+    val s = docs.sparkSession
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val one = normalized(docs, idCol, fields, dedup = batchId >= 0)
+    val n0 = writeGen(postingsRows(one, fields), dir, 0L)
+    GenStore.writeMeta(s, dir, GenStore.Meta(gen = 1L, appendOnly = appendOnly,
+      batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
+      params = Map("text" -> "1", "tok" -> TokenizerEpoch.toString,
+        "pfields" -> fieldsKey(fields))))
+  }
+
+  /** Tokenize ONLY the delta batch under the persisted analyzer epoch
+    * and write its postings into the next `gen=N` directory —
+    * O(|delta|). `newIds`/replay/counter semantics exactly as the
+    * vector appends (undeclared appends pay the exact dead-row count;
+    * declared ones pay nothing). */
+  def append(delta: DataFrame, dir: String,
+      idCol: String = "doc_id",
+      fields: Seq[(String, String)] = Seq("text" -> "text"),
+      newIds: Boolean = false, batchId: Long = -1L): Unit = {
+    val s = delta.sparkSession
+    val (gen, next, prev) = GenStore.reserveGen(s, dir, newIds, batchId)
+    requireText(next, dir)
+    GenStore.requireParam(next, dir, "tok", TokenizerEpoch)
+    if (!next.params.get("pfields").contains(fieldsKey(fields)))
+      throw new IllegalArgumentException(
+        s"postings store at $dir was built with fields " +
+          s"${next.params.getOrElse("pfields", "<none>")}, caller passed " +
+          s"${fieldsKey(fields)} — fields are fixed at build time; " +
+          "compact/rebuild to change them")
+    val one = normalized(delta, idCol, fields, dedup = true)
+    val nDocs = one.count()
+    val dead =
+      if (prev.baseRows >= 0 && GenStore.needsDeadCount(prev, newIds))
+        GenStore.deadCounts(raw(s, dir, prev.gen), "doc_id", one, multiRow = true)
+      else (0L, 0L)
+    val na = writeGen(postingsRows(one, fields), dir, gen, estDocs = nDocs)
+    GenStore.writeMeta(s, dir, GenStore.appendCounters(next, na, dead))
+  }
+
+  /** Re-tokenize the current corpus and rewrite at gen 0 under the
+    * shared staged-swap/recover protocol — the compaction step once
+    * [[staleness]] or upsert-history read cost crosses the budget. */
+  def compact(docs: DataFrame, dir: String,
+      idCol: String = "doc_id",
+      fields: Seq[(String, String)] = Seq("text" -> "text"),
+      batchId: Long = -1L, appendOnly: Boolean = true): Unit =
+    GenStore.stagedCompact(docs.sparkSession, dir)(tmp =>
+      build(docs, tmp, idCol, fields, batchId, appendOnly))
+
+  private def requireText(m: GenStore.Meta, dir: String): Unit =
+    if (!m.params.contains("text")) throw new IllegalArgumentException(
+      s"tree at $dir is not a postings store (no text marker in its " +
+        "meta): build it with PostingsStore.build")
+
+  private def raw(s: SparkSession, dir: String, committedGen: Long): DataFrame =
+    s.read.parquet(dataPath(dir))
+      .filter(col("gen") < committedGen)
+      .select(col("field"), col("term"), col("doc_id"), col("tf"),
+        col("positions"), col("gen").cast("long").as("gen"))
+
+  /** The LIVE postings (field, term, doc_id, tf, positions): document-
+    * level latest-generation resolution through the shared
+    * [[GenStore.keyedLiveView]] — plain read on append-only histories
+    * (term/field probe filters push into the range-clustered scan) /
+    * BOUNDED resolution over the recorded upsert generations / full
+    * resolution, per the meta. Sentinel rows are dropped AFTER
+    * resolution (they exist only to keep emptied docs in their
+    * generation's id set). The output is drop-in for every
+    * [[TextIndex]] reader and [[QueryLang]] (which scope by `field`). */
+  def live(s: SparkSession, dir: String,
+      field: Option[String] = None, terms: Option[Seq[String]] = None,
+      resolveAll: Boolean = false): DataFrame = {
+    val meta = GenStore.metaOrThrow(s, dir)
+    requireText(meta, dir)
+    def probeFilter(df: DataFrame): DataFrame = {
+      val f1 = field.fold(df)(f => df.filter(col("field") === f))
+      val f2 = terms.fold(f1)(ts =>
+        f1.filter(col("term").isin(ts.map(_.toLowerCase): _*)))
+      f2.filter(col("term") =!= "")
+    }
+    GenStore.keyedLiveView(meta, raw(s, dir, meta.gen), "doc_id",
+        probeFilter, resolveAll)
+      .select("field", "term", "doc_id", "tf", "positions")
+  }
+
+  /** Fraction of LIVE postings rows that arrived by append — O(1) from
+    * the meta's exact live-row counters (the [[GenStore]] contract); a
+    * legacy counter-less meta pays a doc-level resolution scan. */
+  def staleness(s: SparkSession, dir: String): Double = {
+    val meta = GenStore.metaOrThrow(s, dir)
+    GenStore.metaStaleness(meta).getOrElse {
+      val r = GenStore.keyedLiveView(meta, raw(s, dir, meta.gen), "doc_id",
+          identity, resolveAll = false)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("gen") > 0, 1L).otherwise(0L)).as("d")).head()
+      if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+    }
+  }
+
+  /** [[GenStore]] protocol delegates — the streaming twin's surface. */
+  def isComplete(s: SparkSession, dir: String): Boolean =
+    GenStore.isComplete(s, dir)
+  def lastAppliedBatch(s: SparkSession, dir: String): Long =
+    GenStore.lastAppliedBatch(s, dir)
+  def recover(s: SparkSession, dir: String): Boolean =
+    GenStore.recover(s, dir)
+}

@@ -1,0 +1,175 @@
+package graft
+
+import graft.text.{PostingsStore, TextIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The text postings store's maintained lifecycle (PostingsStore):
+  * append ≡ rebuild exactly for declared batches (postings rows are
+  * per-(term, doc) and tokenization is a pure per-doc function);
+  * re-ingested docs resolve at the DOCUMENT level — dropped terms
+  * disappear, emptied docs leave search entirely (the sentinel
+  * mechanism); the artifact marker detects source changes; the
+  * streaming twin equals the batch path. */
+class PostingsStoreSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("PostingsStoreSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val work =
+    java.nio.file.Files.createTempDirectory("pstore").toString
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Live postings as a comparable set (field, term, doc, tf, pos). */
+  private def liveSet(dir: String): Set[(String, String, Long, Long, Seq[Int])] =
+    PostingsStore.live(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Int](4))).toSet
+
+  private def builtSet(docs: DataFrame): Set[(String, String, Long, Long, Seq[Int])] =
+    TextIndex.buildFieldedPostings(docs, "doc_id", Seq("text" -> "text"))
+      .collect()
+      .map(r => (r.getString(4), r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3))).toSet
+
+  test("declared append ≡ rebuild, plain-regime read, exact staleness") {
+    val base = docsDF(Seq(1L -> "spark joins data", 2L -> "hash join wins"))
+    val delta = docsDF(Seq(3L -> "merge join spark", 4L -> "scan the table"))
+    val d1 = s"$work/p1"
+    PostingsStore.build(base, d1)
+    PostingsStore.append(delta, d1, newIds = true)
+    val d2 = s"$work/p1_full"
+    PostingsStore.build(docsDF(Seq(
+      1L -> "spark joins data", 2L -> "hash join wins",
+      3L -> "merge join spark", 4L -> "scan the table")), d2)
+    assert(liveSet(d1) == liveSet(d2), "append diverged from rebuild")
+    // append-only history: the live view is a PLAIN read — no shuffle
+    assert(!PostingsStore.live(spark, d1).queryExecution.executedPlan
+      .toString.contains("Exchange"),
+      "append-only postings store must serve a plain read")
+    // exact live-row staleness: delta contributed its postings rows
+    val total = liveSet(d1).size.toDouble
+    val deltaRows = builtSet(delta).size.toDouble
+    assert(math.abs(PostingsStore.staleness(spark, d1) - deltaRows / total) < 1e-9)
+  }
+
+  test("undeclared re-ingest with changed content: doc-level resolution drops old terms") {
+    val d = s"$work/p2"
+    PostingsStore.build(docsDF(Seq(
+      1L -> "alpha beta gamma", 2L -> "delta epsilon", 3L -> "alpha zeta")), d)
+    // doc 1 re-ingested WITHOUT beta/gamma and WITH a new term; doc 3
+    // untouched — its rows must survive the anti-join unchanged
+    PostingsStore.append(docsDF(Seq(1L -> "alpha omega")), d)
+    val expected = builtSet(docsDF(Seq(
+      1L -> "alpha omega", 2L -> "delta epsilon", 3L -> "alpha zeta")))
+    assert(liveSet(d) == expected,
+      "upsert view diverged from the postings of the current content")
+    // the dropped term must not resurrect under a term probe either
+    // (probe filters apply AFTER doc-level resolution on the upsert gen)
+    assert(PostingsStore.live(spark, d, terms = Some(Seq("beta"))).count() == 0,
+      "a term the re-ingest dropped leaked through the probed read")
+    // exact staleness on the upsert: doc 1's live rows are its 2 new
+    // ones; live = 2 (doc1) + 2 (doc2) + 2 (doc3)
+    assert(math.abs(PostingsStore.staleness(spark, d) - 2.0 / 6.0) < 1e-9)
+    // audit plan agrees
+    assert(liveSet(d) == PostingsStore.live(spark, d, resolveAll = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Int](4))).toSet)
+  }
+
+  test("an emptied re-ingest removes the doc from search (sentinel supersession)") {
+    val d = s"$work/p3"
+    PostingsStore.build(docsDF(Seq(1L -> "alpha beta", 2L -> "alpha")), d)
+    PostingsStore.append(docsDF(Seq(1L -> "   ")), d) // tokenless re-ingest
+    val live = liveSet(d)
+    assert(live == builtSet(docsDF(Seq(2L -> "alpha"))),
+      s"emptied doc must leave the live postings entirely, got $live")
+    assert(TextIndex.searchTopK(PostingsStore.live(spark, d), Seq("alpha"), 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("compact rewrites at gen 0, resets staleness, equals the from-scratch build") {
+    val d = s"$work/p4"
+    PostingsStore.build(docsDF(Seq(1L -> "alpha beta")), d)
+    PostingsStore.append(docsDF(Seq(1L -> "alpha omega", 2L -> "beta")), d)
+    assert(PostingsStore.staleness(spark, d) > 0.0)
+    val current = docsDF(Seq(1L -> "alpha omega", 2L -> "beta"))
+    PostingsStore.compact(current, d)
+    assert(PostingsStore.staleness(spark, d) == 0.0, "compact must reset staleness")
+    assert(liveSet(d) == builtSet(current))
+  }
+
+  test("model/param guards: mismatched fields and tokenizer epochs throw; non-stores rejected") {
+    val d = s"$work/p5"
+    PostingsStore.build(docsDF(Seq(1L -> "alpha")), d)
+    intercept[IllegalArgumentException] {
+      PostingsStore.append(docsDF(Seq(2L -> "beta")), d,
+        fields = Seq("body" -> "text"))
+    }
+    // a vector-store tree must not accept postings appends
+    val v = s"$work/p5_vecs"
+    import spark.implicits._
+    graft.similarity.AnnIndex.buildVecs(
+      Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"), v)
+    intercept[IllegalArgumentException] {
+      PostingsStore.append(docsDF(Seq(2L -> "beta")), v)
+    }
+  }
+
+  test("artifact discipline: the fingerprinted marker rebuilds on source change, reuses otherwise") {
+    val d = s"$work/p6"
+    val marker = new org.apache.hadoop.fs.Path(s"$work/_META_p6")
+    var builds = 0
+    def ensure(fp: String): Unit =
+      graft.build.GenStore.ensureArtifact(spark, marker, fp, d) {
+        builds += 1
+        PostingsStore.build(docsDF(Seq(1L -> "alpha")), d)
+      }
+    ensure("fp-a"); ensure("fp-a")
+    assert(builds == 1, "an unchanged fingerprint must reuse the artifact")
+    ensure("fp-b") // the source changed: stale results must NOT be served
+    assert(builds == 2, "a changed fingerprint must rebuild")
+    // a complete-looking tree with a MISSING marker rebuilds too
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    ensure("fp-b")
+    assert(builds == 3, "a markerless tree must rebuild, not be trusted")
+  }
+
+  test("streaming maintenance (AvailableNow) equals the batch path, replays are no-ops") {
+    val docsDir = s"$work/stream_docs"
+    val store = s"$work/stream_store"
+    val ckpt = s"$work/stream_ckpt"
+    val base = docsDF(Seq(1L -> "spark joins data", 2L -> "hash join wins"))
+    base.write.parquet(docsDir)
+    val q1 = graft.streaming.IndexMaintenance.runTextAvailableNow(
+      spark, docsDir, store, ckpt, assumeNewIds = true)
+    q1.awaitTermination()
+    docsDF(Seq(3L -> "merge join spark")).write.mode("append").parquet(docsDir)
+    val q2 = graft.streaming.IndexMaintenance.runTextAvailableNow(
+      spark, docsDir, store, ckpt, assumeNewIds = true)
+    q2.awaitTermination()
+    // batch twin over the same history
+    val b = s"$work/stream_batch_twin"
+    PostingsStore.build(base, b)
+    PostingsStore.append(docsDF(Seq(3L -> "merge join spark")), b, newIds = true)
+    assert(liveSet(store) == liveSet(b), "stream diverged from batch")
+    // a re-run with no new files must not append anything
+    val genBefore = PostingsStore.lastAppliedBatch(spark, store)
+    val q3 = graft.streaming.IndexMaintenance.runTextAvailableNow(
+      spark, docsDir, store, ckpt, assumeNewIds = true)
+    q3.awaitTermination()
+    assert(PostingsStore.lastAppliedBatch(spark, store) == genBefore)
+    assert(liveSet(store) == liveSet(b), "a drained re-run must be a no-op")
+  }
+}
