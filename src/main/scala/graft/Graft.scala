@@ -53,6 +53,24 @@ object Graft {
       updated.map { case (d, i) => s"$d=$i" }.mkString(";"))
   }
 
+  /** Register (or update) the BLOOM skipping-index root for a dataset
+    * path (`BloomIndex.build`'s output): transparent reads then consult
+    * the sketches for conjunct EQ leaves on bloom-covered columns,
+    * composing with any postings-index registration on the same path —
+    * high-cardinality EQ skipping without touching the query. */
+  def registerBloom(spark: SparkSession, dataDir: String, bloomRoot: String): Unit = {
+    require(!dataDir.contains("=") && !dataDir.contains(";"),
+      s"dataDir cannot contain '=' or ';' (conf-encoding separators): $dataDir")
+    require(!bloomRoot.contains(";"),
+      s"bloomRoot cannot contain ';' (conf entry separator): $bloomRoot")
+    val key = graft.build.IndexBuilder.canonicalPath(dataDir)
+    val existing = GraftPruneRule.parseRegistry(
+      spark.conf.getOption(GraftPruneRule.BloomIndexesConf))
+    val updated = existing + (key -> bloomRoot)
+    spark.conf.set(GraftPruneRule.BloomIndexesConf,
+      updated.map { case (d, i) => s"$d=$i" }.mkString(";"))
+  }
+
   def read(spark: SparkSession, dataDir: String): DataFrame = {
     enable(spark)
     spark.read.parquet(dataDir)

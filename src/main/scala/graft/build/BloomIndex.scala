@@ -173,6 +173,33 @@ object BloomIndex extends Logging {
       dataDir: String,
       pred: Eq,
       bloomRoot: String): (Seq[String], PruneReport) = {
+    val (selected, fallback, _, report) = decide(spark, dataDir, pred, bloomRoot)
+    ((selected ++ fallback).map(_.path), report)
+  }
+
+  /** Exclusion-oriented decision for the transparent rule
+    * ([[graft.plans.GraftPruneRule]] — the postings-index
+    * `PrunedScanner.excludedFiles` convention): the files PROVABLY
+    * irrelevant to the EQ leaf (fresh bloom, negative membership), plus
+    * the report. The rule subtracts these from the relation's own
+    * listing, so a file unknown to this enumeration is read, never
+    * silently dropped. */
+  def excludedFiles(
+      spark: SparkSession,
+      dataDir: String,
+      pred: Eq,
+      bloomRoot: String): (Seq[IndexBuilder.SourceFile], PruneReport) = {
+    val (selected, fallback, all, report) = decide(spark, dataDir, pred, bloomRoot)
+    val keep = (selected ++ fallback).map(_.path).toSet
+    (all.filterNot(f => keep(f.path)), report)
+  }
+
+  private def decide(
+      spark: SparkSession,
+      dataDir: String,
+      pred: Eq,
+      bloomRoot: String): (Seq[IndexBuilder.SourceFile],
+      Seq[IndexBuilder.SourceFile], Seq[IndexBuilder.SourceFile], PruneReport) = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val files = IndexBuilder.listDataFiles(spark, dataDir)
@@ -216,7 +243,7 @@ object BloomIndex extends Logging {
     logInfo(s"BloomIndex $dataDir pred=$pred: " +
       s"files ${report.selectedFiles}+${report.fallbackFiles}fallback/${report.totalFiles}, " +
       s"bytes ${report.selectedBytes}/${report.totalBytes} (ratio ${report.bytesRatio})")
-    ((selected ++ fallback).map(_.path), report)
+    (selected, fallback, files, report)
   }
 
   /** Bloom-pruned scan with the mandatory row-level residual. */

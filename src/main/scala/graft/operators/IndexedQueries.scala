@@ -225,6 +225,29 @@ object IndexedQueries extends QueryModule {
   private val q46Sql =
     "SELECT event_id, user_id, event_type FROM events WHERE event_id = 777"
 
+  /** TRANSPARENT bloom pruning (r18 — pre-r18 the sketches were
+    * explicit-path only): a plain `Graft.read(...).filter` on the
+    * high-cardinality bloom-indexed column, with BOTH registries live —
+    * the postings index can't answer `event_id` (unindexed column), the
+    * bloom registry subtracts every provably-negative file invisibly
+    * (`getSplits`-style, `BlockIndexedFileInputFormat.java:110-187`).
+    * GraftRuleSpec asserts the files-read drop at plan level; here the
+    * row set is under the oracle. */
+  private def q174BloomTransparent(s: SparkSession, dir: String): DataFrame = {
+    prepare(s, dir)
+    graft.build.BloomIndex.build(
+      s, dataDir(dir), Seq("event_id"), bloomRoot(dir))
+    graft.Graft.enable(s)
+    graft.Graft.registerIndex(s, dataDir(dir), indexRoot(dir))
+    graft.Graft.registerBloom(s, dataDir(dir), bloomRoot(dir))
+    graft.Graft.read(s, dataDir(dir))
+      .filter(col("event_id") === lit(555L))
+      .select("event_id", "user_id", "event_type")
+  }
+
+  private val q174Sql =
+    "SELECT event_id, user_id, event_type FROM events WHERE event_id = 555"
+
   /** CO-LOCATED BUCKETED JOIN (§1.3 layout parity) — both sides
     * written through [[graft.build.Layout.writeBucketed]] on the join
     * key, then joined Exchange-free: the write-side partitioner and
@@ -277,5 +300,6 @@ object IndexedQueries extends QueryModule {
     Q("q41_idx_range", q41IdxRange, Some(q41Sql)),
     Q("q42_idx_in", q42IdxIn, Some(q42Sql)),
     Q("q46_bloom_eq", q46BloomEq, Some(q46Sql)),
+    Q("q174_bloom_transparent", q174BloomTransparent, Some(q174Sql)),
     Q("q52_idx_partitioned", q52IdxPartitioned, Some(q52Sql)))
 }

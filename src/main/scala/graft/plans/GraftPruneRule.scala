@@ -106,6 +106,20 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
     GraftPruneRule.parseRegistry(spark.conf.getOption(IndexesConf))
       .map { case (d, i) => normalize(d) -> i }
 
+  /** dataDir → bloomRoot (the high-cardinality EQ skipping sketches,
+    * `spark.graft.bloomIndexes`) — consulted for conjunct EQ leaves on
+    * bloom-covered columns, COMPOSING with the postings-index pruning
+    * above: each index excludes the files it can prove irrelevant, and
+    * the subtractions union (both proofs are independent and sound).
+    * Pre-r18 the sketches were explicit-path only (q46) — a transparent
+    * `Graft.read(...).filter` on a bloom-indexed column full-scanned.
+    * Reference analog: `getSplits` consults whatever index exists per
+    * file, invisibly to the job
+    * (`BlockIndexedFileInputFormat.java:110-187`). */
+  private def bloomRegistry: Map[String, String] =
+    GraftPruneRule.parseRegistry(spark.conf.getOption(BloomIndexesConf))
+      .map { case (d, i) => normalize(d) -> i }
+
   // the ONE canonical identity function (IndexBuilder's) — a diverging
   // reimplementation here would silently stop matching registerIndex keys
   private def normalize(p: String): String =
@@ -154,23 +168,39 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
       if (leaf.columns.subsetOf(allowed)) Some(leaf) else None
   }
 
+  /** The EQ leaves reachable as CONJUNCTS of `pred` — the leaves a
+    * per-file bloom can answer alone: a file bloom-negative for a
+    * conjunct provably matches no row of the whole predicate. Leaves
+    * under OR are NOT usable (the other branch could still match). */
+  private def conjunctEqs(pred: Pred): Seq[graft.query.Eq] = pred match {
+    case graft.query.And(l, r) => conjunctEqs(l) ++ conjunctEqs(r)
+    case e: graft.query.Eq     => Seq(e)
+    case _                     => Nil
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _))
         if lr.getTagValue(PrunedTag).isEmpty && f.getTagValue(PrunedTag).isEmpty &&
-          registry.nonEmpty =>
+          (registry.nonEmpty || bloomRegistry.nonEmpty) =>
       val reg = registry
-      val registeredRoots = rel.location.rootPaths
-        .filter(onDefaultFs)
-        .map(p => normalize(p.toString))
-        .flatMap(r => reg.get(r).map(r -> _))
+      val breg = bloomRegistry
+      def rootsIn(m: Map[String, String]): Seq[(String, String)] =
+        rel.location.rootPaths
+          .filter(onDefaultFs)
+          .map(p => normalize(p.toString))
+          .flatMap(r => m.get(r).map(r -> _))
+      val registeredRoots = rootsIn(reg)
+      val bloomRoots = rootsIn(breg)
       val predOpt =
-        if (registeredRoots.isEmpty) None else translatableConjuncts(cond)
-      (registeredRoots, predOpt) match {
-        case (roots, Some(fullPred)) if roots.nonEmpty =>
-          val excluded = Set.newBuilder[String]
-          var excludedBytes = 0L
-          var any = false
-          roots.foreach { case (dataDir, indexRoot) =>
+        if (registeredRoots.isEmpty && bloomRoots.isEmpty) None
+        else translatableConjuncts(cond)
+      predOpt match {
+        case Some(fullPred) =>
+          // path -> length, not a bytes accumulator: a file excluded by
+          // BOTH indexes must subtract its size once from the planner's
+          // estimate, not twice
+          val excluded = scala.collection.mutable.Map.empty[String, Long]
+          registeredRoots.foreach { case (dataDir, indexRoot) =>
             // this root's indexed columns = union over its descriptors
             // (freshness is enforced per file inside the decision)
             val indexedCols = IndexBuilder.loadDescriptors(spark, indexRoot)
@@ -181,23 +211,35 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
               logInfo(s"GraftPruneRule: $dataDir pred=$pred -> " +
                 s"${report.selectedFiles}+${report.fallbackFiles}/${report.totalFiles} files, " +
                 s"bytes ratio ${report.bytesRatio}")
-              excl.foreach { sf =>
-                excluded += sf.path
-                excludedBytes += sf.length
-                any = true
-              }
+              excl.foreach(sf => excluded(sf.path) = sf.length)
             }
+          }
+          // bloom subtraction composes: conjunct EQ leaves on this
+          // root's bloom-covered columns, one membership sweep per leaf
+          bloomRoots.foreach { case (dataDir, bloomRoot) =>
+            val bloomCols = IndexBuilder.loadDescriptors(spark, bloomRoot)
+              .values.flatMap(_.columns).toSet
+            conjunctEqs(fullPred)
+              .filter(eq => bloomCols.contains(eq.column))
+              .foreach { eq =>
+                val (excl, report) =
+                  graft.build.BloomIndex.excludedFiles(spark, dataDir, eq, bloomRoot)
+                logInfo(s"GraftPruneRule(bloom): $dataDir pred=$eq -> " +
+                  s"${report.selectedFiles}+${report.fallbackFiles}/${report.totalFiles} files, " +
+                  s"bytes ratio ${report.bytesRatio}")
+                excl.foreach(sf => excluded(sf.path) = sf.length)
+              }
           }
           // tag even when nothing was excluded: the pruning decision is
           // a driver-side job and must not rerun per fixed-point pass.
           // The no-op tag goes on the FILTER (a shared relation node may
           // still be prunable under a different filter elsewhere).
-          if (!any) {
+          if (excluded.isEmpty) {
             f.setTagValue(PrunedTag, true)
             maybeObserved(cond, lr).getOrElse(f)
           } else {
-            val prunedIndex =
-              new GraftPrunedFileIndex(rel.location, excluded.result(), excludedBytes)
+            val prunedIndex = new GraftPrunedFileIndex(
+              rel.location, excluded.keySet.toSet, excluded.values.sum)
             val prunedRel = rel.copy(location = prunedIndex)(spark)
             val newLr = lr.copy(relation = prunedRel)
             newLr.setTagValue(PrunedTag, true)
@@ -239,6 +281,7 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
 
 object GraftPruneRule {
   val IndexesConf = "spark.graft.indexes"
+  val BloomIndexesConf = "spark.graft.bloomIndexes"
   val PrunedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.pruned")
 
   // CollectMetrics dataframeIds for rule-injected observation nodes:

@@ -202,4 +202,57 @@ class GraftRuleSpec extends AnyFunSuite {
     val df = spark.read.parquet(other).filter(col("event_type") === "error")
     assert(scanFileCount(df) == scanFileCount(spark.read.parquet(other)))
   }
+
+  test("transparent reads consult registered bloom sketches on EQ leaves, composing with postings pruning") {
+    prepared
+    val bloomRoot = s"$work/bloom"
+    graft.build.BloomIndex.build(spark, dataDir, Seq("event_id"), bloomRoot)
+    spark.conf.set(GraftPruneRule.BloomIndexesConf, s"$dataDir=$bloomRoot")
+    try {
+      // pick an id that lives in ONE file of the range-partitioned copy
+      val probe = spark.read.parquet(dataDir)
+        .filter(col("event_type") === "error")
+        .select("event_id").head().getLong(0)
+      val full = scanFileCount(spark.read.parquet(dataDir))
+      // bloom alone: event_id is NOT postings-indexed, so the pre-r18
+      // rule full-scanned this shape
+      val viaBloom = spark.read.parquet(dataDir)
+        .filter(col("event_id") === lit(probe))
+      assert(scanFileCount(viaBloom) < full,
+        "a bloom-registered EQ must shrink the transparent listing")
+      // row-set equivalence against the unregistered scan
+      spark.conf.unset(GraftPruneRule.BloomIndexesConf)
+      spark.conf.unset(GraftPruneRule.IndexesConf)
+      val expect = spark.read.parquet(dataDir)
+        .filter(col("event_id") === lit(probe)).collect().length
+      spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+      spark.conf.set(GraftPruneRule.BloomIndexesConf, s"$dataDir=$bloomRoot")
+      assert(viaBloom.collect().length == expect && expect > 0)
+      // composition: postings prune the event_type conjunct, bloom the
+      // event_id conjunct — the combined listing is no larger than
+      // either alone
+      val both = spark.read.parquet(dataDir)
+        .filter(col("event_type") === "error" && col("event_id") === lit(probe))
+      val typeOnly = spark.read.parquet(dataDir)
+        .filter(col("event_type") === "error")
+      assert(scanFileCount(both) <= math.min(
+        scanFileCount(typeOnly), scanFileCount(viaBloom)),
+        "composed pruning must subtract both indexes' exclusions")
+      // an EQ under OR must NOT be bloom-pruned (the other branch can
+      // match rows in bloom-negative files)
+      val orShape = spark.read.parquet(dataDir)
+        .filter(col("event_id") === lit(probe) || col("event_type") === "error")
+      val expectOr = {
+        spark.conf.unset(GraftPruneRule.BloomIndexesConf)
+        spark.conf.unset(GraftPruneRule.IndexesConf)
+        val n = spark.read.parquet(dataDir)
+          .filter(col("event_id") === lit(probe) || col("event_type") === "error")
+          .collect().length
+        spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+        spark.conf.set(GraftPruneRule.BloomIndexesConf, s"$dataDir=$bloomRoot")
+        n
+      }
+      assert(orShape.collect().length == expectOr)
+    } finally spark.conf.unset(GraftPruneRule.BloomIndexesConf)
+  }
 }
