@@ -97,7 +97,7 @@ import org.apache.spark.sql.functions._
   * Single-writer assumption, like `DedupArtifacts`: build/append/compact
   * from one job at a time; a production deployment stages and renames.
   */
-object AnnIndex {
+object AnnIndex extends org.apache.spark.internal.Logging {
 
   private def centroidsPath(dir: String) = s"$dir/centroids"
   private def assignPath(dir: String) = s"$dir/assignments"
@@ -645,7 +645,7 @@ object AnnIndex {
       idCol, vecCol)
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       Vectors.norm(col(vecCol)).as("cn"))
-    pqExactRerank(queries, cv, broadcast(cand), k, idCol, vecCol)
+    pqExactRerank(queries, cv, cand, k, idCol, vecCol)
   }
 
   /** [[ivfPqTopKFromIndex]] with the refine fetch served by POINT
@@ -669,41 +669,82 @@ object AnnIndex {
     * broadcast-small-queries contract, ENFORCED instead of assumed — a
     * day-scale query set would otherwise OOM the driver instead of
     * degrading. At 50-row shortlists this admits ~5k queries; past it
-    * the right plan is [[ivfPqTopKFromIndex]]'s corpus-scan rerank
-    * (distributed end to end), and the error says so. */
+    * the right plan is the distributed scan rerank — the error says so,
+    * and `degradeToScan = true` routes there automatically (logged) for
+    * pipeline callers that prefer degradation to failure. */
   private val PointFetchMaxRows = 1 << 18
 
   def ivfPqTopKPointFetch(
       s: SparkSession, indexDir: String, vecsDir: String, queries: DataFrame,
       k: Int, nprobe: Int = 8, shortlist: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      degradeToScan: Boolean = false): DataFrame =
+    ivfPqTopKPointFetchCapped(s, indexDir, vecsDir, queries, k, nprobe,
+      shortlist, idCol, vecCol, degradeToScan, PointFetchMaxRows)
+
+  /** [[ivfPqTopKPointFetch]] with the driver cap injectable — the spec
+    * surface that lets the over-cap paths (clear error / degraded
+    * distributed plan) run end-to-end without materializing 2^18
+    * shortlist rows. */
+  private[graft] def ivfPqTopKPointFetchCapped(
+      s: SparkSession, indexDir: String, vecsDir: String, queries: DataFrame,
+      k: Int, nprobe: Int, shortlist: Int,
+      idCol: String, vecCol: String,
+      degradeToScan: Boolean, cap: Int): DataFrame = {
     import s.implicits._
     val candRows = pqAdcShortlist(s, indexDir, queries, nprobe, shortlist,
         idCol, vecCol)
-      .limit(PointFetchMaxRows + 1)
+      .limit(cap + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    require(candRows.length <= PointFetchMaxRows,
-      s"point-fetch shortlist exceeds $PointFetchMaxRows driver-collected " +
-        "rows (|queries| × shortlist) — the broadcast-small-queries " +
-        "contract does not hold for this query set; use " +
-        "ivfPqTopKFromIndex (distributed corpus-scan rerank) instead")
+    if (candRows.length > cap) {
+      // the broadcast-small-queries contract does not hold for this
+      // query set: either fail with the remedies named, or — when the
+      // caller prefers degradation to failure (pipeline mode) — run the
+      // FULLY DISTRIBUTED twin: the shortlist stays a DataFrame (never
+      // collected), the vector fetch scans the store's live view with
+      // an id-keyed shuffle join, and nothing day-scale is broadcast.
+      // Same results, corpus-scan economics (logged, never silent).
+      require(degradeToScan,
+        s"point-fetch shortlist exceeds $cap driver-collected " +
+          "rows (|queries| × shortlist) — the broadcast-small-queries " +
+          "contract does not hold for this query set; use " +
+          "ivfPqTopKFromIndex (distributed corpus-scan rerank), or pass " +
+          "degradeToScan = true to degrade to it automatically")
+      logWarning(s"point-fetch shortlist exceeds $cap rows; degrading " +
+        "to the distributed scan rerank (degradeToScan = true)")
+      val cand = pqAdcShortlist(s, indexDir, queries, nprobe, shortlist,
+        idCol, vecCol)
+      val fetch = vecsFetchSource(s, vecsDir, ids = None, vecCol)
+      return pqExactRerank(queries, fetch, cand, k, idCol, vecCol,
+        bcast = false)
+    }
     val cand = candRows.toDF("query_id", "neighbor_id")
-    val ids = candRows.map(_._2).distinct
-    // a MAINTAINED store (meta present) serves the fetch through its
-    // live view — the shortlist's id filter commutes with the
-    // latest-gen reduce (see [[vecsLive]]), so every regime (plain /
-    // bounded upsert / untrusted) stays a pruned point read; a legacy
-    // write-once pb table keeps the plain pruneToProbe read
+    val ids = candRows.map(_._2).distinct.toSeq
+    val fetch = vecsFetchSource(s, vecsDir, ids = Some(ids), vecCol)
+    pqExactRerank(queries, fetch, cand, k, idCol, vecCol)
+  }
+
+  /** The refine-fetch vector source as (neighbor_id, cv, cn): a
+    * MAINTAINED store (meta present) serves it through its live view —
+    * an id filter commutes with the latest-gen reduce (see
+    * [[vecsLive]]), so every regime (plain / bounded upsert /
+    * untrusted) stays a pruned point read when `ids` is given; a legacy
+    * write-once pb table keeps the plain pruneToProbe read. `ids =
+    * None` is the degraded full-store view. */
+  private def vecsFetchSource(s: SparkSession, vecsDir: String,
+      ids: Option[Seq[Long]], vecCol: String): DataFrame = {
+    import s.implicits._
     val vecRows =
       if (readMeta(s, vecsDir).exists(_.params.contains("pfetch")))
-        vecsLive(s, vecsDir, ids = Some(ids.toSeq))
+        vecsLive(s, vecsDir, ids = ids)
           .select(col("bucket"), col("v").as(vecCol))
-      else graft.build.Layout.pruneToProbe(
-        s.read.parquet(vecsDir), ids.toDF("bucket"))
-    val fetch = vecRows
-      .select(col("bucket").as("neighbor_id"), col(vecCol).as("cv"),
-        Vectors.norm(col(vecCol)).as("cn"))
-    pqExactRerank(queries, fetch, broadcast(cand), k, idCol, vecCol)
+      else ids match {
+        case Some(is) => graft.build.Layout.pruneToProbe(
+          s.read.parquet(vecsDir), is.toDF("bucket"))
+        case None => s.read.parquet(vecsDir)
+      }
+    vecRows.select(col("bucket").as("neighbor_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("cn"))
   }
 
   /** The ADC stage shared by both PQ probe paths: probe cells from the
@@ -740,16 +781,19 @@ object AnnIndex {
 
   /** The exact-rerank stage shared by both PQ probe paths: attach the
     * raw vectors (`cv` — full corpus projection or pruned point fetch)
-    * to the broadcast shortlist, exact cosine, top-k. */
+    * to the shortlist, exact cosine, top-k. `bcast` marks the
+    * broadcast-small-queries contract (the default); the DEGRADED
+    * over-cap path passes false so nothing day-scale is broadcast —
+    * both joins become shuffle joins AQE is free to re-plan. */
   private def pqExactRerank(
       queries: DataFrame, cv: DataFrame, cand: DataFrame, k: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, bcast: Boolean = true): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Vectors.norm(col(vecCol)).as("qn"))
     val rw = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cv.join(cand, "neighbor_id")
-      .join(broadcast(qv), "query_id")
+    cv.join(if (bcast) broadcast(cand) else cand, "neighbor_id")
+      .join(if (bcast) broadcast(qv) else qv, "query_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         Vectors.cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))

@@ -163,6 +163,34 @@ class VecStoreSpec extends AnyFunSuite {
         spark, idx, vecs, q, 5, nprobe = 8, shortlist = 50)))
   }
 
+  test("over-cap point fetch: clear error by default, distributed degradation on request (r18)") {
+    val idx = s"$work/cap_ivfpq"
+    AnnIndex.buildIvfPq(emb, idx, nlist = 16)
+    val vecs = s"$work/cap_vecs"
+    AnnIndex.buildVecs(emb, vecs)
+    val q = emb.filter(col("vec_id") < 3)
+    // a cap the query set exceeds: |queries| x shortlist > 4
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqTopKPointFetchCapped(spark, idx, vecs, q, 5,
+        nprobe = 8, shortlist = 50, "vec_id", "embedding",
+        degradeToScan = false, cap = 4)
+    }
+    assert(err.getMessage.contains("degradeToScan") &&
+      err.getMessage.contains("ivfPqTopKFromIndex"),
+      s"the over-cap error must name both remedies: ${err.getMessage}")
+    // degraded: fully distributed (shortlist never collected), same
+    // results as the capped fast path and the corpus-scan rerank
+    val degraded = AnnIndex.ivfPqTopKPointFetchCapped(spark, idx, vecs, q, 5,
+      nprobe = 8, shortlist = 50, "vec_id", "embedding",
+      degradeToScan = true, cap = 4)
+    assert(topk(degraded) == topk(AnnIndex.ivfPqTopKPointFetch(
+        spark, idx, vecs, q, 5, nprobe = 8, shortlist = 50)),
+      "degraded plan diverged from the pruned point fetch")
+    assert(topk(degraded) == topk(AnnIndex.ivfPqTopKFromIndex(
+        spark, idx, emb, q, 5, nprobe = 8, shortlist = 50)),
+      "degraded plan diverged from the corpus-scan rerank")
+  }
+
   test("legacy write-once pb table still serves the point fetch (no meta → pruneToProbe path)") {
     val idx = s"$work/pf_legacy_idx"
     AnnIndex.buildIvfPq(emb, idx, nlist = 16)
