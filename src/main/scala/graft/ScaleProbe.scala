@@ -289,6 +289,25 @@ object ScaleProbe {
             AI.ivfPqTopKPointFetch(s, idx, vecs,
               emb.filter(col("vec_id") < 3), 5, nprobe = 4)
           }
+        // `text_incr` probes the TEXT POSTINGS STORE's maintenance
+        // economics (r18 — the reference's daily Lucene indexing
+        // workload, `StatusesIndexManager.java:42-144`, under the gen
+        // lifecycle): cold pays the base corpus tokenize + postings
+        // build, warm pays one delta append (tokenize the batch, write
+        // its generation — O(|delta|), the base untouched; the honest
+        // re-append upsert also pays the exact dead-row count) + a
+        // term-probed live read.
+        else if (name == "text_incr")
+          (s, d) => {
+            val PS = graft.text.PostingsStore
+            val dir = s"$d/text_postings_store"
+            val docs = Tables.documents(s, d).select("doc_id", "text")
+            val isDelta = col("doc_id") % 7 === 6
+            if (!PS.isComplete(s, dir))
+              PS.build(docs.filter(!isDelta), dir)
+            PS.append(docs.filter(isDelta), dir)
+            PS.live(s, dir, terms = Some(Seq("merge", "join")))
+          }
         // `sem_cand_probe` measures the BANDED CANDIDATE VOLUME of the
         // q161/q163 delta probe (rows = candidate stream size, the cost
         // driver of the banded incremental path) — the denominator is

@@ -44,16 +44,14 @@ object TextQueries extends QueryModule {
     * caller — true models the dated-ingest day, false the re-ingest
     * upsert). One definition for all three text artifacts. */
   private def ensurePostings(s: SparkSession, sfDir: String, name: String,
-      fields: Seq[(String, String)], deltaNewIds: Boolean,
-      baseAll: Boolean = false): String = synchronized {
+      fields: Seq[(String, String)], deltaNewIds: Boolean): String = synchronized {
     val dir = s"${root(sfDir)}/$name"
     val marker = new Path(s"${root(sfDir)}/_META_$name")
     val fp = s"e$PostingsEpoch:${fields.map(_._1).mkString(",")}:" +
       graft.build.Layout.sourceFingerprint(s, s"$sfDir/documents.parquet")
     GenStore.ensureArtifact(s, marker, fp, dir) {
       val docs = Tables.documents(s, sfDir)
-      PostingsStore.build(
-        if (baseAll) docs else docs.filter(!isDelta), dir, "doc_id", fields)
+      PostingsStore.build(docs.filter(!isDelta), dir, "doc_id", fields)
       PostingsStore.append(docs.filter(isDelta), dir, "doc_id", fields,
         newIds = deltaNewIds)
     }
