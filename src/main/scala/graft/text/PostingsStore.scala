@@ -44,6 +44,16 @@ import org.apache.spark.sql.functions._
   * banded index, keyed by term. Append generations size their file
   * fan-out to the batch (a micro-batch lands in one file).
   *
+  * MEASURED TRADE (r18, same-JVM alternating A/B at sf0.1): the
+  * BM25 whole-table aggregate — the least favorable shape, every
+  * postings row read three ways — costs 0.453 s through the maintained
+  * store vs 0.328 s through the old write-once flat table (gen
+  * directory listing + the sentinel filter); term-probed lookups are
+  * unchanged. That ~0.1 s is the price of the freshness rule and
+  * O(|delta|) ingest; at 100 TB the corpus-wide norms aggregation is
+  * persisted at build time anyway (Lucene's norms file), so the
+  * recurring read never pays it.
+  *
   * The probe filter here is on `term`/`field`, NOT the reduce key, so
   * it follows the standard regime discipline (pushed into plain and
   * untouched branches, applied after the reduce on resolving branches —
