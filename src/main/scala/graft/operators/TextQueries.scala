@@ -33,8 +33,9 @@ object TextQueries extends QueryModule {
     s"/root/repo/target/graft_demo/v${IndexedQueries.DemoLayoutVersion}/$sfName"
   }
 
-  /** Artifact epoch: bump to rebuild the postings stores alone. */
-  private val PostingsEpoch = 1
+  /** Artifact epoch: bump to rebuild the postings stores alone.
+    * (2 = the norms sidecar joined the generations.) */
+  private val PostingsEpoch = 2
 
   private def isDelta =
     col("doc_id") % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
@@ -60,10 +61,12 @@ object TextQueries extends QueryModule {
 
   /** The flagship single-field postings history (base + declared delta
     * append — plain-regime reads, the common-case economics). */
+  private def postingsDirM(s: SparkSession, sfDir: String): String =
+    ensurePostings(s, sfDir, "text_postings_m",
+      Seq("text" -> "text"), deltaNewIds = true)
+
   private def postings(s: SparkSession, sfDir: String): DataFrame =
-    PostingsStore.live(s,
-      ensurePostings(s, sfDir, "text_postings_m",
-        Seq("text" -> "text"), deltaNewIds = true))
+    PostingsStore.live(s, postingsDirM(s, sfDir))
 
   /** Top-10 docs for an OR query, with doc fetch (source field) —
     * search + fetchDoc in one plan; the doc join is broadcast (top-k is
@@ -146,9 +149,15 @@ object TextQueries extends QueryModule {
     * k1=1.2, b=0.75 formula, mirrored term-for-term in the oracle.
     * Scores round to 6dp on both sides; inputs are exact integers so
     * the doubles agree bit-for-bit before rounding. */
-  private def q56TextBm25(s: SparkSession, dir: String): DataFrame =
-    TextIndex.searchScored(postings(s, dir), Seq("spark", "query"), "bm25")
+  private def q56TextBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = postingsDirM(s, dir)
+    // the norms come from the PERSISTED sidecar (Lucene's norms file —
+    // one row per doc, maintained per generation), not a per-query
+    // corpus-wide aggregation of the postings
+    TextIndex.searchScoredWith(PostingsStore.live(s, d),
+        PostingsStore.normsLive(s, d), Seq("spark", "query"), "bm25")
       .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
 
   // empties FILTERED before UNNEST: q56's corpus-wide stats (n, avgdl)
   // must not count an empty/whitespace-only document as one ''-token —

@@ -64,6 +64,7 @@ import org.apache.spark.sql.functions._
 object PostingsStore {
 
   private def dataPath(dir: String) = s"$dir/data"
+  private def normsPath(dir: String) = s"$dir/norms"
 
   /** Analyzer/layout epoch persisted in the meta: bump when the
     * tokenizer or row schema changes, so appends under a different
@@ -106,7 +107,8 @@ object PostingsStore {
 
   private def writeGen(rows: DataFrame, dir: String, gen: Long,
       estDocs: Long = -1L): Long = {
-    val width = rows.sparkSession.sessionState.conf.numShufflePartitions
+    val s = rows.sparkSession
+    val width = s.sessionState.conf.numShufflePartitions
     // explicit partition count: an AQE-coalesced range shuffle would
     // collapse small generations into one wide-range file and erase the
     // min-max selectivity term probes prune against
@@ -119,7 +121,24 @@ object PostingsStore {
       .repartitionByRange(parts, col("field"), col("term"))
       .sortWithinPartitions("field", "term", "doc_id")
       .write.mode("overwrite").parquet(out)
-    GenStore.countWritten(rows.sparkSession, out)
+    // the NORMS SIDECAR (Lucene's norms file): per-gen (doc_id, dl)
+    // document lengths, derived from the generation JUST WRITTEN (a
+    // footer-friendly re-read — never a recompute of the tokenize
+    // subtree), so scored retrieval reads a tiny one-row-per-doc table
+    // instead of re-aggregating every postings row per query. Sentinel
+    // rows contribute dl = 0, keeping emptied docs present for
+    // supersession in the norms view too. Derived data: norms rows ride
+    // the generation but never enter the staleness counters.
+    val written =
+      try s.read.parquet(out) catch {
+        case _: org.apache.spark.sql.AnalysisException => null
+      }
+    if (written != null)
+      written.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"${normsPath(dir)}/gen=$gen")
+    GenStore.countWritten(s, out)
   }
 
   /** Build the postings store from a corpus: gen 0, meta LAST
@@ -139,8 +158,10 @@ object PostingsStore {
     val n0 = writeGen(postingsRows(one, fields), dir, 0L)
     GenStore.writeMeta(s, dir, GenStore.Meta(gen = 1L, appendOnly = appendOnly,
       batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
+      // "norms" marks a store whose every generation carries the
+      // sidecar; stores from before it fall back to the aggregate
       params = Map("text" -> "1", "tok" -> TokenizerEpoch.toString,
-        "pfields" -> fieldsKey(fields))))
+        "norms" -> "1", "pfields" -> fieldsKey(fields))))
   }
 
   /** Tokenize ONLY the delta batch under the persisted analyzer epoch
@@ -216,6 +237,32 @@ object PostingsStore {
     GenStore.keyedLiveView(meta, raw(s, dir, meta.gen), "doc_id",
         probeFilter, resolveAll)
       .select("field", "term", "doc_id", "tf", "positions")
+  }
+
+  /** The LIVE document norms (doc_id, doc_len) — the persisted
+    * Lucene-norms-file parity: scored retrieval ([[TextIndex
+    * .searchScoredWith]]) reads this tiny one-row-per-doc sidecar
+    * through the shared ONE-ROW live view instead of re-aggregating
+    * every postings row per query (measured 0.453 → the aggregate was
+    * the whole overhead of the maintained read on the BM25 shape).
+    * Emptied docs (dl = 0 sentinels) participate in resolution, then
+    * drop — exactly the old derive-from-postings semantics, where an
+    * empty doc had no rows. A store from before the sidecar (no
+    * `norms` param) falls back to aggregating the live postings. */
+  def normsLive(s: SparkSession, dir: String,
+      resolveAll: Boolean = false): DataFrame = {
+    val meta = GenStore.metaOrThrow(s, dir)
+    requireText(meta, dir)
+    if (meta.params.contains("norms")) {
+      val raw = s.read.parquet(normsPath(dir))
+        .filter(col("gen") < meta.gen)
+        .select(col("doc_id"), col("dl"), col("gen").cast("long").as("gen"))
+      GenStore.liveView(meta, raw, "doc_id", Seq("dl"),
+          df => df.filter(col("dl") > 0), resolveAll)
+        .select(col("doc_id"), col("dl").as("doc_len"))
+    } else
+      live(s, dir, resolveAll = resolveAll)
+        .groupBy("doc_id").agg(sum("tf").as("doc_len"))
   }
 
   /** Fraction of LIVE postings rows that arrived by append — O(1) from

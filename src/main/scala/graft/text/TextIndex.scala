@@ -141,10 +141,21 @@ object TextIndex {
     * both engines (and any SQL oracle) agree bit-for-bit. */
   def searchScored(
       postings: DataFrame, terms: Seq[String],
+      similarity: String = "bm25"): DataFrame =
+    searchScoredWith(postings,
+      postings.groupBy("doc_id").agg(sum("tf").as("doc_len")),
+      terms, similarity)
+
+  /** [[searchScored]] with the norms PROVIDED — the persisted-norms
+    * path (`PostingsStore.normsLive`, Lucene's norms file): the corpus
+    * stats read a tiny one-row-per-doc table instead of re-aggregating
+    * every postings row per query. `norms` must be (doc_id, doc_len)
+    * covering exactly the docs with ≥1 token. */
+  def searchScoredWith(
+      postings: DataFrame, norms: DataFrame, terms: Seq[String],
       similarity: String = "bm25"): DataFrame = {
     val sim = Similarities.byName(similarity)
     val qs = terms.map(_.toLowerCase).distinct
-    val norms = postings.groupBy("doc_id").agg(sum("tf").as("doc_len"))
     val stats = norms.agg(count(lit(1)).as("n_docs"),
       (sum("doc_len").cast("double") / count(lit(1))).as("avg_len"))
     // (term, doc) rows are unique, so df is a plain count

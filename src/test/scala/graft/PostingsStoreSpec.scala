@@ -98,6 +98,37 @@ class PostingsStoreSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("the norms sidecar equals aggregating the live postings on every history shape") {
+    def normsOf(dir: String): Map[Long, Long] =
+      PostingsStore.normsLive(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def aggOf(dir: String): Map[Long, Long] =
+      PostingsStore.live(spark, dir).groupBy("doc_id")
+        .agg(sum("tf").as("dl")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // declared history
+    val d1 = s"$work/n1"
+    PostingsStore.build(docsDF(Seq(1L -> "a b a", 2L -> "c")), d1)
+    PostingsStore.append(docsDF(Seq(3L -> "d d")), d1, newIds = true)
+    assert(normsOf(d1) == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+    assert(normsOf(d1) == aggOf(d1))
+    // upsert history: superseded lengths drop, emptied docs leave
+    val d2 = s"$work/n2"
+    PostingsStore.build(docsDF(Seq(1L -> "a b a", 2L -> "c", 3L -> "e")), d2)
+    PostingsStore.append(docsDF(Seq(1L -> "x", 3L -> " ")), d2)
+    assert(normsOf(d2) == Map(1L -> 1L, 2L -> 1L),
+      "norms must resolve doc-level supersession and drop emptied docs")
+    assert(normsOf(d2) == aggOf(d2))
+    // scored retrieval through the sidecar ≡ the derive-from-postings path
+    val viaSidecar = TextIndex.searchScoredWith(
+      PostingsStore.live(spark, d2), PostingsStore.normsLive(spark, d2),
+      Seq("x", "c")).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val viaAgg = TextIndex.searchScored(
+      PostingsStore.live(spark, d2),
+      Seq("x", "c")).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(viaSidecar == viaAgg)
+  }
+
   test("compact rewrites at gen 0, resets staleness, equals the from-scratch build") {
     val d = s"$work/p4"
     PostingsStore.build(docsDF(Seq(1L -> "alpha beta")), d)
