@@ -1,6 +1,6 @@
 package graft.build
 
-import graft.query.{Eq, PruneReport}
+import graft.query.{Eq, Pred, PruneReport}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SaveMode, SparkSession}
@@ -192,6 +192,80 @@ object BloomIndex extends Logging {
     val (selected, fallback, all, report) = decide(spark, dataDir, pred, bloomRoot)
     val keep = (selected ++ fallback).map(_.path).toSet
     (all.filterNot(f => keep(f.path)), report)
+  }
+
+  /** WHOLE-PREDICATE bloom decision for the transparent rule: a file is
+    * excluded when the bloom evidence PROVES the predicate tree false
+    * for it. The proof calculus is the bloom contract folded through
+    * the tree — an EQ leaf on a fresh, covered column whose sketch is
+    * NEGATIVE is provably false for that file (no false negatives);
+    * every other leaf (uncovered column, stale file, range) proves
+    * nothing; `AND` is false if EITHER side is provably false, `OR`
+    * only if BOTH are. This strictly generalizes per-conjunct EQ
+    * skipping: an IN-list / OR-of-EQ probe over a bloom column — the
+    * common high-cardinality shape — excludes every file negative for
+    * ALL its disjuncts, which conjunct-only composition cannot see. */
+  def excludedFilesForPred(
+      spark: SparkSession,
+      dataDir: String,
+      pred: Pred,
+      bloomRoot: String): (Seq[IndexBuilder.SourceFile], PruneReport) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val eqCols = pred.leaves.collect { case Eq(c, _) => c }.toSet
+    val files = IndexBuilder.listDataFiles(spark, dataDir)
+    val descriptors = IndexBuilder.loadDescriptors(spark, bloomRoot)
+    // verified freshness per file; a file's usable evidence = its fresh
+    // descriptor's covered columns ∩ the predicate's EQ columns
+    val freshCols: Map[String, Set[String]] = files.map { f =>
+      f.path -> IndexBuilder.freshDescriptorVerified(spark, descriptors, f)
+        .map(_.columns.toSet.intersect(eqCols)).getOrElse(Set.empty)
+    }.toMap
+    val needed: Seq[(String, String)] = files
+      .flatMap(f => freshCols(f.path).map(f.path -> _))
+    val blooms: Map[(String, String), BloomFilter] =
+      if (needed.isEmpty) Map.empty
+      else {
+        val live = spark.createDataset(
+          needed.flatMap { case (p, c) =>
+            descriptors.get(p).map(d => (p, c, d.modificationTime)) })
+          .toDF("file", "column", "gen")
+        spark.read.parquet(bloomsDir(bloomRoot))
+          .filter(col("column").isin(eqCols.toSeq: _*))
+          .join(broadcast(live), Seq("file", "column", "gen"), "left_semi")
+          .select("file", "column", "bloom")
+          .as[(String, String, Array[Byte])]
+          .collect()
+          .map { case (f, c, bytes) =>
+            (f, c) -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)) }
+          .toMap
+      }
+    def provablyFalse(p: Pred, path: String): Boolean = p match {
+      case Eq(c, v) =>
+        // provable only with a loaded fresh sketch; a fresh descriptor
+        // missing its bloom row proves nothing (never prune without
+        // positive evidence)
+        freshCols(path).contains(c) &&
+          blooms.get((path, c)).exists(!_.mightContainString(v))
+      case graft.query.And(l, r) =>
+        provablyFalse(l, path) || provablyFalse(r, path)
+      case graft.query.Or(l, r) =>
+        provablyFalse(l, path) && provablyFalse(r, path)
+      case _ => false
+    }
+    val (excluded, kept) = files.partition(f => provablyFalse(pred, f.path))
+    val fallback = kept.count(f => freshCols(f.path).isEmpty)
+    val report = PruneReport(
+      totalFiles = files.size,
+      selectedFiles = kept.size - fallback,
+      fallbackFiles = fallback,
+      totalBytes = files.map(_.length).sum,
+      selectedBytes = kept.map(_.length).sum,
+      pruneTimeMs = (System.nanoTime() - t0) / 1000000)
+    logInfo(s"BloomIndex $dataDir pred=$pred: " +
+      s"files ${report.selectedFiles}+${report.fallbackFiles}fallback/${report.totalFiles}, " +
+      s"bytes ${report.selectedBytes}/${report.totalBytes} (ratio ${report.bytesRatio})")
+    (excluded, report)
   }
 
   private def decide(

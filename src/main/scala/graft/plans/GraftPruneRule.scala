@@ -168,16 +168,6 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
       if (leaf.columns.subsetOf(allowed)) Some(leaf) else None
   }
 
-  /** The EQ leaves reachable as CONJUNCTS of `pred` — the leaves a
-    * per-file bloom can answer alone: a file bloom-negative for a
-    * conjunct provably matches no row of the whole predicate. Leaves
-    * under OR are NOT usable (the other branch could still match). */
-  private def conjunctEqs(pred: Pred): Seq[graft.query.Eq] = pred match {
-    case graft.query.And(l, r) => conjunctEqs(l) ++ conjunctEqs(r)
-    case e: graft.query.Eq     => Seq(e)
-    case _                     => Nil
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, lr @ LogicalRelation(rel: HadoopFsRelation, _, _, _, _))
         if lr.getTagValue(PrunedTag).isEmpty && f.getTagValue(PrunedTag).isEmpty &&
@@ -214,21 +204,20 @@ case class GraftPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Lo
               excl.foreach(sf => excluded(sf.path) = sf.length)
             }
           }
-          // bloom subtraction composes: conjunct EQ leaves on this
-          // root's bloom-covered columns, one membership sweep per leaf
+          // bloom subtraction composes: ONE whole-predicate decision
+          // per bloom root — a file is excluded when the sketches prove
+          // the full tree false for it (AND: either side; OR: both
+          // sides — so IN-list / OR-of-EQ probes skip too, which
+          // per-conjunct composition cannot see)
           bloomRoots.foreach { case (dataDir, bloomRoot) =>
-            val bloomCols = IndexBuilder.loadDescriptors(spark, bloomRoot)
-              .values.flatMap(_.columns).toSet
-            conjunctEqs(fullPred)
-              .filter(eq => bloomCols.contains(eq.column))
-              .foreach { eq =>
-                val (excl, report) =
-                  graft.build.BloomIndex.excludedFiles(spark, dataDir, eq, bloomRoot)
-                logInfo(s"GraftPruneRule(bloom): $dataDir pred=$eq -> " +
-                  s"${report.selectedFiles}+${report.fallbackFiles}/${report.totalFiles} files, " +
-                  s"bytes ratio ${report.bytesRatio}")
-                excl.foreach(sf => excluded(sf.path) = sf.length)
-              }
+            if (fullPred.leaves.exists(_.isInstanceOf[graft.query.Eq])) {
+              val (excl, report) = graft.build.BloomIndex
+                .excludedFilesForPred(spark, dataDir, fullPred, bloomRoot)
+              logInfo(s"GraftPruneRule(bloom): $dataDir pred=$fullPred -> " +
+                s"${report.selectedFiles}+${report.fallbackFiles}/${report.totalFiles} files, " +
+                s"bytes ratio ${report.bytesRatio}")
+              excl.foreach(sf => excluded(sf.path) = sf.length)
+            }
           }
           // tag even when nothing was excluded: the pruning decision is
           // a driver-side job and must not rerun per fixed-point pass.

@@ -238,8 +238,29 @@ class GraftRuleSpec extends AnyFunSuite {
       assert(scanFileCount(both) <= math.min(
         scanFileCount(typeOnly), scanFileCount(viaBloom)),
         "composed pruning must subtract both indexes' exclusions")
-      // an EQ under OR must NOT be bloom-pruned (the other branch can
-      // match rows in bloom-negative files)
+      // an OR whose disjuncts are ALL bloom-covered EQs (the IN-list
+      // probe shape) DOES prune: a file negative for every disjunct is
+      // provably irrelevant to the whole tree
+      val probe2 = spark.read.parquet(dataDir)
+        .filter(col("event_type") === "view")
+        .select("event_id").head().getLong(0)
+      val inShape = spark.read.parquet(dataDir)
+        .filter(col("event_id") === lit(probe) || col("event_id") === lit(probe2))
+      assert(scanFileCount(inShape) < full,
+        "an all-bloom-covered OR (IN-list shape) must prune")
+      val expectIn = {
+        spark.conf.unset(GraftPruneRule.BloomIndexesConf)
+        spark.conf.unset(GraftPruneRule.IndexesConf)
+        val n = spark.read.parquet(dataDir)
+          .filter(col("event_id") === lit(probe) || col("event_id") === lit(probe2))
+          .collect().length
+        spark.conf.set(GraftPruneRule.IndexesConf, s"$dataDir=$indexRoot")
+        spark.conf.set(GraftPruneRule.BloomIndexesConf, s"$dataDir=$bloomRoot")
+        n
+      }
+      assert(inShape.collect().length == expectIn && expectIn >= 2)
+      // an EQ OR'd with a NON-bloom-covered leaf must NOT be bloom-pruned
+      // (the other branch can match rows in bloom-negative files)
       val orShape = spark.read.parquet(dataDir)
         .filter(col("event_id") === lit(probe) || col("event_type") === "error")
       val expectOr = {
