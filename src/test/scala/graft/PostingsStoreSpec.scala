@@ -98,6 +98,28 @@ class PostingsStoreSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("term probes push into the range-clustered scan — scan-output rows measured") {
+    val d = s"$work/probe"
+    PostingsStore.build(
+      docsDF((1L to 400L).map(i => i -> s"w$i common t${i % 7}")), d)
+    def scanRows(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val total = scanRows(PostingsStore.live(spark, d))
+    val probed = scanRows(PostingsStore.live(spark, d, terms = Some(Seq("w5"))))
+    // the plain-regime probe filter reaches the parquet reader and
+    // skips whole row groups by the range-clustered layout's min-max
+    // stats (measured: ONE of the four range files' row groups
+    // survives — parquet skipping is row-group-granular, so that
+    // group's rows emit and the residual filters them)
+    assert(probed > 0 && probed <= total / 3,
+      s"term probe must skip non-matching range files: $probed of $total rows emitted")
+  }
+
   test("the norms sidecar equals aggregating the live postings on every history shape") {
     def normsOf(dir: String): Map[Long, Long] =
       PostingsStore.normsLive(spark, dir).collect()
