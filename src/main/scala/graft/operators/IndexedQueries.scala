@@ -248,6 +248,26 @@ object IndexedQueries extends QueryModule {
   private val q174Sql =
     "SELECT event_id, user_id, event_type FROM events WHERE event_id = 555"
 
+  /** TRANSPARENT bloom pruning of an OR-OF-EQ probe (the IN-list shape
+    * — r18's tri-state generalization): a file is skipped only when the
+    * sketches prove EVERY disjunct absent, which per-conjunct
+    * composition cannot see. GraftRuleSpec pins the files-read drop and
+    * the must-not-prune case (a non-covered disjunct); here the row set
+    * is under the oracle. */
+  private def q175BloomInList(s: SparkSession, dir: String): DataFrame = {
+    prepare(s, dir)
+    graft.build.BloomIndex.build(
+      s, dataDir(dir), Seq("event_id"), bloomRoot(dir))
+    graft.Graft.enable(s)
+    graft.Graft.registerBloom(s, dataDir(dir), bloomRoot(dir))
+    graft.Graft.read(s, dataDir(dir))
+      .filter(col("event_id") === lit(555L) || col("event_id") === lit(777L))
+      .select("event_id", "user_id", "event_type")
+  }
+
+  private val q175Sql =
+    "SELECT event_id, user_id, event_type FROM events WHERE event_id IN (555, 777)"
+
   /** CO-LOCATED BUCKETED JOIN (§1.3 layout parity) — both sides
     * written through [[graft.build.Layout.writeBucketed]] on the join
     * key, then joined Exchange-free: the write-side partitioner and
@@ -301,5 +321,6 @@ object IndexedQueries extends QueryModule {
     Q("q42_idx_in", q42IdxIn, Some(q42Sql)),
     Q("q46_bloom_eq", q46BloomEq, Some(q46Sql)),
     Q("q174_bloom_transparent", q174BloomTransparent, Some(q174Sql)),
+    Q("q175_bloom_inlist", q175BloomInList, Some(q175Sql)),
     Q("q52_idx_partitioned", q52IdxPartitioned, Some(q52Sql)))
 }
