@@ -364,9 +364,15 @@ object Bench {
     * carry the SAME global counter as their last argument — r15 found
     * q57–q60 oscillating between two digests depending on whether an
     * artifact ensure() built earlier in the JVM (different upstream
-    * plan count → different counter); the ID argument is stripped. */
+    * plan count → different counter); the ID argument is stripped.
+    * Invocation-scoped temp-view names (the `_iv<N>` convention —
+    * q135's per-invocation view) carry a per-JVM invocation counter
+    * that shifts when a contended run RETRIES the query (r18: one
+    * retried run flipped q135's digest and reset its floor to the
+    * contended time); the sequence number is stripped. */
   private[graft] def planDigest(df: DataFrame): String = {
     val s = df.queryExecution.analyzed.toString
+      .replaceAll("_iv\\d+", "_iv")
       .replaceAll("lambda ([A-Za-z][A-Za-z0-9]*)_\\d+", "lambda $1")
       .replaceAll("(lambdavariable\\([^()]*(?:\\([^()]*\\)[^()]*)*), \\d+\\)", "$1)")
       .replaceAll("#\\d+", "#")

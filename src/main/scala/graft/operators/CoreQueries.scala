@@ -935,7 +935,14 @@ object CoreQueries extends QueryModule {
     // session state at plan-build time, and a concurrent build (parallel
     // bench mode, a timeout path overlapping the next query) could swap
     // the view under a running plan.
-    val view = s"q135_base_${Q135ViewSeq.incrementAndGet()}"
+    // the `_iv<N>` suffix is the INVOCATION-SCOPED VIEW convention:
+    // Bench.planDigest normalizes it away, because the sequence number
+    // depends on how many times this builder ran in the JVM (a
+    // contended-run retry shifts it) and a session-order-dependent
+    // token in the analyzed plan falsely epoch-resets the floor
+    // (observed r18: one retried run flipped q135's digest and reset
+    // its floor to the contended time)
+    val view = s"q135_base_iv${Q135ViewSeq.incrementAndGet()}"
     Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
         col("o_custkey") === col("c_custkey"))
