@@ -120,6 +120,21 @@ object Bench {
     // timer. One-time index builds inside individual queries are part
     // of those queries' honest cost.)
     ordered.headOption.foreach { case (name, fn) => timedRun(spark, name, fn, sfDir): Unit }
+    // Pre-build every per-corpus ingest artifact OUTSIDE the timed
+    // window (r18 #5): artifact builds are INGEST cost, not read cost,
+    // and whichever reader ran first used to pay the corpus build
+    // inside its timed slot — the only >2×-floor readings in the calm
+    // r18 adjudication run (q100 3.1×, q26 2.4×, q93 2.0×, all
+    // dedup-artifact readers) were exactly this first-reader ordering
+    // scatter. Each ensure is fingerprint-gated, so on a warm artifact
+    // dir this is a handful of marker reads.
+    try {
+      graft.dedup.DedupArtifacts.prepare(spark, sfDir): Unit
+      graft.similarity.AnnArtifacts.ensure(spark, sfDir)
+      graft.operators.TextQueries.ensureStores(spark, sfDir)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench-warn] artifact pre-build failed: ${e.getMessage}")
+    }
     // The probe floor is calibrated after the warm-up query so the JVM
     // (and the probe loop's own JIT) are hot.
     Contention.calibrate()
@@ -365,14 +380,18 @@ object Bench {
     * q57–q60 oscillating between two digests depending on whether an
     * artifact ensure() built earlier in the JVM (different upstream
     * plan count → different counter); the ID argument is stripped.
-    * Invocation-scoped temp-view names (the `_iv<N>` convention —
+    * Invocation-scoped temp-view names (the `_base_iv<N>` convention —
     * q135's per-invocation view) carry a per-JVM invocation counter
     * that shifts when a contended run RETRIES the query (r18: one
     * retried run flipped q135's digest and reset its floor to the
-    * contended time); the sequence number is stripped. */
+    * contended time); the sequence number is stripped — ANCHORED to the
+    * view convention's `_base_iv` prefix, not a bare `_iv\d+`, so a
+    * future column or identifier that happens to end in `_iv<digits>`
+    * cannot silently collapse in the digest and mask a real plan
+    * change (r18 advisor). */
   private[graft] def planDigest(df: DataFrame): String = {
     val s = df.queryExecution.analyzed.toString
-      .replaceAll("_iv\\d+", "_iv")
+      .replaceAll("_base_iv\\d+", "_base_iv")
       .replaceAll("lambda ([A-Za-z][A-Za-z0-9]*)_\\d+", "lambda $1")
       .replaceAll("(lambdavariable\\([^()]*(?:\\([^()]*\\)[^()]*)*), \\d+\\)", "$1)")
       .replaceAll("#\\d+", "#")

@@ -300,9 +300,10 @@ object ScaleProbe {
         else if (name == "text_incr")
           (s, d) => {
             val PS = graft.text.PostingsStore
+            val DA = graft.dedup.DedupArtifacts
             val dir = s"$d/text_postings_store"
             val docs = Tables.documents(s, d).select("doc_id", "text")
-            val isDelta = col("doc_id") % 7 === 6
+            val isDelta = col("doc_id") % DA.DeltaMod === DA.DeltaRem
             if (!PS.isComplete(s, dir))
               PS.build(docs.filter(!isDelta), dir)
             PS.append(docs.filter(isDelta), dir)
@@ -321,7 +322,33 @@ object ScaleProbe {
               DA.semBanded(s, d), isDelta)
           }
         else SparkEntry.queries(name)
+      // UNTIMED steady-state reset between runs (r18 advisor): text_incr
+      // re-appends the SAME delta each run as an honest upsert, so
+      // without a reset every warm run measures an ever-longer upsert
+      // history (one more tracked generation per run — and past
+      // MaxTrackedUpsertGens the regime itself degrades). A compact back
+      // to the base-only single-gen store before each non-first run
+      // makes every warm measurement the same thing: ONE delta append
+      // against a fixed one-generation history. Runs outside the timer;
+      // the cold run still pays the honest first-build inside it.
+      val prep: Option[(SparkSession, String, Int) => Unit] =
+        if (name == "text_incr") Some { (s, d, i) =>
+          val PS = graft.text.PostingsStore
+          val DA = graft.dedup.DedupArtifacts
+          val dir = s"$d/text_postings_store"
+          val docs = Tables.documents(s, d).select("doc_id", "text")
+          val isDelta = col("doc_id") % DA.DeltaMod === DA.DeltaRem
+          if (i == 1) {
+            // cold is ALWAYS the full base build + first append, even on
+            // a re-invoked probe dir — wipe the leftover store
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true): Unit
+          } else if (PS.isComplete(s, dir))
+            PS.compact(docs.filter(!isDelta), dir)
+        } else None
       val times = (1 to 2).map { i =>
+        prep.foreach(p => p(spark, outDir, i))
         val t0 = System.nanoTime()
         val rows = fn(spark, outDir).count()
         val t = (System.nanoTime() - t0) / 1e9

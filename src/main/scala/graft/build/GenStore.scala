@@ -1,7 +1,7 @@
 package graft.build
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The ONE gen-stamped-store lifecycle protocol, shared by every
@@ -46,6 +46,39 @@ import org.apache.spark.sql.functions._
   * upsert band is gone). Metas from before the counters (`-1`) stay
   * legacy: [[metaStaleness]] returns None and the structure's reader
   * falls back to its O(index) scan.
+  *
+  * SENTINELS AND TOMBSTONES (r19 — the counters count what readers
+  * serve): some structures write rows that exist only for SUPERSESSION,
+  * never for serving — the text store's empty-doc sentinel (term = "")
+  * and every structure's DELETE tombstone. Those rows occupy their key's
+  * generation (so resolution drops the superseded live rows) but the
+  * live views filter them out after resolution, so the counters must
+  * exclude them too: generation writers count only serving rows as
+  * `written`, and [[deadCounts]] takes a per-row `weight` (0 for
+  * sentinel/tombstone rows) so a superseded sentinel never moves a
+  * phantom row out of the counters. `staleness` therefore stays the
+  * exact live SERVED-row append fraction on delete-bearing histories.
+  *
+  * DELETE (r19 — the lifecycle's last CRUD verb): a takedown batch is an
+  * UNDECLARED append of tombstone rows — one row per deleted key,
+  * encoded per structure so the shared machinery needs no schema change
+  * (text: the sentinel row `term = ""`; IVF/PQ assignments: `cell = -1`
+  * with a null payload; banded: `band = -1`; point-fetch vecs: a null
+  * vector). Deletion then falls out of the existing regimes: the delete
+  * generation is recorded as an upsert gen, so the bounded read's
+  * anti-join removes the deleted keys from the untouched branch, the
+  * resolve picks the tombstone as the key's latest row, and the
+  * post-resolution filter drops it — no read path changes shape.
+  * Tombstones count `written = 0` and move the rows they supersede out
+  * of the counters (`weight` above), so staleness stays exact; compact
+  * rebuilds from the caller's corpus (minus the takedowns) and drops
+  * them. RE-ADDING a deleted key MUST be an undeclared append: a
+  * `newIds = true` declaration means never-before-seen — a re-add under
+  * it would land in a non-upsert generation and the bounded regime's
+  * anti-join (keyed by the delete gen's ids) would remove the new row.
+  * Deletes add no live rows, so they don't raise staleness; a
+  * delete-heavy deployment compacts on tracked-generation count
+  * (`upsertGens.size`) instead.
   */
 private[graft] object GenStore {
 
@@ -210,25 +243,30 @@ private[graft] object GenStore {
       appendRows = m.appendRows - dead._2 + written)
 
   /** The EXACT superseded-live-row count behind [[appendCounters]]:
-    * among the committed generations' rows (`raw` — only the `keyCol`
-    * and `gen` columns are read, a column-pruned thin scan), the live
-    * rows whose key appears in the (broadcast, delta-scale) `ids` set,
-    * split (gen-0 rows, append-gen rows). Exactness rests on one
-    * invariant that holds in EVERY regime: a key's live generation is
-    * its MAX generation over the raw rows (declared appends never
-    * re-add an existing id on trusted histories; untrusted histories
-    * resolve by global max-gen by definition). `multiRow` structures
-    * (banded, postings) count every row of the live generation; one-row
-    * structures count one per key. */
+    * among the committed generations' rows (`raw` — only the `keyCol`,
+    * `gen`, and weight-input columns are read, a column-pruned thin
+    * scan), the live rows whose key appears in the (broadcast,
+    * delta-scale) `ids` set, split (gen-0 rows, append-gen rows).
+    * Exactness rests on one invariant that holds in EVERY regime: a
+    * key's live generation is its MAX generation over the raw rows
+    * (declared appends never re-add an existing id on trusted
+    * histories; untrusted histories resolve by global max-gen by
+    * definition). Every row of a key's live generation counts (one-row
+    * structures have exactly one), weighted by `weight` — 1 for serving
+    * rows, 0 for sentinel/tombstone rows (class doc): a sentinel decides
+    * its key's live generation but never counts as a live row, because
+    * the views never serve it. */
   def deadCounts(raw: DataFrame, keyCol: String, ids: DataFrame,
-      multiRow: Boolean): (Long, Long) = {
-    val matched = raw.select(col(keyCol), col("gen").cast("long").as("gen"))
+      weight: Column = lit(1L)): (Long, Long) = {
+    val matched = raw
+      .select(col(keyCol), col("gen").cast("long").as("gen"),
+        weight.cast("long").as("w"))
       .join(broadcast(ids.select(col(keyCol))), Seq(keyCol), "left_semi")
-    val liveGen = matched.groupBy(keyCol).agg(max("gen").as("gen"))
-    val liveRows = if (multiRow) matched.join(liveGen, Seq(keyCol, "gen")) else liveGen
+    val liveRows = matched
+      .join(matched.groupBy(keyCol).agg(max("gen").as("gen")), Seq(keyCol, "gen"))
     val r = liveRows.agg(
-      coalesce(sum(when(col("gen") === 0L, 1L)), lit(0L)).as("d0"),
-      coalesce(sum(when(col("gen") > 0L, 1L)), lit(0L)).as("da")).head()
+      coalesce(sum(when(col("gen") === 0L, col("w"))), lit(0L)).as("d0"),
+      coalesce(sum(when(col("gen") > 0L, col("w"))), lit(0L)).as("da")).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -240,6 +278,30 @@ private[graft] object GenStore {
     * pay nothing. */
   def needsDeadCount(prev: Meta, newIds: Boolean): Boolean =
     !newIds || !prev.trusted
+
+  /** The meta RESTRICTED to generations ≤ `n` — the AS-OF read
+    * (time-travel): stores retain their full generation history until
+    * compact, so "the corpus as of generation N" is the same three-
+    * regime view over the prefix. The restricted meta's commit pointer
+    * is `n + 1` (callers' raw reads filter `gen < meta.gen`, so the
+    * later generations' files are partition-pruned away), its upsert
+    * gens are the recorded ones inside the prefix, and the regime
+    * decision re-derives: a trusted history whose recorded upserts all
+    * land AFTER `n` was append-only as of `n` — plain read; an
+    * untrusted history (in-stream compact, or upsert tracking
+    * overflowed) stays untrusted — the prefix's declarations can't be
+    * reconstructed, so the as-of read pays full resolution of the
+    * prefix (correct, conservatively). Counters describe the FULL
+    * history, so the restricted meta drops them (staleness is not an
+    * as-of concept). `n` at or past the last committed generation is
+    * just the live view. */
+  def asOf(m: Meta, n: Long): Meta = {
+    val g = math.min(m.gen, n + 1)
+    val ug = m.upsertGens.filter(_ < g)
+    m.copy(gen = g,
+      appendOnly = m.appendOnly || (m.trusted && ug.isEmpty),
+      upsertGens = ug, baseRows = -1L, appendRows = -1L)
+  }
 
   // ------------------------------------------------------ staged compact
 

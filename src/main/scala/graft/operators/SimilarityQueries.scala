@@ -380,6 +380,47 @@ object SimilarityQueries extends QueryModule {
       Ann.bruteForceTopK(emb, q, 5), minHits = 2)
   }
 
+  /** ANN THROUGH THE MAINTAINED IVF INDEX AFTER AN INCREMENTAL
+    * TAKEDOWN (r19 — the delete verb under the oracle): the artifact's
+    * `ivfd` history indexes the FULL corpus at gen 0, then the standard
+    * delta batch's ids arrive as a DELETED-IDS batch
+    * ([[graft.similarity.AnnIndex.delete]] — ONE tombstone generation,
+    * no compact, no corpus rewrite). The probe must see exactly the
+    * corpus minus the takedowns: the bounded regime anti-joins the
+    * deleted ids out of the plain branch and the resolution drops each
+    * deleted id at its tombstone. Two assertions ride the output: the
+    * recall bound vs brute force over the corpus-MINUS-takedowns
+    * (q45's floor 4 — assignment under a fixed model is a pure
+    * function, so the surviving ids' view is bit-identical to indexing
+    * the reduced corpus), and `n_takedown` = the count of returned
+    * neighbors that SHOULD have been deleted, which the oracle pins to
+    * 0 — one leaked tombstoned id flips the hash compare. */
+  private def q177AnnIvfDeleted(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    val deltaMod = graft.dedup.DedupArtifacts.DeltaMod
+    val deltaRem = graft.dedup.DedupArtifacts.DeltaRem
+    val approx = graft.similarity.AnnIndex.ivfTopKFromIndex(
+      s, graft.similarity.AnnArtifacts.ivfDeleteDir(dir), emb, q, 5,
+      nprobe = 8)
+    val exact = Ann.bruteForceTopK(
+      emb.filter(col("vec_id") % deltaMod =!= deltaRem), q, 5)
+    recallCheck(approx, exact, minHits = 4)
+      .join(approx.groupBy("query_id").agg(
+          sum(when(col("neighbor_id") % deltaMod === deltaRem, 1L)
+            .otherwise(0L)).as("n_takedown")),
+        Seq("query_id"))
+  }
+
+  private val q177Sql =
+    """-- recall_ok asserts hits >= 4 of 5 exact neighbors over the
+      |-- corpus MINUS the takedown batch; n_takedown pins that no
+      |-- deleted id is ever returned
+      |SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ret,
+      |  TRUE AS recall_ok, CAST(0 AS BIGINT) AS n_takedown
+      |FROM embeddings WHERE vec_id < 3""".stripMargin
+
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
     * engine clusters the q51 planted-near-dup corpus with
     * [[Ann.semanticDedup]] (IVF cells, within-cell drop of close
@@ -887,5 +928,6 @@ object SimilarityQueries extends QueryModule {
     Q("q170_ann_ivfpq_upsert", q170AnnIvfPqUpsert, Some(recallSql(2))),
     Q("q171_ann_ivfpq_lookup", q171AnnIvfPqPointFetch, Some(recallSql(2))),
     Q("q172_ann_ivfpq_lookup_upsert", q172AnnIvfPqLookupUpsert, Some(recallSql(2))),
+    Q("q177_ann_ivf_deleted", q177AnnIvfDeleted, Some(q177Sql)),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

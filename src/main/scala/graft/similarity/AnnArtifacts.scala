@@ -108,7 +108,7 @@ object AnnArtifacts {
     * here as the common epoch 1.) */
   private val HistoryVersions: Map[String, Int] = Map(
     "ivf" -> 1, "lsh" -> 1, "ivfc" -> 1, "lshu" -> 1, "ivfu" -> 1,
-    "ivfpq" -> 1, "ivfpqu" -> 1, "vecs" -> 1, "vecsu" -> 1)
+    "ivfpq" -> 1, "ivfpqu" -> 1, "vecs" -> 1, "vecsu" -> 1, "ivfd" -> 1)
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/h/${DedupArtifacts.corpusKey(sfDir)}"
@@ -119,6 +119,13 @@ object AnnArtifacts {
   def ivfUntrustedDir(sfDir: String): String = s"${root(sfDir)}/ivfu"
   def ivfPqDir(sfDir: String): String = s"${root(sfDir)}/ivfpq"
   def ivfPqUpsertDir(sfDir: String): String = s"${root(sfDir)}/ivfpqu"
+
+  /** The TAKEDOWN history (r19 — the delete verb under the oracle):
+    * gen 0 indexes the FULL corpus, then the standard delta batch's ids
+    * arrive as a DELETED-IDS batch ([[AnnIndex.delete]] — one tombstone
+    * generation, no compact). q177 probes through it and must see the
+    * corpus-minus-takedowns exactly. */
+  def ivfDeleteDir(sfDir: String): String = s"${root(sfDir)}/ivfd"
 
   /** The corpus vectors as a MAINTAINED point-fetch store
     * ([[AnnIndex.buildVecs]]'s gen-stamped pb layout): the REFINE-FETCH
@@ -203,6 +210,10 @@ object AnnArtifacts {
     build("ivf", ivfParams) { d =>
       AnnIndex.buildIvf(e, d, nlist = IvfNlist)
       AnnIndex.appendIvf(delta, d) // re-ingest upsert, gen 1
+    }
+    build("ivfd", ivfParams) { d =>
+      AnnIndex.buildIvf(e, d, nlist = IvfNlist)
+      AnnIndex.delete(delta.select("vec_id"), d) // takedown batch, gen 1
     }
     build("lsh", lshParams) { d =>
       AnnIndex.buildBanded(base, d, nPlanes = LshPlanes, bands = LshBands)

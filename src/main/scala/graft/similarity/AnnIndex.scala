@@ -202,7 +202,7 @@ object AnnIndex extends org.apache.spark.internal.Logging {
         "appendVecs")
     val one = onePerId(delta, idCol, vecCol)
     val dead = deadFor(prev, newIds,
-      rawAssignments(s, indexDir, prev.gen), "vec_id", one, multiRow = false)
+      rawAssignments(s, indexDir, prev.gen), "vec_id", one, weight = cellWeight)
     val assigned = assignWith(one, centroidArray(s, indexDir), "vec_id", "v")
     // a generation must match the BUILD's row schema: a legacy
     // (pre-vector-carrying) tree gets plain (vec_id, cell) appends —
@@ -271,10 +271,17 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     * Declared appends on trusted histories (the common streaming case)
     * and legacy counter-less metas pay nothing. */
   private def deadFor(prev: Meta, newIds: Boolean, raw: => DataFrame,
-      keyCol: String, ids: DataFrame, multiRow: Boolean): (Long, Long) =
+      keyCol: String, ids: DataFrame,
+      weight: org.apache.spark.sql.Column = lit(1L)): (Long, Long) =
     if (prev.baseRows >= 0 && GenStore.needsDeadCount(prev, newIds))
-      GenStore.deadCounts(raw, keyCol, ids, multiRow)
+      GenStore.deadCounts(raw, keyCol, ids, weight)
     else (0L, 0L)
+
+  /** Tombstone weights for [[deadFor]]: a superseded TOMBSTONE row must
+    * count zero (it was never live — GenStore class doc). */
+  private def cellWeight = when(col("cell") < 0L, 0L).otherwise(1L)
+  private def bandWeight = when(col("band") < 0, 0L).otherwise(1L)
+  private def vecWeight = when(col("v").isNull, 0L).otherwise(1L)
 
   /** Retrain on the current corpus and rewrite the whole index at
     * gen 0 — the compaction step once [[staleness]] crosses the
@@ -334,6 +341,82 @@ object AnnIndex extends org.apache.spark.internal.Logging {
   def recover(s: SparkSession, indexDir: String): Boolean =
     GenStore.recover(s, indexDir)
 
+  /** TAKEDOWN on the vector structures — the GenStore delete verb
+    * (class doc there): retire `ids` from every read incrementally, at
+    * delete-batch cost (a GDPR/opt-out list must not force a corpus
+    * compact). One generation of TOMBSTONE rows, appended UNDECLARED so
+    * the existing three regimes resolve each deleted id to its
+    * tombstone and the views' post-resolution drop removes it —
+    * encodings per structure (IVF/PQ assignments: `cell = -1` with a
+    * null payload; banded: `band = -1`; point-fetch store: a null
+    * vector), dispatched on the tree's own meta. The delete stamps the
+    * meta's `del` marker, which switches the views' tombstone drop on —
+    * delete-free indexes keep their exact pre-delete plans. Counters
+    * stay exact (tombstones weigh 0 and count 0 written; the ids' live
+    * rows move out, so a deleted corpus fraction reads as shrinkage,
+    * not staleness); compact from the corpus-minus-takedowns drops the
+    * tombstone generations. Re-adding a deleted id later MUST be an
+    * undeclared append (GenStore class doc — a `newIds` declaration
+    * would strand the re-add behind the delete generation's anti-join).
+    * Text stores delete through [[graft.text.PostingsStore.delete]]
+    * (the sentinel encoding). */
+  def delete(ids: DataFrame, indexDir: String, idCol: String = "vec_id",
+      batchId: Long = -1L): Unit = {
+    val s = ids.sparkSession
+    val (gen, next, prev) = reserveGen(s, indexDir, newIds = false, batchId)
+    if (next.params.contains("text")) throw new IllegalArgumentException(
+      s"tree at $indexDir is a text postings store: delete through " +
+        "PostingsStore.delete")
+    val one = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val dead =
+      if (next.params.contains("pfetch")) {
+        val pp = graft.build.Layout.ProbePartitions
+        val buckets = one.select(col("vec_id").as("bucket"))
+        // same pb-directory pruning as appendVecs' dead count: the
+        // takedown batch reads only its ids' buckets
+        val d = deadFor(prev, newIds = false, {
+          val pbs = buckets
+            .select(pmod(col("bucket"), lit(pp)).cast("int").as("pb"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          s.read.parquet(vecsDataPath(indexDir))
+            .filter(col("gen") < prev.gen && col("pb").isin(pbs: _*))
+            .select(col("bucket"), col("gen"), col("v"))
+        }, "bucket", buckets, weight = vecWeight)
+        val vType = s.read.parquet(vecsDataPath(indexDir)).schema("v").dataType
+        writeVecsGen(buckets.select(col("bucket"),
+          lit(null).cast(vType).as("v")), indexDir, gen): Unit
+        d
+      } else if (next.params.contains("np")) {
+        val sch = s.read.parquet(bandedPath(indexDir)).schema
+        val d = deadFor(prev, newIds = false,
+          rawBanded(s, indexDir, prev.gen), "vec_id", one, weight = bandWeight)
+        writeBandedGen(one.select(col("vec_id"),
+            lit(-1).cast(sch("band").dataType).as("band"),
+            lit(0).cast(sch("bucket").dataType).as("bucket")),
+          indexDir, gen, estimatedRows = one.count()): Unit
+        d
+      } else if (next.params.contains("nlist")) {
+        val d = deadFor(prev, newIds = false,
+          rawAssignments(s, indexDir, prev.gen), "vec_id", one,
+          weight = cellWeight)
+        // the generation must match the build's row schema (the
+        // append-path rule): payload column nulled per index kind
+        val payload =
+          if (next.params.contains("pq")) Seq("codes")
+          else if (next.params.contains("vecs")) Seq("v")
+          else Nil
+        val sch = s.read.parquet(assignPath(indexDir)).schema
+        val cols = col("vec_id") +: payload.map(c =>
+          lit(null).cast(sch(c).dataType).as(c)) :+ lit(-1L).as("cell")
+        writeAssignGen(one.select(cols: _*), indexDir, gen): Unit
+        d
+      } else throw new IllegalArgumentException(
+        s"tree at $indexDir carries none of the known structure markers " +
+          "(pfetch/np/nlist): not a deletable index")
+    writeMeta(s, indexDir, GenStore.appendCounters(next, 0L, dead)
+      .copy(params = next.params + ("del" -> "1")))
+  }
+
   /** Fraction of LIVE index rows that arrived by append — the drift
     * signal a deployment compacts on. O(1): read from the meta's
     * live-row counters, so the per-micro-batch compaction decision in
@@ -390,8 +473,10 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     * (verify the fast regimes against the one that trusts nothing; the
     * scale probes time both). */
   def ivfAssignments(s: SparkSession, indexDir: String,
-      cells: Option[Seq[Long]] = None, resolveAll: Boolean = false): DataFrame =
-    assignmentsView(s, indexDir, cells, resolveAll, payload = Nil)
+      cells: Option[Seq[Long]] = None, resolveAll: Boolean = false,
+      asOfGen: Option[Long] = None): DataFrame =
+    assignmentsView(s, indexDir, cells, resolveAll, payload = Nil,
+      asOfGen = asOfGen)
 
   /** The three-regime live view over the assignment rows, optionally
     * CARRYING stored payload columns (the vector `v` for
@@ -400,11 +485,22 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     * regimes for every schema, so they cannot diverge. */
   private def assignmentsView(s: SparkSession, indexDir: String,
       cells: Option[Seq[Long]], resolveAll: Boolean,
-      payload: Seq[String]): DataFrame = {
-    val meta = metaOrThrow(s, indexDir)
+      payload: Seq[String], asOfGen: Option[Long] = None): DataFrame = {
+    val full = metaOrThrow(s, indexDir)
+    // AS-OF read (time-travel): the meta restricted to the prefix —
+    // GenStore.asOf re-derives the regime for gens ≤ N and the commit-
+    // pointer filter below partition-prunes the later gens' files away
+    val meta = asOfGen.fold(full)(GenStore.asOf(full, _))
     val raw = rawAssignments(s, indexDir, meta.gen, payload)
-    def cellFilter(df: DataFrame): DataFrame =
-      cells.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
+    // the tombstone drop (cell = -1 delete rows, post-resolution per
+    // the regime discipline) applies only to delete-bearing stores —
+    // the meta's `del` marker — so delete-free indexes keep their
+    // exact pre-delete plans
+    def cellFilter(df: DataFrame): DataFrame = {
+      val probed = cells.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
+      if (full.params.contains("del")) probed.filter(col("cell") >= 0L)
+      else probed
+    }
     liveView(meta, raw, "vec_id", payload :+ "cell", cellFilter, resolveAll)
   }
 
@@ -564,7 +660,7 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     val (nSub, subDim) = pqParamsOrThrow(next, indexDir)
     val one = onePerId(delta, idCol, vecCol)
     val dead = deadFor(prev, newIds,
-      rawAssignments(s, indexDir, prev.gen), "vec_id", one, multiRow = false)
+      rawAssignments(s, indexDir, prev.gen), "vec_id", one, weight = cellWeight)
     val na = writeAssignGen(
       assignPqWith(one, centroidArray(s, indexDir),
         s.read.parquet(codebookPath(indexDir)), nSub, subDim),
@@ -870,8 +966,8 @@ object AnnIndex extends org.apache.spark.internal.Logging {
         .distinct().collect().map(_.getInt(0)).toSeq
       s.read.parquet(vecsDataPath(dir))
         .filter(col("gen") < prev.gen && col("pb").isin(pbs: _*))
-        .select(col("bucket"), col("gen"))
-    }, "bucket", one, multiRow = false)
+        .select(col("bucket"), col("gen"), col("v"))
+    }, "bucket", one, weight = vecWeight)
     val na = writeVecsGen(one, dir, gen)
     writeMeta(s, dir, GenStore.appendCounters(next, na, dead))
   }
@@ -917,8 +1013,10 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     * even an untrusted history's point fetch reads and reduces only
     * the probed ids' rows, never the corpus. */
   def vecsLive(s: SparkSession, dir: String,
-      ids: Option[Seq[Long]] = None, resolveAll: Boolean = false): DataFrame = {
-    val meta = metaOrThrow(s, dir)
+      ids: Option[Seq[Long]] = None, resolveAll: Boolean = false,
+      asOfGen: Option[Long] = None): DataFrame = {
+    val full = metaOrThrow(s, dir)
+    val meta = asOfGen.fold(full)(GenStore.asOf(full, _))
     if (!meta.params.contains("pfetch")) throw new IllegalArgumentException(
       s"tree at $dir is not a point-fetch vector store (no pfetch in its " +
         "meta): read it with the matching index reader")
@@ -943,7 +1041,12 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     }
     val raw = probed.select(col("bucket"), col("v"),
       col("gen").cast("long").as("gen"))
-    liveView(meta, raw, "bucket", Seq("v"), identity, resolveAll)
+    // delete-bearing stores drop tombstones (null v) after resolution;
+    // delete-free stores keep their exact pre-delete plans
+    val postFilter: DataFrame => DataFrame =
+      if (full.params.contains("del")) _.filter(col("v").isNotNull)
+      else identity
+    liveView(meta, raw, "bucket", Seq("v"), postFilter, resolveAll)
   }
 
   // ------------------------------------------------------ sign-LSH
@@ -1014,7 +1117,7 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     val one = onePerId(delta, idCol, vecCol)
     val deltaRows = one.count()
     val dead = deadFor(prev, newIds,
-      rawBanded(s, indexDir, prev.gen), "vec_id", one, multiRow = true)
+      rawBanded(s, indexDir, prev.gen), "vec_id", one, weight = bandWeight)
     val na = writeBandedGen(
       Ann.bandedRows(one, "vec_id", "v",
           Ann.hyperplanes(nPlanes, dim, seed), bands)
@@ -1102,12 +1205,19 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     * generations / full latest-gen resolution with the filter strictly
     * after (the resurrect hazard). */
   def bandedRowsLive(s: SparkSession, indexDir: String,
-      probe: Option[(Seq[Int], Seq[Long])] = None): DataFrame = {
-    def probeFilter(df: DataFrame): DataFrame = probe.fold(df) {
-      case (bs, ks) =>
+      probe: Option[(Seq[Int], Seq[Long])] = None,
+      asOfGen: Option[Long] = None): DataFrame = {
+    val full = metaOrThrow(s, indexDir)
+    val meta = asOfGen.fold(full)(GenStore.asOf(full, _))
+    // probe + (on delete-bearing stores) the band = -1 tombstone drop,
+    // post-resolution per the regime discipline
+    def probeFilter(df: DataFrame): DataFrame = {
+      val probed = probe.fold(df) { case (bs, ks) =>
         df.filter(col("band").isin(bs: _*) && col("bucket").isin(ks: _*))
+      }
+      if (full.params.contains("del")) probed.filter(col("band") >= 0)
+      else probed
     }
-    val meta = metaOrThrow(s, indexDir)
     val raw = rawBanded(s, indexDir, meta.gen)
     GenStore.keyedLiveView(meta, raw, "vec_id", probeFilter, resolveAll = false)
       .select("vec_id", "band", "bucket")

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.build.IndexBuilder
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Incremental index maintenance as a Structured Streaming job — the
@@ -21,6 +22,31 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * continuous maintenance.
   */
 object IndexMaintenance extends org.apache.spark.internal.Logging {
+
+  /** The IN-STREAM compact's corpus, resolved by INGEST ORDER: the
+    * source directory legitimately holds BOTH versions of a re-ingested
+    * id (the undeclared-re-ingest scenario this API supports with
+    * `assumeNewIds = false`), and the builds' content-max dedup pick
+    * would silently prefer whichever version sorts higher — a compact
+    * could REVERT an id to older content and diverge from the
+    * pre-compact live view, which correctly serves the latest
+    * generation (the r18 advisor's finding). Ingest order is the
+    * file-source stream's own order: files are discovered by
+    * modification time, so the row from the id's most recently
+    * modified file IS the one the stream delivered last — resolved here
+    * with one id-keyed reduce over `(file_modification_time, content)`
+    * (the timestamp leads; content max only tie-breaks same-timestamp
+    * files, deterministically). Output is one row per id, so the
+    * build's own dedup pick downstream is a stable no-op. */
+  private[graft] def ingestResolved(spark: SparkSession, dir: String,
+      idCol: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+      .withColumn("_mt", col("_metadata.file_modification_time"))
+    val dataCols = df.columns.toSeq.filter(c => c != idCol && c != "_mt")
+    df.groupBy(idCol)
+      .agg(max(struct(col("_mt") +: dataCols.map(col): _*)).as("m"))
+      .select(col(idCol) +: dataCols.map(c => col(s"m.$c").as(c)): _*)
+  }
 
   def runAvailableNow(
       spark: SparkSession,
@@ -123,7 +149,7 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             // duplicates. A separate post-swap flag write would leave
             // a crash window where a replay sees the batch recorded,
             // skips, and the flag never lands (the r15 advisor hole).
-            AI.compactIvf(spark.read.parquet(vecDir), indexDir,
+            AI.compactIvf(ingestResolved(spark, vecDir, idCol), indexDir,
               idCol, vecCol, nlist, batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance IVF batch $batchId: compacted (staged)")
           }
@@ -179,7 +205,7 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance IVF-PQ batch $batchId: append")
           if (compactAt > 0 && AI.staleness(spark, indexDir) >= compactAt) {
-            AI.compactIvfPq(spark.read.parquet(vecDir), indexDir,
+            AI.compactIvfPq(ingestResolved(spark, vecDir, idCol), indexDir,
               idCol, vecCol, nlist, nSub, subDim, nCent,
               batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance IVF-PQ batch $batchId: compacted (staged)")
@@ -234,7 +260,7 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance vecs batch $batchId: append")
           if (compactAt > 0 && AI.staleness(spark, storeDir) >= compactAt) {
-            AI.compactVecs(spark.read.parquet(vecDir), storeDir,
+            AI.compactVecs(ingestResolved(spark, vecDir, idCol), storeDir,
               idCol, vecCol, batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance vecs batch $batchId: compacted (staged)")
           }
@@ -288,8 +314,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance text batch $batchId: append")
           if (compactAt > 0 && PS.staleness(spark, storeDir) >= compactAt) {
-            PS.compact(spark.read.parquet(docsDir), storeDir, idCol, fields,
-              batchId = batchId, appendOnly = false)
+            PS.compact(ingestResolved(spark, docsDir, idCol), storeDir, idCol,
+              fields, batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance text batch $batchId: compacted (staged)")
           }
         }
@@ -353,11 +379,58 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance banded batch $batchId: append")
           if (compactAt > 0 && AI.bandedStaleness(spark, indexDir) >= compactAt) {
-            AI.compactBanded(spark.read.parquet(vecDir), indexDir,
+            AI.compactBanded(ingestResolved(spark, vecDir, idCol), indexDir,
               idCol, vecCol, nPlanes, bands, seed, batchId = batchId,
               appendOnly = false)
             logInfo(s"IndexMaintenance banded batch $batchId: compacted (staged)")
           }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming TAKEDOWN maintenance — the deletes twin completing the
+    * lifecycle's last CRUD verb (r19): a deletes directory (files of id
+    * rows — an opt-out/GDPR feed) streams in, and each micro-batch
+    * retires its ids from the target store incrementally
+    * ([[graft.text.PostingsStore.delete]] for text stores,
+    * [[graft.similarity.AnnIndex.delete]] for the four vector
+    * structures — dispatched on the store's own meta, tombstone
+    * encodings per structure). Exactly-once composition is IDENTICAL to
+    * the append twins: a batch already recorded in the meta replays as
+    * a skip, a crashed delete replays into the same reserved
+    * (overwritten) generation directory, and the batch id rides the
+    * same atomic meta write as the tombstone generation's commit. A
+    * delete stream against a MISSING store fails loudly — there is
+    * nothing to retire from, and silently skipping a takedown batch is
+    * the one wrong default for this verb. */
+  def runDeletesAvailableNow(
+      spark: SparkSession,
+      delDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id"): StreamingQuery = {
+    val schema = spark.read.parquet(delDir).schema
+    val stream = spark.readStream.schema(schema).parquet(delDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val GS = graft.build.GenStore
+        if (GS.recover(spark, storeDir))
+          logInfo(s"IndexMaintenance deletes batch $batchId: adopted staged compact")
+        val meta = GS.readMeta(spark, storeDir).getOrElse(
+          throw new IllegalStateException(
+            s"deletes stream against a missing/partial store at $storeDir: " +
+              "build the store first — a takedown must never be silently dropped"))
+        if (batchId <= meta.batch) {
+          logInfo(s"IndexMaintenance deletes batch $batchId: replay, skipped")
+        } else if (meta.params.contains("text")) {
+          graft.text.PostingsStore.delete(batch, storeDir, idCol, batchId = batchId)
+          logInfo(s"IndexMaintenance deletes batch $batchId: text takedown")
+        } else {
+          graft.similarity.AnnIndex.delete(batch, storeDir, idCol, batchId = batchId)
+          logInfo(s"IndexMaintenance deletes batch $batchId: vector takedown")
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -60,6 +60,15 @@ import org.apache.spark.sql.functions._
   * filtering a doc's rows by term BEFORE doc-level resolution would
   * resurrect a dropped term's old row, the same hazard the banded probe
   * has).
+  *
+  * r19 verbs: [[delete]] retires docs incrementally (a takedown batch =
+  * one sentinel generation — the emptied-re-ingest mechanism exposed as
+  * the verb; GenStore class doc); [[live]]/[[normsLive]] take `asOfGen`
+  * (time-travel: the state after generation N, the reproducibility
+  * read); and a FLAT FAST PATH serves append-only sentinel-free
+  * histories (`sent = 0` in the meta) the write-once plan — no sentinel
+  * filter, no resolution protocol — so a fresh or just-compacted
+  * store's read pays nothing for the freshness rule.
   */
 object PostingsStore {
 
@@ -72,8 +81,22 @@ object PostingsStore {
     * generations (the text twin of the banded seed/planes check). */
   private val TokenizerEpoch = 1L
 
-  private def fieldsKey(fields: Seq[(String, String)]): String =
+  /** The full field mapping (name AND source column) as the store's
+    * persisted `pfields` key — what appends validate, and what artifact
+    * fingerprints must carry (hashing names alone would reuse a stale
+    * store across two configurations that index different columns under
+    * the same field names). */
+  private[graft] def fieldsKey(fields: Seq[(String, String)]): String =
     fields.map { case (n, c) => s"$n:$c" }.mkString(",")
+
+  private def parseFieldsKey(key: String): Seq[(String, String)] =
+    key.split(',').toSeq.map { kv =>
+      kv.split(':') match {
+        case Array(n, c) => (n, c)
+        case _ => throw new IllegalStateException(
+          s"unparseable pfields entry '$kv' in postings meta")
+      }
+    }
 
   /** One coherent (doc_id, columns...) row per doc id — the
     * at-least-once batch surface, same deterministic whole-struct pick
@@ -105,8 +128,13 @@ object PostingsStore {
     * so the proxy is docs-per-file. */
   private val AppendDocsPerFile = 256L
 
+  /** Write one generation's postings + norms sidecar. Returns
+    * (servingRows, sentinelRows): the staleness counters track only
+    * SERVING rows (what [[live]] returns — the GenStore sentinel
+    * contract), while sentinel rows accumulate in the meta's `sent`
+    * param, whose 0 is what licenses the flat fast path. */
   private def writeGen(rows: DataFrame, dir: String, gen: Long,
-      estDocs: Long = -1L): Long = {
+      estDocs: Long = -1L): (Long, Long) = {
     val s = rows.sparkSession
     val width = s.sessionState.conf.numShufflePartitions
     // explicit partition count: an AQE-coalesced range shuffle would
@@ -133,12 +161,22 @@ object PostingsStore {
       try s.read.parquet(out) catch {
         case _: org.apache.spark.sql.AnalysisException => null
       }
-    if (written != null)
+    if (written == null) (0L, 0L)
+    else {
       written.groupBy("doc_id").agg(sum("tf").as("dl"))
         .repartitionByRange(parts, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"${normsPath(dir)}/gen=$gen")
-    GenStore.countWritten(s, out)
+      // one footer-friendly pass splits serving rows from sentinels:
+      // counters must match what live() serves (sentinels are
+      // supersession machinery, not rows — the r18 advisor's finding:
+      // counting them made staleness deviate from the documented exact
+      // live append-row fraction on batches with emptied docs)
+      val r = written.agg(
+        coalesce(sum(when(col("term") =!= "", 1L)), lit(0L)),
+        coalesce(sum(when(col("term") === "", 1L)), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
   }
 
   /** Build the postings store from a corpus: gen 0, meta LAST
@@ -155,13 +193,16 @@ object PostingsStore {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     val one = normalized(docs, idCol, fields, dedup = batchId >= 0)
-    val n0 = writeGen(postingsRows(one, fields), dir, 0L)
+    val (n0, s0) = writeGen(postingsRows(one, fields), dir, 0L)
     GenStore.writeMeta(s, dir, GenStore.Meta(gen = 1L, appendOnly = appendOnly,
       batch = batchId, trusted = appendOnly, baseRows = n0, appendRows = 0L,
       // "norms" marks a store whose every generation carries the
-      // sidecar; stores from before it fall back to the aggregate
+      // sidecar (stores from before it fall back to the aggregate);
+      // "sent" is the cumulative sentinel-row count — 0 licenses the
+      // flat fast path (no sentinel filter needed)
       params = Map("text" -> "1", "tok" -> TokenizerEpoch.toString,
-        "norms" -> "1", "pfields" -> fieldsKey(fields))))
+        "norms" -> "1", "sent" -> s0.toString,
+        "pfields" -> fieldsKey(fields))))
   }
 
   /** Tokenize ONLY the delta batch under the persisted analyzer epoch
@@ -183,14 +224,49 @@ object PostingsStore {
           s"${next.params.getOrElse("pfields", "<none>")}, caller passed " +
           s"${fieldsKey(fields)} — fields are fixed at build time; " +
           "compact/rebuild to change them")
-    val one = normalized(delta, idCol, fields, dedup = true)
-    val nDocs = one.count()
-    val dead =
-      if (prev.baseRows >= 0 && GenStore.needsDeadCount(prev, newIds))
-        GenStore.deadCounts(raw(s, dir, prev.gen), "doc_id", one, multiRow = true)
-      else (0L, 0L)
-    val na = writeGen(postingsRows(one, fields), dir, gen, estDocs = nDocs)
-    GenStore.writeMeta(s, dir, GenStore.appendCounters(next, na, dead))
+    // cached: the normalized delta feeds three delta-scale consumers
+    // (the fan-out count, the dead-row semi-join, the tokenize) — one
+    // dedup shuffle, not one per consumer
+    val one = normalized(delta, idCol, fields, dedup = true).cache()
+    try {
+      val nDocs = one.count()
+      val dead =
+        if (prev.baseRows >= 0 && GenStore.needsDeadCount(prev, newIds))
+          GenStore.deadCounts(raw(s, dir, prev.gen), "doc_id", one,
+            weight = when(col("term") === "", 0L).otherwise(1L))
+        else (0L, 0L)
+      val (na, sa) = writeGen(postingsRows(one, fields), dir, gen, estDocs = nDocs)
+      val sent = next.params.get("sent").flatMap(_.toLongOption)
+        .map(p => Map("sent" -> (p + sa).toString)).getOrElse(Map.empty)
+      GenStore.writeMeta(s, dir, GenStore.appendCounters(next, na, dead)
+        .copy(params = next.params ++ sent))
+    } finally one.unpersist()
+  }
+
+  /** TAKEDOWN: retire `ids` from search incrementally — the GenStore
+    * delete verb (a GDPR/opt-out batch must not force a corpus
+    * compact). A delete IS an empty re-ingest: one generation of
+    * sentinel rows for the deleted docs (plus dl = 0 norms), appended
+    * UNDECLARED so every read regime resolves the docs to their
+    * tokenless latest generation and drops them after resolution — the
+    * exact mechanism an emptied re-crawl already used, exposed as the
+    * verb. Counters stay exact (sentinels weigh 0: the docs' live rows
+    * move out, nothing moves in); compact from the corpus-minus-
+    * takedowns drops the tombstone generations. Re-ingesting a deleted
+    * doc later must be an undeclared append (GenStore class doc). */
+  def delete(ids: DataFrame, dir: String, idCol: String = "doc_id",
+      batchId: Long = -1L): Unit = {
+    val s = ids.sparkSession
+    val meta = GenStore.metaOrThrow(s, dir)
+    requireText(meta, dir)
+    val fields = parseFieldsKey(meta.params.getOrElse("pfields",
+      throw new IllegalStateException(
+        s"postings store at $dir has no persisted pfields (pre-params " +
+          "legacy tree): rebuild it before deleting")))
+    val empties = ids.select(col(idCol)).distinct()
+      .select(col(idCol) +:
+        fields.map(_._2).distinct.map(c => lit("").as(c)): _*)
+    append(empties, dir, idCol, fields, newIds = false, batchId = batchId)
   }
 
   /** Re-tokenize the current corpus and rewrite at gen 0 under the
@@ -225,18 +301,30 @@ object PostingsStore {
     * [[TextIndex]] reader and [[QueryLang]] (which scope by `field`). */
   def live(s: SparkSession, dir: String,
       field: Option[String] = None, terms: Option[Seq[String]] = None,
-      resolveAll: Boolean = false): DataFrame = {
-    val meta = GenStore.metaOrThrow(s, dir)
-    requireText(meta, dir)
-    def probeFilter(df: DataFrame): DataFrame = {
+      resolveAll: Boolean = false, asOfGen: Option[Long] = None): DataFrame = {
+    val full = GenStore.metaOrThrow(s, dir)
+    requireText(full, dir)
+    val meta = asOfGen.fold(full)(GenStore.asOf(full, _))
+    def probe(df: DataFrame): DataFrame = {
       val f1 = field.fold(df)(f => df.filter(col("field") === f))
-      val f2 = terms.fold(f1)(ts =>
+      terms.fold(f1)(ts =>
         f1.filter(col("term").isin(ts.map(_.toLowerCase): _*)))
-      f2.filter(col("term") =!= "")
     }
-    GenStore.keyedLiveView(meta, raw(s, dir, meta.gen), "doc_id",
-        probeFilter, resolveAll)
-      .select("field", "term", "doc_id", "tf", "positions")
+    // FLAT FAST PATH (staleness-protocol-free): an append-only history
+    // that never wrote a sentinel serves the write-once flat plan — the
+    // commit-pointer partition filter stays (orphan gens must not
+    // leak), but the whole-history sentinel filter goes: the maintained
+    // read's residual protocol cost on a fresh or just-compacted store
+    // is zero, not "small". `sent` describes the FULL history, so an
+    // as-of read never takes it on a store whose later gens differ.
+    if (!resolveAll && asOfGen.isEmpty && meta.appendOnly &&
+        full.params.get("sent").contains("0"))
+      probe(s.read.parquet(dataPath(dir)).filter(col("gen") < meta.gen))
+        .select("field", "term", "doc_id", "tf", "positions")
+    else
+      GenStore.keyedLiveView(meta, raw(s, dir, meta.gen), "doc_id",
+          df => probe(df).filter(col("term") =!= ""), resolveAll)
+        .select("field", "term", "doc_id", "tf", "positions")
   }
 
   /** The LIVE document norms (doc_id, doc_len) — the persisted
@@ -250,18 +338,27 @@ object PostingsStore {
     * empty doc had no rows. A store from before the sidecar (no
     * `norms` param) falls back to aggregating the live postings. */
   def normsLive(s: SparkSession, dir: String,
-      resolveAll: Boolean = false): DataFrame = {
-    val meta = GenStore.metaOrThrow(s, dir)
-    requireText(meta, dir)
-    if (meta.params.contains("norms")) {
-      val raw = s.read.parquet(normsPath(dir))
-        .filter(col("gen") < meta.gen)
-        .select(col("doc_id"), col("dl"), col("gen").cast("long").as("gen"))
-      GenStore.liveView(meta, raw, "doc_id", Seq("dl"),
-          df => df.filter(col("dl") > 0), resolveAll)
-        .select(col("doc_id"), col("dl").as("doc_len"))
+      resolveAll: Boolean = false, asOfGen: Option[Long] = None): DataFrame = {
+    val full = GenStore.metaOrThrow(s, dir)
+    requireText(full, dir)
+    val meta = asOfGen.fold(full)(GenStore.asOf(full, _))
+    if (full.params.contains("norms")) {
+      // flat fast path, [[live]]'s twin: no sentinels ever written →
+      // no dl = 0 rows to drop, no resolution protocol to pay
+      if (!resolveAll && asOfGen.isEmpty && meta.appendOnly &&
+          full.params.get("sent").contains("0"))
+        s.read.parquet(normsPath(dir)).filter(col("gen") < meta.gen)
+          .select(col("doc_id"), col("dl").as("doc_len"))
+      else {
+        val raw = s.read.parquet(normsPath(dir))
+          .filter(col("gen") < meta.gen)
+          .select(col("doc_id"), col("dl"), col("gen").cast("long").as("gen"))
+        GenStore.liveView(meta, raw, "doc_id", Seq("dl"),
+            df => df.filter(col("dl") > 0), resolveAll)
+          .select(col("doc_id"), col("dl").as("doc_len"))
+      }
     } else
-      live(s, dir, resolveAll = resolveAll)
+      live(s, dir, resolveAll = resolveAll, asOfGen = asOfGen)
         .groupBy("doc_id").agg(sum("tf").as("doc_len"))
   }
 
@@ -271,8 +368,10 @@ object PostingsStore {
   def staleness(s: SparkSession, dir: String): Double = {
     val meta = GenStore.metaOrThrow(s, dir)
     GenStore.metaStaleness(meta).getOrElse {
+      // legacy counter-less meta: derive from the live view — SERVED
+      // rows only (sentinels resolve supersession but are never live)
       val r = GenStore.keyedLiveView(meta, raw(s, dir, meta.gen), "doc_id",
-          identity, resolveAll = false)
+          df => df.filter(col("term") =!= ""), resolveAll = false)
         .agg(count(lit(1)).as("n"),
           sum(when(col("gen") > 0, 1L).otherwise(0L)).as("d")).head()
       if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)

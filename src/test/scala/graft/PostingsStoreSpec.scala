@@ -199,6 +199,134 @@ class PostingsStoreSpec extends AnyFunSuite {
     assert(builds == 3, "a markerless tree must rebuild, not be trusted")
   }
 
+  test("delete retires docs from every read — ≡ compact-minus-ids, counters exact") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "alpha beta", 2L -> "alpha gamma",
+      3L -> "delta beta", 4L -> "alpha")
+    val d = s"$work/del1"
+    PostingsStore.build(docsDF(corpus), d)
+    PostingsStore.delete(Seq(2L, 3L).toDF("doc_id"), d)
+    // delete ≡ compact over the corpus minus the takedowns, row-for-row
+    val c = s"$work/del1_compacted"
+    PostingsStore.build(docsDF(corpus.filterNot(r => Set(2L, 3L)(r._1))), c)
+    assert(liveSet(d) == liveSet(c), "delete diverged from compact-minus-ids")
+    // the audit regime agrees; search can never return a deleted doc
+    assert(PostingsStore.live(spark, d, resolveAll = true).collect().toSet ==
+      PostingsStore.live(spark, d).collect().toSet)
+    assert(TextIndex.searchTopK(PostingsStore.live(spark, d), Seq("alpha"), 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // norms drop the deleted docs too
+    assert(PostingsStore.normsLive(spark, d).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 4L))
+    // counters stay EXACT: deletes move live rows out, add none —
+    // staleness 0 (all live rows are base); a later append is the only
+    // thing that raises it, by exactly its live fraction
+    assert(PostingsStore.staleness(spark, d) == 0.0)
+    PostingsStore.append(docsDF(Seq(5L -> "omega")), d)
+    val live = liveSet(d).size.toDouble
+    assert(math.abs(PostingsStore.staleness(spark, d) - 1.0 / live) < 1e-9)
+    // RE-ADD after delete: an UNDECLARED append (the GenStore contract)
+    // brings the doc back with its new content
+    PostingsStore.append(docsDF(Seq(2L -> "alpha reborn")), d)
+    assert(TextIndex.searchTopK(PostingsStore.live(spark, d), Seq("reborn"), 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(PostingsStore.live(spark, d, terms = Some(Seq("gamma"))).count() == 0,
+      "a re-added doc must carry only its new content")
+  }
+
+  test("as-of-generation reads reproduce each committed state of a mixed history") {
+    val d = s"$work/asof1"
+    // gen 0: build; gen 1: declared append; gen 2: undeclared upsert;
+    // gen 3: delete — capture the live set after every step and pin
+    // asOf(n) against it
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Set[(String, String, Long, Long, Seq[Int])]]
+    PostingsStore.build(docsDF(Seq(1L -> "alpha beta", 2L -> "gamma")), d)
+    snaps += liveSet(d)
+    PostingsStore.append(docsDF(Seq(3L -> "delta")), d, newIds = true)
+    snaps += liveSet(d)
+    PostingsStore.append(docsDF(Seq(1L -> "alpha omega")), d)
+    snaps += liveSet(d)
+    import spark.implicits._
+    PostingsStore.delete(Seq(2L).toDF("doc_id"), d)
+    snaps += liveSet(d)
+    def asOfSet(n: Long): Set[(String, String, Long, Long, Seq[Int])] =
+      PostingsStore.live(spark, d, asOfGen = Some(n)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Int](4))).toSet
+    snaps.zipWithIndex.foreach { case (snap, n) =>
+      assert(asOfSet(n.toLong) == snap, s"asOf($n) diverged from the state after gen $n")
+    }
+    // past-the-end as-of is just the live view; norms follow the same clock
+    assert(asOfSet(99L) == snaps.last)
+    assert(PostingsStore.normsLive(spark, d, asOfGen = Some(0L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("flat fast path: sentinel-free append-only stores serve the live view bit-for-bit, protocol-free") {
+    val d = s"$work/flat1"
+    PostingsStore.build(docsDF(Seq(1L -> "alpha beta", 2L -> "gamma")), d)
+    PostingsStore.append(docsDF(Seq(3L -> "delta alpha")), d, newIds = true)
+    val flat = PostingsStore.live(spark, d)
+    // fast path ≡ the full-resolution audit plan, bit-for-bit
+    assert(flat.collect().toSet ==
+      PostingsStore.live(spark, d, resolveAll = true).collect().toSet)
+    // and it IS the flat plan: no sentinel-filter residual (the `sent`
+    // license), no exchange
+    val plan = flat.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(!plan.toLowerCase.contains("isnotnull(term"),
+      s"sentinel-free store must skip the whole-history sentinel filter:\n$plan")
+    // a history that DID write a sentinel keeps the guarded plan — and
+    // stays correct (empty doc absent from reads)
+    val d2 = s"$work/flat2"
+    PostingsStore.build(docsDF(Seq(1L -> "alpha", 2L -> "  ")), d2)
+    assert(PostingsStore.live(spark, d2).collect().map(_.getLong(2)).toSet == Set(1L))
+    assert(PostingsStore.normsLive(spark, d2).collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("staleness counters exclude sentinels — exact on emptied-doc batches") {
+    val d = s"$work/sent1"
+    PostingsStore.build(docsDF(Seq(1L -> "a b", 2L -> "c", 3L -> "d")), d)
+    // the batch empties doc 1 (sentinel) and re-ingests doc 2: live
+    // rows = doc2's 1 new + doc3's 1 base; append fraction = 1/2 — a
+    // counter that counted the sentinel would read 2/3
+    PostingsStore.append(docsDF(Seq(1L -> " ", 2L -> "x")), d)
+    assert(math.abs(PostingsStore.staleness(spark, d) - 0.5) < 1e-9,
+      "sentinel rows must not enter the staleness counters")
+  }
+
+  test("fields fingerprint keys the full name→column mapping, not names alone") {
+    assert(PostingsStore.fieldsKey(Seq("text" -> "text")) !=
+      PostingsStore.fieldsKey(Seq("text" -> "source")),
+      "same field names over different columns must fingerprint apart")
+  }
+
+  test("streaming deletes twin ≡ batch delete; replays are no-ops") {
+    import spark.implicits._
+    val delDir = s"$work/sd_dels"
+    val store = s"$work/sd_store"
+    val ckpt = s"$work/sd_ckpt"
+    PostingsStore.build(docsDF(Seq(
+      1L -> "alpha beta", 2L -> "alpha gamma", 3L -> "delta")), store)
+    Seq(2L).toDF("doc_id").write.parquet(delDir)
+    val q1 = graft.streaming.IndexMaintenance.runDeletesAvailableNow(
+      spark, delDir, store, ckpt, idCol = "doc_id")
+    q1.awaitTermination()
+    val twin = s"$work/sd_twin"
+    PostingsStore.build(docsDF(Seq(
+      1L -> "alpha beta", 2L -> "alpha gamma", 3L -> "delta")), twin)
+    PostingsStore.delete(Seq(2L).toDF("doc_id"), twin)
+    assert(liveSet(store) == liveSet(twin), "stream delete diverged from batch")
+    // drained re-run: no new generation
+    val before = PostingsStore.lastAppliedBatch(spark, store)
+    val q2 = graft.streaming.IndexMaintenance.runDeletesAvailableNow(
+      spark, delDir, store, ckpt, idCol = "doc_id")
+    q2.awaitTermination()
+    assert(PostingsStore.lastAppliedBatch(spark, store) == before)
+    assert(liveSet(store) == liveSet(twin))
+  }
+
   test("streaming maintenance (AvailableNow) equals the batch path, replays are no-ops") {
     val docsDir = s"$work/stream_docs"
     val store = s"$work/stream_store"
