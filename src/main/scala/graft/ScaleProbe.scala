@@ -309,6 +309,35 @@ object ScaleProbe {
             PS.append(docs.filter(isDelta), dir)
             PS.live(s, dir, terms = Some(Seq("merge", "join")))
           }
+        // `text_takedown` / `ann_takedown` probe the r19 DELETE verb's
+        // economics: cold pays the full-corpus store/index build + the
+        // first takedown, warm (after an untimed compact back to the
+        // single-gen full build) pays ONE delete batch — a tombstone/
+        // sentinel generation sized by the takedown list plus the
+        // delta-bounded dead-row count, nothing of the base rewritten —
+        // and a probed live read through the delete-bearing history.
+        else if (name == "text_takedown")
+          (s, d) => {
+            val PS = graft.text.PostingsStore
+            val DA = graft.dedup.DedupArtifacts
+            val dir = s"$d/text_takedown_store"
+            val docs = Tables.documents(s, d).select("doc_id", "text")
+            if (!PS.isComplete(s, dir)) PS.build(docs, dir)
+            PS.delete(docs.filter(col("doc_id") % DA.DeltaMod === DA.DeltaRem)
+              .select("doc_id"), dir)
+            PS.live(s, dir, terms = Some(Seq("merge", "join")))
+          }
+        else if (name == "ann_takedown")
+          (s, d) => {
+            val AI = graft.similarity.AnnIndex
+            val DA = graft.dedup.DedupArtifacts
+            val dir = s"$d/ann_takedown_idx"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            if (!AI.isComplete(s, dir)) AI.buildIvf(emb, dir, nlist = 16)
+            AI.delete(emb.filter(col("vec_id") % DA.DeltaMod === DA.DeltaRem)
+              .select("vec_id"), dir)
+            AI.ivfAssignments(s, dir, cells = Some(Seq(0L, 3L)))
+          }
         // `sem_cand_probe` measures the BANDED CANDIDATE VOLUME of the
         // q161/q163 delta probe (rows = candidate stream size, the cost
         // driver of the banded incremental path) — the denominator is
@@ -331,6 +360,15 @@ object ScaleProbe {
       // makes every warm measurement the same thing: ONE delta append
       // against a fixed one-generation history. Runs outside the timer;
       // the cold run still pays the honest first-build inside it.
+      def wipeOrCompact(s: SparkSession, dir: String, i: Int,
+          compact: => Unit): Unit =
+        if (i == 1) {
+          // cold is ALWAYS the full build + first mutation, even on a
+          // re-invoked probe dir — wipe the leftover store
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true): Unit
+        } else if (graft.build.GenStore.isComplete(s, dir)) compact
       val prep: Option[(SparkSession, String, Int) => Unit] =
         if (name == "text_incr") Some { (s, d, i) =>
           val PS = graft.text.PostingsStore
@@ -338,14 +376,17 @@ object ScaleProbe {
           val dir = s"$d/text_postings_store"
           val docs = Tables.documents(s, d).select("doc_id", "text")
           val isDelta = col("doc_id") % DA.DeltaMod === DA.DeltaRem
-          if (i == 1) {
-            // cold is ALWAYS the full base build + first append, even on
-            // a re-invoked probe dir — wipe the leftover store
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            if (fs.exists(p)) fs.delete(p, true): Unit
-          } else if (PS.isComplete(s, dir))
-            PS.compact(docs.filter(!isDelta), dir)
+          wipeOrCompact(s, dir, i, PS.compact(docs.filter(!isDelta), dir))
+        } else if (name == "text_takedown") Some { (s, d, i) =>
+          val PS = graft.text.PostingsStore
+          val dir = s"$d/text_takedown_store"
+          val docs = Tables.documents(s, d).select("doc_id", "text")
+          wipeOrCompact(s, dir, i, PS.compact(docs, dir))
+        } else if (name == "ann_takedown") Some { (s, d, i) =>
+          val AI = graft.similarity.AnnIndex
+          val dir = s"$d/ann_takedown_idx"
+          val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+          wipeOrCompact(s, dir, i, AI.compactIvf(emb, dir, nlist = 16))
         } else None
       val times = (1 to 2).map { i =>
         prep.foreach(p => p(spark, outDir, i))

@@ -157,6 +157,58 @@ class DeleteAsOfSpec extends AnyFunSuite {
       "the append-only as-of prefix must stay a plain read")
   }
 
+  test("delete holds on the UNTRUSTED regime too (in-stream-compact history)") {
+    val d = s"$work/ivf_del_untrusted"
+    // appendOnly = false stamps the index untrusted — every read is the
+    // full latest-gen resolution, the regime that trusts nothing
+    AnnIndex.buildIvf(emb, d, nlist = 8, appendOnly = false)
+    val before = assignSet(d)
+    val delIds = deletedIds.collect().map(_.getLong(0)).toSet
+    AnnIndex.delete(deletedIds, d)
+    assert(assignSet(d) == before.filterNot(r => delIds(r._1)),
+      "untrusted-regime delete leaked or over-deleted")
+    // vecs twin: untrusted store, pruned point read of a deleted id
+    val v = s"$work/vecs_del_untrusted"
+    AnnIndex.buildVecs(emb, v, appendOnly = false)
+    AnnIndex.delete(deletedIds, v)
+    val delId = delIds.head
+    assert(AnnIndex.vecsLive(spark, v, ids = Some(Seq(delId))).count() == 0,
+      "untrusted-regime point read served a deleted id")
+  }
+
+  test("as-of FUZZ: every prefix of a random mixed append/upsert/delete history reproduces its snapshot") {
+    val rnd = new scala.util.Random(7)
+    val d = s"$work/ivf_fuzz_asof"
+    // id pools by residue class: declared appends draw from unseen
+    // pools (truthful newIds), upserts and deletes from seen ones
+    def pool(i: Int) = emb.filter(col("vec_id") % 11 === i)
+    AnnIndex.buildIvf(pool(0).unionByName(pool(1)), d, nlist = 4)
+    var seen = List(0, 1)
+    var unseen = (2 to 10).toList
+    val snaps = scala.collection.mutable.ArrayBuffer(assignSet(d))
+    (1 to 6).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 if unseen.nonEmpty => // declared append of genuinely new ids
+          val p = unseen.head; unseen = unseen.tail; seen ::= p
+          AnnIndex.appendIvf(pool(p), d, newIds = true)
+        case 1 => // undeclared upsert of already-present ids
+          val p = seen(rnd.nextInt(seen.size))
+          AnnIndex.appendIvf(pool(p), d)
+        case _ => // takedown of some present ids
+          val p = seen(rnd.nextInt(seen.size))
+          AnnIndex.delete(pool(p).select("vec_id").limit(5), d)
+      }
+      snaps += assignSet(d)
+    }
+    snaps.zipWithIndex.foreach { case (snap, n) =>
+      assert(assignSet(d, asOfGen = Some(n.toLong)) == snap,
+        s"fuzz asOf($n) diverged from the state after gen $n")
+      // the audit regime agrees at every prefix
+      assert(assignSet(d, resolveAll = true, asOfGen = Some(n.toLong)) == snap,
+        s"fuzz asOf($n) audit plan diverged")
+    }
+  }
+
   test("streaming deletes twin on a vector store ≡ batch delete; replays skip") {
     import spark.implicits._
     val store = s"$work/sd_vecs"

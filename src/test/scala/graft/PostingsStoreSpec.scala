@@ -262,6 +262,40 @@ class PostingsStoreSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("as-of FUZZ: every prefix of a random mixed text history reproduces its snapshot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val d = s"$work/asof_fuzz"
+    def docsOf(ids: Seq[Long], salt: String): DataFrame =
+      docsDF(ids.map(i => i -> s"w$i $salt common"))
+    PostingsStore.build(docsOf(1L to 4L, "base"), d)
+    var seen = (1L to 4L).toVector
+    var nextId = 5L
+    val snaps = scala.collection.mutable.ArrayBuffer(liveSet(d))
+    (1 to 6).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 => // declared append of genuinely new docs
+          PostingsStore.append(docsOf(Seq(nextId, nextId + 1), s"s$step"), d,
+            newIds = true)
+          seen ++= Seq(nextId, nextId + 1); nextId += 2
+        case 1 => // undeclared re-ingest with CHANGED content
+          val id = seen(rnd.nextInt(seen.size))
+          PostingsStore.append(docsOf(Seq(id), s"re$step"), d)
+        case _ => // takedown
+          val id = seen(rnd.nextInt(seen.size))
+          PostingsStore.delete(Seq(id).toDF("doc_id"), d)
+      }
+      snaps += liveSet(d)
+    }
+    def asOfSet(n: Long) = PostingsStore.live(spark, d, asOfGen = Some(n))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Int](4))).toSet
+    snaps.zipWithIndex.foreach { case (snap, n) =>
+      assert(asOfSet(n.toLong) == snap,
+        s"text fuzz asOf($n) diverged from the state after gen $n")
+    }
+  }
+
   test("flat fast path: sentinel-free append-only stores serve the live view bit-for-bit, protocol-free") {
     val d = s"$work/flat1"
     PostingsStore.build(docsDF(Seq(1L -> "alpha beta", 2L -> "gamma")), d)
