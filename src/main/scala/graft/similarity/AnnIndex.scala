@@ -417,6 +417,32 @@ object AnnIndex extends org.apache.spark.internal.Logging {
       .copy(params = next.params + ("del" -> "1")))
   }
 
+  /** The RETIRED ids: keys present in the tree's generations whose live
+    * state is a tombstone — the takedown set an in-stream compact must
+    * EXCLUDE from its source-directory rebuild (the source still
+    * physically holds deleted ids' rows; compacting from it unfiltered
+    * would resurrect them). Dispatches on the meta like [[delete]];
+    * returns a one-column `vec_id` frame. Delete-free trees short-
+    * circuit to empty. One resolution scan — compact-scale callers
+    * only. */
+  def retiredIds(s: SparkSession, indexDir: String): DataFrame = {
+    val meta = metaOrThrow(s, indexDir)
+    import s.implicits._
+    if (!meta.params.contains("del")) return Seq.empty[Long].toDF("vec_id")
+    val (all, live) =
+      if (meta.params.contains("pfetch"))
+        (s.read.parquet(vecsDataPath(indexDir))
+          .filter(col("gen") < meta.gen).select(col("bucket").as("vec_id")),
+          vecsLive(s, indexDir).select(col("bucket").as("vec_id")))
+      else if (meta.params.contains("np"))
+        (rawBanded(s, indexDir, meta.gen).select("vec_id"),
+          bandedRowsLive(s, indexDir).select("vec_id"))
+      else
+        (rawAssignments(s, indexDir, meta.gen).select("vec_id"),
+          ivfAssignments(s, indexDir).select("vec_id"))
+    all.distinct().join(live.distinct(), Seq("vec_id"), "left_anti")
+  }
+
   /** Fraction of LIVE index rows that arrived by append — the drift
     * signal a deployment compacts on. O(1): read from the meta's
     * live-row counters, so the per-micro-batch compaction decision in

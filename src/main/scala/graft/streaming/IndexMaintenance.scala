@@ -48,6 +48,19 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       .select(col(idCol) +: dataCols.map(c => col(s"m.$c").as(c)): _*)
   }
 
+  /** The full in-stream compact corpus: the source resolved by ingest
+    * order ([[ingestResolved]]) MINUS the store's currently-retired
+    * (tombstoned) keys — the source directory still physically holds
+    * deleted ids' rows, and a compact that read it unfiltered would
+    * RESURRECT every takedown applied since the last compact (the
+    * deletes-feed counterpart of the ingest-order fix). Both legs are
+    * compact-scale: one id-keyed reduce + one anti-join, paid only
+    * when compactAt triggers. */
+  private def compactCorpus(spark: SparkSession, srcDir: String,
+      idCol: String, retired: DataFrame): DataFrame =
+    ingestResolved(spark, srcDir, idCol)
+      .join(retired.toDF(idCol), Seq(idCol), "left_anti")
+
   def runAvailableNow(
       spark: SparkSession,
       dataDir: String,
@@ -149,7 +162,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             // duplicates. A separate post-swap flag write would leave
             // a crash window where a replay sees the batch recorded,
             // skips, and the flag never lands (the r15 advisor hole).
-            AI.compactIvf(ingestResolved(spark, vecDir, idCol), indexDir,
+            AI.compactIvf(compactCorpus(spark, vecDir, idCol,
+              AI.retiredIds(spark, indexDir)), indexDir,
               idCol, vecCol, nlist, batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance IVF batch $batchId: compacted (staged)")
           }
@@ -205,7 +219,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance IVF-PQ batch $batchId: append")
           if (compactAt > 0 && AI.staleness(spark, indexDir) >= compactAt) {
-            AI.compactIvfPq(ingestResolved(spark, vecDir, idCol), indexDir,
+            AI.compactIvfPq(compactCorpus(spark, vecDir, idCol,
+              AI.retiredIds(spark, indexDir)), indexDir,
               idCol, vecCol, nlist, nSub, subDim, nCent,
               batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance IVF-PQ batch $batchId: compacted (staged)")
@@ -260,7 +275,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance vecs batch $batchId: append")
           if (compactAt > 0 && AI.staleness(spark, storeDir) >= compactAt) {
-            AI.compactVecs(ingestResolved(spark, vecDir, idCol), storeDir,
+            AI.compactVecs(compactCorpus(spark, vecDir, idCol,
+              AI.retiredIds(spark, storeDir)), storeDir,
               idCol, vecCol, batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance vecs batch $batchId: compacted (staged)")
           }
@@ -314,7 +330,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance text batch $batchId: append")
           if (compactAt > 0 && PS.staleness(spark, storeDir) >= compactAt) {
-            PS.compact(ingestResolved(spark, docsDir, idCol), storeDir, idCol,
+            PS.compact(compactCorpus(spark, docsDir, idCol,
+              PS.retiredIds(spark, storeDir)), storeDir, idCol,
               fields, batchId = batchId, appendOnly = false)
             logInfo(s"IndexMaintenance text batch $batchId: compacted (staged)")
           }
@@ -379,7 +396,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance banded batch $batchId: append")
           if (compactAt > 0 && AI.bandedStaleness(spark, indexDir) >= compactAt) {
-            AI.compactBanded(ingestResolved(spark, vecDir, idCol), indexDir,
+            AI.compactBanded(compactCorpus(spark, vecDir, idCol,
+              AI.retiredIds(spark, indexDir)), indexDir,
               idCol, vecCol, nPlanes, bands, seed, batchId = batchId,
               appendOnly = false)
             logInfo(s"IndexMaintenance banded batch $batchId: compacted (staged)")
@@ -398,14 +416,19 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
     * ([[graft.text.PostingsStore.delete]] for text stores,
     * [[graft.similarity.AnnIndex.delete]] for the four vector
     * structures — dispatched on the store's own meta, tombstone
-    * encodings per structure). Exactly-once composition is IDENTICAL to
-    * the append twins: a batch already recorded in the meta replays as
-    * a skip, a crashed delete replays into the same reserved
-    * (overwritten) generation directory, and the batch id rides the
-    * same atomic meta write as the tombstone generation's commit. A
-    * delete stream against a MISSING store fails loudly — there is
-    * nothing to retire from, and silently skipping a takedown batch is
-    * the one wrong default for this verb. */
+    * encodings per structure). The replay guard is the feed's OWN
+    * sibling marker, not the store meta's batch field — that clock
+    * belongs to the ingest maintenance stream, and two independent
+    * streams sharing it would silently skip each other's batches (see
+    * the marker comment below for the crash-window semantics: replayed
+    * delete batches are idempotent in effect). A delete stream against
+    * a MISSING store fails loudly — there is nothing to retire from,
+    * and silently skipping a takedown batch is the one wrong default
+    * for this verb. Runs beside `run*AvailableNow(compactAt > 0)`
+    * safely: in-stream compacts exclude the store's retired keys from
+    * their source-directory rebuild ([[compactCorpus]]), so a compact
+    * can never resurrect a takedown whose rows still sit in the
+    * source. */
   def runDeletesAvailableNow(
       spark: SparkSession,
       delDir: String,
@@ -414,6 +437,20 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       idCol: String = "vec_id"): StreamingQuery = {
     val schema = spark.read.parquet(delDir).schema
     val stream = spark.readStream.schema(schema).parquet(delDir)
+    // The deletes stream keeps its OWN replay clock, a sibling marker
+    // beside the store (atomic MetaIO writes): the store meta's `batch`
+    // belongs to the INGEST maintenance stream, and two independent
+    // streams sharing one clock silently skip each other's batches
+    // (batch 0 of a deletes feed is not a replay of ingest batch 0 —
+    // the bug this marker exists to prevent). A sibling, not a file
+    // inside the store tree, so a staged compact's swap can't erase the
+    // feed's progress. A crash between the tombstone commit and the
+    // marker write replays the delete batch — idempotent in effect
+    // (already-retired ids have no live rows to count dead; the extra
+    // tombstone generation is dropped by the next compact).
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${storeDir.stripSuffix("/")}.deletes_batch")
+    val conf = spark.sparkContext.hadoopConfiguration
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val GS = graft.build.GenStore
@@ -423,14 +460,19 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
           throw new IllegalStateException(
             s"deletes stream against a missing/partial store at $storeDir: " +
               "build the store first — a takedown must never be silently dropped"))
-        if (batchId <= meta.batch) {
+        val applied = graft.build.MetaIO.read(conf, marker)
+          .flatMap(_.toLongOption).getOrElse(-1L)
+        if (batchId <= applied) {
           logInfo(s"IndexMaintenance deletes batch $batchId: replay, skipped")
-        } else if (meta.params.contains("text")) {
-          graft.text.PostingsStore.delete(batch, storeDir, idCol, batchId = batchId)
-          logInfo(s"IndexMaintenance deletes batch $batchId: text takedown")
         } else {
-          graft.similarity.AnnIndex.delete(batch, storeDir, idCol, batchId = batchId)
-          logInfo(s"IndexMaintenance deletes batch $batchId: vector takedown")
+          if (meta.params.contains("text")) {
+            graft.text.PostingsStore.delete(batch, storeDir, idCol)
+            logInfo(s"IndexMaintenance deletes batch $batchId: text takedown")
+          } else {
+            graft.similarity.AnnIndex.delete(batch, storeDir, idCol)
+            logInfo(s"IndexMaintenance deletes batch $batchId: vector takedown")
+          }
+          graft.build.MetaIO.write(conf, marker, batchId.toString)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -378,6 +378,20 @@ object PostingsStore {
     }
   }
 
+  /** The RETIRED doc ids: docs present in the store's generations whose
+    * live state is a tombstone (their latest generation is sentinel-
+    * only) — the takedown set an in-stream compact must EXCLUDE from
+    * its source-directory rebuild, or the compact would resurrect
+    * deleted docs still physically present in the source (the
+    * maintenance loop's deletes-vs-compact hazard). One resolution
+    * scan — compact-scale callers only. */
+  def retiredIds(s: SparkSession, dir: String): DataFrame = {
+    val meta = GenStore.metaOrThrow(s, dir)
+    requireText(meta, dir)
+    raw(s, dir, meta.gen).select("doc_id").distinct()
+      .join(live(s, dir).select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** [[GenStore]] protocol delegates — the streaming twin's surface. */
   def isComplete(s: SparkSession, dir: String): Boolean =
     GenStore.isComplete(s, dir)

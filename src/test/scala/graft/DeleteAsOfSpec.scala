@@ -231,6 +231,54 @@ class DeleteAsOfSpec extends AnyFunSuite {
       "a drained deletes re-run must be a no-op")
   }
 
+  test("retiredIds = exactly the tombstoned keys; re-adds leave the set") {
+    import spark.implicits._
+    val d = s"$work/retired_ivf"
+    AnnIndex.buildIvf(emb, d, nlist = 8)
+    // delete-free stores short-circuit to empty
+    assert(AnnIndex.retiredIds(spark, d).count() == 0)
+    val delIds = deletedIds.limit(4).collect().map(_.getLong(0)).toSeq
+    AnnIndex.delete(delIds.toDF("vec_id"), d)
+    assert(AnnIndex.retiredIds(spark, d).collect().map(_.getLong(0)).toSet ==
+      delIds.toSet)
+    // an undeclared re-add takes the id back out of the retired set
+    AnnIndex.appendIvf(emb.filter(col("vec_id") === delIds.head), d)
+    assert(AnnIndex.retiredIds(spark, d).collect().map(_.getLong(0)).toSet ==
+      delIds.tail.toSet)
+  }
+
+  test("in-stream compact does NOT resurrect takedowns still present in the source") {
+    import spark.implicits._
+    val docsDir = s"$work/resur_docs"
+    val store = s"$work/resur_store"
+    val ckpt = s"$work/resur_ckpt"
+    val delDir = s"$work/resur_dels"
+    val delCkpt = s"$work/resur_del_ckpt"
+    Seq((1L, "alpha one"), (2L, "target gone"), (3L, "gamma three"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(docsDir)
+    val q1 = graft.streaming.IndexMaintenance.runTextAvailableNow(
+      spark, docsDir, store, ckpt)
+    q1.awaitTermination()
+    // the takedown feed retires doc 2 — but its rows STAY in docsDir
+    Seq(2L).toDF("doc_id").write.parquet(delDir)
+    val qd = graft.streaming.IndexMaintenance.runDeletesAvailableNow(
+      spark, delDir, store, delCkpt, idCol = "doc_id")
+    qd.awaitTermination()
+    // a later ingest batch pushes staleness past the budget → in-stream
+    // compact rebuilds from docsDir, which still holds doc 2's rows
+    Seq((4L, "delta four")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    val q2 = graft.streaming.IndexMaintenance.runTextAvailableNow(
+      spark, docsDir, store, ckpt, compactAt = 1e-6)
+    q2.awaitTermination()
+    val PS = graft.text.PostingsStore
+    assert(PS.staleness(spark, store) == 0.0, "compact must have run")
+    val docs = PS.live(spark, store).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(docs == Set(1L, 3L, 4L),
+      s"in-stream compact resurrected a takedown (or lost a doc): $docs")
+  }
+
   test("in-stream compact resolves the source by INGEST ORDER, never by content sort") {
     import spark.implicits._
     val docsDir = s"$work/ing_docs"
