@@ -582,10 +582,16 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     * vector-less trees via `corpus`). With a freshly-compacted index
     * this is bit-identical to the registered q45 build (same trainer,
     * same assignment, same probe — AnnIndexSpec pins it). */
+  /** `asOfGen` replays the probe against the index as of generation N
+    * ("yesterday's ANN corpus" — the centroid model is fixed at build,
+    * so only the assignment clock moves; multi-store reads like the PQ
+    * point fetch take per-store as-of through the views instead, since
+    * each store has its own generation clock). */
   def ivfTopKFromIndex(
       s: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      asOfGen: Option[Long] = None): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
     val cellScores = Ann.cellScoresFor(centroidArray(s, indexDir))
     val queryCells = queries
@@ -600,13 +606,14 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     val corpusCells =
       if (meta.params.contains("vecs"))
         assignmentsView(s, indexDir, cells = Some(probeCells),
-            resolveAll = false, payload = Seq("v"))
+            resolveAll = false, payload = Seq("v"), asOfGen = asOfGen)
           .select(col("vec_id").as("neighbor_id"), col("cell"),
             col("v").as("cv"), Vectors.norm(col("v")).as("cn"))
       else corpus
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           Vectors.norm(col(vecCol)).as("cn"))
-        .join(ivfAssignments(s, indexDir, cells = Some(probeCells))
+        .join(ivfAssignments(s, indexDir, cells = Some(probeCells),
+            asOfGen = asOfGen)
           .select(col("vec_id").as("neighbor_id"), col("cell")), "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -136,6 +136,16 @@ class DeleteAsOfSpec extends AnyFunSuite {
         s"ivf asOf($n) diverged from the state after gen $n")
     }
     assert(assignSet(d, asOfGen = Some(99L)) == snaps.last)
+    // probe-level as-of: the top-k read as of gen 0 ≡ the probe over an
+    // index built from the base alone under the SAME centroid model
+    // (assignment is a pure per-row function of the fixed model)
+    val q = emb.filter(col("vec_id") < 3)
+    val asOfProbe = AnnIndex.ivfTopKFromIndex(spark, d, emb, q, 5,
+        nprobe = 8, asOfGen = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val baseIds = base.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(asOfProbe.map(_._2).subsetOf(baseIds),
+      "as-of-gen-0 probe must never return a post-gen-0 neighbor")
     // vecs store: same clock discipline through the commuting id filter
     val v = s"$work/vecs_asof"
     AnnIndex.buildVecs(base, v)
