@@ -421,6 +421,43 @@ object SimilarityQueries extends QueryModule {
       |  TRUE AS recall_ok, CAST(0 AS BIGINT) AS n_takedown
       |FROM embeddings WHERE vec_id < 3""".stripMargin
 
+  /** ANN AS-OF A GENERATION (r19 — time-travel under the oracle, the
+    * vector twin of q178): the artifact's `ivfb` history indexes the
+    * BASE at gen 0 and appends the delta batch as a DECLARED gen-1
+    * ingest day. The probe runs AS OF generation 0 — "yesterday's
+    * corpus" — through [[graft.similarity.AnnIndex.ivfTopKFromIndex]]'s
+    * `asOfGen` (the restricted meta re-derives the prefix regime: an
+    * all-declared history as of gen 0 is a PLAIN partition-pruned read,
+    * the gen-1 files never touched). Two assertions: the recall bound
+    * vs brute force over the BASE corpus (the pre-append state), and
+    * `n_post_asof` = returned neighbors from the gen-1 batch, pinned 0
+    * by the oracle — one leaked post-as-of row flips the compare. */
+  private def q179AnnIvfAsOf(s: SparkSession, dir: String): DataFrame = {
+    graft.similarity.AnnArtifacts.ensure(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 3)
+    val deltaMod = graft.dedup.DedupArtifacts.DeltaMod
+    val deltaRem = graft.dedup.DedupArtifacts.DeltaRem
+    val approx = graft.similarity.AnnIndex.ivfTopKFromIndex(
+      s, graft.similarity.AnnArtifacts.ivfBaseDeltaDir(dir), emb, q, 5,
+      nprobe = 8, asOfGen = Some(0L))
+    val exact = Ann.bruteForceTopK(
+      emb.filter(col("vec_id") % deltaMod =!= deltaRem), q, 5)
+    recallCheck(approx, exact, minHits = 4)
+      .join(approx.groupBy("query_id").agg(
+          sum(when(col("neighbor_id") % deltaMod === deltaRem, 1L)
+            .otherwise(0L)).as("n_post_asof")),
+        Seq("query_id"))
+  }
+
+  private val q179Sql =
+    """-- recall_ok asserts hits >= 4 of 5 exact neighbors over the BASE
+      |-- (pre-append) corpus; n_post_asof pins that no gen-1 neighbor
+      |-- leaks past the as-of commit pointer
+      |SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ret,
+      |  TRUE AS recall_ok, CAST(0 AS BIGINT) AS n_post_asof
+      |FROM embeddings WHERE vec_id < 3""".stripMargin
+
   /** SEMANTIC DEDUP (SemDeDup) held to an exact-pair oracle: the
     * engine clusters the q51 planted-near-dup corpus with
     * [[Ann.semanticDedup]] (IVF cells, within-cell drop of close
@@ -929,5 +966,6 @@ object SimilarityQueries extends QueryModule {
     Q("q171_ann_ivfpq_lookup", q171AnnIvfPqPointFetch, Some(recallSql(2))),
     Q("q172_ann_ivfpq_lookup_upsert", q172AnnIvfPqLookupUpsert, Some(recallSql(2))),
     Q("q177_ann_ivf_deleted", q177AnnIvfDeleted, Some(q177Sql)),
+    Q("q179_ann_ivf_asof", q179AnnIvfAsOf, Some(q179Sql)),
     Q("q78_semantic_dedup", q78SemanticDedup, Some(q78Sql)))
 }

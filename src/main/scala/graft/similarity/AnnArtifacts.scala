@@ -108,7 +108,8 @@ object AnnArtifacts {
     * here as the common epoch 1.) */
   private val HistoryVersions: Map[String, Int] = Map(
     "ivf" -> 1, "lsh" -> 1, "ivfc" -> 1, "lshu" -> 1, "ivfu" -> 1,
-    "ivfpq" -> 1, "ivfpqu" -> 1, "vecs" -> 1, "vecsu" -> 1, "ivfd" -> 1)
+    "ivfpq" -> 1, "ivfpqu" -> 1, "vecs" -> 1, "vecsu" -> 1, "ivfd" -> 1,
+    "ivfb" -> 1)
 
   private def root(sfDir: String): String =
     s"${DedupArtifacts.artifactBase}/graft_ann/h/${DedupArtifacts.corpusKey(sfDir)}"
@@ -126,6 +127,12 @@ object AnnArtifacts {
     * generation, no compact). q177 probes through it and must see the
     * corpus-minus-takedowns exactly. */
   def ivfDeleteDir(sfDir: String): String = s"${root(sfDir)}/ivfd"
+
+  /** The AS-OF history (r19): gen 0 indexes the BASE, gen 1 appends the
+    * delta batch DECLARED new (a genuine dated-ingest day) — so an
+    * as-of-gen-0 read must reproduce the pre-append corpus exactly.
+    * q177's delete twin for time-travel. */
+  def ivfBaseDeltaDir(sfDir: String): String = s"${root(sfDir)}/ivfb"
 
   /** The corpus vectors as a MAINTAINED point-fetch store
     * ([[AnnIndex.buildVecs]]'s gen-stamped pb layout): the REFINE-FETCH
@@ -214,6 +221,10 @@ object AnnArtifacts {
     build("ivfd", ivfParams) { d =>
       AnnIndex.buildIvf(e, d, nlist = IvfNlist)
       AnnIndex.delete(delta.select("vec_id"), d) // takedown batch, gen 1
+    }
+    build("ivfb", ivfParams) { d =>
+      AnnIndex.buildIvf(base, d, nlist = IvfNlist)
+      AnnIndex.appendIvf(delta, d, newIds = true) // dated ingest, gen 1
     }
     build("lsh", lshParams) { d =>
       AnnIndex.buildBanded(base, d, nPlanes = LshPlanes, bands = LshBands)
