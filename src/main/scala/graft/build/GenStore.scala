@@ -294,7 +294,17 @@ private[graft] object GenStore {
     * prefix (correct, conservatively). Counters describe the FULL
     * history, so the restricted meta drops them (staleness is not an
     * as-of concept). `n` at or past the last committed generation is
-    * just the live view. */
+    * just the live view.
+    *
+    * RETENTION: the as-of horizon ends at the last compact — compaction
+    * rewrites the store as one generation, deliberately discarding the
+    * history it resolves (that IS its storage/read-cost win). A
+    * deployment with a reproducibility window therefore schedules
+    * compaction outside that window, or snapshots the store directory
+    * (it is a self-contained tree: data generations + meta) before
+    * compacting; the generation clock restarting at 0 makes a
+    * post-compact as-of(n) read the compacted state for every n, never
+    * a silent wrong answer. */
   def asOf(m: Meta, n: Long): Meta = {
     val g = math.min(m.gen, n + 1)
     val ug = m.upsertGens.filter(_ < g)
