@@ -164,6 +164,60 @@ object DedupQueries extends QueryModule {
   private def q49DedupClusters(s: SparkSession, dir: String): DataFrame =
     DedupArtifacts.clusters(s, dir)
 
+  /** DEDUP CLUSTERS AFTER AN INCREMENTAL TAKEDOWN (r19 — the delete
+    * verb reaching the DEDUP tier): the maintained stores retire docs
+    * via tombstones, but a takedown must ALSO propagate to dedup
+    * decisions, and rebuilding the pair artifacts per GDPR batch is
+    * exactly the cost the incremental family exists to avoid. The
+    * EXACT incremental maintenance: near-dup pair membership is a
+    * per-pair property of its two endpoints alone (jaccard between two
+    * docs doesn't depend on the rest of the corpus), so the pair set of
+    * corpus-minus-takedowns IS the persisted pair artifact minus pairs
+    * touching a takedown id — a FILTER, nothing re-shingled — and the
+    * cluster assignment is one components contraction over that
+    * filtered edge list (edge-scale, not corpus-scale; splits that
+    * removing a bridge doc causes fall out of the connectivity rerun
+    * for free, where a read-time membership filter would silently keep
+    * split clusters merged). The oracle recomputes the FULL closure
+    * over the reduced corpus from raw text — artifact-filter-plus-
+    * contraction must equal the from-scratch answer exactly. */
+  private def q180ClustersAfterTakedown(s: SparkSession, dir: String): DataFrame = {
+    val isDel = (c: org.apache.spark.sql.Column) =>
+      c % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    val kept = DedupArtifacts.minHashPairs(s, dir)
+      .filter(!isDel(col("doc_i")) && !isDel(col("doc_j")))
+      .select(col("doc_i").as("src"), col("doc_j").as("dst"))
+    Components.connectedComponents(
+        Tables.documents(s, dir).filter(!isDel(col("doc_id")))
+          .select(col("doc_id").as("id")), kept)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+  }
+
+  private val q180Sql =
+    """WITH RECURSIVE cur AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 6),
+      |toks AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM cur),
+      |sh AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
+      |  FROM toks WHERE LEN(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS pa, b.doc_id AS pb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8),
+      |edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM cur
+      |  UNION
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   /** Shared exact-Jaccard pair CTE prefix (toks → shingle sets →
     * threshold pairs) for every oracle needing the edge set (q49, q85,
     * q87). One literal so a fix can never land in one oracle and miss
@@ -1011,6 +1065,7 @@ object DedupQueries extends QueryModule {
     Q("q24_dedup_exact", q24DedupExact, Some(q24Sql)),
     Q("q144_cluster_label_purity", q144ClusterLabelPurity, Some(q144Sql)),
     Q("q142_incremental_clusters", q142IncrementalClusters, Some(q49Sql)),
+    Q("q180_clusters_after_takedown", q180ClustersAfterTakedown, Some(q180Sql)),
     Q("q140_dedup_rate_by_source", q140DedupRateBySource, Some(q140Sql)),
     Q("q122_dup_degree_hist", q122DupDegreeHist, Some(q122Sql)),
     Q("q106_dup_substring", q106DupSubstring, Some(q106Sql)),
