@@ -257,16 +257,20 @@ private[graft] object GenStore {
     * its key's live generation but never counts as a live row, because
     * the views never serve it. */
   def deadCounts(raw: DataFrame, keyCol: String, ids: DataFrame,
-      weight: Column = lit(1L)): (Long, Long) = {
+      weight: Column = lit(1L), baseGen: Long = 0L): (Long, Long) = {
     val matched = raw
       .select(col(keyCol), col("gen").cast("long").as("gen"),
         weight.cast("long").as("w"))
       .join(broadcast(ids.select(col(keyCol))), Seq(keyCol), "left_semi")
     val liveRows = matched
       .join(matched.groupBy(keyCol).agg(max("gen").as("gen")), Seq(keyCol, "gen"))
+    // base vs append split at `baseGen`, NOT a literal 0: after a
+    // HORIZON compact the base generation is the squash point (the gen
+    // clock is preserved so as-of reads keep working), and a superseded
+    // squashed-base row must leave `baseRows`, not `appendRows`
     val r = liveRows.agg(
-      coalesce(sum(when(col("gen") === 0L, col("w"))), lit(0L)).as("d0"),
-      coalesce(sum(when(col("gen") > 0L, col("w"))), lit(0L)).as("da")).head()
+      coalesce(sum(when(col("gen") === baseGen, col("w"))), lit(0L)).as("d0"),
+      coalesce(sum(when(col("gen") > baseGen, col("w"))), lit(0L)).as("da")).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -296,21 +300,97 @@ private[graft] object GenStore {
     * as-of concept). `n` at or past the last committed generation is
     * just the live view.
     *
-    * RETENTION: the as-of horizon ends at the last compact — compaction
-    * rewrites the store as one generation, deliberately discarding the
-    * history it resolves (that IS its storage/read-cost win). A
-    * deployment with a reproducibility window therefore schedules
-    * compaction outside that window, or snapshots the store directory
-    * (it is a self-contained tree: data generations + meta) before
-    * compacting; the generation clock restarting at 0 makes a
-    * post-compact as-of(n) read the compacted state for every n, never
-    * a silent wrong answer. */
+    * RETENTION: the as-of horizon ends at the last FULL compact —
+    * compaction rewrites the store as one generation, deliberately
+    * discarding the history it resolves (that IS its storage/read-cost
+    * win); the generation clock restarting at 0 makes a post-compact
+    * as-of(n) read the compacted state for every n, never a silent
+    * wrong answer. A deployment with a reproducibility window keeps it
+    * open with the HORIZON compact instead (`PostingsStore
+    * .compactThrough` / `AnnIndex.compactThrough`): generations ≤ h are
+    * squashed into ONE resolved base generation AT clock h — tombstoned
+    * keys dropped, the gen clock preserved — while every later
+    * generation survives byte-identical, so `asOf(n ≥ h)` still
+    * reproduces exactly and the read/storage cost of the deep history
+    * is reclaimed. Below the squash point the history no longer exists:
+    * the meta records `horizon = h` and an `asOf(n < h)` THROWS (the
+    * snapshot-before-compacting advice, enforced) — never a silent
+    * approximation by the squashed state. */
   def asOf(m: Meta, n: Long): Meta = {
+    val h = horizonOf(m)
+    if (n < h) throw new IllegalArgumentException(
+      s"as-of generation $n predates the store's compaction horizon $h: " +
+        "generations below the horizon were squashed by compactThrough " +
+        "and cannot be reconstructed — snapshot the store tree before " +
+        "horizon-compacting if older reads must stay reproducible")
     val g = math.min(m.gen, n + 1)
     val ug = m.upsertGens.filter(_ < g)
     m.copy(gen = g,
       appendOnly = m.appendOnly || (m.trusted && ug.isEmpty),
       upsertGens = ug, baseRows = -1L, appendRows = -1L)
+  }
+
+  /** The store's squash point: generations below it no longer exist
+    * (horizon compact); 0 on never-horizon-compacted stores. This is
+    * also the BASE generation for the staleness counters' split —
+    * appenders pass it to [[deadCounts]]. */
+  def horizonOf(m: Meta): Long =
+    m.params.get("horizon").flatMap(_.toLongOption).getOrElse(0L)
+
+  /** Meta surgery after a horizon squash at `h`: the upsert gens inside
+    * the squashed prefix are resolved away, the regime re-derives
+    * (a trusted history whose remaining tracked upserts are gone reads
+    * PLAIN again), and squashing the ENTIRE history (h = head) restores
+    * full trust — the squashed generation is single-gen-per-key by
+    * construction, exactly a fresh build's shape, so even an untrusted
+    * store comes back plain-readable. Counters are set by the caller
+    * (recounted from the staged tree); the streaming batch clock is
+    * PRESERVED — a horizon compact must not reopen replayed batches. */
+  def horizonMeta(m: Meta, h: Long): Meta = {
+    val ug = m.upsertGens.filter(_ > h)
+    val headSquash = h == m.gen - 1
+    m.copy(
+      appendOnly = m.appendOnly || (m.trusted && ug.isEmpty) || headSquash,
+      trusted = m.trusted || headSquash,
+      upsertGens = ug,
+      params = m.params + ("horizon" -> h.toString))
+  }
+
+  /** Stage a HORIZON compact: byte-copy what the squash KEEPS into the
+    * staged sibling — model files, codebooks, and each data subtree's
+    * tail generations (`gen > h`) — nothing recomputed, and crucially
+    * nothing of the squashed prefix copied only to be thrown away (the
+    * prefix is the BULK of a deep store; copying it would double the
+    * compact's I/O for no reason). The meta is NOT copied: the staged
+    * tree must read as INCOMPLETE until the caller's final meta write —
+    * a crash mid-stage must never leave an adoptable tmp. The caller
+    * then writes the resolved base generation at `gen=h` and the meta
+    * LAST. Byte copy, not move: the live tree stays intact until
+    * [[stagedCompact]]'s swap (object stores do this server-side; the
+    * cost is tail + model I/O only, no shuffle or recompute). */
+  def horizonStage(s: SparkSession, dir: String, tmp: String,
+      h: Long, dataSubdirs: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = fsOf(s, dir)
+    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    fs.mkdirs(new Path(tmp))
+    def copy(src: Path, dst: Path): Unit =
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf))
+        throw new java.io.IOException(s"horizon stage: could not copy $src to $dst")
+    val keepGen = (p: Path) => {
+      val n = p.getName
+      n.startsWith("gen=") && n.stripPrefix("gen=").toLongOption.exists(_ > h)
+    }
+    for (child <- fs.listStatus(new Path(dir))) {
+      val name = child.getPath.getName
+      if (name == metaPath(dir).split('/').last) () // never copy the meta
+      else if (dataSubdirs.contains(name)) {
+        // a gen-stamped subtree: keep only the tail generations
+        fs.mkdirs(new Path(s"$tmp/$name"))
+        for (g <- fs.listStatus(child.getPath) if keepGen(g.getPath))
+          copy(g.getPath, new Path(s"$tmp/$name/${g.getPath.getName}"))
+      } else copy(child.getPath, new Path(s"$tmp/$name"))
+    }
   }
 
   // ------------------------------------------------------ staged compact

@@ -409,6 +409,35 @@ object TextQueries extends QueryModule {
     d
   }
 
+  /** The HORIZON-COMPACTED store behind q181: gen 0 indexes the full
+    * corpus, gen 1 re-ingests the delta with ONE trailing `graftmark`
+    * (undeclared), gen 2 re-ingests it again with TWO (undeclared) —
+    * then `compactThrough(1)` squashes gens 0–1 into one resolved base
+    * generation AT clock 1 while gen 2 survives byte-identical. The
+    * retention story: yesterday's deep history is reclaimed, this
+    * week's stays reproducible. */
+  private def horizonStoreDir(s: SparkSession, dir: String): String = {
+    val d = s"${root(dir)}/text_postings_hz"
+    val marker = new Path(s"${root(dir)}/_META_text_postings_hz")
+    val fp = s"e$PostingsEpoch:hz:" +
+      graft.build.Layout.sourceFingerprint(s, s"$dir/documents.parquet")
+    synchronized {
+      GenStore.ensureArtifact(s, marker, fp, d) {
+        val docs = Tables.documents(s, dir)
+        PostingsStore.build(docs, d)
+        PostingsStore.append(
+          docs.filter(isDelta)
+            .withColumn("text", concat(col("text"), lit(" graftmark"))), d)
+        PostingsStore.append(
+          docs.filter(isDelta)
+            .withColumn("text",
+              concat(col("text"), lit(" graftmark graftmark"))), d)
+        PostingsStore.compactThrough(s, d, 1L)
+      }
+    }
+    d
+  }
+
   /** Pre-build every per-corpus postings store — the bench calls this
     * UNTIMED (artifact builds are ingest cost, not read cost; r18 #5),
     * and each ensure is fingerprint-gated so a warm dir is a no-op. */
@@ -418,6 +447,7 @@ object TextQueries extends QueryModule {
       Seq("text" -> "text", "source" -> "source"), deltaNewIds = true): Unit
     upsertStoreDir(s, sfDir): Unit
     takedownStoreDir(s, sfDir): Unit
+    horizonStoreDir(s, sfDir): Unit
   }
 
   private def q173TextMaintainedUpsert(s: SparkSession, dir: String): DataFrame = {
@@ -496,11 +526,34 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, score FROM hits
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** SEARCH AS-OF THROUGH A HORIZON-COMPACTED HISTORY (r19 — the
+    * retention-window compact under the DuckDB gate): the store's gens
+    * 0–1 were SQUASHED into one resolved base generation at clock 1
+    * ([[PostingsStore.compactThrough]]) after a gen-2 re-ingest landed
+    * on top — so the `asOf(1)` read is served from the squashed base
+    * with gen 2 partition-pruned away. The oracle recomputes from the
+    * corpus WITH the gen-1 modification applied (each delta doc one
+    * trailing `graftmark`): a squash that lost the gen-1 upsert (or a
+    * gen-2 row leaking past the as-of pointer — its docs carry THREE
+    * graftmark tokens) flips the compare. `asOf(0)` on this store
+    * throws (below the horizon) — that contract is spec-pinned, the
+    * oracle gates the surviving read. */
+  private def q181TextAsOfHorizon(s: SparkSession, dir: String): DataFrame = {
+    val d = horizonStoreDir(s, dir)
+    TextIndex.searchTopK(
+      PostingsStore.live(s, d, terms = Some(Seq("merge", "graftmark")),
+        asOfGen = Some(1L)),
+      Seq("merge", "graftmark"), 10)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q21_text_topk", q21TextTopK, Some(q21Sql)),
     Q("q173_text_maintained_upsert", q173TextMaintainedUpsert, Some(q173Sql)),
     Q("q176_text_takedown", q176TextTakedown, Some(q176Sql)),
     Q("q178_text_asof", q178TextAsOf, Some(q178Sql)),
+    // same oracle as q173 BY DESIGN: asOf(1) through the squashed base
+    // must equal the corpus with exactly the gen-1 modification applied
+    Q("q181_text_asof_horizon", q181TextAsOfHorizon, Some(q173Sql)),
     Q("q126_fuzzy_terms", q126FuzzyTerms, Some(q126Sql)),
     Q("q22_text_count", q22TextCount, Some(q22Sql)),
     Q("q23_text_sample", q23TextSample, Some(q23Sql)),

@@ -274,7 +274,8 @@ object AnnIndex extends org.apache.spark.internal.Logging {
       keyCol: String, ids: DataFrame,
       weight: org.apache.spark.sql.Column = lit(1L)): (Long, Long) =
     if (prev.baseRows >= 0 && GenStore.needsDeadCount(prev, newIds))
-      GenStore.deadCounts(raw, keyCol, ids, weight)
+      GenStore.deadCounts(raw, keyCol, ids, weight,
+        baseGen = GenStore.horizonOf(prev))
     else (0L, 0L)
 
   /** Tombstone weights for [[deadFor]]: a superseded TOMBSTONE row must
@@ -415,6 +416,97 @@ object AnnIndex extends org.apache.spark.internal.Logging {
           "(pfetch/np/nlist): not a deletable index")
     writeMeta(s, indexDir, GenStore.appendCounters(next, 0L, dead)
       .copy(params = next.params + ("del" -> "1")))
+  }
+
+  /** HORIZON compact on the vector structures — [[graft.text
+    * .PostingsStore.compactThrough]]'s twin, dispatched on the tree's
+    * own meta like [[delete]]: squash generations ≤ `h` into ONE
+    * resolved base generation at clock `h` (tombstoned ids dropped),
+    * byte-copy everything else — the centroid model / PQ codebook and
+    * every later generation survive bit-identical, so `asOf(n ≥ h)`
+    * probes keep reproducing exactly while the prefix's read/storage
+    * cost is reclaimed. Model files are COPIED, never retrained: all
+    * generations share the build-time model (that invariant is what
+    * makes the squash a pure row-level resolve). Needs no source
+    * corpus; same staged-swap/recover protocol; `asOf(n < h)` THROWS
+    * afterwards (meta `horizon` marker). Squashing the whole history
+    * (`h` = last gen) restores an untrusted store to trusted plain
+    * reads with the clock preserved. If no tombstones remain in the
+    * tail, the `del` marker is dropped and the views return to their
+    * exact pre-delete plans. */
+  def compactThrough(s: SparkSession, indexDir: String, h: Long): Unit = {
+    val full = metaOrThrow(s, indexDir)
+    if (full.params.contains("text")) throw new IllegalArgumentException(
+      s"tree at $indexDir is a text postings store: horizon-compact " +
+        "through PostingsStore.compactThrough")
+    val h0 = GenStore.horizonOf(full)
+    require(h >= h0 && h < full.gen,
+      s"horizon $h outside [$h0, ${full.gen - 1}] for the index at " +
+        s"$indexDir (below the existing horizon the history is already " +
+        "squashed)")
+    GenStore.stagedCompact(s, indexDir) { tmp =>
+      if (full.params.contains("pfetch")) {
+        GenStore.horizonStage(s, indexDir, tmp, h, Seq("data"))
+        writeVecsGen(
+          vecsLive(s, indexDir, resolveAll = true, asOfGen = Some(h))
+            .select("bucket", "v"),
+          tmp, h): Unit
+        horizonFinish(s, tmp, full, h,
+          s.read.parquet(vecsDataPath(tmp)).filter(col("gen") < full.gen)
+            .select(col("bucket").as("k"), col("gen"),
+              vecWeight.as("w"), col("v").isNull.as("tomb")))
+      } else if (full.params.contains("np")) {
+        GenStore.horizonStage(s, indexDir, tmp, h, Seq("banded"))
+        writeBandedGen(
+          bandedRowsLive(s, indexDir, asOfGen = Some(h)),
+          tmp, h): Unit
+        horizonFinish(s, tmp, full, h,
+          rawBanded(s, tmp, full.gen)
+            .select(col("vec_id").as("k"), col("gen"),
+              bandWeight.as("w"), (col("band") < 0).as("tomb")))
+      } else if (full.params.contains("nlist")) {
+        GenStore.horizonStage(s, indexDir, tmp, h, Seq("assignments"))
+        val payload =
+          if (full.params.contains("pq")) Seq("codes")
+          else if (full.params.contains("vecs")) Seq("v")
+          else Nil
+        writeAssignGen(
+          assignmentsView(s, indexDir, cells = None, resolveAll = true,
+            payload = payload, asOfGen = Some(h))
+            .select(col("vec_id") +: payload.map(col) :+ col("cell"): _*),
+          tmp, h): Unit
+        horizonFinish(s, tmp, full, h,
+          rawAssignments(s, tmp, full.gen)
+            .select(col("vec_id").as("k"), col("gen"),
+              cellWeight.as("w"), (col("cell") < 0L).as("tomb")))
+      } else throw new IllegalArgumentException(
+        s"tree at $indexDir carries none of the known structure markers " +
+          "(pfetch/np/nlist): not a horizon-compactable index")
+    }
+  }
+
+  /** The staged tree's meta for a horizon compact: recounted LIVE
+    * serving rows split at the new base gen `h` (the shape
+    * [[GenStore.deadCounts]] keeps exact from here on), and the `del`
+    * marker dropped iff no tombstone remains in the tail. `rows` must
+    * carry (k, gen, w = serving weight, tomb). */
+  private def horizonFinish(s: SparkSession, tmp: String,
+      full: Meta, h: Long, rows: DataFrame): Unit = {
+    val m1 = GenStore.horizonMeta(full, h)
+    val r0 = rows.select(col("k"), col("gen").cast("long").as("gen"),
+      col("w").cast("long").as("w"), col("tomb"))
+    val live = r0.join(
+      r0.groupBy("k").agg(max("gen").as("gen")), Seq("k", "gen"))
+    val r = live.agg(
+      coalesce(sum(when(col("gen") === h, col("w"))), lit(0L)),
+      coalesce(sum(when(col("gen") > h, col("w"))), lit(0L)),
+      coalesce(sum(when(col("tomb"), 1L)), lit(0L))).head()
+    val params =
+      if (full.params.contains("del") && r.getLong(2) == 0L)
+        m1.params - "del"
+      else m1.params
+    GenStore.writeMeta(s, tmp, m1.copy(
+      baseRows = r.getLong(0), appendRows = r.getLong(1), params = params))
   }
 
   /** The RETIRED ids: keys present in the tree's generations whose live

@@ -233,7 +233,8 @@ object PostingsStore {
       val dead =
         if (prev.baseRows >= 0 && GenStore.needsDeadCount(prev, newIds))
           GenStore.deadCounts(raw(s, dir, prev.gen), "doc_id", one,
-            weight = when(col("term") === "", 0L).otherwise(1L))
+            weight = when(col("term") === "", 0L).otherwise(1L),
+            baseGen = GenStore.horizonOf(prev))
         else (0L, 0L)
       val (na, sa) = writeGen(postingsRows(one, fields), dir, gen, estDocs = nDocs)
       val sent = next.params.get("sent").flatMap(_.toLongOption)
@@ -267,6 +268,65 @@ object PostingsStore {
       .select(col(idCol) +:
         fields.map(_._2).distinct.map(c => lit("").as(c)): _*)
     append(empties, dir, idCol, fields, newIds = false, batchId = batchId)
+  }
+
+  /** HORIZON compact: squash generations ≤ `h` into ONE resolved base
+    * generation at clock `h`, keeping every later generation
+    * byte-identical — the retention-window compact ([[GenStore]] class
+    * doc). A full [[compact]] reclaims the history's read/storage cost
+    * by discarding it (the gen clock resets, as-of reads of the old
+    * history are gone); this one reclaims the SAME cost for the prefix
+    * while `asOf(n ≥ h)` keeps reproducing exactly — "compact
+    * yesterday's history, keep this week's reproducible". The squashed
+    * base is the prefix's RESOLVED state: doc-level latest-gen rows,
+    * retired docs (sentinel-only live state) dropped entirely — their
+    * sentinels existed to supersede older generations that no longer
+    * exist. Needs no source corpus (it squashes the store's own rows —
+    * unlike [[compact]] it never re-tokenizes) and runs under the same
+    * staged-swap/recover crash protocol. `asOf(n < h)` reads THROW
+    * afterwards (meta `horizon` marker) — never a silent approximation.
+    * Squashing the whole history (`h = last gen`) additionally restores
+    * an UNTRUSTED store to trusted plain reads, like a full compact,
+    * with the clock preserved. */
+  def compactThrough(s: SparkSession, dir: String, h: Long): Unit = {
+    val full = GenStore.metaOrThrow(s, dir)
+    requireText(full, dir)
+    val h0 = GenStore.horizonOf(full)
+    require(h >= h0 && h < full.gen,
+      s"horizon $h outside [$h0, ${full.gen - 1}] for the store at $dir " +
+        "(below the existing horizon the history is already squashed)")
+    GenStore.stagedCompact(s, dir) { tmp =>
+      // stage: byte-copy the tree (tail gens + norms), strip the copied
+      // meta and the squashed prefix's gen dirs, then write the
+      // resolved base at gen=h (writeGen lays down data AND norms)
+      GenStore.horizonStage(s, dir, tmp, h, Seq("data", "norms"))
+      val prefix = GenStore.asOf(full, h)
+      val serving = GenStore
+        .keyedLiveView(prefix, raw(s, dir, prefix.gen), "doc_id",
+          identity, resolveAll = true)
+        .filter(col("term") =!= "")
+        .select("field", "term", "doc_id", "tf", "positions")
+      writeGen(serving, tmp, h): Unit
+      // recount over the staged tree: counters are LIVE serving rows
+      // split at the new base gen; `sent` is the sentinel rows that
+      // still physically exist (tail generations only — the squash
+      // writes none), whose 0 relicenses the flat fast path
+      val rawNew = s.read.parquet(dataPath(tmp))
+        .filter(col("gen") < full.gen)
+        .select(col("doc_id"), col("term"),
+          col("gen").cast("long").as("gen"))
+      val sent = rawNew.filter(col("term") === "").count()
+      val m1 = GenStore.horizonMeta(full, h)
+      val r = GenStore
+        .keyedLiveView(m1, rawNew, "doc_id",
+          df => df.filter(col("term") =!= ""), resolveAll = true)
+        .agg(
+          coalesce(sum(when(col("gen") === h, 1L)), lit(0L)),
+          coalesce(sum(when(col("gen") > h, 1L)), lit(0L))).head()
+      GenStore.writeMeta(s, tmp, m1.copy(
+        baseRows = r.getLong(0), appendRows = r.getLong(1),
+        params = m1.params + ("sent" -> sent.toString)))
+    }
   }
 
   /** Re-tokenize the current corpus and rewrite at gen 0 under the
