@@ -129,7 +129,7 @@ object Bench {
     // scatter. Each ensure is fingerprint-gated, so on a warm artifact
     // dir this is a handful of marker reads.
     try {
-      graft.dedup.DedupArtifacts.prepare(spark, sfDir): Unit
+      graft.dedup.DedupArtifacts.prepareAll(spark, sfDir)
       graft.similarity.AnnArtifacts.ensure(spark, sfDir)
       graft.operators.TextQueries.ensureStores(spark, sfDir)
     } catch { case NonFatal(e) =>

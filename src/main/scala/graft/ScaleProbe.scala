@@ -338,6 +338,46 @@ object ScaleProbe {
               .select("vec_id"), dir)
             AI.ivfAssignments(s, dir, cells = Some(Seq(0L, 3L)))
           }
+        // `text_horizon` / `ann_horizon` probe the r19 HORIZON compact's
+        // economics: warm (after an untimed rebuild of a fixed base +
+        // upsert-delta two-gen history) pays ONE head squash — resolve
+        // the store's own rows, rewrite one generation, byte-copy
+        // nothing (head squash has no tail) — plus an as-of read at the
+        // preserved clock. The comparison that matters is warm vs the
+        // SAME corpus's full rebuild (`text_incr` cold): the squash
+        // never re-tokenizes, so its cost is the resolve + write alone.
+        else if (name == "text_horizon")
+          (s, d) => {
+            val PS = graft.text.PostingsStore
+            val DA = graft.dedup.DedupArtifacts
+            val dir = s"$d/text_horizon_store"
+            val docs = Tables.documents(s, d).select("doc_id", "text")
+            val isDelta = col("doc_id") % DA.DeltaMod === DA.DeltaRem
+            if (!graft.build.GenStore.isComplete(s, dir)) {
+              PS.build(docs.filter(!isDelta), dir)
+              PS.append(docs.filter(isDelta), dir)
+            }
+            val head = graft.build.GenStore.readMeta(s, dir).get.gen - 1
+            PS.compactThrough(s, dir, head)
+            PS.live(s, dir, terms = Some(Seq("merge", "join")),
+              asOfGen = Some(head))
+          }
+        else if (name == "ann_horizon")
+          (s, d) => {
+            val AI = graft.similarity.AnnIndex
+            val DA = graft.dedup.DedupArtifacts
+            val dir = s"$d/ann_horizon_idx"
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            val isDelta = col("vec_id") % DA.DeltaMod === DA.DeltaRem
+            if (!graft.build.GenStore.isComplete(s, dir)) {
+              AI.buildIvf(emb.filter(!isDelta), dir, nlist = 16)
+              AI.appendIvf(emb.filter(isDelta), dir)
+            }
+            val head = graft.build.GenStore.readMeta(s, dir).get.gen - 1
+            AI.compactThrough(s, dir, head)
+            AI.ivfAssignments(s, dir, cells = Some(Seq(0L, 3L)),
+              asOfGen = Some(head))
+          }
         // `sem_cand_probe` measures the BANDED CANDIDATE VOLUME of the
         // q161/q163 delta probe (rows = candidate stream size, the cost
         // driver of the banded incremental path) — the denominator is
@@ -387,6 +427,34 @@ object ScaleProbe {
           val dir = s"$d/ann_takedown_idx"
           val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
           wipeOrCompact(s, dir, i, AI.compactIvf(emb, dir, nlist = 16))
+        } else if (name == "text_horizon") Some { (s, d, i) =>
+          // every warm run squashes the SAME fixed two-gen history: the
+          // squash consumed the previous one, so rebuild it UNTIMED
+          val PS = graft.text.PostingsStore
+          val DA = graft.dedup.DedupArtifacts
+          val dir = s"$d/text_horizon_store"
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true): Unit
+          if (i > 1) {
+            val docs = Tables.documents(s, d).select("doc_id", "text")
+            val isDelta = col("doc_id") % DA.DeltaMod === DA.DeltaRem
+            PS.build(docs.filter(!isDelta), dir)
+            PS.append(docs.filter(isDelta), dir)
+          }
+        } else if (name == "ann_horizon") Some { (s, d, i) =>
+          val AI = graft.similarity.AnnIndex
+          val DA = graft.dedup.DedupArtifacts
+          val dir = s"$d/ann_horizon_idx"
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true): Unit
+          if (i > 1) {
+            val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+            val isDelta = col("vec_id") % DA.DeltaMod === DA.DeltaRem
+            AI.buildIvf(emb.filter(!isDelta), dir, nlist = 16)
+            AI.appendIvf(emb.filter(isDelta), dir)
+          }
         } else None
       val times = (1 to 2).map { i =>
         prep.foreach(p => p(spark, outDir, i))

@@ -441,6 +441,18 @@ object DedupArtifacts {
     * operator's output at [[SemThreshold]]) — its own meta keyed on the
     * EMBEDDINGS table, so a re-embedded corpus rebuilds it without
     * touching the text-derived artifacts and vice versa. */
+  /** Pre-build BOTH artifact trees — the document-derived set AND the
+    * embedding-derived sem set (which has its own meta/source and is
+    * otherwise built by its first reader): the bench's untimed
+    * pre-build hook (r18 #5 — artifact builds are ingest cost, not
+    * read cost; without this the first sem reader paid the tree build
+    * inside its timed slot, the same first-reader scatter the text and
+    * media families already had fixed). */
+  def prepareAll(s: SparkSession, sfDir: String): Unit = {
+    prepare(s, sfDir): Unit
+    prepareSem(s, sfDir)
+  }
+
   private def prepareSem(s: SparkSession, sfDir: String): Unit = synchronized {
     // banding parameters and the artifact SET are part of the artifact
     // identity: retuning the banding or adding a table must rebuild the

@@ -288,10 +288,10 @@ object MultimodalQueries extends QueryModule {
   // guarantee. Shared by q143 (the pair set itself), q148 (the
   // syndication matrix over it), and — via the parameterized form —
   // q155 (the production hamming <= 3 tier).
-  private def phashPairsCtes(maxHamming: Int): String =
+  private def phashPairsCtes(maxHamming: Int, extraWhere: String = ""): String =
     s"""WITH p AS (
       |  SELECT doc_id, hex(encode(text)) AS hx, OCTET_LENGTH(encode(text)) AS n
-      |  FROM documents WHERE OCTET_LENGTH(encode(text)) > 0),
+      |  FROM documents WHERE OCTET_LENGTH(encode(text)) > 0$extraWhere),
       |b AS (
       |  SELECT doc_id, j,
       |    CAST('0x' || SUBSTRING(hx, CAST((j*n)//64 AS INT)*2 + 1, 2) AS BIGINT) AS bv
@@ -479,8 +479,9 @@ object MultimodalQueries extends QueryModule {
     * literal shared by the q151/q152 oracles (the closureCte lesson:
     * duplicated oracle CTEs let a fix land in one and miss the
     * other). */
-  private val MediaClosureCtes =
-    s"""${PhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+  private def mediaClosureCtes(extraWhere: String = ""): String =
+    s"""${phashPairsCtes(PHashMaxHamming, extraWhere)
+           .replaceFirst("WITH ", "WITH RECURSIVE ")},
       |edges AS (
       |  SELECT media_i AS ea, media_j AS eb FROM phpairs
       |  UNION ALL SELECT media_j, media_i FROM phpairs),
@@ -488,6 +489,8 @@ object MultimodalQueries extends QueryModule {
       |  SELECT doc_id AS id, doc_id AS r FROM p
       |  UNION
       |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)""".stripMargin
+
+  private val MediaClosureCtes = mediaClosureCtes()
 
   private val q152Sql =
     s"""$MediaClosureCtes,
@@ -556,6 +559,37 @@ object MultimodalQueries extends QueryModule {
   // from the payloads, same as q151's
   private val q154Sql = q151Sql
 
+  /** MEDIA CLUSTERS AFTER AN INCREMENTAL TAKEDOWN (r19 — q180's media
+    * twin; with q182 this closes the takedown matrix across all three
+    * dedup tiers: text/media/semantic). Perceptual-hash pair membership
+    * is a property of a pair's two endpoints alone (the hamming
+    * distance of two phashes doesn't depend on the rest of the corpus),
+    * so the pair set of corpus-minus-takedowns IS the persisted media
+    * pair artifact FILTERED by endpoint — no binary re-decoded, no
+    * phash re-banded — and the cluster assignment is one edge-scale
+    * components contraction over the filtered edges (bridge-media
+    * splits fall out of the connectivity rerun, where a read-time
+    * membership filter would keep split clusters silently merged). The
+    * oracle recomputes the FULL recursive closure from the payloads
+    * over the reduced corpus — filter-plus-contraction must hash-match
+    * from-scratch. */
+  private def q183MediaClustersAfterTakedown(s: SparkSession, dir: String): DataFrame = {
+    val DA = graft.dedup.DedupArtifacts
+    val isDel = (c: org.apache.spark.sql.Column) =>
+      c % DA.DeltaMod === DA.DeltaRem
+    val kept = DA.phashPairs(s, dir)
+      .filter(!isDel(col("media_i")) && !isDel(col("media_j")))
+      .select(col("media_i").as("src"), col("media_j").as("dst"))
+    Components.connectedComponents(
+        DA.phashes(s, dir).filter(!isDel(col("media_id")))
+          .select(col("media_id").as("id")), kept)
+      .select(col("id").as("media_id"), col("comp").as("cluster_rep"))
+  }
+
+  private val q183Sql =
+    s"""${mediaClosureCtes(" AND doc_id % 7 <> 6")}
+      |SELECT id AS media_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q34_media_features", q34MediaFeatures, Some(q34Sql)),
     Q("q129_phash_buckets", q129PHashBuckets, Some(q129Sql)),
@@ -565,6 +599,8 @@ object MultimodalQueries extends QueryModule {
     Q("q151_media_clusters", q151MediaClusters, Some(q151Sql)),
     Q("q152_media_canonical", q152MediaCanonical, Some(q152Sql)),
     Q("q154_incr_media_clusters", q154IncrMediaClusters, Some(q154Sql)),
+    Q("q183_media_clusters_after_takedown", q183MediaClustersAfterTakedown,
+      Some(q183Sql)),
     Q("q155_phash_h3", q155PhashNearDupH3, Some(q155Sql)),
     Q("q35_frame_sample", q35FrameSample, Some(q35Sql)),
     Q("q48_media_resize", q48MediaResize, Some(q48Sql)),

@@ -843,6 +843,50 @@ object SimilarityQueries extends QueryModule {
       |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
       |SELECT id AS vec_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
+  /** SEMANTIC CLUSTERS AFTER AN INCREMENTAL TAKEDOWN (r19 — q180's
+    * embedding twin, completing the takedown matrix across the dedup
+    * tiers): cosine near-dup pair membership is a property of a pair's
+    * two endpoints alone (the similarity of two vectors doesn't depend
+    * on the rest of the corpus), so the pair set of
+    * corpus-minus-takedowns IS the persisted sem pair artifact FILTERED
+    * by endpoint — no vector re-compared — and the cluster assignment
+    * is one edge-scale components contraction over the filtered edges.
+    * Removing a BRIDGE vector splits its cluster, which the
+    * connectivity rerun yields for free where a read-time membership
+    * filter would keep split clusters silently merged. The oracle
+    * recomputes the FULL transitive closure over the reduced corpus's
+    * exact cosine pairs — filter-plus-contraction must hash-match
+    * from-scratch. */
+  private def q182SemClustersAfterTakedown(s: SparkSession, dir: String): DataFrame = {
+    val DA = graft.dedup.DedupArtifacts
+    val isDel = (c: org.apache.spark.sql.Column) =>
+      c % DA.DeltaMod === DA.DeltaRem
+    val kept = DA.semPairs(s, dir)
+      .filter(!isDel(col("id_i")) && !isDel(col("id_j")))
+      .select(col("id_i").as("src"), col("id_j").as("dst"))
+    Components.connectedComponents(
+        Tables.embeddings(s, dir).filter(!isDel(col("vec_id")))
+          .select(col("vec_id").as("id")), kept)
+      .select(col("id").as("vec_id"), col("comp").as("cluster_rep"))
+  }
+
+  private val q182Sql =
+    """WITH RECURSIVE cur AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 6),
+      |pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM cur a JOIN cur b ON a.vec_id < b.vec_id
+      |  WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+      |edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |reach AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM cur
+      |  UNION
+      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
+      |SELECT id AS vec_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   /** BANDED INCREMENTAL SEMANTIC PAIR MAINTENANCE — the PRODUCTION twin
     * of q157 (the q27/q146 anchor/twin pattern): merge today's embedding
     * batch into the persisted production-threshold pair set with
@@ -946,6 +990,8 @@ object SimilarityQueries extends QueryModule {
     Q("q161_banded_incr_sem_pairs", q161BandedIncrSemPairs, Some(q161Sql)),
     Q("q163_banded_incr_sem_clusters", q163BandedIncrSemClusters, Some(q163Sql)),
     Q("q158_incr_sem_clusters", q158IncrSemClusters, Some(q158Sql)),
+    Q("q182_sem_clusters_after_takedown", q182SemClustersAfterTakedown,
+      Some(q182Sql)),
     Q("q130_int8_quant", q130Int8Quant, Some(q130Sql)),
     Q("q123_pq_codes", q123PqCodes, Some(q123Sql)),
     Q("q124_pq_adc", q124PqAdc, Some(recallSql(PqAdcFloor))),
