@@ -61,6 +61,40 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
     ingestResolved(spark, srcDir, idCol)
       .join(retired.toDF(idCol), Seq(idCol), "left_anti")
 
+  /** In-stream compaction dispatch (r19): with `retainGens > 0` a
+    * triggered compaction becomes a HORIZON squash through
+    * `head - retainGens` instead of the full source rebuild — the
+    * stream maintains a REPRODUCIBILITY WINDOW: the last `retainGens`
+    * generations stay readable as-of while the prefix's read/storage
+    * cost is reclaimed (`compactThrough`, dispatched text-vs-vector on
+    * the store's own meta). The squash never touches the source
+    * directory, so the undelivered-batch hazard that forces the full
+    * in-stream compact to stamp itself untrusted does not apply, and
+    * tombstones/takedowns resolve by construction (state-at-h is the
+    * resolved state, later delete generations survive byte-identical).
+    * Trades vs the full compact, made explicit by the knob: the squash
+    * keeps the BUILD-TIME model (IVF/PQ centroids are not retrained —
+    * pick 0 when the trigger is geometric drift, not history cost) and
+    * the retained window's live rows stay counted as append rows, so
+    * staleness floors at the window's steady-state fraction — set
+    * `compactAt` above it or the squash re-triggers every batch. A
+    * history still shallower than the window skips (logged). */
+  private def compactOrSquash(spark: SparkSession, dir: String,
+      retainGens: Int, batchId: Long, what: String)(full: => Unit): Unit =
+    if (retainGens > 0) {
+      val GS = graft.build.GenStore
+      val m = GS.metaOrThrow(spark, dir)
+      val h = m.gen - 1 - retainGens
+      if (h > GS.horizonOf(m)) {
+        if (m.params.contains("text"))
+          graft.text.PostingsStore.compactThrough(spark, dir, h)
+        else graft.similarity.AnnIndex.compactThrough(spark, dir, h)
+        logInfo(s"IndexMaintenance $what batch $batchId: horizon-squashed " +
+          s"through gen $h (retained window $retainGens)")
+      } else logInfo(s"IndexMaintenance $what batch $batchId: squash " +
+        s"skipped — history no deeper than the $retainGens-gen window")
+    } else full
+
   def runAvailableNow(
       spark: SparkSession,
       dataDir: String,
@@ -134,7 +168,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       vecCol: String = "embedding",
       nlist: Int = 16,
       assumeNewIds: Boolean = false,
-      compactAt: Double = 0.0): StreamingQuery = {
+      compactAt: Double = 0.0,
+      retainGens: Int = 0): StreamingQuery = {
     val schema = spark.read.parquet(vecDir).schema
     val stream = spark.readStream.schema(schema).parquet(vecDir)
     stream.writeStream
@@ -162,10 +197,12 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             // duplicates. A separate post-swap flag write would leave
             // a crash window where a replay sees the batch recorded,
             // skips, and the flag never lands (the r15 advisor hole).
-            AI.compactIvf(compactCorpus(spark, vecDir, idCol,
-              AI.retiredIds(spark, indexDir)), indexDir,
-              idCol, vecCol, nlist, batchId = batchId, appendOnly = false)
-            logInfo(s"IndexMaintenance IVF batch $batchId: compacted (staged)")
+            compactOrSquash(spark, indexDir, retainGens, batchId, "IVF") {
+              AI.compactIvf(compactCorpus(spark, vecDir, idCol,
+                AI.retiredIds(spark, indexDir)), indexDir,
+                idCol, vecCol, nlist, batchId = batchId, appendOnly = false)
+              logInfo(s"IndexMaintenance IVF batch $batchId: compacted (staged)")
+            }
           }
         }
       }
@@ -200,7 +237,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       subDim: Int = 8,
       nCent: Int = 16,
       assumeNewIds: Boolean = false,
-      compactAt: Double = 0.0): StreamingQuery = {
+      compactAt: Double = 0.0,
+      retainGens: Int = 0): StreamingQuery = {
     val schema = spark.read.parquet(vecDir).schema
     val stream = spark.readStream.schema(schema).parquet(vecDir)
     stream.writeStream
@@ -219,11 +257,13 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance IVF-PQ batch $batchId: append")
           if (compactAt > 0 && AI.staleness(spark, indexDir) >= compactAt) {
-            AI.compactIvfPq(compactCorpus(spark, vecDir, idCol,
-              AI.retiredIds(spark, indexDir)), indexDir,
-              idCol, vecCol, nlist, nSub, subDim, nCent,
-              batchId = batchId, appendOnly = false)
-            logInfo(s"IndexMaintenance IVF-PQ batch $batchId: compacted (staged)")
+            compactOrSquash(spark, indexDir, retainGens, batchId, "IVF-PQ") {
+              AI.compactIvfPq(compactCorpus(spark, vecDir, idCol,
+                AI.retiredIds(spark, indexDir)), indexDir,
+                idCol, vecCol, nlist, nSub, subDim, nCent,
+                batchId = batchId, appendOnly = false)
+              logInfo(s"IndexMaintenance IVF-PQ batch $batchId: compacted (staged)")
+            }
           }
         }
       }
@@ -257,7 +297,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       assumeNewIds: Boolean = false,
-      compactAt: Double = 0.0): StreamingQuery = {
+      compactAt: Double = 0.0,
+      retainGens: Int = 0): StreamingQuery = {
     val schema = spark.read.parquet(vecDir).schema
     val stream = spark.readStream.schema(schema).parquet(vecDir)
     stream.writeStream
@@ -275,10 +316,12 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance vecs batch $batchId: append")
           if (compactAt > 0 && AI.staleness(spark, storeDir) >= compactAt) {
-            AI.compactVecs(compactCorpus(spark, vecDir, idCol,
-              AI.retiredIds(spark, storeDir)), storeDir,
-              idCol, vecCol, batchId = batchId, appendOnly = false)
-            logInfo(s"IndexMaintenance vecs batch $batchId: compacted (staged)")
+            compactOrSquash(spark, storeDir, retainGens, batchId, "vecs") {
+              AI.compactVecs(compactCorpus(spark, vecDir, idCol,
+                AI.retiredIds(spark, storeDir)), storeDir,
+                idCol, vecCol, batchId = batchId, appendOnly = false)
+              logInfo(s"IndexMaintenance vecs batch $batchId: compacted (staged)")
+            }
           }
         }
       }
@@ -311,7 +354,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       idCol: String = "doc_id",
       textCol: String = "text",
       assumeNewIds: Boolean = false,
-      compactAt: Double = 0.0): StreamingQuery = {
+      compactAt: Double = 0.0,
+      retainGens: Int = 0): StreamingQuery = {
     val PS = graft.text.PostingsStore
     val fields = Seq("text" -> textCol)
     val schema = spark.read.parquet(docsDir).schema
@@ -330,10 +374,12 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance text batch $batchId: append")
           if (compactAt > 0 && PS.staleness(spark, storeDir) >= compactAt) {
-            PS.compact(compactCorpus(spark, docsDir, idCol,
-              PS.retiredIds(spark, storeDir)), storeDir, idCol,
-              fields, batchId = batchId, appendOnly = false)
-            logInfo(s"IndexMaintenance text batch $batchId: compacted (staged)")
+            compactOrSquash(spark, storeDir, retainGens, batchId, "text") {
+              PS.compact(compactCorpus(spark, docsDir, idCol,
+                PS.retiredIds(spark, storeDir)), storeDir, idCol,
+                fields, batchId = batchId, appendOnly = false)
+              logInfo(s"IndexMaintenance text batch $batchId: compacted (staged)")
+            }
           }
         }
       }
@@ -377,7 +423,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       bands: Int = 8,
       seed: Long = 42L,
       assumeNewIds: Boolean = false,
-      compactAt: Double = 0.0): StreamingQuery = {
+      compactAt: Double = 0.0,
+      retainGens: Int = 0): StreamingQuery = {
     val schema = spark.read.parquet(vecDir).schema
     val stream = spark.readStream.schema(schema).parquet(vecDir)
     stream.writeStream
@@ -396,11 +443,13 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
             newIds = assumeNewIds, batchId = batchId)
           logInfo(s"IndexMaintenance banded batch $batchId: append")
           if (compactAt > 0 && AI.bandedStaleness(spark, indexDir) >= compactAt) {
-            AI.compactBanded(compactCorpus(spark, vecDir, idCol,
-              AI.retiredIds(spark, indexDir)), indexDir,
-              idCol, vecCol, nPlanes, bands, seed, batchId = batchId,
-              appendOnly = false)
-            logInfo(s"IndexMaintenance banded batch $batchId: compacted (staged)")
+            compactOrSquash(spark, indexDir, retainGens, batchId, "banded") {
+              AI.compactBanded(compactCorpus(spark, vecDir, idCol,
+                AI.retiredIds(spark, indexDir)), indexDir,
+                idCol, vecCol, nPlanes, bands, seed, batchId = batchId,
+                appendOnly = false)
+              logInfo(s"IndexMaintenance banded batch $batchId: compacted (staged)")
+            }
           }
         }
       }

@@ -256,6 +256,91 @@ class HorizonCompactSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming retainGens (text): a triggered compaction becomes a horizon squash keeping the window") {
+    val docsDir = s"$work/sq_docs"
+    val store = s"$work/sq_store"
+    val ckpt = s"$work/sq_ckpt"
+    val IM = graft.streaming.IndexMaintenance
+    docsDF(Seq(1L -> "alpha beta", 2L -> "gamma")).write.parquet(docsDir)
+    IM.runTextAvailableNow(spark, docsDir, store, ckpt, assumeNewIds = true)
+      .awaitTermination()
+    docsDF(Seq(3L -> "delta")).write.mode("append").parquet(docsDir)
+    IM.runTextAvailableNow(spark, docsDir, store, ckpt, assumeNewIds = true)
+      .awaitTermination()
+    docsDF(Seq(4L -> "epsilon zeta")).write.mode("append").parquet(docsDir)
+    // the third batch's append pushes staleness past the tiny budget —
+    // with retainGens the triggered compaction is a SQUASH through
+    // head - 1, not a source rebuild
+    IM.runTextAvailableNow(spark, docsDir, store, ckpt, assumeNewIds = true,
+      compactAt = 1e-6, retainGens = 1).awaitTermination()
+    val m = GenStore.readMeta(spark, store).get
+    assert(GenStore.horizonOf(m) == 1L, "squash point must be head - retainGens")
+    assert(m.gen == 3L, "the generation clock must be preserved")
+    assert(genDirs(store, "data") == Set(1L, 2L))
+    // live ≡ the batch twin over the same history
+    val twin = s"$work/sq_twin"
+    PostingsStore.build(docsDF(Seq(1L -> "alpha beta", 2L -> "gamma")), twin)
+    PostingsStore.append(docsDF(Seq(3L -> "delta")), twin, newIds = true)
+    PostingsStore.append(docsDF(Seq(4L -> "epsilon zeta")), twin, newIds = true)
+    assert(liveSet(store) == liveSet(twin), "squashing stream diverged from batch")
+    // the retained window still reads as-of; below it throws
+    assert(asOfSet(store, 2L) == liveSet(twin))
+    assert(asOfSet(store, 1L) ==
+      PostingsStore.live(spark, twin, asOfGen = Some(1L)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Int](4))).toSet)
+    intercept[IllegalArgumentException](asOfSet(store, 0L): Unit)
+    // staleness floors at the window's fraction, not zero (documented)
+    assert(PostingsStore.staleness(spark, store) > 0.0)
+    // a drained re-run is still a no-op (replay bookkeeping survived)
+    IM.runTextAvailableNow(spark, docsDir, store, ckpt, assumeNewIds = true,
+      compactAt = 1e-6, retainGens = 1).awaitTermination()
+    assert(liveSet(store) == liveSet(twin))
+  }
+
+  test("streaming retainGens (ivf): squash keeps the model and the window; shallow histories skip") {
+    import graft.streaming.IndexMaintenance
+    val base = emb.filter(col("vec_id") % 7 =!= 6)
+    val delta = emb.filter(col("vec_id") % 7 === 6)
+    val vecDir = s"$work/sqv_vecs"
+    val idx = s"$work/sqv_idx"
+    val ckpt = s"$work/sqv_ckpt"
+    base.coalesce(1).write.parquet(vecDir)
+    IndexMaintenance.runIvfAvailableNow(spark, vecDir, idx, ckpt,
+      assumeNewIds = true, compactAt = 0.01, retainGens = 2)
+      .awaitTermination()
+    // shallow history: the build alone can't satisfy a 2-gen window —
+    // the squash must have SKIPPED, never thrown
+    assert(GenStore.horizonOf(GenStore.readMeta(spark, idx).get) == 0L)
+    delta.coalesce(1).write.mode("append").parquet(vecDir)
+    IndexMaintenance.runIvfAvailableNow(spark, vecDir, idx, ckpt,
+      assumeNewIds = true, compactAt = 0.01, retainGens = 1)
+      .awaitTermination()
+    // gens {0, 1}, head 1: h = 0 — still no squash (nothing below it)
+    assert(GenStore.horizonOf(GenStore.readMeta(spark, idx).get) == 0L)
+    delta.limit(5).coalesce(1).write.mode("append").parquet(vecDir)
+    IndexMaintenance.runIvfAvailableNow(spark, vecDir, idx, ckpt,
+      assumeNewIds = false, compactAt = 0.0001, retainGens = 1)
+      .awaitTermination()
+    // gens {0, 1, 2}, head 2: squash through 1
+    val m = GenStore.readMeta(spark, idx).get
+    assert(GenStore.horizonOf(m) == 1L && m.gen == 3L)
+    // live ≡ the batch twin under the SAME centroid model (the squash
+    // never retrains): replay the history batch-side on a copy... the
+    // model is seed-fixed per build, so compare against the stream's
+    // own pre-squash audit instead: resolveAll over what remains
+    val viaLive = AnnIndex.ivfAssignments(spark, idx)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAudit = AnnIndex.ivfAssignments(spark, idx, resolveAll = true)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLive == viaAudit)
+    assert(viaLive.map(_._1) ==
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "every ingested id must be live exactly once after the squash")
+  }
+
   test("horizon guards: out-of-range points throw; structure dispatch refuses the wrong store kind") {
     import spark.implicits._
     val d = s"$work/g1"
