@@ -393,6 +393,51 @@ private[graft] object GenStore {
     }
   }
 
+  // ------------------------------------------- retired-key sidecar
+
+  /** The RETIRED-KEY SIDECAR (`<dir>/retired`, one key column): a
+    * horizon squash drops a tombstoned key's rows from the squashed
+    * base — which would also destroy the only durable record that the
+    * key was TAKEN DOWN. That record is load-bearing: `retiredIds`
+    * feeds the in-stream full compact's source exclusion, and a source
+    * directory still physically holds deleted ids' rows, so losing it
+    * would let the next full compact RESURRECT every takedown the
+    * squash absorbed. The squash therefore writes the dropped keys
+    * (unioned with any prior sidecar) into the staged tree — atomic
+    * under the swap — and `retiredIds` unions the sidecar back in
+    * (minus currently-live keys, so a re-add leaves the set). A FULL
+    * compact/build wipes the tree including the sidecar: that is the
+    * existing full-compact contract — it consumes the retired set at
+    * rebuild time (the corpus passed in is already takedown-filtered),
+    * after which takedown durability belongs to the source pipeline. */
+  def retiredPath(dir: String): String = s"$dir/retired"
+
+  /** The sidecar's keys, if one exists (None on never-squashed or
+    * delete-free stores — zero cost there). */
+  def readRetired(s: SparkSession, dir: String, keyCol: String): Option[DataFrame] = {
+    val p = new Path(retiredPath(dir))
+    if (fsOf(s, dir).exists(p))
+      Some(s.read.parquet(retiredPath(dir)).toDF(keyCol))
+    else None
+  }
+
+  /** Persist the sidecar into a staged tree (tiny: one row per retired
+    * key, coalesced to one file). */
+  def writeRetired(keys: DataFrame, tmpDir: String): Unit =
+    keys.distinct().coalesce(1)
+      .write.mode("overwrite").parquet(retiredPath(tmpDir))
+
+  /** Keys whose latest-generation state in `raw` is a TOMBSTONE — the
+    * retired-as-of set a horizon squash must record before dropping
+    * them ([[retiredPath]]). One resolution over `raw` (callers pass
+    * the prefix being squashed — compact-scale). */
+  def tombstonedKeys(raw: DataFrame, keyCol: String, tomb: Column): DataFrame = {
+    val r = raw.select(col(keyCol), col("gen").cast("long").as("gen"),
+      tomb.as("tomb"))
+    r.join(r.groupBy(keyCol).agg(max("gen").as("gen")), Seq(keyCol, "gen"))
+      .filter(col("tomb")).select(keyCol).distinct()
+  }
+
   // ------------------------------------------------------ staged compact
 
   private def compactTmp(dir: String) = s"${dir.stripSuffix("/")}.compact.tmp"

@@ -129,6 +129,13 @@ object DedupArtifacts {
   val DeltaMod = 7L
   val DeltaRem = 6L
 
+  /** The delta/takedown membership predicate over an id column — ONE
+    * definition beside the constants it uses (the takedown queries
+    * q180/q182/q183 and the incremental demos all split on it; a
+    * retuned encoding must change exactly one site). */
+  def isDeltaId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % DeltaMod === DeltaRem
+
   /** Bump when pair/cluster semantics change: stale artifact trees from
     * an older layout then rebuild instead of being served.
     * v2: + base_clusters (the q142 incremental-maintenance base).

@@ -182,8 +182,7 @@ object DedupQueries extends QueryModule {
     * over the reduced corpus from raw text — artifact-filter-plus-
     * contraction must equal the from-scratch answer exactly. */
   private def q180ClustersAfterTakedown(s: SparkSession, dir: String): DataFrame = {
-    val isDel = (c: org.apache.spark.sql.Column) =>
-      c % DedupArtifacts.DeltaMod === DedupArtifacts.DeltaRem
+    val isDel = DedupArtifacts.isDeltaId _
     val kept = DedupArtifacts.minHashPairs(s, dir)
       .filter(!isDel(col("doc_i")) && !isDel(col("doc_j")))
       .select(col("doc_i").as("src"), col("doc_j").as("dst"))
@@ -193,41 +192,21 @@ object DedupQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
   }
 
-  private val q180Sql =
-    """WITH RECURSIVE cur AS (
-      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 6),
-      |toks AS (
-      |  SELECT doc_id,
-      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
-      |  FROM cur),
-      |sh AS (
-      |  SELECT doc_id,
-      |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
-      |  FROM toks WHERE LEN(t) >= 3),
-      |pairs AS (
-      |  SELECT a.doc_id AS pa, b.doc_id AS pb
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
-      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8),
-      |edges AS (
-      |  SELECT pa AS ea, pb AS eb FROM pairs
-      |  UNION ALL SELECT pb, pa FROM pairs),
-      |reach AS (
-      |  SELECT doc_id AS id, doc_id AS r FROM cur
-      |  UNION
-      |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)
-      |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+  // derived from the ONE shared closure literal (the parameterized
+  // corpusWhere — never a copy that a future pairsCte fix could miss)
+  private val q180Sql = closureCteFor(" WHERE doc_id % 7 <> 6") +
+    "\nSELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id"
 
   /** Shared exact-Jaccard pair CTE prefix (toks → shingle sets →
     * threshold pairs) for every oracle needing the edge set (q49, q85,
     * q87). One literal so a fix can never land in one oracle and miss
     * another (the MaxFpFreq lesson: duplicated constants silently
     * diverged once). */
-  private val pairsCte =
-    """WITH RECURSIVE toks AS (
+  private def pairsCteFor(corpusWhere: String): String =
+    s"""WITH RECURSIVE toks AS (
       |  SELECT doc_id,
-      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS t
-      |  FROM documents),
+      |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents$corpusWhere),
       |sh AS (
       |  SELECT doc_id,
       |    LIST_DISTINCT([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t)-1)]) AS s
@@ -238,15 +217,24 @@ object DedupQueries extends QueryModule {
       |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) /
       |        LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.8)""".stripMargin
 
-  /** Pair prefix + transitive closure, for the cluster oracles. */
-  private val closureCte = pairsCte + """,
+  private val pairsCte = pairsCteFor("")
+
+  /** Pair prefix + transitive closure, for the cluster oracles —
+    * `corpusWhere` restricts BOTH the shingled corpus and the closure
+    * universe (the q183 `extraWhere` pattern: parameterize the one
+    * literal instead of copying it, so a fix can never land in one
+    * oracle and miss another). */
+  private def closureCteFor(corpusWhere: String): String =
+    pairsCteFor(corpusWhere) + s""",
       |edges AS (
       |  SELECT pa AS ea, pb AS eb FROM pairs
       |  UNION ALL SELECT pb, pa FROM pairs),
       |reach AS (
-      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  SELECT doc_id AS id, doc_id AS r FROM documents$corpusWhere
       |  UNION
       |  SELECT e.eb AS id, reach.r FROM reach JOIN edges e ON e.ea = reach.id)""".stripMargin
+
+  private val closureCte = closureCteFor("")
 
   private val q49Sql = closureCte +
     "\nSELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id"

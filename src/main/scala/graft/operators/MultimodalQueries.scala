@@ -575,8 +575,7 @@ object MultimodalQueries extends QueryModule {
     * from-scratch. */
   private def q183MediaClustersAfterTakedown(s: SparkSession, dir: String): DataFrame = {
     val DA = graft.dedup.DedupArtifacts
-    val isDel = (c: org.apache.spark.sql.Column) =>
-      c % DA.DeltaMod === DA.DeltaRem
+    val isDel = DA.isDeltaId _
     val kept = DA.phashPairs(s, dir)
       .filter(!isDel(col("media_i")) && !isDel(col("media_j")))
       .select(col("media_i").as("src"), col("media_j").as("dst"))

@@ -859,8 +859,7 @@ object SimilarityQueries extends QueryModule {
     * from-scratch. */
   private def q182SemClustersAfterTakedown(s: SparkSession, dir: String): DataFrame = {
     val DA = graft.dedup.DedupArtifacts
-    val isDel = (c: org.apache.spark.sql.Column) =>
-      c % DA.DeltaMod === DA.DeltaRem
+    val isDel = DA.isDeltaId _
     val kept = DA.semPairs(s, dir)
       .filter(!isDel(col("id_i")) && !isDel(col("id_j")))
       .select(col("id_i").as("src"), col("id_j").as("dst"))

@@ -421,7 +421,10 @@ object AnnIndex extends org.apache.spark.internal.Logging {
   /** HORIZON compact on the vector structures — [[graft.text
     * .PostingsStore.compactThrough]]'s twin, dispatched on the tree's
     * own meta like [[delete]]: squash generations ≤ `h` into ONE
-    * resolved base generation at clock `h` (tombstoned ids dropped),
+    * resolved base generation at clock `h` (tombstoned ids dropped
+    * from the base and recorded in the retired sidecar —
+    * [[GenStore.retiredPath]] — so [[retiredIds]] keeps protecting
+    * future full compacts from resurrecting them out of the source),
     * byte-copy everything else — the centroid model / PQ codebook and
     * every later generation survive bit-identical, so `asOf(n ≥ h)`
     * probes keep reproducing exactly while the prefix's read/storage
@@ -451,6 +454,10 @@ object AnnIndex extends org.apache.spark.internal.Logging {
           vecsLive(s, indexDir, resolveAll = true, asOfGen = Some(h))
             .select("bucket", "v"),
           tmp, h): Unit
+        recordRetired(s, indexDir, tmp, full, GenStore.tombstonedKeys(
+          s.read.parquet(vecsDataPath(indexDir)).filter(col("gen") <= h)
+            .select(col("bucket").as("vec_id"), col("gen"), col("v")),
+          "vec_id", col("v").isNull))
         horizonFinish(s, tmp, full, h,
           s.read.parquet(vecsDataPath(tmp)).filter(col("gen") < full.gen)
             .select(col("bucket").as("k"), col("gen"),
@@ -460,6 +467,8 @@ object AnnIndex extends org.apache.spark.internal.Logging {
         writeBandedGen(
           bandedRowsLive(s, indexDir, asOfGen = Some(h)),
           tmp, h): Unit
+        recordRetired(s, indexDir, tmp, full, GenStore.tombstonedKeys(
+          rawBanded(s, indexDir, h + 1), "vec_id", col("band") < 0))
         horizonFinish(s, tmp, full, h,
           rawBanded(s, tmp, full.gen)
             .select(col("vec_id").as("k"), col("gen"),
@@ -475,6 +484,8 @@ object AnnIndex extends org.apache.spark.internal.Logging {
             payload = payload, asOfGen = Some(h))
             .select(col("vec_id") +: payload.map(col) :+ col("cell"): _*),
           tmp, h): Unit
+        recordRetired(s, indexDir, tmp, full, GenStore.tombstonedKeys(
+          rawAssignments(s, indexDir, h + 1), "vec_id", col("cell") < 0L))
         horizonFinish(s, tmp, full, h,
           rawAssignments(s, tmp, full.gen)
             .select(col("vec_id").as("k"), col("gen"),
@@ -485,11 +496,32 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Record the takedowns a horizon squash is about to absorb (keys
+    * whose resolved prefix state is a tombstone) into the staged
+    * tree's retired sidecar, unioned with any prior sidecar — without
+    * it, dropping the tombstones would also destroy the only durable
+    * takedown record and the next full in-stream compact would rebuild
+    * from the unfiltered source and RESURRECT them
+    * ([[GenStore.retiredPath]] doc). Delete-free stores skip — zero
+    * cost on the common path. */
+  private def recordRetired(s: SparkSession, dir: String, tmp: String,
+      full: Meta, tombstoned: => DataFrame): Unit = {
+    val prev = GenStore.readRetired(s, dir, "vec_id")
+    if (prev.isDefined || full.params.contains("del"))
+      GenStore.writeRetired(
+        prev.fold(tombstoned)(_.unionByName(tombstoned)), tmp)
+  }
+
   /** The staged tree's meta for a horizon compact: recounted LIVE
     * serving rows split at the new base gen `h` (the shape
     * [[GenStore.deadCounts]] keeps exact from here on), and the `del`
-    * marker dropped iff no tombstone remains in the tail. `rows` must
-    * carry (k, gen, w = serving weight, tomb). */
+    * marker dropped iff no tombstone row PHYSICALLY remains in the
+    * staged tree — physical, not live-resolved: a tail tombstone
+    * superseded by a later re-add is invisible to the live view but
+    * still decides its key's state for every as-of read INSIDE the
+    * delete window, so the views' tombstone filter must stay on while
+    * any such row exists. `rows` must carry (k, gen, w = serving
+    * weight, tomb). */
   private def horizonFinish(s: SparkSession, tmp: String,
       full: Meta, h: Long, rows: DataFrame): Unit = {
     val m1 = GenStore.horizonMeta(full, h)
@@ -499,11 +531,10 @@ object AnnIndex extends org.apache.spark.internal.Logging {
       r0.groupBy("k").agg(max("gen").as("gen")), Seq("k", "gen"))
     val r = live.agg(
       coalesce(sum(when(col("gen") === h, col("w"))), lit(0L)),
-      coalesce(sum(when(col("gen") > h, col("w"))), lit(0L)),
-      coalesce(sum(when(col("tomb"), 1L)), lit(0L))).head()
+      coalesce(sum(when(col("gen") > h, col("w"))), lit(0L))).head()
+    val anyTomb = r0.filter(col("tomb")).limit(1).count() > 0
     val params =
-      if (full.params.contains("del") && r.getLong(2) == 0L)
-        m1.params - "del"
+      if (full.params.contains("del") && !anyTomb) m1.params - "del"
       else m1.params
     GenStore.writeMeta(s, tmp, m1.copy(
       baseRows = r.getLong(0), appendRows = r.getLong(1), params = params))
@@ -520,7 +551,13 @@ object AnnIndex extends org.apache.spark.internal.Logging {
   def retiredIds(s: SparkSession, indexDir: String): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
     import s.implicits._
-    if (!meta.params.contains("del")) return Seq.empty[Long].toDF("vec_id")
+    // the sidecar holds takedowns whose tombstones a horizon squash
+    // absorbed — it must be consulted even after the squash dropped
+    // the del marker (no physical tombstone left, yet the keys stay
+    // retired until re-added)
+    val sidecar = GenStore.readRetired(s, indexDir, "vec_id")
+    if (!meta.params.contains("del") && sidecar.isEmpty)
+      return Seq.empty[Long].toDF("vec_id")
     val (all, live) =
       if (meta.params.contains("pfetch"))
         (s.read.parquet(vecsDataPath(indexDir))
@@ -532,7 +569,9 @@ object AnnIndex extends org.apache.spark.internal.Logging {
       else
         (rawAssignments(s, indexDir, meta.gen).select("vec_id"),
           ivfAssignments(s, indexDir).select("vec_id"))
-    all.distinct().join(live.distinct(), Seq("vec_id"), "left_anti")
+    val present = all.distinct()
+    sidecar.fold(present)(sc => present.unionByName(sc).distinct())
+      .join(live.distinct(), Seq("vec_id"), "left_anti")
   }
 
   /** Fraction of LIVE index rows that arrived by append — the drift

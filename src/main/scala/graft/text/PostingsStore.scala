@@ -279,9 +279,14 @@ object PostingsStore {
     * while `asOf(n ≥ h)` keeps reproducing exactly — "compact
     * yesterday's history, keep this week's reproducible". The squashed
     * base is the prefix's RESOLVED state: doc-level latest-gen rows,
-    * retired docs (sentinel-only live state) dropped entirely — their
-    * sentinels existed to supersede older generations that no longer
-    * exist. Needs no source corpus (it squashes the store's own rows —
+    * retired docs (sentinel-only live state) dropped from the base —
+    * their sentinels existed to supersede older generations that no
+    * longer exist — and RECORDED in the retired sidecar
+    * ([[GenStore.retiredPath]]): the sentinel was also the durable
+    * takedown record, and [[retiredIds]] must keep excluding those
+    * docs from future full in-stream compacts or the source directory
+    * (which still physically holds them) would resurrect them. Needs
+    * no source corpus (it squashes the store's own rows —
     * unlike [[compact]] it never re-tokenizes) and runs under the same
     * staged-swap/recover crash protocol. `asOf(n < h)` reads THROW
     * afterwards (meta `horizon` marker) — never a silent approximation.
@@ -301,12 +306,24 @@ object PostingsStore {
       // resolved base at gen=h (writeGen lays down data AND norms)
       GenStore.horizonStage(s, dir, tmp, h, Seq("data", "norms"))
       val prefix = GenStore.asOf(full, h)
-      val serving = GenStore
+      val resolved = GenStore
         .keyedLiveView(prefix, raw(s, dir, prefix.gen), "doc_id",
           identity, resolveAll = true)
-        .filter(col("term") =!= "")
+      val serving = resolved.filter(col("term") =!= "")
         .select("field", "term", "doc_id", "tf", "positions")
       writeGen(serving, tmp, h): Unit
+      // RECORD the keys the squash is about to drop (docs whose
+      // resolved prefix state is the sentinel — retired takedowns):
+      // without the sidecar the next full in-stream compact would
+      // rebuild from the source dir with an empty retired set and
+      // RESURRECT them (GenStore.retiredPath doc)
+      val prevRetired = GenStore.readRetired(s, dir, "doc_id")
+      if (prevRetired.isDefined || full.params.get("sent").exists(_ != "0")) {
+        val dropped = resolved.filter(col("term") === "")
+          .select("doc_id").distinct()
+        GenStore.writeRetired(
+          prevRetired.fold(dropped)(_.unionByName(dropped)), tmp)
+      }
       // recount over the staged tree: counters are LIVE serving rows
       // split at the new base gen; `sent` is the sentinel rows that
       // still physically exist (tail generations only — the squash
@@ -448,7 +465,13 @@ object PostingsStore {
   def retiredIds(s: SparkSession, dir: String): DataFrame = {
     val meta = GenStore.metaOrThrow(s, dir)
     requireText(meta, dir)
-    raw(s, dir, meta.gen).select("doc_id").distinct()
+    // keys present in the generations but not live, UNION the retired
+    // sidecar (takedowns a horizon squash absorbed — their sentinel
+    // rows no longer exist in any generation); a re-add leaves the set
+    // because the anti-join is against the CURRENT live keys
+    val present = raw(s, dir, meta.gen).select("doc_id").distinct()
+    GenStore.readRetired(s, dir, "doc_id")
+      .fold(present)(sc => present.unionByName(sc).distinct())
       .join(live(s, dir).select("doc_id").distinct(), Seq("doc_id"), "left_anti")
   }
 

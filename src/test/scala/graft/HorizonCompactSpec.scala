@@ -256,6 +256,67 @@ class HorizonCompactSpec extends AnyFunSuite {
     }
   }
 
+  test("del filter survives a squash below a delete/re-add window — as-of reads inside it stay clean") {
+    val d = s"$work/ivf3"
+    val base = emb.filter(col("vec_id") % 7 =!= 6)
+    val delta = emb.filter(col("vec_id") % 7 === 6)
+    AnnIndex.buildIvf(base, d, nlist = 8)
+    AnnIndex.appendIvf(delta, d, newIds = true)          // gen 1
+    AnnIndex.delete(delta.limit(3).select("vec_id"), d)  // gen 2 takedown
+    AnnIndex.appendIvf(delta.limit(3), d)                // gen 3 re-add
+    def assigns(asOf: Option[Long]) =
+      AnnIndex.ivfAssignments(spark, d, asOfGen = asOf)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val asOf2 = assigns(Some(2L))
+    val liveBefore = assigns(None)
+    AnnIndex.compactThrough(spark, d, 1L) // squash BELOW the window
+    // the gen-2 tombstones are live-invisible (superseded by the gen-3
+    // re-add) but physically present in the copied tail — the del
+    // filter must stay on, or asOf(2) would serve cell = -1 phantoms
+    assert(GenStore.readMeta(spark, d).get.params.contains("del"),
+      "del must survive while any tombstone row physically remains")
+    assert(assigns(Some(2L)) == asOf2, "asOf inside the delete window diverged")
+    assert(!assigns(Some(2L)).exists(_._2 < 0L), "tombstone rows leaked into the as-of read")
+    assert(assigns(None) == liveBefore)
+  }
+
+  test("a squash past a takedown records it: retiredIds survives, so full compacts cannot resurrect") {
+    import spark.implicits._
+    // text: the sentinel is the takedown's only durable record — the
+    // head squash absorbs it into the retired sidecar
+    val t = s"$work/t4"
+    PostingsStore.build(docsDF(Seq(
+      1L -> "alpha beta", 2L -> "gamma", 3L -> "delta")), t)
+    PostingsStore.delete(Seq(2L, 3L).toDF("doc_id"), t)
+    PostingsStore.compactThrough(spark, t, 1L) // head squash
+    assert(PostingsStore.retiredIds(spark, t).as[Long].collect().toSet ==
+      Set(2L, 3L),
+      "the takedown record must survive the squash that dropped its sentinels")
+    // a re-ingested doc leaves the retired set (it is live again)
+    PostingsStore.append(docsDF(Seq(3L -> "delta back")), t)
+    assert(PostingsStore.retiredIds(spark, t).as[Long].collect().toSet ==
+      Set(2L))
+    // vector twin: head squash drops del (no physical tombstone) but
+    // the sidecar keeps feeding retiredIds
+    val v = s"$work/ivf4"
+    AnnIndex.buildIvf(emb, v, nlist = 8)
+    val delIds = emb.filter(col("vec_id") % 7 === 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    AnnIndex.delete(emb.filter(col("vec_id") % 7 === 6).select("vec_id"), v)
+    AnnIndex.compactThrough(spark, v, 1L)
+    val m = GenStore.readMeta(spark, v).get
+    assert(!m.params.contains("del"))
+    assert(AnnIndex.retiredIds(spark, v).as[Long].collect().toSet == delIds,
+      "retiredIds must keep protecting full compacts after the squash")
+    // and a second squash carries the sidecar forward
+    AnnIndex.appendIvf(emb.filter(col("vec_id") % 11 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L), v, newIds = true)
+    AnnIndex.compactThrough(spark, v, 2L)
+    assert(AnnIndex.retiredIds(spark, v).as[Long].collect().toSet == delIds,
+      "the sidecar must survive subsequent squashes")
+  }
+
   test("streaming retainGens (text): a triggered compaction becomes a horizon squash keeping the window") {
     val docsDir = s"$work/sq_docs"
     val store = s"$work/sq_store"
