@@ -29,11 +29,17 @@ object RunOne {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    // comma-separated names run round-robin (A/B several queries in one
+    // JVM without paying a session start per query); each prints its own
+    // per-iter line, so min-of-N is a grep away
+    val names = name.split(',').toSeq
     (1 to iters).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[runone] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      names.foreach { n0 =>
+        val fn = SparkEntry.queries(n0)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[runone] $n0 iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
     }
     spark.stop()
   }

@@ -519,11 +519,18 @@ object PipelineQueries extends QueryModule {
     * mean, pre-combined map-side. Token totals ride the same broadcast
     * (a 1-row cross join folded into it). */
   private def q74UnigramLm(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    // materialized per-doc ARRAY table (q80's measured pattern): the
+    // token stream feeds the freq aggregate AND the scored main join —
+    // and the corpus token total comes in closed form from the array
+    // sizes (one fewer pass over the exploded stream; guide §2.4).
+    // size() is -1 on a NULL array, hence the >0 guard.
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .localCheckpoint(eager = false)
+    val tok = t.select(col("doc_id"), explode(col("tk")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(tok.agg(count(lit(1)).as("total")))
+      .crossJoin(t.agg(sum(when(size(col("tk")) > 0,
+        size(col("tk")).cast("long")).otherwise(0L)).as("total")))
     tok.join(broadcast(freq), "tok")
       .groupBy("doc_id")
       .agg(round(avg(-log(col("cnt") / col("total"))), 6).as("lm_score"))
@@ -566,17 +573,28 @@ object PipelineQueries extends QueryModule {
     * are built from each doc's token array with one indexed
     * `transform` — no self-join, no second explode. */
   private def q147BackoffLm(s: SparkSession, dir: String): DataFrame = {
+    // materialized: the token table feeds THREE gram passes below (the
+    // unigram aggregate, the bigram aggregate, the scored main stream) —
+    // without the boundary the tokenize pipeline re-runs per branch
+    // (q80's measured pattern: checkpoint the per-doc ARRAY table, never
+    // the exploded stream; guide §2.4)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
+      .localCheckpoint(eager = false)
     val grams = docs.select(col("doc_id"), explode(
         transform(col("tk"), (x, i) => struct(
           x.as("tok"),
           when(i === 0, lit(null).cast("string"))
             .otherwise(get(col("tk"), i - 1)).as("prev")))).as("g"))
       .select(col("doc_id"), col("g.tok").as("tok"), col("g.prev").as("prev"))
+    // the gram total in closed form from the per-doc array sizes (every
+    // token emits exactly one gram row), q80's n_pairs trick — saves a
+    // full pass over the exploded gram stream; vocab-sized result
+    // materialized because it joins the main stream TWICE (tok + prev)
     val uni = grams.groupBy("tok").agg(count(lit(1)).as("c_uni"))
-      .crossJoin(grams.agg(count(lit(1)).as("total")))
+      .crossJoin(docs.agg(sum(size(col("tk")).cast("long")).as("total")))
+      .localCheckpoint(eager = false)
     val big = grams.filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("c_big"))
       .filter(col("c_big") >= BoMinCount)

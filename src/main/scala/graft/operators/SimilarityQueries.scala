@@ -101,13 +101,22 @@ object SimilarityQueries extends QueryModule {
     * hash compare catches, where a raw neighbor list (legitimately
     * engine-specific) could only ever be rows-only-checked. */
   private def recallCheck(approx: DataFrame, exact: DataFrame, minHits: Int): DataFrame = {
+    // the approx side feeds BOTH aggregates below (hits and n_ret) —
+    // without a materialization boundary the whole index-probe subtree
+    // (scan → ADC/assignment join → shortlist window → rerank; 30+
+    // operators on the maintained reads) plans TWICE and AQE's stage
+    // reuse does not collapse the copies (the two consumers differ above
+    // the exchange). k·|queries| rows, so the checkpoint is tiny; guide
+    // §2.4 (remove duplicate subtree work) + §3.3 (materialize to
+    // truncate very large plans).
+    val a = approx.localCheckpoint(eager = false)
     // both sides are k·|queries| rows; broadcast so the diagnostic can
     // never plan a shuffle join whatever the stats say
-    val hits = approx
+    val hits = a
       .join(broadcast(exact.select("query_id", "neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    approx.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
+    a.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
       .join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"), col("n_ret"),
         (coalesce(col("hits"), lit(0L)) >= minHits).as("recall_ok"))
@@ -401,9 +410,12 @@ object SimilarityQueries extends QueryModule {
     val q = emb.filter(col("vec_id") < 3)
     val deltaMod = graft.dedup.DedupArtifacts.DeltaMod
     val deltaRem = graft.dedup.DedupArtifacts.DeltaRem
+    // consumed by recallCheck (twice) AND the n_takedown aggregate —
+    // materialize the k·|queries|-row result once instead of planning
+    // the bounded-regime index probe three times (guide §2.4)
     val approx = graft.similarity.AnnIndex.ivfTopKFromIndex(
       s, graft.similarity.AnnArtifacts.ivfDeleteDir(dir), emb, q, 5,
-      nprobe = 8)
+      nprobe = 8).localCheckpoint(eager = false)
     val exact = Ann.bruteForceTopK(
       emb.filter(col("vec_id") % deltaMod =!= deltaRem), q, 5)
     recallCheck(approx, exact, minHits = 4)
@@ -438,9 +450,10 @@ object SimilarityQueries extends QueryModule {
     val q = emb.filter(col("vec_id") < 3)
     val deltaMod = graft.dedup.DedupArtifacts.DeltaMod
     val deltaRem = graft.dedup.DedupArtifacts.DeltaRem
+    // same three-consumer shape as q177 — one materialization, one probe
     val approx = graft.similarity.AnnIndex.ivfTopKFromIndex(
       s, graft.similarity.AnnArtifacts.ivfBaseDeltaDir(dir), emb, q, 5,
-      nprobe = 8, asOfGen = Some(0L))
+      nprobe = 8, asOfGen = Some(0L)).localCheckpoint(eager = false)
     val exact = Ann.bruteForceTopK(
       emb.filter(col("vec_id") % deltaMod =!= deltaRem), q, 5)
     recallCheck(approx, exact, minHits = 4)
@@ -474,8 +487,12 @@ object SimilarityQueries extends QueryModule {
     * pairs at signature hamming 0, precision exact). */
   private def q78SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val corpus = plantedCorpus(s, dir)
+    // one row per vector, consumed by BOTH endpoint joins below —
+    // materialize so the semanticDedup subtree (IVF cells + within-cell
+    // neighbor drop) plans and runs once, not twice (guide §2.4)
     val verdicts = Ann.semanticDedup(corpus, 0.9, nlist = 16)
       .select(col("vec_id"), col("kept"))
+      .localCheckpoint(eager = false)
     val pairs = Ann.lshNearDupPairs(corpus, 0.9, nPlanes = 64, bands = 8)
     pairs
       .join(verdicts.select(col("vec_id").as("id_i"), col("kept").as("kept_i")), "id_i")
@@ -535,7 +552,13 @@ object SimilarityQueries extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val sh = graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3)
+    // one (doc_id, n) row per doc, joined into lex TWICE (nq and nc
+    // legs) — materialize so the corpus tokenize→shingle subtree under
+    // the aggregate runs once, not once per leg (guide §2.4; the sh
+    // stream itself stays unmaterialized per the measured shingle-table
+    // lesson in Dedup)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val qsh = sh.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("sh"))
     val wl = Window.partitionBy("query_id")
