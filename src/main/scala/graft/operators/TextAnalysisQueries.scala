@@ -712,15 +712,25 @@ object TextAnalysisQueries extends QueryModule {
     * through exchanges, so counting the exploded stream keeps the
     * expensive work in the wide stage (measured 2.1 s total). */
   private def q95Novelty(s: SparkSession, dir: String): DataFrame = {
-    val toksT = graft.dedup.Dedup.tokenTable(
-      Tables.documents(s, dir), "doc_id", "text")
-    val grams = toksT.select(col("doc_id"),
-      explode(TextFunctions.wordShingles(col("toks"), 3)).as("g"))
+    // materialized per-doc SHINGLE ARRAY table (the q80 pattern): the
+    // df aggregate explodes it once, and n_shingles comes in closed
+    // form from the array size (wordShingles dedupes per doc, so the
+    // size IS the exploded per-doc count) — previously the
+    // tokenize+shingle pipeline ran twice, once per aggregate (guide
+    // §2.4). The size > 0 guard keeps shingle-less docs out, exactly
+    // as the explode-based aggregate dropped them.
+    val shT = graft.dedup.Dedup.tokenTable(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.wordShingles(col("toks"), 3).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .localCheckpoint(eager = false)
+    val grams = shT.select(col("doc_id"), explode(col("gs")).as("g"))
     val novel = grams
       .groupBy("g").agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
       .filter(col("df") === 1)
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    grams.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    shT.select(col("doc_id"), size(col("gs")).cast("long").as("n_shingles"))
       .join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
@@ -762,9 +772,16 @@ object TextAnalysisQueries extends QueryModule {
       .select(col("doc_id"), TextFunctions.digest60(col("gt")).as("g"))
       .crossJoin(broadcast(n))
       .select(col("g"), expr("doc_id * 10 div n").as("decile"))
-    val newt = sh.groupBy("g").agg(min("decile").as("decile"))
+    // ONE pass over the shingle stream: pre-aggregate to (g, decile)
+    // occurrence counts and materialize — both reports below reduce the
+    // small result instead of re-running tokenize+shingle+digest per
+    // branch (guide §2.4). occ = Σ c per decile and newt = first-decile
+    // type counts are exact integer re-aggregations of gd.
+    val gd = sh.groupBy("g", "decile").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val newt = gd.groupBy("g").agg(min("decile").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("new_types"))
-    val occ = sh.groupBy("decile").agg(count(lit(1)).as("n_grams"))
+    val occ = gd.groupBy("decile").agg(sum("c").as("n_grams"))
     occ.join(newt, Seq("decile"), "left")
       .select(col("decile"), col("n_grams"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
@@ -854,8 +871,14 @@ object TextAnalysisQueries extends QueryModule {
     val dec = "decimal(38,0)"
     val tok = Tables.documents(s, dir)
       .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("t"))
+    // ONE tokenize pass: (source, t) counts materialize, and the corpus
+    // term counts (cc = Σ_sources cs) and per-source totals both derive
+    // from the small result — previously the tokenize pipeline ran three
+    // times (corpus agg, perSrc under the main join, perSrc under
+    // totals; guide §2.4)
     val perSrc = tok.groupBy("source", "t").agg(count(lit(1)).as("cs"))
-    val corpus = tok.groupBy("t").agg(count(lit(1)).as("cc"))
+      .localCheckpoint(eager = false)
+    val corpus = perSrc.groupBy("t").agg(sum("cs").as("cc"))
     val totals = perSrc.groupBy("source").agg(sum("cs").as("n_s"))
     // grand total off the |sources|-row totals, NOT a fourth
     // scan-and-tokenize pass over the corpus
