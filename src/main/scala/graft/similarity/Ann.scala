@@ -296,11 +296,16 @@ object Ann {
       nlist: Int = 16, lloydIters: Int = 2): DataFrame = {
     val cs = trainCentroids(corpus, idCol, vecCol, nlist, lloydIters)
     val cellScores = cellScoresFor(cs)
+    // consumed THREE times (both sides of the within-cell self-join and
+    // the final assignment projection) — materialize so the per-row
+    // centroid scoring (nlist dot products per vector) runs once, the
+    // same boundary lshNearDupPairs puts under its banded self-join
     val cells = corpus
       .select(col(idCol), col(vecCol).as("v"), Vectors.norm(col(vecCol)).as("n"))
       .withColumn("cell",
         array_min(cellScores(struct(col("v").as("v"), col("n").as("n"))))
           .getField("cell"))
+      .localCheckpoint(eager = false)
     val dropped = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") &&
           col(s"b.$idCol") < col(s"a.$idCol"))

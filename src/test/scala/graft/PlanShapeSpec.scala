@@ -683,13 +683,27 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("pq-adc scores via broadcast table over the codes; raw vectors only reranked") {
-    val p = plan(SparkEntry.queries("q124_pq_adc")(spark, sfDir))
+    // r19: q124's registered plan now materializes the kernel result
+    // once for recallCheck's two consumers (a LogicalRDD boundary), so
+    // the ADC shape must be asserted on the KERNEL's own plan — same
+    // corpus/queries/params as q124 builds it
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val p = plan(graft.similarity.Ann.pqAdcTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      5, shortlist = 50))
     assert(p.contains("BroadcastHashJoin"),
       s"the ADC distance table and shortlist must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"neither codes nor corpus may shuffle-join:\n$p")
     assert(p.contains("partial_sum"),
       s"the per-(query, vector) ADC sum must pre-combine map-side:\n$p")
+    // and the registered query keeps the broadcast-only reduction above
+    // the materialized kernel rows
+    val q = plan(SparkEntry.queries("q124_pq_adc")(spark, sfDir))
+    assert(q.contains("Scan ExistingRDD"),
+      s"q124 must reduce the once-materialized kernel result:\n$q")
+    assert(!q.contains("SortMergeJoin"),
+      s"the recall reduction must stay broadcast-only:\n$q")
   }
 
   test("group-quota sample: salted pre-window bounds the per-source window input") {
