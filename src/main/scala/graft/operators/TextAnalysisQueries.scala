@@ -712,25 +712,28 @@ object TextAnalysisQueries extends QueryModule {
     * through exchanges, so counting the exploded stream keeps the
     * expensive work in the wide stage (measured 2.1 s total). */
   private def q95Novelty(s: SparkSession, dir: String): DataFrame = {
-    // materialized per-doc SHINGLE ARRAY table (the q80 pattern): the
-    // df aggregate explodes it once, and n_shingles comes in closed
-    // form from the array size (wordShingles dedupes per doc, so the
-    // size IS the exploded per-doc count) — previously the
-    // tokenize+shingle pipeline ran twice, once per aggregate (guide
-    // §2.4). The size > 0 guard keeps shingle-less docs out, exactly
-    // as the explode-based aggregate dropped them.
-    val shT = graft.dedup.Dedup.tokenTable(
-        Tables.documents(s, dir), "doc_id", "text")
-      .select(col("doc_id"),
-        TextFunctions.wordShingles(col("toks"), 3).as("gs"))
-      .filter(size(col("gs")) > 0)
-      .localCheckpoint(eager = false)
-    val grams = shT.select(col("doc_id"), explode(col("gs")).as("g"))
+    // Two fused tokenize→explode→aggregate passes, DELIBERATELY: r19
+    // measured both "one-pass" rewrites as large regressions. (a)
+    // checkpointing the per-doc shingle ARRAY table: 0.31 s -> ~10 s —
+    // the shingle string arrays are ~3x the corpus text and
+    // materializing them costs far more than the saved pass (q74/q147/
+    // q80 checkpoint TOKEN arrays to replace >= 2 full passes;
+    // different economics). (b) closed-form n_shingles = size(gs) with
+    // a size > 0 filter: Catalyst pushes the filter below the
+    // projection and INLINES the whole tokenize+shingle expression
+    // into the filter condition — the q67 concrete-tokens-column
+    // staging is undone and tokenize re-evaluates per element_at,
+    // ~11 s (plan captured in the r19 notes). The fused explode+agg
+    // passes below never store arrays and never duplicate the lambda.
+    val toksT = graft.dedup.Dedup.tokenTable(
+      Tables.documents(s, dir), "doc_id", "text")
+    val grams = toksT.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("toks"), 3)).as("g"))
     val novel = grams
       .groupBy("g").agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
       .filter(col("df") === 1)
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    shT.select(col("doc_id"), size(col("gs")).cast("long").as("n_shingles"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
