@@ -33,6 +33,12 @@ object RunOne {
     // JVM without paying a session start per query); each prints its own
     // per-iter line, so min-of-N is a grep away
     val names = name.split(',').toSeq
+    // validate every name up front — a typo in position k must fail
+    // before queries 1..k-1 have burned minutes of timing (r19 advisor)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(",")} — names must match " +
+        "SparkEntry.queries keys exactly")
     (1 to iters).foreach { i =>
       names.foreach { n0 =>
         val fn = SparkEntry.queries(n0)
