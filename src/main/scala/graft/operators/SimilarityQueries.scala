@@ -557,6 +557,10 @@ object SimilarityQueries extends QueryModule {
     // the aggregate runs once, not once per leg (guide §2.4; the sh
     // stream itself stays unmaterialized per the measured shingle-table
     // lesson in Dedup)
+    // r20 re-check: a calm-window A/B of this boundary vs none measured
+    // parity (min-of-5 1.256 vs 1.304 at equal q27 gauge); r19's
+    // equal-gauge A/B measured the boundary clearly ahead (1.59 → 1.23),
+    // so it stays.
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = false)
     val qsh = sh.filter(col("doc_id") < 3)

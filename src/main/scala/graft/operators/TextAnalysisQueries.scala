@@ -780,11 +780,20 @@ object TextAnalysisQueries extends QueryModule {
     // small result instead of re-running tokenize+shingle+digest per
     // branch (guide §2.4). occ = Σ c per decile and newt = first-decile
     // type counts are exact integer re-aggregations of gd.
-    val gd = sh.groupBy("g", "decile").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
-    val newt = gd.groupBy("g").agg(min("decile").as("decile"))
+    // TWO fused tokenize→shingle→aggregate passes, DELIBERATELY (the
+    // r19 one-pass rewrite REVERTED after a calm-window A/B): r19
+    // materialized a (g, decile) occurrence pre-aggregate so both
+    // reports reduce it, but that checkpoint is ~|distinct shingles|
+    // rows — at this corpus' shingle cardinality, writing it costs more
+    // than the one fused corpus pass it saves (same-JVM min-of-5 at
+    // equal q27 gauge: two-pass 0.459 s vs checkpointed one-pass
+    // 0.676 s). The q95 lesson generalizes: a boundary below a
+    // shingle-cardinality aggregate only pays when it replaces >= 2
+    // expensive passes AND the materialized rows are much smaller than
+    // the stream feeding them.
+    val newt = sh.groupBy("g").agg(min("decile").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("new_types"))
-    val occ = gd.groupBy("decile").agg(sum("c").as("n_grams"))
+    val occ = sh.groupBy("decile").agg(count(lit(1)).as("n_grams"))
     occ.join(newt, Seq("decile"), "left")
       .select(col("decile"), col("n_grams"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
@@ -879,10 +888,17 @@ object TextAnalysisQueries extends QueryModule {
     // from the small result — previously the tokenize pipeline ran three
     // times (corpus agg, perSrc under the main join, perSrc under
     // totals; guide §2.4)
+    // THREE fused tokenize→aggregate passes, DELIBERATELY (the r19
+    // one-pass materialization REVERTED after a calm-window A/B,
+    // q111's twin): the (source, t) checkpoint is ~|vocabulary×sources|
+    // rows, and writing it cost more than the two fused corpus passes
+    // it saved (same-JVM min-of-5 at equal q27 gauge: three-pass
+    // 0.736 s vs checkpointed 0.914 s; the old 0.697 floor agrees).
+    // Each pass is tokenize+explode+agg fused in one stage — the corpus
+    // text never shuffles, only (key, count) partials do.
     val perSrc = tok.groupBy("source", "t").agg(count(lit(1)).as("cs"))
-      .localCheckpoint(eager = false)
-    val corpus = perSrc.groupBy("t").agg(sum("cs").as("cc"))
-    val totals = perSrc.groupBy("source").agg(sum("cs").as("n_s"))
+    val corpus = tok.groupBy("t").agg(count(lit(1)).as("cc"))
+    val totals = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
     // grand total off the |sources|-row totals, NOT a fourth
     // scan-and-tokenize pass over the corpus
     val grand = totals.agg(sum("n_s").as("n_c"))
