@@ -39,12 +39,34 @@ object RunOne {
     require(unknown.isEmpty,
       s"unknown queries: ${unknown.mkString(",")} — names must match " +
         "SparkEntry.queries keys exactly")
+    // Spark-job counter: how many jobs each query spawns, split into
+    // plan-construction jobs (driver-side collects inside fn — probe
+    // cells, shortlists, centroid reads) and action jobs. The q171/q172
+    // serialized-driver-action work needs exactly this evidence.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      })
     (1 to iters).foreach { i =>
       names.foreach { n0 =>
         val fn = SparkEntry.queries(n0)
+        val j0 = jobs.get()
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[runone] $n0 iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        val j1 = jobs.get()
+        val n = df.count()
+        val t2 = System.nanoTime()
+        // listener delivery is async; a short settle keeps the counts
+        // honest at the cost of not being part of the timed region
+        Thread.sleep(50)
+        val j2 = jobs.get()
+        println(f"[runone] $n0 iter $i: ${(t2 - t0) / 1e9}%.3f s rows=$n " +
+          f"(construct ${(t1 - t0) / 1e9}%.3f s/${j1 - j0} jobs, " +
+          f"action ${(t2 - t1) / 1e9}%.3f s/${j2 - j1} jobs)")
       }
     }
     spark.stop()

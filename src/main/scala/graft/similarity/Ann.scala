@@ -274,6 +274,52 @@ object Ann {
     }: _*)
   }
 
+  /** Driver-side twin of the QUERY side of [[cellScoresFor]] — the
+    * nprobe probe cells of one query vector, computed in a tight local
+    * loop instead of a Spark job. BIT-IDENTICAL to the Catalyst
+    * `slice(array_sort(cellScores(struct(v, n))), 1, nprobe).cell`
+    * plan by construction (AnnLocalProbeSpec pins it over the whole
+    * test corpus): same float→double element casts, same left-to-right
+    * double accumulation as [[graft.functions.expressions.DotProduct]],
+    * same `-dot / (n·cn)` operation order as the column expression,
+    * `try_divide`'s zero-divisor null → MaxValue coalesce, and
+    * java.lang.Double total ordering (NaN greatest, -0.0 < 0.0 — what
+    * Catalyst's double ordering uses) with ties to the lower cell id.
+    * `v = None` mirrors a NULL vector: every cell scores MaxValue and
+    * the slice returns cells 0..nprobe-1. The probe paths use this so
+    * the probe-cell choice costs ZERO jobs once the (tiny) query set is
+    * collected — the job it replaces was one of 3-4 serialized driver
+    * actions per maintained-ANN read (guide §2.6). */
+  private[graft] def queryProbeCellsLocal(
+      v: Option[Array[Double]], cs: Array[Array[Double]],
+      nprobe: Int): Seq[Long] = {
+    val scored: Seq[(Double, Long)] = v match {
+      case None => cs.indices.map(i => (Double.MaxValue, i.toLong))
+      case Some(x) =>
+        val n = math.sqrt(dotLocal(x, x))
+        cs.indices.map { i =>
+          val c = cs(i)
+          val div = n * l2(c)
+          val negsim =
+            if (x.length != c.length) Double.MaxValue // DotProduct nulls on length mismatch
+            else if (div == 0.0) Double.MaxValue      // try_divide's zero-divisor null
+            else -dotLocal(x, c) / div
+          (negsim, i.toLong)
+        }
+    }
+    scored.sorted(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering, Ordering.Long))
+      .take(nprobe).map(_._2)
+  }
+
+  /** Left-to-right double accumulation over equal-length arrays — the
+    * driver-side twin of the DotProduct expression's fold. */
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space with the same deterministic IVF centroids as
     * [[ivfTopK]], then WITHIN each cell drop every vector that has a

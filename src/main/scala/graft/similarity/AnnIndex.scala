@@ -673,11 +673,65 @@ object AnnIndex extends org.apache.spark.internal.Logging {
     GenStore.liveView(meta, rows, keyCol, dataCols, postFilter, resolveAll)
 
   /** Persisted centroids as the driver-side array (cell-ordered),
-    * shared by append-time assignment and query-time probing. */
-  private def centroidArray(s: SparkSession, indexDir: String): Array[Array[Double]] = {
-    import s.implicits._
-    s.read.parquet(centroidsPath(indexDir))
-      .orderBy("cell").select("c").as[Seq[Double]].collect().map(_.toArray)
+    * shared by append-time assignment and query-time probing. The sort
+    * runs driver-side over the collected nlist rows — an `orderBy`
+    * before the collect planned a whole extra AQE shuffle job for ≤32
+    * rows (the probe paths run this once per query). */
+  private def centroidArray(s: SparkSession, indexDir: String): Array[Array[Double]] =
+    s.read.parquet(centroidsPath(indexDir)).select("cell", "c").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+
+  /** Cap on driver-localized query sets — the broadcast-small-queries
+    * contract of every probe path here, enforced the same way
+    * [[PointFetchMaxRows]] is: past it the probe paths keep the fully
+    * distributed shapes. */
+  private val QueryLocalizeCap = 4096
+
+  /** Collect a broadcast-small query set ONCE and re-plan it as a local
+    * relation (exact schema, exact row values — no arithmetic touches
+    * the data). Every downstream consumer — probe-cell choice, ADC
+    * distance table, rerank query side — previously re-scanned the
+    * queries' parquet inside its own job; with 3-row query sets the
+    * per-scan job overhead dominated entire maintained-ANN reads
+    * (RunOne: 13-26 construction jobs per read, 85-92% of wall).
+    * Returns the local relation plus each row's vector as doubles
+    * (float→double is exact) for the driver-side probe-cell twin; None
+    * past the cap or for a null/null-element vector (the Catalyst
+    * scoring nulls there — [[Ann.queryProbeCellsLocal]] mirrors it), or
+    * None overall past [[QueryLocalizeCap]] so callers keep the
+    * distributed shape. */
+  private def localizedQueries(
+      queries: DataFrame, idCol: String, vecCol: String):
+      Option[(DataFrame, Seq[Option[Array[Double]]])] = {
+    val proj = queries.select(col(idCol), col(vecCol))
+    val rows = proj.limit(QueryLocalizeCap + 1).collect()
+    if (rows.length > QueryLocalizeCap) None
+    else {
+      val local = queries.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), proj.schema)
+      val vecs: Seq[Option[Array[Double]]] = rows.toSeq.map { r =>
+        if (r.isNullAt(1)) None
+        else {
+          val sq = r.getSeq[Any](1)
+          if (sq == null || sq.contains(null)) None
+          else Some(sq.map {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case x: java.lang.Number => x.doubleValue()
+          }.toArray)
+        }
+      }
+      Some((local, vecs))
+    }
+  }
+
+  /** The persisted PQ codebook as a local relation (nCent·nSub rows,
+    * verbatim values): the ADC distance table builds against it as a
+    * broadcast — local rows make that build job trivial instead of a
+    * parquet scan, and the read overlaps the other probe-prep reads. */
+  private def localizedCodebook(s: SparkSession, indexDir: String): DataFrame = {
+    val cb = s.read.parquet(codebookPath(indexDir))
+    s.createDataFrame(java.util.Arrays.asList(cb.collect(): _*), cb.schema)
   }
 
   /** Map-only nearest-cell assignment under a fixed centroid model
@@ -724,16 +778,36 @@ object AnnIndex extends org.apache.spark.internal.Logging {
       idCol: String = "vec_id", vecCol: String = "embedding",
       asOfGen: Option[Long] = None): DataFrame = {
     val meta = metaOrThrow(s, indexDir)
-    val cellScores = Ann.cellScoresFor(centroidArray(s, indexDir))
-    val queryCells = queries
+    // centroid read and query collect are INDEPENDENT driver jobs —
+    // overlap them (guide §2.6) instead of serializing; they were two
+    // of the 3-4 sequential actions each maintained read paid
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val csF = Future(centroidArray(s, indexDir))
+    val locF = Future(localizedQueries(queries, idCol, vecCol))
+    val cs = Await.result(csF, 10.minutes)
+    val loc = Await.result(locF, 10.minutes)
+    val cellScores = Ann.cellScoresFor(cs)
+    // probe cells driver-side over the localized query set (zero jobs,
+    // bit-identical twin — AnnLocalProbeSpec); queryCells (the join
+    // side) keeps the Catalyst expression, now over the local relation
+    // so no downstream job re-scans the queries' parquet. Past the
+    // localize cap: the pre-r20 distributed collect.
+    val qdf = loc.fold(queries)(_._1)
+    val queryCells = qdf
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         Vectors.norm(col(vecCol)).as("qn"))
       .withColumn("cell",
         explode(slice(array_sort(cellScores(
           struct(col("qv").as("v"), col("qn").as("n")))), 1, nprobe)
           .getField("cell")))
-    val probeCells = queryCells.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val probeCells = loc match {
+      case Some((_, vecs)) =>
+        vecs.flatMap(Ann.queryProbeCellsLocal(_, cs, nprobe)).distinct
+      case None => queryCells.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+    }
     val corpusCells =
       if (meta.params.contains("vecs"))
         assignmentsView(s, indexDir, cells = Some(probeCells),
@@ -901,11 +975,54 @@ object AnnIndex extends org.apache.spark.internal.Logging {
       s: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 8, shortlist: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cand = pqAdcShortlist(s, indexDir, queries, nprobe, shortlist,
-      idCol, vecCol)
+    val p = pqProbePrep(s, indexDir, queries, nprobe, idCol, vecCol)
+    val cand = pqAdcShortlist(s, indexDir, p, shortlist, idCol, vecCol)
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       Vectors.norm(col(vecCol)).as("cn"))
-    pqExactRerank(queries, cv, cand, k, idCol, vecCol)
+    pqExactRerank(p.qdf, cv, cand, k, idCol, vecCol)
+  }
+
+  /** Prepared probe-side state shared by the PQ read paths: the meta,
+    * PQ params, the (localized) query relation, the driver-computed
+    * probe cells, and the (localized) codebook. */
+  private final case class PqProbe(
+      meta: Meta, nSub: Int, subDim: Int, qdf: DataFrame,
+      probeCells: Seq[Long], codebook: DataFrame)
+
+  /** Probe prep shared by both PQ read paths: the three independent
+    * driver reads (centroids, codebook, query collect) run CONCURRENTLY
+    * (guide §2.6 — they were sequential actions before r20), the probe
+    * cells come from the driver-side twin of the Catalyst cell scoring
+    * (zero jobs; bit-identical — AnnLocalProbeSpec), and the query and
+    * codebook relations are localized so the ADC chain and rerank plan
+    * over local rows instead of re-scanning parquet per consumer. Past
+    * the localize cap the pre-r20 distributed shapes are kept. */
+  private def pqProbePrep(
+      s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int, idCol: String, vecCol: String): PqProbe = {
+    val meta = metaOrThrow(s, indexDir)
+    val (nSub, subDim) = pqParamsOrThrow(meta, indexDir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val csF = Future(centroidArray(s, indexDir))
+    val cbF = Future(localizedCodebook(s, indexDir))
+    val locF = Future(localizedQueries(queries, idCol, vecCol))
+    val cs = Await.result(csF, 10.minutes)
+    val cb = Await.result(cbF, 10.minutes)
+    Await.result(locF, 10.minutes) match {
+      case Some((local, vecs)) =>
+        PqProbe(meta, nSub, subDim, local,
+          vecs.flatMap(Ann.queryProbeCellsLocal(_, cs, nprobe)).distinct, cb)
+      case None =>
+        val cellScores = Ann.cellScoresFor(cs)
+        val probeCells = queries
+          .select(explode(slice(array_sort(cellScores(struct(
+              col(vecCol).as("v"), Vectors.norm(col(vecCol)).as("n")))),
+            1, nprobe).getField("cell")).as("cell"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        PqProbe(meta, nSub, subDim, queries, probeCells, cb)
+    }
   }
 
   /** [[ivfPqTopKFromIndex]] with the refine fetch served by POINT
@@ -952,8 +1069,8 @@ object AnnIndex extends org.apache.spark.internal.Logging {
       idCol: String, vecCol: String,
       degradeToScan: Boolean, cap: Int): DataFrame = {
     import s.implicits._
-    val candRows = pqAdcShortlist(s, indexDir, queries, nprobe, shortlist,
-        idCol, vecCol)
+    val p = pqProbePrep(s, indexDir, queries, nprobe, idCol, vecCol)
+    val candRows = pqAdcShortlist(s, indexDir, p, shortlist, idCol, vecCol)
       .limit(cap + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     if (candRows.length > cap) {
@@ -972,16 +1089,15 @@ object AnnIndex extends org.apache.spark.internal.Logging {
           "degradeToScan = true to degrade to it automatically")
       logWarning(s"point-fetch shortlist exceeds $cap rows; degrading " +
         "to the distributed scan rerank (degradeToScan = true)")
-      val cand = pqAdcShortlist(s, indexDir, queries, nprobe, shortlist,
-        idCol, vecCol)
+      val cand = pqAdcShortlist(s, indexDir, p, shortlist, idCol, vecCol)
       val fetch = vecsFetchSource(s, vecsDir, ids = None, vecCol)
-      return pqExactRerank(queries, fetch, cand, k, idCol, vecCol,
+      return pqExactRerank(p.qdf, fetch, cand, k, idCol, vecCol,
         bcast = false)
     }
     val cand = candRows.toDF("query_id", "neighbor_id")
     val ids = candRows.map(_._2).distinct.toSeq
     val fetch = vecsFetchSource(s, vecsDir, ids = Some(ids), vecCol)
-    pqExactRerank(queries, fetch, cand, k, idCol, vecCol)
+    pqExactRerank(p.qdf, fetch, cand, k, idCol, vecCol)
   }
 
   /** The refine-fetch vector source as (neighbor_id, cv, cn): a
@@ -1007,28 +1123,20 @@ object AnnIndex extends org.apache.spark.internal.Logging {
       Vectors.norm(col(vecCol)).as("cn"))
   }
 
-  /** The ADC stage shared by both PQ probe paths: probe cells from the
-    * persisted centroids, code rows of ONLY those cells through the
-    * live view, distances by broadcast table lookup, top-`shortlist`
-    * per query — (query_id, neighbor_id). */
+  /** The ADC stage shared by both PQ probe paths: the prepared probe
+    * cells prune the code read to ONLY those cells through the live
+    * view, distances by broadcast table lookup over the (localized)
+    * codebook, top-`shortlist` per query — (query_id, neighbor_id). */
   private def pqAdcShortlist(
-      s: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int, shortlist: Int, idCol: String, vecCol: String): DataFrame = {
-    val meta = metaOrThrow(s, indexDir)
-    val (nSub, subDim) = pqParamsOrThrow(meta, indexDir)
-    val cellScores = Ann.cellScoresFor(centroidArray(s, indexDir))
-    val probeCells = queries
-      .select(explode(slice(array_sort(cellScores(struct(
-          col(vecCol).as("v"), Vectors.norm(col(vecCol)).as("n")))),
-        1, nprobe).getField("cell")).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val table = Ann.pqDistTable(queries,
-        s.read.parquet(codebookPath(indexDir)), nSub, subDim, idCol, vecCol)
+      s: SparkSession, indexDir: String, p: PqProbe,
+      shortlist: Int, idCol: String, vecCol: String): DataFrame = {
+    val table = Ann.pqDistTable(p.qdf, p.codebook, p.nSub, p.subDim,
+        idCol, vecCol)
       .select(col("query_id"), col("sub").cast("int").as("sub"),
         col("code").cast("int").as("code"), col("d2"))
     val aw = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    assignmentsView(s, indexDir, cells = Some(probeCells),
+    assignmentsView(s, indexDir, cells = Some(p.probeCells),
         resolveAll = false, payload = Seq("codes"))
       .select(col("vec_id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
